@@ -1,0 +1,257 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-level zone-map statistics over an immutable Parquet table — the
+  * Spark-native rebuild of the reference Metastore
+  * (lakeshack/metastore.py:79-560).
+  *
+  * One stats row per Parquet file:
+  *   (filepath, <cluster>_min, <cluster>_max[, <opt>_min, <opt>_max]...)
+  * The cluster column is first by convention, matching the reference's
+  * name-recovery rule (lakeshack/metastore.py:117-126).
+  *
+  * Scale design (100 TB / ~100k files):
+  *  - stats stay tiny (1 row per file), so pruning is a broadcast range
+  *    join of requested values against [min,max] intervals — never a
+  *    shuffle of the data table;
+  *  - `build` scans data once at ingest (distributed; the groupBy key is
+  *    `input_file_name()` so partial min/max aggregation happens map-side
+  *    per task and only per-file partials hit the exchange);
+  *  - `buildFromFooters` reads ONLY Parquet footers (KBs per file) on the
+  *    executors — the reference's actual strategy (metastore.py:278-339) —
+  *    so re-stats never touches data bytes;
+  *  - `update` is a left-anti join on filepath (idempotent re-update),
+  *    exactly the reference's skip-if-exists (metastore.py:245-260).
+  */
+object Metastore {
+
+  /** Column types that get min/max stats. Anything else is silently
+    * excluded (with the cluster column required to be orderable),
+    * preserving the reference's drop-with-warning policy
+    * (lakeshack/metastore.py:540-553) — load-bearing for queries that
+    * filter at scan time on columns the metastore never indexed.
+    */
+  def isOrderable(dt: DataType): Boolean = dt match {
+    case _: StringType | _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+        _: FloatType | _: DoubleType | _: DateType | _: TimestampType | _: TimestampNTZType => true
+    case _ => false
+  }
+
+  private def statColumns(schema: StructType, clusterColumn: String, optionalColumns: Seq[String]): Seq[String] = {
+    val wanted = clusterColumn +: optionalColumns
+    val kept = wanted.filter { c =>
+      val f = schema.fields.find(_.name == c)
+        .getOrElse(throw new IllegalArgumentException(s"Column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
+      isOrderable(f.dataType)
+    }
+    require(kept.contains(clusterColumn), s"Cluster column '$clusterColumn' has non-orderable type; cannot build metastore")
+    kept
+  }
+
+  /** Harvest per-file min/max by scanning the data (SURVEY.md §2 O9-O11,
+    * approach (a)). Distributed: one partial aggregate per input split,
+    * tiny final aggregate keyed by filepath.
+    */
+  def build(spark: SparkSession, dataPath: String, clusterColumn: String,
+            optionalColumns: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.parquet(dataPath)
+    val cols = statColumns(df.schema, clusterColumn, optionalColumns)
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max")))
+    df.groupBy(input_file_name().as("filepath"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Harvest per-file min/max from Parquet FOOTERS only — no data bytes
+    * read. This is the reference's real mechanism
+    * (lakeshack/metastore.py:278-339): fold row-group stats across each
+    * file (min of mins, max of maxes, metastore.py:321-335). At 100 TB
+    * this reads ~KBs per file; the path list is distributed across
+    * executors, replacing the reference's 16-thread pool
+    * (metastore.py:385) with cluster task parallelism.
+    */
+  def buildFromFooters(spark: SparkSession, dataPath: String, clusterColumn: String,
+                       optionalColumns: Seq[String] = Nil): DataFrame = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+
+    val dataSchema = spark.read.parquet(dataPath).schema
+    val cols = statColumns(dataSchema, clusterColumn, optionalColumns)
+    val sparkTypes: Map[String, DataType] = cols.map(c => c -> dataSchema(c).dataType).toMap
+    val outSchema = StructType(
+      StructField("filepath", StringType, nullable = false) +:
+      cols.flatMap { c =>
+        val dt = dataSchema(c).dataType
+        Seq(StructField(c + "_min", dt), StructField(c + "_max", dt))
+      })
+
+    // Recursive file discovery (reference O10, metastore.py:368-376).
+    val root = new Path(dataPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths: Seq[String] =
+      if (fs.getFileStatus(root).isFile) Seq(root.toString)
+      else {
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+        }
+        buf.toSeq
+      }
+
+    val colsB = spark.sparkContext.broadcast(cols)
+    val typesB = spark.sparkContext.broadcast(sparkTypes)
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+      .map { p =>
+        val wanted = colsB.value
+        val types = typesB.value
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), new Configuration()))
+        try {
+          val md = reader.getFooter
+          // Fold row-group stats per column across all row groups.
+          val acc = scala.collection.mutable.Map[String, (Comparable[Any], Comparable[Any])]()
+          md.getBlocks.forEach { block =>
+            block.getColumns.forEach { cc =>
+              val name = cc.getPath.toDotString
+              if (wanted.contains(name)) {
+                val st = cc.getStatistics
+                if (st != null && st.hasNonNullValue) {
+                  val mn = st.genericGetMin.asInstanceOf[Comparable[Any]]
+                  val mx = st.genericGetMax.asInstanceOf[Comparable[Any]]
+                  acc.get(name) match {
+                    case Some((m0, m1)) =>
+                      acc(name) = (if (mn.compareTo(m0.asInstanceOf[Any]) < 0) mn else m0,
+                                   if (mx.compareTo(m1.asInstanceOf[Any]) > 0) mx else m1)
+                    case None => acc(name) = (mn, mx)
+                  }
+                }
+              }
+            }
+          }
+          val logicalByName = {
+            val m = scala.collection.mutable.Map[String, org.apache.parquet.schema.PrimitiveType]()
+            md.getFileMetaData.getSchema.getFields.forEach { f =>
+              if (f.isPrimitive) m(f.getName) = f.asPrimitiveType()
+            }
+            m
+          }
+          // Parquet physical value -> Spark external value, keyed by the
+          // Spark type the normal reader infers (so both builders agree).
+          def toExternal(name: String, v: Any): Any = {
+            if (v == null) return null
+            types(name) match {
+              case StringType =>
+                new String(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              case TimestampType | TimestampNTZType =>
+                val micros = logicalByName(name).getLogicalTypeAnnotation match {
+                  case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+                    case TimeUnit.MILLIS => v.asInstanceOf[Long] * 1000L
+                    case TimeUnit.MICROS => v.asInstanceOf[Long]
+                    case TimeUnit.NANOS  => Math.floorDiv(v.asInstanceOf[Long], 1000L)
+                  }
+                  case _ => v.asInstanceOf[Long]
+                }
+                if (types(name) == TimestampType)
+                  java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+                else
+                  java.time.LocalDateTime.ofEpochSecond(
+                    Math.floorDiv(micros, 1000000L),
+                    (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+                    java.time.ZoneOffset.UTC)
+              case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+              case _ => v // int/long/float/double physical == external
+            }
+          }
+          val values = wanted.flatMap { c =>
+            acc.get(c) match {
+              case Some((mn, mx)) => Seq(toExternal(c, mn), toExternal(c, mx))
+              case None => Seq(null, null)
+            }
+          }
+          Row.fromSeq(p +: values)
+        } finally reader.close()
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Idempotent upsert: keep only stats rows whose filepath is not already
+    * present (reference O12 — literally a left anti join,
+    * metastore.py:245-260), then append.
+    */
+  def update(spark: SparkSession, statsPath: String, newStats: DataFrame): Unit = {
+    val fresh =
+      if (exists(spark, statsPath)) {
+        val old = spark.read.parquet(statsPath)
+        require(old.schema.map(f => (f.name, f.dataType)) == newStats.schema.map(f => (f.name, f.dataType)),
+          s"Metastore schema mismatch: existing ${old.schema.simpleString} vs new ${newStats.schema.simpleString}")
+        newStats.join(old.select("filepath"), Seq("filepath"), "left_anti")
+      } else newStats
+    fresh.write.mode("append").parquet(statsPath)
+  }
+
+  /** Load + validate an existing stats table (reference O14 reflection). */
+  def load(spark: SparkSession, statsPath: String): DataFrame = {
+    val df = spark.read.parquet(statsPath)
+    require(df.schema.fieldNames.headOption.contains("filepath") &&
+      df.schema.fieldNames.exists(_.endsWith("_min")),
+      s"Not a metastore stats table: ${df.schema.simpleString}")
+    df
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Cluster column recovered from column order (first `_min` column),
+    * mirroring the reference's name-recovery (metastore.py:117-126). */
+  def clusterColumnOf(stats: DataFrame): String =
+    stats.schema.fieldNames.find(_.endsWith("_min"))
+      .map(_.dropRight(4))
+      .getOrElse(throw new IllegalArgumentException("Not a metastore stats table: no *_min column"))
+
+  /** Zone-map pruning (reference O8, metastore.py:414-481) as ONE range
+    * join instead of the reference's per-value DB round-trip
+    * (metastore.py:446): requested values (tiny, broadcast) vs file
+    * [min,max] intervals. Returns (filepath, value) hit pairs — the
+    * file→values multiplicity of Metastore.query's dict result
+    * (metastore.py:442,476).
+    *
+    * Unknown clause columns are silently ignored for pruning
+    * (metastore.py:454-455) but still applied at scan time by
+    * Lakeshack.query — preserved behavior, load-bearing for
+    * test_query_ts_optional_where_clause.
+    */
+  def prunePairs(spark: SparkSession, stats: DataFrame, values: Seq[Any],
+                 clauses: Seq[Clause] = Nil): DataFrame = {
+    val cluster = clusterColumnOf(stats)
+    val statCols = stats.schema.fieldNames.toSet
+    val applicable = clauses.filter(c => statCols.contains(c.column + "_min"))
+    val clausePred = applicable.map(_.toPruneColumn).reduceOption(_ && _).getOrElse(lit(true))
+    val valueType = stats.schema(cluster + "_min").dataType
+    val jrows = new java.util.ArrayList[Row](values.size)
+    values.foreach(v => jrows.add(Row(v)))
+    val valuesDf = spark.createDataFrame(jrows, StructType(Seq(StructField("value", valueType))))
+    // values side is tiny -> broadcast range join; the stats table itself
+    // is tiny (1 row/file) so this never shuffles data.
+    stats.where(clausePred)
+      .join(broadcast(valuesDf),
+        col(cluster + "_min") <= col("value") && col("value") <= col(cluster + "_max"))
+      .select(col("filepath"), col("value"))
+  }
+
+  /** Surviving file list for a query (union of per-value hits). */
+  def prune(spark: SparkSession, stats: DataFrame, values: Seq[Any],
+            clauses: Seq[Clause] = Nil): Seq[String] =
+    prunePairs(spark, stats, values, clauses)
+      .select("filepath").distinct().collect().map(_.getString(0)).toSeq
+}

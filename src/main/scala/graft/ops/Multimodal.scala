@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages. The media codec libraries are NOT in this
+  * container, so the byte-level decode is a clearly-marked deterministic
+  * STUB (`stubDecode`) — what is real and tested is the Spark side:
+  * schema, batch shape, partitioning, and the per-partition execution
+  * model a production decoder plugs into.
+  *
+  * Scale design: media bytes are the heaviest column by far, so every
+  * stage (a) projects the binary column only where needed — column
+  * pruning keeps metadata-only queries from touching bytes at all; and
+  * (b) runs decode via `mapPartitions` so a real codec can amortize
+  * per-batch setup (model load, JNI init) across a partition, exactly
+  * like a Pandas-UDF/`mapInPandas` batch would in PySpark.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String,
+                      width: Int, height: Int, n_bytes: Long)
+  case class Features(doc_id: Long, feature: Array[Float], n_frames: Int)
+
+  /** Attach a synthetic media column to the documents table: the UTF-8
+    * bytes of `text` stand in for an encoded image, with typed metadata
+    * derived deterministically so tests are stable. */
+  def withMedia(docs: DataFrame): DataFrame = {
+    val bytes = encode(col("text"), "UTF-8")
+    docs
+      .withColumn("media", bytes)
+      .withColumn("media_type",
+        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("n_bytes", octet_length(bytes).cast("long"))
+      .withColumn("width", (pmod(xxhash64(col("doc_id")), lit(1920L)) + 1).cast("int"))
+      .withColumn("height", (pmod(xxhash64(col("doc_id"), lit(1)), lit(1080L)) + 1).cast("int"))
+  }
+
+  /** STUB decode: a real implementation calls an image/audio codec here
+    * (per partition, so codec init is amortized). The stub derives an
+    * 8-dim feature vector from byte-chunk averages — deterministic, and
+    * shaped exactly like a real embedding stage (fixed-width
+    * Array[Float] per row). */
+  def stubDecode(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
+    if (bytes.isEmpty) return Array.fill(dims)(0.0f)
+    val chunk = math.max(1, bytes.length / dims)
+    Array.tabulate(dims) { i =>
+      val from = i * chunk
+      val to = math.min(bytes.length, from + chunk)
+      if (from >= bytes.length) 0.0f
+      else {
+        var s = 0L
+        var j = from
+        while (j < to) { s += (bytes(j) & 0xFF); j += 1 }
+        s.toFloat / (to - from)
+      }
+    }
+  }
+
+  /** Feature extraction over the media column. `mapPartitions` is the
+    * deliberate choice (guide's option (d)) because a real decoder has
+    * heavy per-task setup; the narrow pipeline means no shuffle — one
+    * pass over the bytes, emitting small fixed-width features. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[Features] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("n_bytes"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        // real codec init would happen once per partition, here:
+        it.map { case (id, bytes, nBytes) =>
+          Features(id, stubDecode(bytes), nFramesFor(nBytes))
+        }
+      }
+  }
+
+  /** STUB frame count: a video container parser would read this from the
+    * header; the stub derives it from size so partitioning tests have
+    * non-trivial values. */
+  private def nFramesFor(nBytes: Long): Int = (nBytes % 30 + 1).toInt
+
+  /** Frame sampling: keep every `stride`-th chunk of the payload —
+    * byte-level stand-in for video frame sampling; the slice arithmetic,
+    * schema and laziness are what a real sampler needs. */
+  def sampleFrames(media: DataFrame, stride: Int = 4, frameBytes: Int = 16): DataFrame = {
+    media.select(col("doc_id"), col("media"), col("n_bytes"))
+      .withColumn("n_frames", floor(col("n_bytes") / frameBytes).cast("int"))
+      .withColumn("sampled_frame_idx",
+        filter(sequence(lit(0), greatest(col("n_frames") - 1, lit(0))), i => i % stride === 0))
+      .withColumn("sampled_frames",
+        transform(col("sampled_frame_idx"),
+          i => substring(col("media"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+      .drop("media")
+  }
+
+  /** Metadata-only projection — demonstrates (and is tested for) the
+    * plan NOT reading media bytes when only metadata is selected. */
+  def mediaCatalog(media: DataFrame): DataFrame =
+    media.groupBy("media_type").agg(
+      count(lit(1)).as("n_items"),
+      sum("n_bytes").as("total_bytes"),
+      avg("width").as("avg_width"),
+      avg("height").as("avg_height"))
+}

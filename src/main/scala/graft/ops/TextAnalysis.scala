@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` table (doc_id, text, lang, source, n_chars). The
+  * reference has no text operators (SURVEY.md §2.2) — these are the
+  * north_star extensions, built entirely from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs in the hot path) so every
+  * stage stays inside whole-stage codegen and scales linearly: each is a
+  * narrow map over the corpus, no shuffle except the final aggregation
+  * where noted.
+  */
+object TextAnalysis {
+
+  /** Lowercased word tokens; `\W+`-split, empties dropped. One canonical
+    * tokenizer shared by all text + dedup ops so fingerprints agree. */
+  def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  private val punctPattern = "[^a-zA-Z0-9\\s]"
+
+  /** Per-language stopword lists for the language-ID heuristic. Tiny,
+    * broadcast as literals into the plan (no join needed). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist", "von", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "qui"))
+
+  /** Quality scoring: cheap per-document signals used to filter training
+    * corpora (length, token stats, punctuation/stopword ratios). Pure
+    * narrow map — at 100 TB this is one scan, no shuffle.
+    */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val toks = tokensCol(text)
+    val enStops = stopwords("en").map(lit(_))
+    docs
+      .withColumn("n_chars_calc", length(text))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_unique_tokens", size(array_distinct(toks)))
+      .withColumn("avg_token_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(length(text) > 0,
+          (length(text) - length(regexp_replace(text, punctPattern, ""))).cast("double") / length(text))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(size(toks) > 0,
+          size(filter(toks, t => t.isin(enStops: _*))).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Whitespace-ish token counting plus a BPE-ish subword estimate
+    * (4 chars ≈ 1 token, the common rule of thumb), per document. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    docs
+      .withColumn("n_ws_tokens", size(filter(split(text, "\\s+"), t => length(t) > 0)))
+      .withColumn("n_word_tokens", size(tokensCol(text)))
+      .withColumn("n_bpe_est", ceil(length(text).cast("double") / 4).cast("long"))
+  }
+
+  /** Corpus-level token frequency (the one text op that shuffles: a
+    * hash aggregation keyed by token — partial map-side combine keeps the
+    * exchange proportional to vocabulary, not corpus, size). */
+  def tokenFrequencies(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokensCol(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+
+  /** Language-ID: stopword-hit scoring per language, argmax with a
+    * deterministic tiebreak (score desc, language code asc). A real
+    * pipeline swaps in character-n-gram models; the dataflow — narrow
+    * map, no shuffle — is identical.
+    */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      val ws = words.map(lit(_))
+      struct(size(filter(toks, t => t.isin(ws: _*))).as("score"), lit(langCode).as("lang"))
+    }
+    // argmax: sort (score, lang) structs; ties break to the LOWEST lang
+    // code, so invert lang ordering inside the struct via negative score
+    // first. array_max on structs orders lexicographically by field.
+    val best = aggregate(
+      array(scored: _*),
+      struct(lit(-1).as("score"), lit("zz").as("lang")),
+      (acc, s) => when(s.getField("score") > acc.getField("score") ||
+          (s.getField("score") === acc.getField("score") && s.getField("lang") < acc.getField("lang")), s)
+        .otherwise(acc))
+    docs.withColumn("pred_lang", best.getField("lang"))
+      .withColumn("pred_score", best.getField("score"))
+  }
+
+  /** Document fingerprinting: md5 of normalized text (exact-dup key) and
+    * a shingle fingerprint (min/max of rolling 3-token shingle hashes —
+    * a cheap rolling-hash sketch). Narrow map; hashes are 8-16 bytes per
+    * doc, so downstream dedup shuffles fingerprints, never text bytes.
+    */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = array_join(tokensCol(col(textCol)), " ")
+    val sh = Dedup.shingles(tokensCol(col(textCol)), 3)
+    docs
+      .withColumn("md5_fp", md5(norm))
+      .withColumn("norm_len", length(norm))
+      .withColumn("shingle_min_fp", array_min(transform(sh, s => xxhash64(s))))
+      .withColumn("shingle_max_fp", array_max(transform(sh, s => xxhash64(s))))
+  }
+}

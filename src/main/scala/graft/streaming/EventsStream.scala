@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table (event_id, ts[nanos],
+  * user_id, event_type, value, props). The reference is batch-only — its
+  * docs treat late data as an ETL partitioning problem
+  * (docs/source/lakeshack.rst:130-160) — so this is a north_star
+  * extension: the same windowed aggregation exposed as BOTH a batch
+  * DataFrame (oracle-checkable) and a streaming query (watermark + window,
+  * tested via the memory sink).
+  *
+  * Note on nanos: the driver testdata stores `ts` as Parquet
+  * TIMESTAMP(NANOS), which Spark's reader only admits as LongType via
+  * `spark.sql.legacy.parquet.nanosAsLong`; we truncate to microseconds —
+  * identical to DuckDB's CAST(ts AS TIMESTAMP) semantics.
+  */
+object EventsStream {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos (see nanosAsLong)
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Loads events with `ts` as TIMESTAMP_NTZ (micros, truncated from
+    * nanos exactly like DuckDB's CAST(ts AS TIMESTAMP)). NTZ end-to-end
+    * keeps wall-clock semantics identical to the naive oracle values. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `ts div 1000` is integral division on the long nanos — `ts / 1000`
+    // would go through DOUBLE, whose 53-bit mantissa cannot represent
+    // ~1.7e18 and rounds the last microsecond.
+    spark.read.parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  /** Tumbling-window aggregation, batch form. Deterministic (no floats
+    * ungrounded: value sums decimal-cast) so it hash-matches a DuckDB
+    * time_bucket oracle. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** The same aggregation as a streaming query with a watermark: late
+    * rows beyond 30 minutes are dropped, windows finalize incrementally.
+    * State scales with (open windows × event types) — bounded — and the
+    * shuffle is the same hash exchange as the batch plan.
+    */
+  def hourlyByTypeStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  /** Sessionization with a 30-minute gap per user — the classic stateful
+    * streaming shape, batch form: session id = running count of
+    * gap-exceeding boundaries per user (window functions). */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val withGap = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("timestamp").cast("long") - col("prev_ts").cast("timestamp").cast("long") > gapMinutes * 60L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+  }
+}
