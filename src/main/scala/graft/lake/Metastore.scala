@@ -60,7 +60,13 @@ object Metastore {
     val df = spark.read.parquet(dataPath)
     val cols = statColumns(df.schema, clusterColumn, optionalColumns)
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max")))
-    df.groupBy(input_file_name().as("filepath"))
+    // `_metadata.file_path`, not `input_file_name()`: if the caller has
+    // the table cached, cache substitution feeds the agg from the
+    // InMemoryRelation and input_file_name() silently yields "" — the
+    // metadata column changes the scan's output so the cached fragment
+    // cannot be substituted, and file provenance survives.
+    df.select(col("_metadata.file_path").as("filepath") +: cols.map(col): _*)
+      .groupBy("filepath")
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -236,7 +242,12 @@ object Metastore {
     val cluster = clusterColumnOf(stats)
     val statCols = stats.schema.fieldNames.toSet
     val applicable = clauses.filter(c => statCols.contains(c.column + "_min"))
-    val clausePred = applicable.map(_.toPruneColumn).reduceOption(_ && _).getOrElse(lit(true))
+    // NULL stats (e.g. a file whose column had no footer statistics — INT96
+    // timestamps, or an all-null column) must NOT prune the file out:
+    // pruning may only produce false positives, never false negatives.
+    val clausePred = applicable
+      .map(c => c.toPruneColumn || col(c.column + "_min").isNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
     val valueType = stats.schema(cluster + "_min").dataType
     val jrows = new java.util.ArrayList[Row](values.size)
     values.foreach(v => jrows.add(Row(v)))

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** One shared local SparkSession for the whole test JVM (sbt forks a
+  * single JVM for tests; session startup is ~5s, so sharing matters). */
+object SparkSpec {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // INT96 (the legacy default for TimestampType) carries no footer
+    // statistics, which would blind the footer-only stats builder; a
+    // clustered lake should always be written with INT64 micros.
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = {
+    val s = SparkSpec.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Scratch dir removed on JVM exit. */
+  def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+}

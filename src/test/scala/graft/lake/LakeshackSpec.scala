@@ -1,0 +1,106 @@
+package graft.lake
+
+import graft.{Fixtures, SparkSpec}
+import graft.Fixtures.NaiveTs
+import org.apache.spark.sql.functions._
+
+/** End-to-end query semantics ported from the reference
+  * (tests/test_lakeshack.py:198-355). Golden values are regenerated from
+  * our own fixture (SURVEY.md §5) by brute-force full scans, so every
+  * assertion is `pruned-scan result == unpruned result` — the exact
+  * may-contain contract.
+  */
+class LakeshackSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = tmpDir("ls_fixture")
+    Fixtures.generate(spark, d, NaiveTs)
+    d
+  }
+  private lazy val all = Fixtures.read(spark, dir).cache()
+  private lazy val shack = Lakeshack(spark, dir, "id", Seq("timestamp"))
+  private lazy val id0: String = all.agg(min("id")).first().getString(0)
+
+  test("point query returns exactly the rows with that id") {
+    val expected = all.where(col("id") === id0)
+    val got = shack.query(Seq(id0))
+    assert(got.count() === expected.count())
+    assert(got.agg(sum("x")).first().getLong(0) === expected.agg(sum("x")).first().getLong(0))
+  }
+
+  test("multi-value query with projection (reference 31-rows/2-cols/sum shape)") {
+    val ids = all.select("id").distinct().orderBy("id").limit(10)
+      .collect().map(_.getString(0)).toSeq
+    val got = shack.query(ids, columns = Some(Seq("id", "x")))
+    assert(got.columns.toSeq === Seq("id", "x"))
+    val expected = all.where(col("id").isin(ids: _*))
+    assert(got.count() === expected.count())
+    assert(got.agg(sum("x")).first().getLong(0) === expected.agg(sum("x")).first().getLong(0))
+  }
+
+  test("timestamp clause filters at scan (reference 2-rows/609 shape)") {
+    val cut = Fixtures.tsLit(NaiveTs, Fixtures.windowOf(0)._1 + 86400 * 10)
+    val got = shack.query(Seq(id0), clauses = Seq(Clause("timestamp", "<=", cut)))
+    val expected = all.where(col("id") === id0 && col("timestamp") <= lit(cut))
+    assert(got.count() === expected.count())
+  }
+
+  test("metastore WITHOUT the timestamp column still filters the clause at scan") {
+    // the load-bearing reference behavior (test_lakeshack.py:265-284):
+    // pruning ignores the unknown column, the scan must still apply it
+    val shackNoTs = Lakeshack(spark, dir, "id") // no optional columns
+    val cut = Fixtures.tsLit(NaiveTs, Fixtures.windowOf(0)._1 + 86400 * 10)
+    val got = shackNoTs.query(Seq(id0), clauses = Seq(Clause("timestamp", "<=", cut)))
+    val expected = all.where(col("id") === id0 && col("timestamp") <= lit(cut))
+    assert(got.count() === expected.count())
+  }
+
+  test("limit caps the result exactly (strictened n_records_max)") {
+    val ids = all.select("id").distinct().limit(10).collect().map(_.getString(0)).toSeq
+    val total = shack.query(ids).count()
+    assert(shack.query(ids, limit = Some(5)).count() === math.min(5L, total))
+  }
+
+  test("scalar input coercion (queryOne)") {
+    assert(shack.queryOne(id0).count() === all.where(col("id") === id0).count())
+  }
+
+  test("invalid operator raises, valid set is exactly the reference's six") {
+    intercept[IllegalArgumentException] { Clause("timestamp", "!=", 1) }
+    intercept[IllegalArgumentException] { Clause("timestamp", "between", 1) }
+    for (op <- Seq(">=", ">", "=", "==", "<", "<=")) Clause("x", op, 1)
+  }
+
+  test("no surviving file yields an empty result with the projected schema") {
+    val got = shack.query(Seq("zz"), columns = Some(Seq("id", "x"))) // beyond hex range
+    assert(got.count() === 0)
+    assert(got.columns.toSeq === Seq("id", "x"))
+  }
+
+  test("pruned scan equals full scan for random value sets (may-contain property)") {
+    val rng = new scala.util.Random(99)
+    val hex = "0123456789abcdef"
+    for (_ <- 1 to 5) {
+      val values = Seq.fill(5)(s"${hex(rng.nextInt(16))}${hex(rng.nextInt(16))}")
+      val got = shack.query(values).select("id", "x")
+      val expected = all.where(col("id").isin(values: _*)).select("id", "x")
+      assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0,
+        s"pruned scan diverged from full scan for $values")
+    }
+  }
+
+  test("clustered writer produces disjoint per-file ranges that prune to one file") {
+    val out = tmpDir("ls_clustered")
+    ClusteredWriter.write(all.toDF(), out, "id", nFiles = 5)
+    val s = Metastore.build(spark, out, "id")
+    val ranges = s.select("id_min", "id_max").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(ranges.length === 5)
+    for (Seq((_, aMax), (bMin, _)) <- ranges.toSeq.sliding(2))
+      assert(aMax <= bMin, s"ranges must be disjoint-or-touching: $aMax vs $bMin")
+    // a point query prunes to the small set of files whose range holds it
+    val mid = ranges(2)._1
+    val kept = Metastore.prune(spark, s, Seq(mid))
+    assert(kept.size <= 2, s"well-clustered point query should prune to ~1 file, got ${kept.size}")
+  }
+}

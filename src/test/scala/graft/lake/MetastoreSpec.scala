@@ -1,0 +1,143 @@
+package graft.lake
+
+import graft.{Fixtures, SparkSpec}
+import graft.Fixtures.{DateTs, NaiveTs, TsVariant, ZonedTs}
+import org.apache.spark.sql.functions._
+
+/** Boundary-pruning semantics ported from the reference
+  * (tests/test_metastore.py:203-362): per-file min/max harvest matches
+  * the data, pruning counts at interval endpoints are exact for every
+  * operator, and all three timestamp variants behave identically.
+  * The counts (0/1/10) are layout-guaranteed by the fixture's disjoint
+  * windows with exact endpoint rows — they do not depend on the RNG.
+  */
+class MetastoreSpec extends SparkSpec {
+
+  private lazy val dirs: Map[TsVariant, String] = Seq(NaiveTs, ZonedTs, DateTs).map { v =>
+    val d = tmpDir(s"ms_fixture_$v")
+    Fixtures.generate(spark, d, v)
+    v -> d
+  }.toMap
+
+  private def stats(v: TsVariant) =
+    Metastore.build(spark, dirs(v), "id", Seq("timestamp"))
+
+  private def firstId(v: TsVariant): String =
+    Fixtures.read(spark, dirs(v)).agg(min("id")).first().getString(0)
+
+  /** One mid-file id per file — guaranteed interior, one per window. */
+  private def perFileIds(v: TsVariant): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("id")
+    Fixtures.read(spark, dirs(v))
+      .select(col("id"), row_number().over(w).as("rn"))
+      .where((col("rn") % 100) === 50).select("id").distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("build harvests exact per-file min/max (all variants)") {
+    for (v <- Seq(NaiveTs, ZonedTs, DateTs)) {
+      val s = stats(v).orderBy("filepath").collect()
+      assert(s.length === 10, s"$v: expected 10 stats rows")
+      val expected = Fixtures.read(spark, dirs(v))
+        .groupBy(col("_metadata.file_path").as("filepath"))
+        .agg(min("id"), max("id"), min("timestamp"), max("timestamp"))
+        .orderBy("filepath").collect()
+      assert(s.map(_.toSeq.drop(1)).toSeq === expected.map(_.toSeq.drop(1)).toSeq, s"$v: stats mismatch")
+    }
+  }
+
+  test("buildFromFooters agrees with the data-scan builder (all variants)") {
+    for (v <- Seq(NaiveTs, ZonedTs, DateTs)) {
+      val a = stats(v).orderBy("filepath").collect().map(_.toSeq.drop(1).toList).toList
+      val b = Metastore.buildFromFooters(spark, dirs(v), "id", Seq("timestamp"))
+        .orderBy("filepath").collect().map(_.toSeq.drop(1).toList).toList
+      assert(a === b, s"$v: footer stats != scan stats")
+    }
+  }
+
+  test("update is idempotent (left-anti skip of existing filepaths)") {
+    val statsPath = tmpDir("ms_stats")
+    val s = stats(NaiveTs)
+    Metastore.update(spark, statsPath, s)
+    Metastore.update(spark, statsPath, s) // second update must be a no-op
+    assert(spark.read.parquet(statsPath).count() === 10)
+    // and a partial re-update with one new row only appends that row
+    val one = s.limit(1).withColumn("filepath", lit("synthetic://new-file"))
+    Metastore.update(spark, statsPath, one)
+    assert(spark.read.parquet(statsPath).count() === 11)
+  }
+
+  test("pruning boundary counts match the reference for every operator") {
+    for (v <- Seq(NaiveTs, ZonedTs, DateTs)) {
+      val s = stats(v).cache()
+      val ids = perFileIds(v)
+      val id0 = firstId(v)
+      val (e0min, e0max) = Fixtures.windowOf(0)
+      val min0 = Fixtures.tsLit(v, e0min)
+      val max0 = Fixtures.tsLit(v, e0max)
+      val med = Fixtures.tsLit(v,
+        java.time.LocalDateTime.of(2021, 8, 1, 12, 34, 56).toEpochSecond(java.time.ZoneOffset.UTC), 123)
+
+      def nFiles(values: Seq[Any], clauses: Seq[Clause]): Int =
+        Metastore.prune(spark, s, values, clauses).size
+
+      // every requested id hits >= its own file, each hit within [min,max]
+      val pairs = Metastore.prunePairs(spark, s, ids).collect()
+      assert(pairs.map(_.getString(0)).distinct.length >= 10, s"$v: 10 per-file ids must hit all files")
+
+      assert(nFiles(ids, Seq(Clause("timestamp", "<", min0))) === 0, s"$v: < global-min")
+      assert(nFiles(ids, Seq(Clause("timestamp", "<=", min0))) === 1, s"$v: <= global-min")
+      assert(nFiles(Seq(id0), Seq(Clause("timestamp", ">", max0))) === 0, s"$v: > file0-max")
+      assert(nFiles(Seq(id0), Seq(Clause("timestamp", ">=", max0))) === 1, s"$v: >= file0-max")
+      assert(nFiles(Seq(id0), Seq(Clause("timestamp", ">", min0))) === 1, s"$v: > file0-min")
+      assert(nFiles(Seq(id0), Seq(Clause("timestamp", ">=", min0))) === 1, s"$v: >= file0-min")
+      assert(nFiles(ids, Seq(Clause("timestamp", "<", max0))) === 1, s"$v: < file0-max")
+      assert(nFiles(ids, Seq(Clause("timestamp", "<=", max0))) === 1, s"$v: <= file0-max")
+      assert(nFiles(ids, Seq(Clause("timestamp", ">=", med))) === 10, s"$v: >= med")
+      assert(nFiles(ids, Seq(Clause("timestamp", "<=", med))) === 1, s"$v: <= med")
+      s.unpersist()
+    }
+  }
+
+  test("unknown clause column is silently ignored for pruning") {
+    val s = stats(NaiveTs)
+    val ids = perFileIds(NaiveTs)
+    val withUnknown = Metastore.prune(spark, s, ids, Seq(Clause("x", ">=", 9999)))
+    val without = Metastore.prune(spark, s, ids)
+    assert(withUnknown.toSet === without.toSet,
+      "clause on a non-indexed column must not affect pruning (metastore.py:454-455)")
+  }
+
+  test("pruning is sound: pruned-out files contain no matching rows") {
+    val s = stats(NaiveTs)
+    val all = Fixtures.read(spark, dirs(NaiveTs))
+    val rng = new scala.util.Random(7)
+    val hex = "0123456789abcdef"
+    val probeValues = Seq.fill(24)(s"${hex(rng.nextInt(16))}${hex(rng.nextInt(16))}")
+    for (value <- probeValues) {
+      val kept = Metastore.prune(spark, s, Seq(value)).toSet
+      val expected = all.where(col("id") === value)
+        .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0)).toSet
+      assert(expected.subsetOf(kept), s"files with id=$value must survive pruning (no false negatives)")
+    }
+  }
+
+  test("cluster column is recovered from stats column order") {
+    assert(Metastore.clusterColumnOf(stats(NaiveTs)) === "id")
+  }
+
+  test("non-orderable stat columns are dropped; cluster column must be orderable") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 2), "a")).toDF("k", "arr", "s")
+    val d = tmpDir("ms_nonord")
+    df.write.mode("overwrite").parquet(d)
+    // arr silently dropped from optional columns (metastore.py:540-553)
+    val s = Metastore.build(spark, d, "k", Seq("arr", "s"))
+    assert(s.columns.toSet === Set("filepath", "k_min", "k_max", "s_min", "s_max"))
+    // non-orderable cluster column raises
+    intercept[IllegalArgumentException] {
+      Metastore.build(spark, d, "arr", Nil)
+    }
+  }
+}

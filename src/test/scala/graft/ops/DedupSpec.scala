@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),    // near dup of 1
+      (4L, "completely different words entirely unrelated content here"),
+      (5L, "THE  Quick Brown FOX jumps over the lazy dog!!")  // normalizes to 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactByHash groups normalized-identical docs under the min id") {
+    val r = Dedup.exactByHash(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    // 1,2,5 normalize to the same content; 3 and 4 are singletons
+    assert(r.length === 3)
+    val byKeep = r.map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(byKeep(1L) === 3L, "docs 1,2,5 must collapse to keeper 1")
+    assert(byKeep(3L) === 1L && byKeep(4L) === 1L)
+  }
+
+  test("exact keeps one row per key tuple with the min id") {
+    import spark.implicits._
+    val df = Seq((10L, "en", "web"), (7L, "en", "web"), (9L, "fr", "web"))
+      .toDF("id", "lang", "source")
+    val r = Dedup.exact(df, "id", Seq("lang", "source")).orderBy("lang").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(7L, 9L))
+  }
+
+  test("minhash bands surface identical docs as candidates") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs share every band")
+    assert(pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)), "normalized-identical docs too")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("simhash of identical docs is identical; hamming blocking finds the pair") {
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+    val byDoc = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc(1L) === byDoc(2L))
+    assert(byDoc(1L) === byDoc(5L), "simhash works on normalized tokens")
+    val pairs = Dedup.simhashCandidates(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near dup high, unrelated absent") {
+    val r = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    assert(r((1L, 2L)) === 1.0)
+    assert(r((1L, 3L)) > 0.5 && r((1L, 3L)) < 1.0, s"near dup got ${r.get((1L, 3L))}")
+    assert(!r.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup: brute force and LSH agree on planted dups") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (2L, Array(1.0f, 0.0f, 0.2f, 0.1f)),   // identical to 1
+      (3L, Array(0.98f, 0.05f, 0.21f, 0.1f)), // near 1
+      (4L, Array(-1.0f, 0.5f, -0.2f, 0.9f))   // far
+    ).toDF("vec_id", "embedding")
+    val bf = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.99, bruteForce = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.99, bruteForce = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.contains((1L, 2L)) && bf.contains((1L, 3L)) && bf.contains((2L, 3L)))
+    assert(!bf.exists(p => p._1 == 4L || p._2 == 4L))
+    // identical vectors always share an LSH bucket => LSH finds them
+    assert(lsh.contains((1L, 2L)))
+    assert(lsh.subsetOf(bf), "LSH candidates must be a subset of brute-force truth")
+  }
+
+  test("oversized buckets are dropped by the skew cap") {
+    import spark.implicits._
+    // 12 identical docs -> one bucket of 12 > maxBucket=10 -> dropped
+    val many = (1L to 12L).map(i => (i, "same same same text")).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(many, "doc_id", "text", maxBucket = 10)
+    assert(capped.count() === 0, "hot bucket above the cap must yield no pairs")
+    val uncapped = Dedup.minhashCandidates(many, "doc_id", "text", maxBucket = 100)
+    assert(uncapped.count() === 12L * 11 / 2)
+  }
+}

