@@ -248,7 +248,7 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccard(t(s, dir, "documents").repartition(col("doc_id")), "doc_id", "text",
           n = 3, threshold = 0.12, maxShingleDf = 1000)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
@@ -325,11 +325,17 @@ object SparkEntry {
         .orderBy("doc_id"))
   )
 
-  /** documents ∪ shifted copy — planted exact duplicates for dedup. */
+  /** documents ∪ shifted copy — planted exact duplicates for dedup.
+    * Repartitioned by id: the raw table is a single small file (1-2 scan
+    * partitions), and the dedup pipelines' expensive stage is the
+    * map-side tokenize/shingle — a cheap shuffle of (id, text) rows
+    * spreads that across all cores. (At real scale the input has
+    * thousands of splits and this repartition would be dropped.) */
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.select(col("doc_id"), col("text"))
       .union(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .repartition(col("doc_id"))
   }
 
   /** embeddings ∪ shifted copy — planted cosine-1.0 near-dup pairs. */

