@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use. Activate with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`), then:
+  *   SELECT cosine_similarity(a.embedding, b.embedding) FROM ...
+  * DataFrame callers don't need the extension — graft.ops.Similarity
+  * builds the expression directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "cosine_similarity expects exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.lake.{Clause, Lakeshack, Metastore}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per operator
@@ -226,6 +226,58 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_quick_ships"), dsum(col("l_quantity")).as("qty"))
         .orderBy("o_orderpriority")
+    }),
+
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          (col("o_totalprice").cast("decimal(18,2)") -
+            coalesce(lag(col("o_totalprice"), 1).over(w).cast("decimal(18,2)"), lit(0)))
+            .cast("double").as("delta_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // HLL sketch — approximate by construction, so no hash oracle; the
+    // driver records rows-only and ApproxSpec pins the relative error.
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy("l_returnflag")),
+
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT p_partkey, p_name, p_retailprice
+          |FROM part
+          |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+          |ORDER BY p_partkey""".stripMargin)
+    }),
+
+    // as-of join (at-or-before, per user): each click enriched with the
+    // most recent preceding purchase — the canonical time-series operator
+    // Spark lacks, via graft.ops.AsofJoin's union+window merge form.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = EventsStream.readEvents(s, s"$dir/events.parquet")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      AsofJoin.asof(clicks, purchases, key = "user_id",
+          leftTime = "ts", rightTime = "purchase_ts",
+          payload = Seq("purchase_ts", "purchase_value"))
+        .orderBy("event_id")
     }),
 
     // ───── dedup (north_star ★). Documents have no organic dups, so the
@@ -511,6 +563,39 @@ object SparkEntry {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
+        |    coalesce(CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2)), 0) AS DOUBLE) AS delta_prev
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, p.purchase_ts, p.purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH planted AS (

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float array columns. */
+  /** Double-precision dot product of two array columns (higher-order-fn
+    * form; used where inputs are mixed double/float, e.g. hyperplanes). */
   def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -33,9 +34,16 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity of two `array<float>` columns in double
+    * precision, via the native codegen'd expression
+    * (graft.functions.CosineSimilarity) — bit-identical to the
+    * higher-order-function formulation but runs as a fused primitive
+    * loop inside whole-stage codegen instead of interpreted lambdas. */
   def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Exact top-k neighbors for each query vector.
     *

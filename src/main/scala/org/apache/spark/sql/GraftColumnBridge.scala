@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `sql`-private Column↔Expression converters so graft's
+  * native Catalyst expressions (graft.functions) can be used from the
+  * public DataFrame API without requiring a session configured with
+  * SparkSessionExtensions. The standard technique for Spark-native
+  * libraries; uses only stable classic-mode converters.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -18,6 +18,7 @@ object SparkSpec {
     // statistics, which would blind the footer-only stats builder; a
     // clustered lake should always be written with INT64 micros.
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 }
 

@@ -1,0 +1,37 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+
+  test("asof picks the latest right row at-or-before each left time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100.0), (1L, 15L, 200.0), (1L, 20L, 300.0), (2L, 9L, 400.0))
+      .toDF("k", "rt", "price")
+    val r = AsofJoin.asof(left, right, "k", "t", "rt", Seq("rt", "price"))
+      .orderBy("k", "t").collect()
+    // (1,10) -> rt=5; (1,20) -> rt=20 (equal time matches); (2,5) -> none
+    assert(r(0).getLong(3) === 5L && r(0).getDouble(4) === 100.0)
+    assert(r(1).getLong(3) === 20L && r(1).getDouble(4) === 300.0)
+    assert(r(2).isNullAt(3) && r(2).isNullAt(4))
+  }
+
+  test("asof never crosses keys and keeps all left rows") {
+    import spark.implicits._
+    val left = (1L to 100L).map(i => (i % 7, i, i)).toDF("k", "t", "id")
+    val right = Seq((99L, 0L, 1.0)).toDF("k", "rt", "v") // key matches nothing
+    val r = AsofJoin.asof(left, right, "k", "t", "rt", Seq("v"))
+    assert(r.count() === 100)
+    assert(r.where(org.apache.spark.sql.functions.col("v").isNotNull).count() === 0)
+  }
+
+  test("payload name clash with left columns raises") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(df, df.withColumnRenamed("t", "rt"), "k", "t", "rt", Seq("v"))
+    }
+  }
+}
