@@ -515,7 +515,7 @@ object SparkEntry {
 
     "q_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(regexp_extract(props, '"k": *(\d+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": *(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(regexp_extract(props, '"k": *(\d+)', 1) AS BIGINT)) AS min_k,
         |  MAX(CAST(regexp_extract(props, '"k": *(\d+)', 1) AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -535,8 +535,8 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
         |s AS (
         |  SELECT user_id, ts,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM g)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -704,7 +704,7 @@ object SparkEntry {
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
         |  WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
         |  COUNT(*) AS n_items,
-        |  SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes
+        |  CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
 
     "mm_frame_sample" ->
