@@ -280,6 +280,72 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(dsum(col("o_totalprice")))
+        .orderBy("yr")),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q_in_subquery" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "region").createOrReplaceTempView("region")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM supplier
+          |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+          |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    "q_stats_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"),
+          round(stddev_samp(col("o_totalprice")), 4).as("sd_price"),
+          round(median(col("o_totalprice")), 4).as("med_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority")),
+
+    "q_array_fns" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+          round(array_min(col("embedding")).cast("double"), 6).as("min_val"),
+          round(array_max(col("embedding")).cast("double"), 6).as("max_val"))
+        .orderBy("vec_id")),
+
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
+        .orderBy("lang")),
+
     // ───── dedup (north_star ★). Documents have no organic dups, so the
     // pipelines run on docs ∪ copy(docs) — planted exact/near dups with
     // deterministic ids — exercising shingle→hash→band→bucket end-to-end.
@@ -584,6 +650,56 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS "1-URGENT",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS "2-HIGH",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS "3-MEDIUM",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS "4-NOT SPECIFIED",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS "5-LOW"
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  round(avg(o_totalprice), 4) AS avg_price,
+        |  round(stddev_samp(o_totalprice), 4) AS sd_price,
+        |  round(median(o_totalprice), 4) AS med_price,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_array_fns" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |  round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val,
+        |  round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_asof_join" ->
       """WITH c AS (
