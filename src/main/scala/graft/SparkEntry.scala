@@ -190,6 +190,12 @@ object SparkEntry {
       EventsStream.sessionize(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .orderBy("user_id", "session_seq")),
 
+    // native session_window operator (batch form; identical code shape
+    // runs under Structured Streaming)
+    "q_session_window" -> ((s, dir) =>
+      EventsStream.sessionWindow(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .orderBy("user_id", "session_start")),
+
     // NOTE: expressed via spark.sql — the DataFrame rollup-after-join +
     // orderBy-on-grouping-column combination trips a false positive in
     // Spark's ambiguous-self-join detection (verified minimal repro);
@@ -388,6 +394,16 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-Flat ANN (learned Voronoi cells + nprobe search) — k-means
+    // training is not ANSI-expressible, so rows-only here; recall vs the
+    // brute-force oracle is pinned in SimilaritySpec.
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -608,6 +624,28 @@ object SparkEntry {
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // session_window boundary semantics: an event extends a session iff
+    // its gap from the previous event is STRICTLY under 30 min (Spark:
+    // ts < prev_end where prev_end = prev_ts + gap), hence >= 1800 here
+    // vs > 1800 in q_sessionize's window-function formulation.
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |      OR epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,

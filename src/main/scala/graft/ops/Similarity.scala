@@ -91,6 +91,128 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
+  /** Spherical k-means centroids for an IVF index, trained with Lloyd
+    * iterations executed as DataFrame jobs. Only the centroid matrix
+    * (nlist × dim doubles — a few KB) ever reaches the driver; the
+    * corpus itself is never collected, so training scales to any corpus
+    * size (at 100 TB, train on `corpus.sample(...)` — assignment
+    * quality needs only a representative sample).
+    *
+    * Init is deterministic: the nlist rows with the smallest
+    * xxhash64(id) (a seeded uniform draw, stable across runs and
+    * partitionings). Each iteration: argmax-cosine assignment (centroid
+    * matrix baked into the plan as literals, so assignment is a narrow
+    * codegen'd map — no join, no shuffle of vectors), then per-cluster
+    * per-dimension mean via one partial-aggregated exchange of
+    * (cluster, dim, sum, n) — nlist·dim rows, independent of corpus
+    * size. Empty clusters keep their previous centroid. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        nlist: Int, iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .orderBy(xxhash64(lit(seed), col("_id")), col("_id"))
+      .limit(nlist)
+      .collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    for (_ <- 0 until iters) {
+      // assignment is the native codegen'd cosine against each centroid
+      // literal (cosine is scale-invariant, so no normalization pass);
+      // the norm for the mean update is ONE interpreted aggregate per
+      // row, kept on the far side of the posexplode Generate node so
+      // CollapseProject cannot inline it per element.
+      val assigned = corpus.select(col(vecCol).as("_v"))
+        .withColumn("_c", argmaxCos(centroids, col("_v")))
+        .withColumn("_norm", normCol(col("_v")))
+      // (cluster, dim) sums of unit vectors: nlist·dim rows through the
+      // exchange, with map-side partial aggregation — corpus-size-
+      // independent.
+      val sums = assigned
+        .select(col("_c"), col("_norm"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy("_c", "_d")
+        .agg(sum(col("_x").cast("double") / col("_norm")).as("_s"),
+          count(lit(1)).as("_n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      val counts = Array.fill(nlist)(0L)
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        next(c)(d) = r.getDouble(2) / r.getLong(3)
+        counts(c) = r.getLong(3)
+      }
+      // re-normalize non-empty centroids to the unit sphere (spherical
+      // k-means: cosine assignment stays a plain dot product)
+      centroids = next.zipWithIndex.map { case (v, i) =>
+        if (counts(i) == 0L) centroids(i)
+        else {
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n == 0.0) centroids(i) else v.map(_ / n)
+        }
+      }
+    }
+    centroids
+  }
+
+  /** A centroid as an `array<float>` literal — the native cosine
+    * expression's input type; float truncation only perturbs cell
+    * boundaries, never the reported scores. */
+  private def floatLits(c: Array[Double]): Column =
+    array(c.map(x => lit(x.toFloat)): _*)
+
+  /** Index (0-based) of the centroid most cosine-similar to `v`.
+    * Centroids are plan literals; each score is the native codegen'd
+    * CosineSimilarity; the argmax is an array_max over (score, index)
+    * structs — lexicographic struct comparison gives max-by-score with
+    * index tiebreak. (An earlier `aggregate`/`zip_with` dot-product form
+    * was 30× slower: higher-order functions are interpreted per
+    * element.) */
+  private def argmaxCos(centroids: Array[Array[Double]], v: Column): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosineCol(floatLits(c), v).as("s"), lit(i).as("i"))
+    }: _*)).getField("i")
+
+  /** Top-`nprobe` centroid indices for a query vector, as an array
+    * column: sort the (score, index) struct array descending, slice,
+    * project the index. */
+  private def topProbes(centroids: Array[Array[Double]], v: Column,
+                        nprobe: Int): Column =
+    transform(
+      slice(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosineCol(floatLits(c), v).as("s"), lit(i).as("i"))
+      }: _*), asc = false), 1, nprobe),
+      s => s.getField("i"))
+
+  /** IVF-Flat approximate top-k: corpus vectors are partitioned into
+    * `nlist` Voronoi cells of the trained centroids; each query scores
+    * only the cells of its `nprobe` nearest centroids. Expected per-
+    * query work is corpus·nprobe/nlist. Complements `lshTopK`: IVF
+    * adapts to the data distribution (learned cells) where LSH is
+    * data-oblivious, at the cost of a training pass.
+    *
+    * The probe join broadcasts the (small) query side; the corpus side
+    * is a narrow scan + argmax map, shuffled only by the final
+    * per-query rank window on candidate rows. Recall vs bruteForceTopK
+    * is pinned in SimilaritySpec. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 3, seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cell", argmaxCos(centroids, col("c_vec")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cell", explode(topProbes(centroids, col("q_vec"), nprobe)))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** LSH approximate top-k: bucket corpus + queries with the same
     * hyperplanes, multi-probe the query bucket and all Hamming-1
     * neighbors (flip each bit), rank within the probed candidates.

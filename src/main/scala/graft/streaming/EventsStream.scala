@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the `events` table (event_id, ts[nanos],
@@ -17,6 +18,16 @@ import org.apache.spark.sql.types._
   * `spark.sql.legacy.parquet.nanosAsLong`; we truncate to microseconds —
   * identical to DuckDB's CAST(ts AS TIMESTAMP) semantics.
   */
+/** One closed session emitted by the stateful streaming sessionizer.
+  * Top-level (not nested in the object): Spark's state-store encoder
+  * generates Janino code that cannot instantiate object-nested case
+  * classes. */
+case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                   session_end: java.sql.Timestamp, n_events: Long)
+
+/** The per-user state of the stateful sessionizer: one open session. */
+case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
 object EventsStream {
 
   val eventsSchema: StructType = StructType(Seq(
@@ -61,6 +72,71 @@ object EventsStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  /** Native `session_window` sessionization, batch form: Spark merges
+    * events whose gaps are under `gapMinutes` into one window per user;
+    * window end = last event + gap. Same islands as `sessionize` (the
+    * window-function form), but expressed with the built-in operator so
+    * the identical code shape runs under Structured Streaming. */
+  def sessionWindow(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` —
+    * the custom-state escape hatch for semantics `session_window` can't
+    * express (here: emit a session the moment a successor event proves
+    * it closed, not only at watermark finalization).
+    *
+    * State per user is ONE open session (three longs) — bounded by
+    * |active users|, not by event volume. Within a batch events are
+    * sorted per group (groups are small: one user's slice of a batch);
+    * a gap > `gapMinutes` closes the open session and emits it
+    * immediately; the final open session is emitted when the event-time
+    * timeout fires (watermark passed end + gap, so no in-order event
+    * can extend it). Late events beyond the watermark are dropped by
+    * the upstream `withWatermark`, the standard correctness contract.
+    */
+  def sessionizeStreamStateful(events: Dataset[(Long, java.sql.Timestamp)],
+                               gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.endMs), s.n))
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open = state.getOption.orNull
+            for (t <- ts) {
+              if (open == null) open = OpenSession(t, t, 1L)
+              else if (t - open.endMs > gapMs) {
+                closed += Session(user, new java.sql.Timestamp(open.startMs),
+                  new java.sql.Timestamp(open.endMs), open.n)
+                open = OpenSession(t, t, 1L)
+              } else open = OpenSession(open.startMs, math.max(open.endMs, t), open.n + 1L)
+            }
+            state.update(open)
+            // fire once the watermark proves no event can extend the session
+            state.setTimeoutTimestamp(open.endMs + gapMs)
+            closed.iterator
+          }
+      }
   }
 
   /** Sessionization with a 30-minute gap per user — the classic stateful

@@ -68,6 +68,41 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.forall { case (qid, _) => q.select("vec_id").collect().map(_.getLong(0)).contains(qid) })
   }
 
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    val q = corpus.where(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, f"IVF recall $recall%.2f too low vs brute force")
+    // every reported cos must equal the true cosine (IVF approximates the
+    // candidate set, never the score)
+    val scores = Similarity.ivfTopK(corpus, q, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3).collect()
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    scores.foreach { r =>
+      assert(math.abs(r.getDouble(3) - cos(vecs(r.getLong(0)), vecs(r.getLong(1)))) < 1e-9)
+    }
+  }
+
+  test("IVF centroid training is deterministic and corpus stays distributed") {
+    val c1 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", 8, iters = 2)
+    val c2 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", 8, iters = 2)
+    assert(c1.length === 8)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    // spherical k-means: every trained centroid is unit-norm
+    c1.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
   test("sign buckets are deterministic and stable across invocations") {
     val b1 = Similarity.signBuckets(corpus, "embedding", 8, 4, 42L)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -46,6 +46,54 @@ class EventsStreamSpec extends SparkSpec {
       "stream (complete mode) must equal batch aggregation")
   }
 
+  test("session_window batch form matches the window-function sessionizer") {
+    val events = EventsStream.readEvents(spark, eventsPath)
+    val native = EventsStream.sessionWindow(events)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+    // the two formulations only differ at an exact-30-min gap boundary
+    // (absent from the fixture) and in how session_end is defined
+    val wf = EventsStream.sessionize(events)
+      .select(col("user_id"), col("session_start").as("session_start"),
+        col("n_events"))
+    assert(native.exceptAll(wf).count() === 0 && wf.exceptAll(native).count() === 0)
+  }
+
+  test("stateful streaming sessionization emits exactly the batch sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(base.plusMinutes(min))
+    val real = Seq(
+      (1L, ts(0)), (1L, ts(10)),   // user 1 session A (closed by the 50' event)
+      (1L, ts(50)),                // user 1 session B (closed by sentinel)
+      (2L, ts(0)), (2L, ts(95)))   // user 2: two single-event sessions
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventsStream.sessionizeStreamStateful(stream.toDS())
+      .writeStream.format("memory").queryName("sess_stateful")
+      .outputMode("append").start()
+    try {
+      stream.addData(real: _*); q.processAllAvailable()
+      // sentinels close each user's open session in-batch
+      stream.addData((1L, ts(600)), (2L, ts(600))); q.processAllAvailable()
+      // a third batch advances the watermark past sentinel_end + gap:
+      // user 1's sentinel session closes via the data path, user 2's has
+      // no data and must close via the EventTimeTimeout path
+      stream.addData((1L, ts(1200))); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("sess_stateful")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val realSessions = emitted.filter(_._2.before(ts(600)))
+    assert(realSessions === Set(
+      (1L, ts(0), ts(10), 2L),
+      (1L, ts(50), ts(50), 1L),
+      (2L, ts(0), ts(0), 1L),
+      (2L, ts(95), ts(95), 1L)))
+    // timeout-path proof: user 2's sentinel session arrived with no
+    // successor event, so its emission required the event-time timeout
+    assert(emitted.contains((2L, ts(600), ts(600), 1L)))
+  }
+
   test("sessionize: gap over 30 minutes starts a new session") {
     import spark.implicits._
     val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
