@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.lake.{Clause, Lakeshack, Metastore}
+import graft.lake.{Clause, Lakeshack, Metastore, MetastoreFileIndex}
 import graft.ops.{AsofJoin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
@@ -72,6 +72,20 @@ object SparkEntry {
       Metastore.buildFromFooters(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate"))
         .drop("filepath")
         .select("l_orderkey_min", "l_orderkey_max", "l_shipdate_min", "l_shipdate_max")),
+
+    // transparent zone-map pruning: plain spark.sql over a
+    // MetastoreFileIndex-backed view — Catalyst hands the pushed filters
+    // to the index, which skips files by [min,max] before task scheduling
+    "lake_sql_pruned" -> ((s, dir) => {
+      MetastoreFileIndex.table(s, s"$dir/lineitem.parquet",
+          Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
+        .createOrReplaceTempView("lineitem_pruned")
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FROM lineitem_pruned
+          |WHERE l_orderkey IN (42, 4242, 9999, 14000)
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
 
     // ───── core relational operators (SURVEY §2.2, free from Spark)
     "q1_agg" -> ((s, dir) =>
@@ -494,6 +508,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "lake_point" ->
       """SELECT * FROM lineitem WHERE l_orderkey IN (42, 4242, 9999, 14000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "lake_sql_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_orderkey IN (42, 4242, 9999, 14000)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "lake_range" ->

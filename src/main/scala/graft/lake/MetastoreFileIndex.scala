@@ -1,0 +1,130 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+
+/** Transparent zone-map pruning: a Catalyst `FileIndex` that consults
+  * the Metastore's per-file [min,max] intervals when the planner asks
+  * which files a scan must read.
+  *
+  * `Lakeshack.query` prunes *before plan construction* (SURVEY.md §4) —
+  * faithful to the reference's explicit two-step flow
+  * (lakeshack/metastore.py:414-481 then lakeshack.py:550-557). This
+  * class is the Spark-first finish: Catalyst hands every scan's pushed
+  * data filters to `FileIndex.listFiles`, so ANY query over the table —
+  * `spark.sql` text, DataFrame ops, a join probe — skips non-matching
+  * files without knowing the Metastore exists. The reference cannot
+  * express this layering (its host has no optimizer to hook).
+  *
+  * Pruning semantics are exactly Metastore.prune's (reference O8,
+  * metastore.py:444-467), extended to the predicate shapes Catalyst
+  * actually pushes: =, IN/INSET, >, >=, <, <= (each one-sided, as in the
+  * reference), AND/OR recursion, literal-on-either-side. Anything else —
+  * unknown column, cast-wrapped attribute, UDF — keeps the file:
+  * pruning may produce false positives, never false negatives
+  * (SURVEY.md §2.3); the scan filter re-applies every predicate.
+  *
+  * Scale: intervals live on the driver (one entry per file — ~100k files
+  * is MBs), mirroring the reference's driver-side metastore DB round
+  * trip; evaluation is files × conjuncts literal comparisons per query,
+  * no I/O, no footer reads.
+  */
+class MetastoreFileIndex(
+    base: FileIndex,
+    intervals: Map[String, Map[String, (Literal, Literal)]]) extends FileIndex {
+
+  override def rootPaths: Seq[Path] = base.rootPaths
+  override def inputFiles: Array[String] = base.inputFiles
+  override def refresh(): Unit = base.refresh()
+  override def sizeInBytes: Long = base.sizeInBytes
+  override def partitionSchema: StructType = base.partitionSchema
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    base.listFiles(partitionFilters, dataFilters).map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        intervals.get(f.getPath.toString) match {
+          case Some(stats) => dataFilters.forall(mayContain(stats, _))
+          case None => true // file unknown to the metastore: never prune
+        }
+      })
+    }
+
+  /** May the file (with these column intervals) contain a row satisfying
+    * `e`? Unknown shapes answer true. */
+  private def mayContain(stats: Map[String, (Literal, Literal)], e: Expression): Boolean = {
+    def bounds(a: Attribute): Option[(Literal, Literal)] = stats.get(a.name)
+    def isTrue(p: Expression): Boolean = p.eval(null) == true
+    e match {
+      case And(l, r) => mayContain(stats, l) && mayContain(stats, r)
+      case Or(l, r) => mayContain(stats, l) || mayContain(stats, r)
+      // = : both bounds (metastore.py:461-463)
+      case EqualTo(a: Attribute, v: Literal) =>
+        bounds(a).forall { case (mn, mx) =>
+          isTrue(LessThanOrEqual(mn, v)) && isTrue(LessThanOrEqual(v, mx)) }
+      case EqualTo(v: Literal, a: Attribute) => mayContain(stats, EqualTo(a, v))
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        bounds(a).forall { case (mn, mx) => vs.exists { v =>
+          isTrue(LessThanOrEqual(mn, v)) && isTrue(LessThanOrEqual(v, mx)) } }
+      case InSet(a: Attribute, vs) =>
+        bounds(a).forall { case (mn, mx) => vs.exists { v =>
+          val l = Literal(v, a.dataType)
+          isTrue(LessThanOrEqual(mn, l)) && isTrue(LessThanOrEqual(l, mx)) } }
+      // one-sided interval tests (metastore.py:459-467)
+      case GreaterThan(a: Attribute, v: Literal) =>
+        bounds(a).forall { case (_, mx) => isTrue(LessThan(v, mx)) }
+      case GreaterThanOrEqual(a: Attribute, v: Literal) =>
+        bounds(a).forall { case (_, mx) => isTrue(LessThanOrEqual(v, mx)) }
+      case LessThan(a: Attribute, v: Literal) =>
+        bounds(a).forall { case (mn, _) => isTrue(GreaterThan(v, mn)) }
+      case LessThanOrEqual(a: Attribute, v: Literal) =>
+        bounds(a).forall { case (mn, _) => isTrue(GreaterThanOrEqual(v, mn)) }
+      // literal-on-left mirrors
+      case GreaterThan(v: Literal, a: Attribute) => mayContain(stats, LessThan(a, v))
+      case GreaterThanOrEqual(v: Literal, a: Attribute) => mayContain(stats, LessThanOrEqual(a, v))
+      case LessThan(v: Literal, a: Attribute) => mayContain(stats, GreaterThan(a, v))
+      case LessThanOrEqual(v: Literal, a: Attribute) => mayContain(stats, GreaterThanOrEqual(a, v))
+      case _ => true
+    }
+  }
+}
+
+object MetastoreFileIndex {
+
+  /** A DataFrame over `dataPath` whose every scan consults the stats
+    * table for file skipping. Register it as a temp view and `spark.sql`
+    * queries prune transparently. */
+  def table(spark: SparkSession, dataPath: String, stats: DataFrame): DataFrame = {
+    val schema = spark.read.parquet(dataPath).schema
+    val base = new InMemoryFileIndex(spark, Seq(new Path(dataPath)),
+      Map.empty[String, String], Some(schema), FileStatusCache.getOrCreate(spark), None, None)
+    val idx = new MetastoreFileIndex(base, intervalMap(stats))
+    val rel = HadoopFsRelation(idx, StructType(Nil), schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    GraftColumnBridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+
+  /** Collect the (tiny) stats table into filepath → column → (min,max)
+    * Literals. NULL bounds (a file with no footer stats for the column)
+    * drop the column's entry — that file is then never pruned on it.
+    * Paths are normalized through Hadoop `Path` so `_metadata.file_path`
+    * URIs (`file:///x`) match `FileStatus` URIs (`file:/x`). */
+  def intervalMap(stats: DataFrame): Map[String, Map[String, (Literal, Literal)]] = {
+    val statCols = stats.schema.fields.filter(_.name.endsWith("_min"))
+      .map(f => (f.name.dropRight(4), f.dataType))
+    stats.collect().map { row =>
+      val fp = new Path(row.getAs[String]("filepath")).toString
+      val byCol = statCols.flatMap { case (c, dt) =>
+        val mn = row.getAs[Any](c + "_min")
+        val mx = row.getAs[Any](c + "_max")
+        if (mn == null || mx == null) None
+        else Some(c -> (Literal.create(mn, dt), Literal.create(mx, dt)))
+      }.toMap
+      fp -> byCol
+    }.toMap
+  }
+}

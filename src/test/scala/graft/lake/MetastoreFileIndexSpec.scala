@@ -1,0 +1,92 @@
+package graft.lake
+
+import graft.{Fixtures, SparkSpec}
+import graft.Fixtures.NaiveTs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Transparent pruning: plain `spark.sql` / DataFrame queries over the
+  * MetastoreFileIndex-backed table must (a) return exactly the unpruned
+  * result and (b) physically read only the files whose [min,max]
+  * intervals may contain matches — verified via the scan's `numFiles`
+  * metric, using the reference's boundary counts (SURVEY.md §5:
+  * `< min_file0` → 0 files, `<= min_file0` → 1, point id → its file).
+  */
+class MetastoreFileIndexSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = tmpDir("mfi_fixture")
+    Fixtures.generate(spark, d, NaiveTs)
+    d
+  }
+  private lazy val all = Fixtures.read(spark, dir).cache()
+  private lazy val table: DataFrame =
+    MetastoreFileIndex.table(spark, dir,
+      Metastore.build(spark, dir, "id", Seq("timestamp")))
+
+  /** Files actually read by the (executed) scan. */
+  private def filesRead(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("point query reads one file and matches the unpruned result") {
+    val id0 = all.agg(min("id")).first().getString(0)
+    val q = table.where(col("id") === id0)
+    val expected = all.where(col("id") === id0).count()
+    assert(q.count() === expected)
+    assert(filesRead(table.where(col("id") === id0)) === 1L)
+  }
+
+  test("spark.sql over the registered view prunes transparently") {
+    table.createOrReplaceTempView("mfi_events")
+    val id0 = all.agg(min("id")).first().getString(0)
+    val q = spark.sql(s"SELECT sum(x) AS sx FROM mfi_events WHERE id = '$id0'")
+    val expected = all.where(col("id") === id0).agg(sum("x")).first().getLong(0)
+    assert(q.first().getLong(0) === expected)
+    val scanned = filesRead(spark.sql(s"SELECT x FROM mfi_events WHERE id = '$id0'"))
+    assert(scanned === 1L)
+  }
+
+  test("reference boundary semantics: < min_file0 reads 0 files, <= reads 1") {
+    val tsMin = Fixtures.tsLit(NaiveTs, Fixtures.windowOf(0)._1)
+    assert(filesRead(table.where(col("timestamp") < lit(tsMin))) === 0L)
+    assert(filesRead(table.where(col("timestamp") <= lit(tsMin))) === 1L)
+    // >= min of file 0 keeps everything (10 files)
+    assert(filesRead(table.where(col("timestamp") >= lit(tsMin))) === 10L)
+  }
+
+  test("IN-list prunes to the union of matching files") {
+    val ids = all.select("id").distinct().orderBy("id").limit(3)
+      .collect().map(_.getString(0)).toSeq
+    val q = table.where(col("id").isin(ids: _*))
+    assert(q.count() === all.where(col("id").isin(ids: _*)).count())
+    // the 3 smallest ids cluster in the first file(s) of the globally
+    // sorted layout — strictly fewer than all 10 must be read
+    assert(filesRead(table.where(col("id").isin(ids: _*))) < 10L)
+  }
+
+  test("unsupported predicates never prune (false positives only)") {
+    // x has no stats: full scan, correct rows
+    val q = table.where(col("x") > 250)
+    assert(q.count() === all.where(col("x") > 250).count())
+    assert(filesRead(table.where(col("x") > 250)) === 10L)
+    // conjunction: the id leg prunes, the x leg filters at scan
+    val id0 = all.agg(min("id")).first().getString(0)
+    val q2 = table.where(col("id") === id0 && col("x") > 250)
+    assert(q2.count() === all.where(col("id") === id0 && col("x") > 250).count())
+    assert(filesRead(table.where(col("id") === id0 && col("x") > 250)) === 1L)
+  }
+
+  test("aggregation and join probes through the pruned table stay correct") {
+    val id0 = all.agg(min("id")).first().getString(0)
+    val byId = table.where(col("id") === id0)
+      .groupBy("id").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val exp = all.where(col("id") === id0)
+      .groupBy("id").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    assert(byId.collect().toSeq === exp.collect().toSeq)
+  }
+}
