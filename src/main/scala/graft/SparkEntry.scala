@@ -300,6 +300,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // salted join: semantically the plain inner join (oracle-checked),
+    // physically skew-immune — hot keys spread across salt buckets
+    "q_skew_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.SkewJoin.saltedJoin(l, o, Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
@@ -707,6 +719,12 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
