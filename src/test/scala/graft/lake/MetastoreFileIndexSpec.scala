@@ -81,6 +81,40 @@ class MetastoreFileIndexSpec extends SparkSpec {
     assert(filesRead(table.where(col("id") === id0 && col("x") > 250)) === 1L)
   }
 
+  test("property: random predicate conjunctions never lose rows vs full scan") {
+    // pruning soundness (SURVEY §5's property): for ANY conjunction of
+    // comparison predicates — on indexed columns, unindexed columns,
+    // present or absent values, in or out of the data's range — the
+    // pruned table returns exactly the unpruned result. 40 seeded random
+    // predicate sets; a single lost row fails.
+    import org.apache.spark.sql.Column
+    val rng = new scala.util.Random(812)
+    val hex = "0123456789abcdef"
+    val idPool = all.select("id").distinct().collect().map(_.getString(0))
+    val ops: Seq[(Column, Any) => Column] = Seq(_ === _, _ < _, _ <= _, _ > _, _ >= _)
+    val tsLo = Fixtures.windowOf(0)._1 - Fixtures.Delta
+    val tsHi = Fixtures.windowOf(9)._2 + Fixtures.Delta
+    for (i <- 0 until 40) {
+      val preds = scala.collection.mutable.ArrayBuffer[Column]()
+      if (rng.nextBoolean()) {
+        val idVal = // existing id half the time, arbitrary hex pair otherwise
+          if (rng.nextBoolean()) idPool(rng.nextInt(idPool.length))
+          else s"${hex(rng.nextInt(16))}${hex(rng.nextInt(16))}"
+        preds += ops(rng.nextInt(ops.size))(col("id"), idVal)
+      }
+      if (rng.nextBoolean()) {
+        val epoch = tsLo + math.abs(rng.nextLong()) % (tsHi - tsLo)
+        preds += ops(rng.nextInt(ops.size))(col("timestamp"),
+          Fixtures.tsLit(Fixtures.NaiveTs, epoch))
+      }
+      if (rng.nextBoolean()) preds += ops(rng.nextInt(ops.size))(col("x"), rng.nextInt(520))
+      val pred = preds.reduceOption(_ && _).getOrElse(lit(true))
+      val got = table.where(pred).count()
+      val expected = all.where(pred).count()
+      assert(got === expected, s"sample $i: predicate $pred lost rows ($got vs $expected)")
+    }
+  }
+
   test("aggregation and join probes through the pruned table stay correct") {
     val id0 = all.agg(min("id")).first().getString(0)
     val byId = table.where(col("id") === id0)
