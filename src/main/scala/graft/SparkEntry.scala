@@ -482,6 +482,20 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.withMedia(t(s, dir, "documents")))
         .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
           size(col("sampled_frame_idx")).cast("long").as("n_sampled"))
+        .orderBy("doc_id")),
+
+    // resize planning: oracle-expressible dims (doc_id/n_chars modular
+    // arithmetic instead of withMedia's xxhash dims, which DuckDB lacks)
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(
+          t(s, dir, "documents").select(col("doc_id"),
+            (pmod(col("doc_id") * 37, lit(1920)) + 1).cast("int").as("width"),
+            (pmod(col("n_chars") * 31, lit(1080)) + 1).cast("int").as("height")),
+          maxW = 256, maxH = 224)
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("new_width").cast("long").as("new_width"),
+          col("new_height").cast("long").as("new_height"))
         .orderBy("doc_id"))
   )
 
@@ -902,6 +916,23 @@ object SparkEntry {
       """SELECT doc_id,
         |  octet_length(encode(text)) // 16 AS n_frames,
         |  CAST(floor(greatest(octet_length(encode(text)) // 16 - 1, 0) / 4) + 1 AS BIGINT) AS n_sampled
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    (doc_id * 37) % 1920 + 1 AS w,
+        |    (n_chars * 31) % 1080 + 1 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN w * 224 >= h * 256 THEN 256 ELSE 224 END AS num,
+        |    CASE WHEN w * 224 >= h * 256 THEN w ELSE h END AS den,
+        |    (w > 256 OR h > 224) AS needs
+        |  FROM m)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(CASE WHEN needs THEN greatest((w * num) // den, 1) ELSE w END AS BIGINT) AS new_width,
+        |  CAST(CASE WHEN needs THEN greatest((h * num) // den, 1) ELSE h END AS BIGINT) AS new_height
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -95,6 +95,30 @@ object Multimodal {
       .drop("media")
   }
 
+  /** Resize planning: target dimensions under a bounding box with
+    * aspect ratio preserved — the metadata arithmetic of an image/video
+    * resize stage, computed as codegen'd integer math over the metadata
+    * columns (media bytes untouched; a real resampler consumes
+    * `(media, new_width, new_height)` downstream via the same
+    * `mapPartitions` shape as `extractFeatures`). `scale_num/denom` keep
+    * the computation exact: new_w = w·min(1, maxW/w, maxH/h) with the
+    * min taken over rationals, floor-rounded, never below 1px. */
+  def resizePlan(media: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    // pick the tighter constraint by cross-multiplying (exact in longs)
+    val wide = col("width").cast("long") * maxH >= col("height").cast("long") * maxW
+    val num = when(wide, lit(maxW.toLong)).otherwise(lit(maxH.toLong))
+    val den = when(wide, col("width").cast("long")).otherwise(col("height").cast("long"))
+    val needs = col("width") > maxW || col("height") > maxH
+    media
+      .withColumn("new_width",
+        when(needs, greatest(floor(col("width") * num / den), lit(1)))
+          .otherwise(col("width")).cast("int"))
+      .withColumn("new_height",
+        when(needs, greatest(floor(col("height") * num / den), lit(1)))
+          .otherwise(col("height")).cast("int"))
+      .drop("media")
+  }
+
   /** Metadata-only projection — demonstrates (and is tested for) the
     * plan NOT reading media bytes when only metadata is selected. */
   def mediaCatalog(media: DataFrame): DataFrame =

@@ -30,6 +30,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.stubDecode(Array.emptyByteArray).toSeq === Seq.fill(8)(0.0f))
   }
 
+  test("resizePlan: bounding box respected, aspect ratio preserved, small media untouched") {
+    val m = Multimodal.withMedia(docs)
+    val r = Multimodal.resizePlan(m, maxW = 100, maxH = 50).collect()
+    for (row <- r) {
+      val w = row.getAs[Int]("width"); val h = row.getAs[Int]("height")
+      val nw = row.getAs[Int]("new_width"); val nh = row.getAs[Int]("new_height")
+      if (w <= 100 && h <= 50) {
+        assert(nw === w && nh === h, "in-bounds media must not resize")
+      } else {
+        assert(nw >= 1 && nw <= 100 && nh >= 1 && nh <= 50, s"($w,$h)->($nw,$nh) out of box")
+        // floor-rounded scale: ratio preserved within 1px of exact
+        val scale = math.min(100.0 / w, 50.0 / h)
+        assert(math.abs(nw - w * scale) <= 1.0 && math.abs(nh - h * scale) <= 1.0)
+      }
+    }
+  }
+
   test("extractFeatures runs the mapPartitions decode with correct shapes") {
     val feats = Multimodal.extractFeatures(spark, Multimodal.withMedia(docs))
       .collect().sortBy(_.doc_id)
