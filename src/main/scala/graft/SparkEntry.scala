@@ -266,6 +266,31 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(avg(col("o_totalprice").cast("decimal(18,2)"))
+            .over(w.rowsBetween(-2, Window.currentRow)), 4).cast("double").as("avg3"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_left_join_nulls" -> ((s, dir) => {
+      val spend = t(s, dir, "orders").groupBy(col("o_custkey").as("c_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spend"))
+      t(s, dir, "customer")
+        .join(spend, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("spend"), lit(0.0)).as("spend0"),
+          col("spend").isNull.as("never_ordered"),
+          // null-safe equality: NULL <=> NULL is true, NULL = NULL is null
+          (col("spend") <=> lit(null).cast("double")).as("spend_is_null_safe"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"))
+        .orderBy("c_custkey")
+    }),
+
     // HLL sketch — approximate by construction, so no hash oracle; the
     // driver records rows-only and ApproxSpec pins the relative error.
     "q_approx_distinct" -> ((s, dir) =>
@@ -733,6 +758,30 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(avg(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_left_join_nulls" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT c.c_custkey,
+        |  coalesce(s.spend, 0.0) AS spend0,
+        |  s.spend IS NULL AS never_ordered,
+        |  s.spend IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) AS spend_is_null_safe,
+        |  nullif(c.c_mktsegment, 'BUILDING') AS seg_or_null
+        |FROM customer c LEFT JOIN spend s USING (c_custkey)
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q_skew_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
