@@ -964,7 +964,9 @@ object SparkEntry {
     "mm_frame_sample" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) // 16 AS n_frames,
-        |  CAST(floor(greatest(octet_length(encode(text)) // 16 - 1, 0) / 4) + 1 AS BIGINT) AS n_sampled
+        |  CAST(CASE WHEN octet_length(encode(text)) // 16 > 0
+        |    THEN floor((octet_length(encode(text)) // 16 - 1) / 4) + 1
+        |    ELSE 0 END AS BIGINT) AS n_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_resize" ->

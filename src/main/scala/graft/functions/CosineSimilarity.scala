@@ -34,10 +34,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
+  /** Dimension mismatch fails loudly (silently truncating to the shorter
+    * vector would return plausible-looking junk for, e.g., embeddings
+    * from two different models accidentally unioned); a zero-norm (or
+    * empty) vector scores 0.0, never NaN — Spark sorts NaN ABOVE every
+    * double, so a NaN would make junk rows rank-1 neighbors and pass
+    * `cos >= threshold` filters. */
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_similarity: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -46,7 +55,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -59,14 +69,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_similarity: dimension mismatch (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+         |  $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

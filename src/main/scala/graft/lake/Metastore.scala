@@ -28,6 +28,11 @@ import org.apache.spark.sql.types._
   */
 object Metastore {
 
+  /** Hadoop-Path-canonical form of a file URI (`file:///x` → `file:/x`),
+    * so paths from `_metadata.file_path`, `FileStatus`, and user input
+    * all compare equal. */
+  private val normalizePath = udf((p: String) => new org.apache.hadoop.fs.Path(p).toString)
+
   /** Column types that get min/max stats. Anything else is silently
     * excluded (with the cluster column required to be orderable),
     * preserving the reference's drop-with-warning policy
@@ -65,7 +70,10 @@ object Metastore {
     // InMemoryRelation and input_file_name() silently yields "" — the
     // metadata column changes the scan's output so the cached fragment
     // cannot be substituted, and file provenance survives.
-    df.select(col("_metadata.file_path").as("filepath") +: cols.map(col): _*)
+    // Paths are canonicalized (file:///x -> file:/x) so stats from this
+    // builder and buildFromFooters (FileStatus-format paths) key
+    // identically in update's anti-join and the FileIndex interval map.
+    df.select(normalizePath(col("_metadata.file_path")).as("filepath") +: cols.map(col): _*)
       .groupBy("filepath")
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -113,12 +121,24 @@ object Metastore {
 
     val colsB = spark.sparkContext.broadcast(cols)
     val typesB = spark.sparkContext.broadcast(sparkTypes)
+    // Ship the driver's Hadoop conf to the executors (Configuration is
+    // not Serializable, so as key/value pairs): a bare `new
+    // Configuration()` on the executor would drop fs.s3a credentials /
+    // endpoints and fail against object stores.
+    val confB = spark.sparkContext.broadcast {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+      buf.toSeq
+    }
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
       .map { p =>
         val wanted = colsB.value
         val types = typesB.value
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), new Configuration()))
+        val conf = new Configuration(false)
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
         try {
           val md = reader.getFooter
           // Fold row-group stats per column across all row groups.
@@ -253,10 +273,14 @@ object Metastore {
     values.foreach(v => jrows.add(Row(v)))
     val valuesDf = spark.createDataFrame(jrows, StructType(Seq(StructField("value", valueType))))
     // values side is tiny -> broadcast range join; the stats table itself
-    // is tiny (1 row/file) so this never shuffles data.
+    // is tiny (1 row/file) so this never shuffles data. A file with NULL
+    // cluster stats (no footer statistics — INT96, all-null column) must
+    // match EVERY value: `min <= v && v <= max` is NULL for it, which a
+    // bare join would treat as no-match — a false negative.
     stats.where(clausePred)
       .join(broadcast(valuesDf),
-        col(cluster + "_min") <= col("value") && col("value") <= col(cluster + "_max"))
+        col(cluster + "_min").isNull ||
+          (col(cluster + "_min") <= col("value") && col("value") <= col(cluster + "_max")))
       .select(col("filepath"), col("value"))
   }
 

@@ -58,6 +58,13 @@ object Dedup {
     * standard S-curve 1-(1-J^r)^b. Defaults (k=64, b=16, r=4) put the
     * threshold near J≈0.5.
     *
+    * Empty documents (no tokens after normalization — empty text, pure
+    * punctuation) produce no shingles and are excluded from near-dup
+    * candidates by construction (the explode drops them; same for
+    * `simhash`). Route them through `exactByHash`, which groups them
+    * (md5 of the empty normalization) — near-dup semantics on contentless
+    * documents are meaningless anyway.
+    *
     * Scale notes: the whole signature computation is array higher-order
     * functions inside whole-stage codegen — NO shuffle and no row
     * blow-up until the b-rows-per-doc band explode (the earlier
@@ -211,7 +218,14 @@ object Dedup {
         val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
-        val dim = emb.select(size(col(vecCol))).first().getInt(0)
+        val dimRow = emb.select(size(col(vecCol))).head(1)
+        if (dimRow.isEmpty) return emb.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id_a", emb.schema(idCol).dataType),
+            org.apache.spark.sql.types.StructField("id_b", emb.schema(idCol).dataType),
+            org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
+        val dim = dimRow.head.getInt(0)
         val bucketed = Similarity.signBuckets(emb, vecCol, dim, planes, seed).select(col(idCol), col(vecCol), col("bucket"))
         val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
         val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))

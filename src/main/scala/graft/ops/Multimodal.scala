@@ -88,7 +88,11 @@ object Multimodal {
     media.select(col("doc_id"), col("media"), col("n_bytes"))
       .withColumn("n_frames", floor(col("n_bytes") / frameBytes).cast("int"))
       .withColumn("sampled_frame_idx",
-        filter(sequence(lit(0), greatest(col("n_frames") - 1, lit(0))), i => i % stride === 0))
+        // zero complete frames -> empty sample (sequence(0, -1) is not
+        // empty in Spark — it counts DOWN — so guard explicitly)
+        when(col("n_frames") > 0,
+          filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0))
+          .otherwise(array().cast("array<int>")))
       .withColumn("sampled_frames",
         transform(col("sampled_frame_idx"),
           i => substring(col("media"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))

@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`). Absent from the reference (SURVEY.md §2.2 ★).
@@ -89,6 +90,17 @@ object Similarity {
       when(dotCol(hCol, col(vecCol)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("bucket", bucket)
+  }
+
+  /** Empty (query_id, neighbor_id, rank, cos) result with the right id
+    * type — the approximate paths probe the corpus for its dimension, so
+    * an empty corpus must short-circuit instead of crashing `.head`. */
+  private def emptyTopK(corpus: DataFrame, idCol: String): DataFrame = {
+    val idt = corpus.schema(idCol).dataType
+    corpus.sparkSession.createDataFrame(new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("query_id", idt), StructField("neighbor_id", idt),
+        StructField("rank", IntegerType, nullable = false),
+        StructField("cos", DoubleType, nullable = false))))
   }
 
   /** Spherical k-means centroids for an IVF index, trained with Lloyd
@@ -198,6 +210,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 3, seed: Long = 42L): DataFrame = {
+    if (corpus.head(1).isEmpty) return emptyTopK(corpus, idCol)
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", argmaxCos(centroids, col("c_vec")))
@@ -220,7 +233,9 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 4, seed: Long = 42L): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dimRow = corpus.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) return emptyTopK(corpus, idCol)
+    val dim = dimRow.head.getInt(0)
     val c = signBuckets(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "c_vec", dim, planes, seed)
     val qb = signBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),

@@ -20,12 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Salt expression for the left side: a deterministic-per-row spread
-    * over [0, salts). Row identity (partition id + offset) rather than
-    * key hash — hashing the key would send every row of the hot key to
-    * the SAME salt, which is the skew we're trying to break. */
-  private def rowSalt(salts: Int): Column =
-    pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(salts.toLong)).cast("int")
+  /** Salt expression over [0, salts): xxhash64 of the full row content —
+    * NOT the key alone (that would send every hot-key row to the same
+    * salt, re-creating the skew) and NOT `spark_partition_id()`/
+    * `monotonically_increasing_id()` (nondeterministic across task
+    * retries and speculative execution: a re-run map task could emit a
+    * row under a different salt than the copy some reducers already
+    * fetched, double-counting it in one (key, salt) partition and losing
+    * it from another). Identical rows share a salt — harmless for
+    * correctness, and real hot keys differ in their payload columns. */
+  private def rowSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int")
 
   /** Inner equi-join with a salted left side and a `salts`-times
     * replicated right side: every (key, salt) bucket holds 1/salts of
@@ -39,7 +44,7 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salts: Int = 8): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val saltedLeft = left.withColumn("_salt", rowSalt(salts))
+    val saltedLeft = left.withColumn("_salt", rowSalt(left, salts))
     val replicatedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(replicatedRight, keys :+ "_salt").drop("_salt")
@@ -61,7 +66,7 @@ object SkewJoin {
                   partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     require(partial.nonEmpty && partial.size == merge.size,
       "one merge expression per partial aggregate")
-    df.withColumn("_salt", rowSalt(salts))
+    df.withColumn("_salt", rowSalt(df, salts))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys.map(col): _*)

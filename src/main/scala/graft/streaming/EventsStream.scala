@@ -66,6 +66,12 @@ object EventsStream {
     */
   def hourlyByTypeStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TimestampType, not the NTZ readEvents produces: Spark requires the
+    // watermark column to be TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
+    // TYPE otherwise). Window labels are therefore session-tz wall
+    // clocks; they match the batch twin's NTZ labels only under the
+    // engine-wide spark.sql.session.timeZone=UTC this library pins
+    // (build.sbt, Verify, Bench) — asserted by EventsStreamSpec.
     spark.readStream.schema(eventsSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "30 minutes")

@@ -37,6 +37,34 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("zero-norm vectors score 0.0 (never NaN) on both eval paths") {
+    import spark.implicits._
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array(0.0f, 0.0f), Array(0.0f, 0.0f))).toDF("a", "b")
+    // codegen path
+    val r = df.select(Similarity.cosineCol(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(r.toSeq === Seq(0.0, 0.0), "zero-norm must score 0.0, not NaN (NaN sorts above all doubles)")
+    // interpreted path
+    val e = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(0.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Array(3.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null).asInstanceOf[Double] === 0.0)
+  }
+
+  test("dimension mismatch fails loudly instead of truncating") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(Similarity.cosineCol(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(_.contains("dimension mismatch"))))
+  }
+
   test("null inputs propagate null") {
     val withNull = vecs.select(col("a"), lit(null).cast("array<float>").as("nb"))
     assert(withNull.select(Similarity.cosineCol(col("a"), col("nb"))).first().isNullAt(0))

@@ -123,6 +123,26 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("NULL cluster stats never prune a file (false positives only)") {
+    // a file with no footer statistics for the cluster column (INT96
+    // timestamp, all-null column) must survive pruning for EVERY value:
+    // `min <= v && v <= max` is NULL for it, and a bare join would
+    // silently drop all of its rows — a false negative
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("filepath", StringType),
+      StructField("id_min", StringType), StructField("id_max", StringType)))
+    val rows = new java.util.ArrayList[Row]()
+    rows.add(Row("f_known", "aa", "mm"))
+    rows.add(Row("f_nostats", null, null))
+    val s = spark.createDataFrame(rows, schema)
+    val hit = Metastore.prune(spark, s, Seq("zz")) // outside f_known's range
+    assert(hit === Seq("f_nostats"), "NULL-stats file must match any value; in-range file must not")
+    val both = Metastore.prune(spark, s, Seq("bb")).sorted
+    assert(both === Seq("f_known", "f_nostats"))
+  }
+
   test("cluster column is recovered from stats column order") {
     assert(Metastore.clusterColumnOf(stats(NaiveTs)) === "id")
   }

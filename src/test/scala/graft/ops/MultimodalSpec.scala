@@ -30,6 +30,15 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.stubDecode(Array.emptyByteArray).toSeq === Seq.fill(8)(0.0f))
   }
 
+  test("sampleFrames: media smaller than one frame samples nothing") {
+    import spark.implicits._
+    val tiny = Seq((0L, "short", "en", "src0", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.sampleFrames(Multimodal.withMedia(tiny)).collect().head
+    assert(r.getAs[Int]("n_frames") === 0)
+    assert(r.getSeq[Int](r.fieldIndex("sampled_frame_idx")).isEmpty,
+      "zero frames must sample zero, not a phantom index 0")
+  }
+
   test("resizePlan: bounding box respected, aspect ratio preserved, small media untouched") {
     val m = Multimodal.withMedia(docs)
     val r = Multimodal.resizePlan(m, maxW = 100, maxH = 50).collect()

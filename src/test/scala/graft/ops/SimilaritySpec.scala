@@ -103,6 +103,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("empty corpus returns an empty result, not a crash") {
+    val empty = corpus.where(col("vec_id") < 0)
+    val q = corpus.where(col("vec_id") < 3)
+    assert(Similarity.lshTopK(empty, q, "vec_id", "embedding", 5).count() === 0)
+    assert(Similarity.ivfTopK(empty, q, "vec_id", "embedding", 5).count() === 0)
+    assert(Dedup.embeddingNearDup(empty, "vec_id", "embedding", 0.9).count() === 0)
+  }
+
   test("sign buckets are deterministic and stable across invocations") {
     val b1 = Similarity.signBuckets(corpus, "embedding", 8, 4, 42L)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap

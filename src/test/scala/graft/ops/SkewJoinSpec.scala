@@ -41,7 +41,7 @@ class SkewJoinSpec extends SparkSpec {
     // and the phase-1 split produced multiple partials (the count went
     // through (key, salt) groups — verified by running phase 1 alone)
     val phase1Groups = skewedLeft.where(col("k") === "hot")
-      .withColumn("_salt", pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()), lit(8L)))
+      .withColumn("_salt", pmod(xxhash64(col("k"), col("v")), lit(8L)))
       .groupBy("k", "_salt").count().count()
     assert(phase1Groups > 1, "hot key must split across multiple salt buckets")
   }
