@@ -182,6 +182,36 @@ object SparkEntry {
           concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
         .orderBy("p_partkey")),
 
+    "q_conditional_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(when(col("l_quantity") > 25, 1)).as("n_bulk"),
+          count(when(col("l_discount") >= 0.05, 1)).as("n_discounted"),
+          dsum(when(col("l_quantity") > 25, col("l_extendedprice")).otherwise(lit(0.0)))
+            .as("bulk_revenue"))
+        .orderBy("l_returnflag")),
+
+    "q_string_fns" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          lpad(col("s_name"), 30, "*").as("padded"),
+          reverse(col("s_name")).as("reversed"),
+          regexp_replace(col("s_name"), "[aeiou]", "_").as("devoweled"),
+          substring_index(col("s_name"), "#", 1).as("prefix"),
+          (length(col("s_name")) - length(regexp_replace(col("s_name"), "e", "")))
+            .cast("long").as("n_e"))
+        .orderBy("s_suppkey")),
+
+    "q_math_fns" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          abs(col("p_size") - 25).cast("long").as("dist25"),
+          ceil(col("p_retailprice") / 100).cast("long").as("price_bucket"),
+          round(sqrt(col("p_size").cast("double")), 6).as("sqrt_size"),
+          round(pow(lit(1.07), col("p_size").cast("double")), 6).as("compound"),
+          round(log(col("p_retailprice")), 6).as("ln_price"))
+        .orderBy("p_partkey")),
+
     "q_date_fns" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
@@ -656,6 +686,32 @@ object SparkEntry {
         |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 1.1 AS DOUBLE) AS marked_up,
         |  CAST(p_size % 7 AS BIGINT) AS size_mod,
         |  concat_ws('-', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  COUNT(*) FILTER (WHERE l_discount >= 0.05) AS n_discounted,
+        |  CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |    ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS bulk_revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_string_fns" ->
+      """SELECT s_suppkey,
+        |  lpad(s_name, 30, '*') AS padded,
+        |  reverse(s_name) AS reversed,
+        |  regexp_replace(s_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  split_part(s_name, '#', 1) AS prefix,
+        |  CAST(length(s_name) - length(replace(s_name, 'e', '')) AS BIGINT) AS n_e
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT p_partkey,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS dist25,
+        |  CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_bucket,
+        |  round(sqrt(CAST(p_size AS DOUBLE)), 6) AS sqrt_size,
+        |  round(power(1.07, CAST(p_size AS DOUBLE)), 6) AS compound,
+        |  round(ln(p_retailprice), 6) AS ln_price
         |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_date_fns" ->
