@@ -94,6 +94,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(emitted.contains((2L, ts(600), ts(600), 1L)))
   }
 
+  test("streaming session_window (append) finalizes sessions past the watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(base.plusMinutes(min))
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = stream.toDS().toDF("user_id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("sess_window_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(0)), (1L, ts(10)), (2L, ts(5))); q.processAllAvailable()
+      // advance the watermark far past session end + gap so the windows
+      // above finalize and emit in append mode
+      stream.addData((1L, ts(600))); q.processAllAvailable()
+      stream.addData((1L, ts(1200))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_window_stream")
+      .select(col("user_id"), col("session_window.start").as("start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    // sessions entirely before the final watermark must have emitted
+    assert(got.contains((1L, ts(0), 2L)), s"user 1's merged 2-event session missing from $got")
+    assert(got.contains((2L, ts(5), 1L)), s"user 2's session missing from $got")
+  }
+
   test("sessionize: gap over 30 minutes starts a new session") {
     import spark.implicits._
     val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
