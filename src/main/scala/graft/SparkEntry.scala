@@ -24,15 +24,23 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** Lakeshack instances are cached per data path so the 5 lake_* queries
-    * share one stats build. */
-  private val shackCache = scala.collection.concurrent.TrieMap.empty[String, Lakeshack]
+  /** Lakeshack instances are cached per (session, data path) so the
+    * lake_* queries share one stats build — keyed by the session too,
+    * because a Lakeshack holds DataFrames bound to the session that
+    * built it; a dir-only key would hand a later session plans owned by
+    * a (possibly stopped) earlier one. */
+  private val shackCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Lakeshack]
   private def shack(spark: SparkSession, dir: String): Lakeshack =
-    shackCache.getOrElseUpdate(dir,
+    shackCache.getOrElseUpdate((System.identityHashCode(spark), dir),
       Lakeshack(spark, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
 
   /** Exact decimal sum of a 2-dp double column, returned as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact decimal sum of price·(1−discount), returned as double — the
+    * discounted-revenue determinism contract in one place. */
+  private def dsumDisc(price: Column, discount: Column): Column =
+    sum(price.cast("decimal(18,2)") * (lit(1) - discount.cast("decimal(18,2)"))).cast("double")
 
   private val ts1997 = java.time.LocalDateTime.of(1997, 1, 1, 0, 0, 0)
   private val lakeVals: Seq[Any] = Seq(42L, 4242L, 9999L, 14000L)
@@ -63,15 +71,14 @@ object SparkEntry {
           columns = Some(Seq("l_orderkey", "l_linenumber", "l_extendedprice")))
         .orderBy("l_orderkey", "l_linenumber").limit(7)),
 
+    // stats queries fold per-file rows to the global [min,max] so the
+    // oracle comparison is layout-independent (a per-file result would
+    // only match a whole-table oracle when the table is one file)
     "lake_stats" -> ((s, dir) =>
-      Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate"))
-        .drop("filepath")
-        .select("l_orderkey_min", "l_orderkey_max", "l_shipdate_min", "l_shipdate_max")),
+      globalStats(Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))),
 
     "lake_stats_footer" -> ((s, dir) =>
-      Metastore.buildFromFooters(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate"))
-        .drop("filepath")
-        .select("l_orderkey_min", "l_orderkey_max", "l_shipdate_min", "l_shipdate_max")),
+      globalStats(Metastore.buildFromFooters(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))),
 
     // transparent zone-map pruning: plain spark.sql over a
     // MetastoreFileIndex-backed view — Catalyst hands the pushed filters
@@ -95,8 +102,7 @@ object SparkEntry {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("sum_disc_price"),
+          dsumDisc(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -107,8 +113,7 @@ object SparkEntry {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("revenue"))
+        .agg(dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -554,6 +559,12 @@ object SparkEntry {
         .orderBy("doc_id"))
   )
 
+  /** Fold a per-file stats table to one global min/max row. */
+  private def globalStats(stats: DataFrame): DataFrame =
+    stats.agg(
+      min("l_orderkey_min").as("l_orderkey_min"), max("l_orderkey_max").as("l_orderkey_max"),
+      min("l_shipdate_min").as("l_shipdate_min"), max("l_shipdate_max").as("l_shipdate_max"))
+
   /** documents ∪ shifted copy — planted exact duplicates for dedup.
     * Repartitioned by id: the raw table is a single small file (1-2 scan
     * partitions), and the dedup pipelines' expensive stage is the
@@ -738,7 +749,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-        |      OR epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800
+        |      OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
         |s AS (
@@ -759,7 +770,7 @@ object SparkEntry {
       """WITH g AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
         |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-        |      OR epoch(CAST(ts AS TIMESTAMP)) - epoch(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800
+        |      OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800000000
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
         |s AS (

@@ -67,10 +67,15 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
 }
 
 object Lakeshack {
-  /** Build stats in one pass and return a ready-to-query engine. */
+  /** Build stats in one pass and return a ready-to-query engine. The
+    * stats DataFrame is cached: it is tiny (one row per file) and every
+    * query's prune step consumes it — without the cache each query
+    * would silently re-run the full stats-build scan of the data. */
   def apply(spark: SparkSession, dataPath: String, clusterColumn: String,
             optionalColumns: Seq[String] = Nil): Lakeshack = {
     val schema = spark.read.parquet(dataPath).schema
-    new Lakeshack(spark, Metastore.build(spark, dataPath, clusterColumn, optionalColumns), Some(schema))
+    new Lakeshack(spark,
+      Metastore.build(spark, dataPath, clusterColumn, optionalColumns).cache(),
+      Some(schema))
   }
 }

@@ -45,8 +45,11 @@ object AsofJoin {
         lit(null).cast(taggedRight.schema("_payload").dataType).as("_payload") +: lCols.map(col): _*)
 
     // right rows sort before left rows at the same timestamp, so an
-    // equal-time right row is visible to that left row (>= semantics)
-    val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_side").asc)
+    // equal-time right row is visible to that left row (>= semantics);
+    // the payload struct is the final sort key so duplicate
+    // (key, rightTime) right rows resolve deterministically (greatest
+    // payload wins) instead of depending on partition arrival order
+    val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_side").asc, col("_payload").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn("_m", last(col("_payload"), ignoreNulls = true).over(w))

@@ -153,9 +153,13 @@ object EventsStream {
     val w = Window.partitionBy("user_id").orderBy("ts")
     val withGap = events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      // gap compared in MICROSECONDS: casting to long truncates to whole
+      // seconds, so a true gap of e.g. 1800.8s would round down to 1800
+      // and merge sessions the fractional-second oracle splits
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("timestamp").cast("long") - col("prev_ts").cast("timestamp").cast("long") > gapMinutes * 60L,
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")) > gapMinutes * 60000000L,
           1L).otherwise(0L))
       .withColumn("session_seq", sum("new_session").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
