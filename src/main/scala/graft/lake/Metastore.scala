@@ -46,7 +46,10 @@ object Metastore {
   }
 
   private def statColumns(schema: StructType, clusterColumn: String, optionalColumns: Seq[String]): Seq[String] = {
-    val wanted = clusterColumn +: optionalColumns
+    // dedupe: repeating the cluster column in optionalColumns would emit
+    // duplicate <col>_min/_max columns and fail much later with an
+    // AMBIGUOUS_REFERENCE on the first prune
+    val wanted = (clusterColumn +: optionalColumns).distinct
     val kept = wanted.filter { c =>
       val f = schema.fields.find(_.name == c)
         .getOrElse(throw new IllegalArgumentException(s"Column '$c' not in schema ${schema.fieldNames.mkString(",")}"))
@@ -193,7 +196,14 @@ object Metastore {
                     (Math.floorMod(micros, 1000000L) * 1000L).toInt,
                     java.time.ZoneOffset.UTC)
               case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
-              case _ => v // int/long/float/double physical == external
+              // Parquet footer stats surface INT(8/16/32)-annotated
+              // columns as java.lang.Integer; narrow to the Row's
+              // declared external type or createDataFrame rejects it
+              case ShortType => v.asInstanceOf[Number].shortValue()
+              case ByteType => v.asInstanceOf[Number].byteValue()
+              case IntegerType => v.asInstanceOf[Number].intValue()
+              case LongType => v.asInstanceOf[Number].longValue()
+              case _ => v // float/double physical == external
             }
           }
           val values = wanted.flatMap { c =>
@@ -261,7 +271,16 @@ object Metastore {
                  clauses: Seq[Clause] = Nil): DataFrame = {
     val cluster = clusterColumnOf(stats)
     val statCols = stats.schema.fieldNames.toSet
-    val applicable = clauses.filter(c => statCols.contains(c.column + "_min"))
+    // Floating-point stat columns: NaN is excluded from footer min/max
+    // by spec, and Spark orders NaN above every double, so max-side
+    // tests (>, >=, =) could prune a file whose NaN rows DO match — a
+    // false negative. Only <, <= remain sound; others fall back to the
+    // scan-time filter (may-contain preserved).
+    def fpCol(c: String): Boolean = stats.schema.fields
+      .find(_.name == c + "_min")
+      .exists(f => f.dataType == FloatType || f.dataType == DoubleType)
+    val applicable = clauses.filter(c => statCols.contains(c.column + "_min") &&
+      (!fpCol(c.column) || c.op == "<" || c.op == "<="))
     // NULL stats (e.g. a file whose column had no footer statistics — INT96
     // timestamps, or an all-null column) must NOT prune the file out:
     // pruning may only produce false positives, never false negatives.
@@ -277,9 +296,14 @@ object Metastore {
     // cluster stats (no footer statistics — INT96, all-null column) must
     // match EVERY value: `min <= v && v <= max` is NULL for it, which a
     // bare join would treat as no-match — a false negative.
+    // NaN cluster values (float/double only): excluded from footer stats
+    // by spec, so the interval test would miss them — match every file
+    val nanBypass =
+      if (valueType == FloatType || valueType == DoubleType) isnan(col("value"))
+      else lit(false)
     stats.where(clausePred)
       .join(broadcast(valuesDf),
-        col(cluster + "_min").isNull ||
+        col(cluster + "_min").isNull || nanBypass ||
           (col(cluster + "_min") <= col("value") && col("value") <= col(cluster + "_max")))
       .select(col("filepath"), col("value"))
   }

@@ -57,27 +57,35 @@ class MetastoreFileIndex(
   /** May the file (with these column intervals) contain a row satisfying
     * `e`? Unknown shapes answer true. */
   private def mayContain(stats: Map[String, (Literal, Literal)], e: Expression): Boolean = {
+    // Floating-point columns: a spec-compliant writer EXCLUDES NaN from
+    // footer min/max, and Spark orders NaN above every double — so a
+    // NaN row satisfies `col > v`, `col >= v`, and `col === NaN` even
+    // when the recorded max says the file can't match. Only the
+    // min-side tests (<, <=) stay sound; everything else must keep the
+    // file. (Same rule as Metastore.prunePairs' float handling.)
+    def fp(a: Attribute): Boolean =
+      a.dataType == FloatType || a.dataType == DoubleType
     def bounds(a: Attribute): Option[(Literal, Literal)] = stats.get(a.name)
     def isTrue(p: Expression): Boolean = p.eval(null) == true
     e match {
       case And(l, r) => mayContain(stats, l) && mayContain(stats, r)
       case Or(l, r) => mayContain(stats, l) || mayContain(stats, r)
       // = : both bounds (metastore.py:461-463)
-      case EqualTo(a: Attribute, v: Literal) =>
+      case EqualTo(a: Attribute, v: Literal) if !fp(a) =>
         bounds(a).forall { case (mn, mx) =>
           isTrue(LessThanOrEqual(mn, v)) && isTrue(LessThanOrEqual(v, mx)) }
       case EqualTo(v: Literal, a: Attribute) => mayContain(stats, EqualTo(a, v))
-      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      case In(a: Attribute, vs) if !fp(a) && vs.forall(_.isInstanceOf[Literal]) =>
         bounds(a).forall { case (mn, mx) => vs.exists { v =>
           isTrue(LessThanOrEqual(mn, v)) && isTrue(LessThanOrEqual(v, mx)) } }
-      case InSet(a: Attribute, vs) =>
+      case InSet(a: Attribute, vs) if !fp(a) =>
         bounds(a).forall { case (mn, mx) => vs.exists { v =>
           val l = Literal(v, a.dataType)
           isTrue(LessThanOrEqual(mn, l)) && isTrue(LessThanOrEqual(l, mx)) } }
       // one-sided interval tests (metastore.py:459-467)
-      case GreaterThan(a: Attribute, v: Literal) =>
+      case GreaterThan(a: Attribute, v: Literal) if !fp(a) =>
         bounds(a).forall { case (_, mx) => isTrue(LessThan(v, mx)) }
-      case GreaterThanOrEqual(a: Attribute, v: Literal) =>
+      case GreaterThanOrEqual(a: Attribute, v: Literal) if !fp(a) =>
         bounds(a).forall { case (_, mx) => isTrue(LessThanOrEqual(v, mx)) }
       case LessThan(a: Attribute, v: Literal) =>
         bounds(a).forall { case (mn, _) => isTrue(GreaterThan(v, mn)) }
@@ -103,7 +111,12 @@ object MetastoreFileIndex {
     val base = new InMemoryFileIndex(spark, Seq(new Path(dataPath)),
       Map.empty[String, String], Some(schema), FileStatusCache.getOrCreate(spark), None, None)
     val idx = new MetastoreFileIndex(base, intervalMap(stats))
-    val rel = HadoopFsRelation(idx, StructType(Nil), schema, None,
+    // hive-style layouts: partition columns come from the directory
+    // structure, not the file footers — declaring them in dataSchema
+    // would read them (as nulls) from files where they don't exist
+    val partSchema = base.partitionSchema
+    val dataSchema = StructType(schema.filterNot(f => partSchema.fieldNames.contains(f.name)))
+    val rel = HadoopFsRelation(idx, partSchema, dataSchema, None,
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     GraftColumnBridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
   }

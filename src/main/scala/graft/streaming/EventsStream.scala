@@ -96,52 +96,70 @@ object EventsStream {
 
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
     * the custom-state escape hatch for semantics `session_window` can't
-    * express (here: emit a session the moment a successor event proves
-    * it closed, not only at watermark finalization).
+    * express (here: emit a session the moment the watermark proves it
+    * closed, with full support for out-of-order events).
     *
-    * State per user is ONE open session (three longs) — bounded by
-    * |active users|, not by event volume. Within a batch events are
-    * sorted per group (groups are small: one user's slice of a batch);
-    * a gap > `gapMinutes` closes the open session and emits it
-    * immediately; the final open session is emitted when the event-time
-    * timeout fires (watermark passed end + gap, so no in-order event
-    * can extend it). Late events beyond the watermark are dropped by
-    * the upstream `withWatermark`, the standard correctness contract.
+    * State per user is the LIST of open sessions — more than one can be
+    * open at once precisely because watermarks admit out-of-order
+    * events: an event earlier than the current session's start (legal
+    * while above the watermark) may seed its own session, and a later
+    * event may BRIDGE two open sessions into one. A single-open-session
+    * state (the obvious simplification) silently mis-starts sessions in
+    * that case. The list is bounded by (out-of-orderness window / gap),
+    * typically 1-2 entries.
+    *
+    * Times are carried in MICROSECONDS (`Timestamp.getTime` alone is
+    * millisecond-truncated; the batch `sessionize` comment explains why
+    * sub-second precision is load-bearing). A session is emitted only
+    * when the event-time watermark passes its end + gap — by then no
+    * admissible event can touch it, in-order or not; the timeout fires
+    * for whichever open session finalizes first.
     */
   def sessionizeStreamStateful(events: Dataset[(Long, java.sql.Timestamp)],
                                gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    def toUs(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     events.toDF("user_id", "ts")
       .withWatermark("ts", s"$gapMinutes minutes")
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[List[OpenSession], Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(user, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.endMs), s.n))
-          } else {
-            val ts = rows.map(_._2.getTime).toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var open = state.getOption.orNull
-            for (t <- ts) {
-              if (open == null) open = OpenSession(t, t, 1L)
-              else if (t - open.endMs > gapMs) {
-                closed += Session(user, new java.sql.Timestamp(open.startMs),
-                  new java.sql.Timestamp(open.endMs), open.n)
-                open = OpenSession(t, t, 1L)
-              } else open = OpenSession(open.startMs, math.max(open.endMs, t), open.n + 1L)
+         state: GroupState[List[OpenSession]]) =>
+          var sessions = state.getOption.getOrElse(Nil)
+          if (!state.hasTimedOut) {
+            // merge each event into the session list: absorb/extend any
+            // session within gap on either side; an event landing between
+            // two sessions can bridge them into one
+            for (t <- rows.map(r => toUs(r._2))) {
+              val (touching, apart) = sessions.partition(s =>
+                t >= s.startMs - gapUs && t <= s.endMs + gapUs)
+              val merged = touching.foldLeft(OpenSession(t, t, 1L)) { (acc, s) =>
+                OpenSession(math.min(acc.startMs, s.startMs),
+                  math.max(acc.endMs, s.endMs), acc.n + s.n)
+              }
+              sessions = merged :: apart
             }
-            state.update(open)
-            // fire once the watermark proves no event can extend the session
-            state.setTimeoutTimestamp(open.endMs + gapMs)
-            closed.iterator
           }
+          // emit every session the watermark has sealed (end + gap passed
+          // — no admissible event can extend or bridge it anymore)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (finalized, open) = sessions.partition(s =>
+            state.getCurrentWatermarkMs() > 0 && s.endMs + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(Math.floorDiv(open.map(_.endMs).min + gapUs, 1000L) + 1)
+          }
+          finalized.sortBy(_.startMs).iterator
+            .map(s => Session(user, toTs(s.startMs), toTs(s.endMs), s.n))
       }
   }
 

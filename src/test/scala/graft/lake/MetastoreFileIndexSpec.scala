@@ -115,6 +115,44 @@ class MetastoreFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("hive-partitioned layout: partition columns resolve and prune") {
+    import spark.implicits._
+    val d = tmpDir("mfi_part") + "/t"
+    (0 until 1000).map(i => (i.toLong, i % 4, s"v$i"))
+      .toDF("id", "bucket", "payload")
+      .write.partitionBy("bucket").parquet(d)
+    val stats = Metastore.build(spark, d, "id")
+    val tbl = MetastoreFileIndex.table(spark, d, stats)
+    val plain = spark.read.parquet(d)
+    // partition column readable (not nulls from footers)
+    assert(tbl.where(col("bucket") === 2).count() ===
+      plain.where(col("bucket") === 2).count())
+    // combined partition + zone-map filter stays correct
+    val got = tbl.where(col("bucket") === 1 && col("id") < 100)
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val exp = plain.where(col("bucket") === 1 && col("id") < 100)
+      .select("id", "payload").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === exp && got.nonEmpty)
+  }
+
+  test("NaN rows are never pruned away by float max-side predicates") {
+    import spark.implicits._
+    val d = tmpDir("mfi_nan") + "/t"
+    // one file whose score column holds {1.0, NaN}: a spec-compliant
+    // writer records min=max=1.0 (NaN excluded from stats)
+    Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "score")
+      .coalesce(1).write.parquet(d)
+    val stats = Metastore.build(spark, d, "id", Seq("score"))
+    // Spark orders NaN above all doubles: score > 5.0 matches the NaN row
+    val expected = spark.read.parquet(d).where(col("score") > 5.0).count()
+    assert(expected === 1L, "sanity: NaN > 5.0 is true in Spark")
+    val tbl = MetastoreFileIndex.table(spark, d, stats)
+    assert(tbl.where(col("score") > 5.0).count() === expected,
+      "max-side float predicate must not prune the file holding the NaN row")
+    val shack = new Lakeshack(spark, stats, Some(spark.read.parquet(d).schema))
+    assert(shack.query(Seq(1L, 2L), clauses = Seq(Clause("score", ">", 5.0))).count() === expected)
+  }
+
   test("aggregation and join probes through the pruned table stay correct") {
     val id0 = all.agg(min("id")).first().getString(0)
     val byId = table.where(col("id") === id0)

@@ -123,6 +123,31 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("footer builder handles narrow integer types (smallint/tinyint)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d = tmpDir("ms_short") + "/t"
+    val schema = StructType(Seq(StructField("k", ShortType), StructField("b", ByteType)))
+    val rows = new java.util.ArrayList[Row]()
+    (1 to 50).foreach(i => rows.add(Row(i.toShort, (i % 100).toByte)))
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    // Parquet footers surface INT(16)/INT(8) stats as java.lang.Integer;
+    // the builder must narrow them to the declared external types
+    val fromFooters = Metastore.buildFromFooters(spark, d, "k", Seq("b"))
+      .select("k_min", "k_max", "b_min", "b_max").collect().head
+    val fromScan = Metastore.build(spark, d, "k", Seq("b"))
+      .select("k_min", "k_max", "b_min", "b_max").collect().head
+    assert(fromFooters === fromScan)
+    assert(fromFooters.getShort(0) === 1.toShort && fromFooters.getShort(1) === 50.toShort)
+  }
+
+  test("repeating the cluster column in optionalColumns does not duplicate stats") {
+    val s = Metastore.build(spark, dirs(NaiveTs), "id", Seq("id", "timestamp"))
+    assert(s.schema.fieldNames.count(_ == "id_min") === 1)
+    // and pruning still works (no AMBIGUOUS_REFERENCE)
+    assert(Metastore.prune(spark, s, Seq(firstId(NaiveTs))).nonEmpty)
+  }
+
   test("NULL cluster stats never prune a file (false positives only)") {
     // a file with no footer statistics for the cluster column (INT96
     // timestamp, all-null column) must survive pruning for EVERY value:

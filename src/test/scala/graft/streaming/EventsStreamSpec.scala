@@ -94,6 +94,30 @@ class EventsStreamSpec extends SparkSpec {
     assert(emitted.contains((2L, ts(600), ts(600), 1L)))
   }
 
+  test("stateful sessionizer merges cross-batch out-of-order events correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(base.plusMinutes(min))
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventsStream.sessionizeStreamStateful(stream.toDS())
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, ts(60))); q.processAllAvailable() // watermark -> 00:30
+      // out-of-order but above the watermark: must extend the session
+      // BACKWARD, not be merged under the existing start
+      stream.addData((1L, ts(45))); q.processAllAvailable()
+      stream.addData((1L, ts(600))); q.processAllAvailable()
+      stream.addData((1L, ts(1200))); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("sess_ooo")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(emitted.contains((1L, ts(45), ts(60), 2L)),
+      s"out-of-order event must move session_start back to 00:45; got $emitted")
+  }
+
   test("streaming session_window (append) finalizes sessions past the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
