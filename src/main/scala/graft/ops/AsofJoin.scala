@@ -37,7 +37,13 @@ object AsofJoin {
     val lCols = leftCols.getOrElse(left.columns.toSeq)
     require(!payload.exists(lCols.contains), s"payload ${payload} clashes with left columns")
 
-    val taggedRight = right.select(
+    // SQL join semantics: right rows with a null key or null time can
+    // never match (equi-join never matches nulls; `left.ts >= NULL` is
+    // never true) — without this filter, null keys group into one
+    // joinable window partition and null times sort FIRST, handing their
+    // payload to every left row of the key
+    val cleanRight = right.where(col(key).isNotNull && col(rightTime).isNotNull)
+    val taggedRight = cleanRight.select(
       col(key).as("_k") +: col(rightTime).as("_t") +: lit(0).as("_side") +:
         struct(payload.map(col): _*).as("_payload") +: lCols.map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(

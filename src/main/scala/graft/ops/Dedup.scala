@@ -149,6 +149,10 @@ object Dedup {
     * aggregate-then-expand shape as candidatePairsFromBuckets so the
     * fingerprint pipeline executes once, with the same skew cap. */
   def simhashCandidates(fps: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    // pigeonhole over 4 chunks only guarantees candidate recall for
+    // Hamming <= 3; a larger threshold would silently miss pairs whose
+    // difference spreads one bit per chunk
+    require(maxHamming <= 3, s"maxHamming=$maxHamming exceeds what 4-chunk blocking can guarantee (3)")
     val chunks = fps.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
@@ -187,7 +191,7 @@ object Dedup {
     // self-join — one aggregation replaces the join + two scans, and the
     // df cutoff (skew guard / recall knob) is a size() filter.
     val byShingle = docShingles.groupBy("sh")
-      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .agg(sort_array(collect_set(col("doc"))).as("docs")) // set: duplicate doc ids must not emit (d, d) self-pairs
       .where(size(col("docs")) >= 2 && size(col("docs")) <= maxShingleDf)
     val common = byShingle
       .select(explode(flatten(transform(col("docs"), (a, i) =>

@@ -33,7 +33,7 @@ object Multimodal {
       .withColumn("media", bytes)
       .withColumn("media_type",
         element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-          (col("doc_id") % 3 + 1).cast("int")))
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int"))) // pmod: raw % goes negative for negative ids
       .withColumn("n_bytes", octet_length(bytes).cast("long"))
       .withColumn("width", (pmod(xxhash64(col("doc_id")), lit(1920L)) + 1).cast("int"))
       .withColumn("height", (pmod(xxhash64(col("doc_id"), lit(1)), lit(1080L)) + 1).cast("int"))

@@ -120,8 +120,25 @@ object Similarity {
     * size. Empty clusters keep their previous centroid. */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                         nlist: Int, iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
-    var centroids: Array[Array[Double]] = corpus
-      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    // Degenerate vectors are excluded from training: a zero-norm vector
+    // would contribute 0/0 = NaN components and poison its centroid
+    // (NaN then sorts above every real cosine, so argmax funnels the
+    // whole corpus into the poisoned cell); a null vector would NPE the
+    // driver-side collect. cosineCol(v, v) is 1.0 for valid vectors and
+    // 0.0 for zero-norm ones — a cheap codegen'd validity test. The
+    // projected frame is persisted: training touches it 1 + 2·iters
+    // times, and without the persist each pass re-executes the corpus
+    // lineage.
+    val vecs = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .where(col("_v").isNotNull && cosineCol(col("_v"), col("_v")) > 0)
+      .persist()
+    try {
+      trainOn(vecs, nlist, iters, seed)
+    } finally vecs.unpersist()
+  }
+
+  private def trainOn(vecs: DataFrame, nlist: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = vecs
       .orderBy(xxhash64(lit(seed), col("_id")), col("_id"))
       .limit(nlist)
       .collect().map { r =>
@@ -135,7 +152,7 @@ object Similarity {
       // the norm for the mean update is ONE interpreted aggregate per
       // row, kept on the far side of the posexplode Generate node so
       // CollapseProject cannot inline it per element.
-      val assigned = corpus.select(col(vecCol).as("_v"))
+      val assigned = vecs.select(col("_v"))
         .withColumn("_c", argmaxCos(centroids, col("_v")))
         .withColumn("_norm", normCol(col("_v")))
       // (cluster, dim) sums of unit vectors: nlist·dim rows through the
@@ -212,9 +229,13 @@ object Similarity {
               iters: Int = 3, seed: Long = 42L): DataFrame = {
     if (corpus.head(1).isEmpty) return emptyTopK(corpus, idCol)
     val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // null vectors are unscorable — drop them (zero-norm vectors are
+    // fine here: cosine scores them 0.0, so they never rank)
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
       .withColumn("cell", argmaxCos(centroids, col("c_vec")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cell", explode(topProbes(centroids, col("q_vec"), nprobe)))
     val scored = broadcast(q).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -233,12 +254,17 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 4, seed: Long = 42L): DataFrame = {
-    val dimRow = corpus.select(size(col(vecCol))).head(1)
+    // dimension probe + null filter: null vectors are unbucketable (a
+    // null dot silently lands them all in bucket 0) and a null-vector
+    // first row would NPE the getInt
+    val valid = corpus.where(col(vecCol).isNotNull)
+    val dimRow = valid.select(size(col(vecCol))).head(1)
     if (dimRow.isEmpty) return emptyTopK(corpus, idCol)
     val dim = dimRow.head.getInt(0)
-    val c = signBuckets(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+    val c = signBuckets(valid.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "c_vec", dim, planes, seed)
-    val qb = signBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+    val qb = signBuckets(queries.where(col(vecCol).isNotNull)
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
       "q_vec", dim, planes, seed)
     // multi-probe: own bucket + flip of each plane bit
     val probes = qb.select(col("query_id"), col("q_vec"), col("bucket"),

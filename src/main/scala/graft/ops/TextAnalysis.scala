@@ -35,9 +35,15 @@ object TextAnalysis {
     */
   def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
-    val toks = tokensCol(text)
     val enStops = stopwords("en").map(lit(_))
+    // tokens are projected ONCE as an attribute: the metrics below
+    // reference them 5×, and handing them the raw tokensCol expression
+    // would re-run the regex split per reference (CollapseProject only
+    // keeps the projections apart when the alias is an attribute — the
+    // same trap Dedup.minhashCandidates documents)
+    val toks = col("_toks")
     docs
+      .withColumn("_toks", tokensCol(text))
       .withColumn("n_chars_calc", length(text))
       .withColumn("n_tokens", size(toks))
       .withColumn("n_unique_tokens", size(array_distinct(toks)))
@@ -53,6 +59,7 @@ object TextAnalysis {
         when(size(toks) > 0,
           size(filter(toks, t => t.isin(enStops: _*))).cast("double") / size(toks))
           .otherwise(lit(0.0)))
+      .drop("_toks")
   }
 
   /** Whitespace-ish token counting plus a BPE-ish subword estimate
@@ -78,7 +85,7 @@ object TextAnalysis {
     * map, no shuffle — is identical.
     */
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokensCol(col(textCol))
+    val toks = col("_toks") // projected once; see quality()
     val scored = stopwords.toSeq.sortBy(_._1).map { case (langCode, words) =>
       val ws = words.map(lit(_))
       struct(size(filter(toks, t => t.isin(ws: _*))).as("score"), lit(langCode).as("lang"))
@@ -92,8 +99,10 @@ object TextAnalysis {
       (acc, s) => when(s.getField("score") > acc.getField("score") ||
           (s.getField("score") === acc.getField("score") && s.getField("lang") < acc.getField("lang")), s)
         .otherwise(acc))
-    docs.withColumn("pred_lang", best.getField("lang"))
+    docs.withColumn("_toks", tokensCol(col(textCol)))
+      .withColumn("pred_lang", best.getField("lang"))
       .withColumn("pred_score", best.getField("score"))
+      .drop("_toks")
   }
 
   /** Document fingerprinting: md5 of normalized text (exact-dup key) and
@@ -101,13 +110,17 @@ object TextAnalysis {
     * a cheap rolling-hash sketch). Narrow map; hashes are 8-16 bytes per
     * doc, so downstream dedup shuffles fingerprints, never text bytes.
     */
-  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val norm = array_join(tokensCol(col(textCol)), " ")
-    val sh = Dedup.shingles(tokensCol(col(textCol)), 3)
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    // tokens/normalization/shingle-hashes each projected once as
+    // attributes — md5+length reference _norm twice, min+max reference
+    // _sh twice; raw expressions would re-run tokenize per reference
     docs
-      .withColumn("md5_fp", md5(norm))
-      .withColumn("norm_len", length(norm))
-      .withColumn("shingle_min_fp", array_min(transform(sh, s => xxhash64(s))))
-      .withColumn("shingle_max_fp", array_max(transform(sh, s => xxhash64(s))))
-  }
+      .withColumn("_toks", tokensCol(col(textCol)))
+      .withColumn("_norm", array_join(col("_toks"), " "))
+      .withColumn("_sh", transform(Dedup.shingles(col("_toks"), 3), s => xxhash64(s)))
+      .withColumn("md5_fp", md5(col("_norm")))
+      .withColumn("norm_len", length(col("_norm")))
+      .withColumn("shingle_min_fp", array_min(col("_sh")))
+      .withColumn("shingle_max_fp", array_max(col("_sh")))
+      .drop("_toks", "_norm", "_sh")
 }

@@ -27,6 +27,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(r.where(org.apache.spark.sql.functions.col("v").isNotNull).count() === 0)
   }
 
+  test("null right keys and times never match (SQL join semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq(
+      (Option.empty[Long], Option(5L), 111.0),   // null key: unjoinable
+      (Option(1L), Option.empty[Long], 222.0),   // null time: sorts first without the guard
+      (Option(1L), Option(4L), 333.0))           // the legitimate match
+      .toDF("k", "rt", "price")
+    val r = AsofJoin.asof(left, right, "k", "t", "rt", Seq("rt", "price")).collect()
+    assert(r.length === 1)
+    assert(r(0).getDouble(4) === 333.0,
+      "null-key/null-time right rows must never supply the payload")
+  }
+
   test("payload name clash with left columns raises") {
     import spark.implicits._
     val df = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")

@@ -103,6 +103,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zero-norm and null vectors cannot poison IVF training or results") {
+    import spark.implicits._
+    val dirty = corpus.union(
+      Seq((900L, Array.fill(8)(0.0f)),
+        (901L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val cents = Similarity.trainIvfCentroids(dirty, "vec_id", "embedding", 8, iters = 2)
+    cents.foreach { v =>
+      assert(v.forall(x => !x.isNaN), "a degenerate vector must not poison centroids with NaN")
+    }
+    val q = corpus.where(col("vec_id") < 3)
+    val r = Similarity.ivfTopK(dirty, q, "vec_id", "embedding", 5, nlist = 8, nprobe = 3).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => !row.getDouble(3).isNaN), "no NaN scores may rank")
+    assert(r.forall(_.getLong(1) !== 901L), "null vector must not appear as a neighbor")
+  }
+
   test("empty corpus returns an empty result, not a crash") {
     val empty = corpus.where(col("vec_id") < 0)
     val q = corpus.where(col("vec_id") < 3)
