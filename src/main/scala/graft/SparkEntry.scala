@@ -173,6 +173,19 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    // multiset set-ops: duplicates preserved per bag semantics (the
+    // distinct variants are covered by q_setops)
+    "q_setops_all" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+      val b = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("k"))
+      a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_inter"))
+        .join(a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except")), Seq("k"), "full")
+        .select(col("k"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("k")
+    }),
+
     "q_scalar_fns" -> ((s, dir) =>
       t(s, dir, "part")
         .select(
@@ -687,6 +700,17 @@ object SparkEntry {
         |  SELECT k FROM (
         |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
         |    EXCEPT SELECT o_custkey AS k FROM orders))
+        |ORDER BY k""".stripMargin,
+
+    "q_setops_all" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem),
+        |b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+        |i AS (SELECT k, COUNT(*) AS n_inter FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k),
+        |e AS (SELECT k, COUNT(*) AS n_except FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k)
+        |SELECT COALESCE(i.k, e.k) AS k,
+        |  COALESCE(n_inter, 0) AS n_inter,
+        |  COALESCE(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e ON i.k = e.k
         |ORDER BY k""".stripMargin,
 
     "q_scalar_fns" ->

@@ -115,6 +115,24 @@ class MetastoreFileIndexSpec extends SparkSpec {
     }
   }
 
+  test("tz-aware timestamps prune with the same boundary counts") {
+    import graft.Fixtures.ZonedTs
+    val d = tmpDir("mfi_zoned")
+    Fixtures.generate(spark, d, ZonedTs)
+    val tbl = MetastoreFileIndex.table(spark, d,
+      Metastore.build(spark, d, "id", Seq("timestamp")))
+    val tsMin = Fixtures.tsLit(ZonedTs, Fixtures.windowOf(0)._1)
+    def files(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s.metrics("numFiles").value }.sum
+    }
+    assert(files(tbl.where(col("timestamp") < lit(tsMin))) === 0L)
+    assert(files(tbl.where(col("timestamp") <= lit(tsMin))) === 1L)
+    assert(tbl.where(col("timestamp") <= lit(tsMin)).count() ===
+      Fixtures.read(spark, d).where(col("timestamp") <= lit(tsMin)).count())
+  }
+
   test("hive-partitioned layout: partition columns resolve and prune") {
     import spark.implicits._
     val d = tmpDir("mfi_part") + "/t"
