@@ -45,6 +45,27 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
+  /** Streaming exact dedup for an ingest pipeline: drop any document
+    * whose normalized-content digest was already seen within the
+    * watermark horizon. Built on `dropDuplicatesWithinWatermark`, so
+    * the dedup state store is BOUNDED — digests older than the horizon
+    * are evicted — which is the property that makes continuous ingest
+    * dedup viable at 100 TB (an unbounded `dropDuplicates` state grows
+    * with corpus size forever). Exactly-once within the horizon;
+    * documents re-ingested after the horizon pass again (the batch
+    * `exactByHash` over the full corpus is the backstop).
+    *
+    * @param docs    streaming DataFrame with (idCol, textCol, tsCol)
+    * @param horizon watermark delay, e.g. "1 hour"
+    */
+  def exactDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                       tsCol: String, horizon: String): DataFrame =
+    docs
+      .withColumn("content_md5",
+        md5(array_join(TextAnalysis.tokensCol(col(textCol)), " ")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_md5")
+
   /** MinHash signature matrix + LSH banding: near-dup candidate pairs.
     *
     * Pipeline: tokens → n-token shingles → per-shingle base hashes

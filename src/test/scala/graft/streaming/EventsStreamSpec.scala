@@ -118,6 +118,31 @@ class EventsStreamSpec extends SparkSpec {
       s"out-of-order event must move session_start back to 00:45; got $emitted")
   }
 
+  test("streaming exact dedup drops in-horizon duplicates, bounded state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(base.plusMinutes(min))
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.ops.Dedup.exactDedupStream(
+        stream.toDS().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", horizon = "30 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "the quick fox", ts(0)), (2L, "another doc", ts(1)))
+      q.processAllAvailable()
+      // same normalized content (punctuation/case differ) within horizon
+      stream.addData((3L, "The QUICK-fox!!", ts(5)), (4L, "fresh content", ts(6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dedup_stream").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(2L) && kept.contains(4L))
+    assert(!kept.contains(3L), "in-horizon duplicate content must be dropped")
+  }
+
   test("streaming session_window (append) finalizes sessions past the watermark") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
