@@ -65,7 +65,11 @@ object Metastore {
     */
   def build(spark: SparkSession, dataPath: String, clusterColumn: String,
             optionalColumns: Seq[String] = Nil): DataFrame = {
-    val df = spark.read.parquet(dataPath)
+    // recursive discovery (reference O10, metastore.py:368-376): plain
+    // nested layouts like <table>/2024/01/15/*.parquet are walked —
+    // matching buildFromFooters' fs.listFiles(recursive) — instead of
+    // silently harvesting only the top level
+    val df = spark.read.option("recursiveFileLookup", "true").parquet(dataPath)
     val cols = statColumns(df.schema, clusterColumn, optionalColumns)
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max")))
     // `_metadata.file_path`, not `input_file_name()`: if the caller has

@@ -77,6 +77,31 @@ class LakeshackSpec extends SparkSpec {
     assert(got.columns.toSeq === Seq("id", "x"))
   }
 
+  test("incremental ingest lifecycle: new files land, stats update, queries see them") {
+    // the reference's primary workflow (docs/source/lakeshack.rst daily
+    // loads): immutable files appended, Metastore.update harvests only
+    // the new ones (left-anti), queries prune over old + new
+    import spark.implicits._
+    val d = tmpDir("ls_incr")
+    val statsPath = tmpDir("ls_incr_stats")
+    Fixtures.generate(spark, d, NaiveTs, nFiles = 4)
+    Metastore.update(spark, statsPath, Metastore.build(spark, d, "id", Seq("timestamp")))
+    val before = spark.read.parquet(statsPath).count()
+    assert(before === 4)
+    // day 2: four more files (distinct, later windows)
+    Fixtures.generate(spark, s"$d/day2", NaiveTs, nFiles = 4)
+    Metastore.update(spark, statsPath, Metastore.build(spark, d, "id", Seq("timestamp")))
+    val statsDf = Metastore.load(spark, statsPath)
+    assert(statsDf.count() === 8, "update must append only the 4 new files")
+    // a value present only in the day-2 data is found through the stats
+    val day2 = spark.read.parquet(s"$d/day2")
+    val probe = day2.agg(max("id")).first().getString(0)
+    val shack2 = new Lakeshack(spark, statsDf, Some(day2.schema))
+    val expected = spark.read.option("recursiveFileLookup", "true").parquet(d)
+      .where(col("id") === probe).count()
+    assert(shack2.query(Seq(probe)).count() === expected && expected > 0)
+  }
+
   test("pruned scan equals full scan for random value sets (may-contain property)") {
     val rng = new scala.util.Random(99)
     val hex = "0123456789abcdef"
