@@ -73,7 +73,8 @@ object Lakeshack {
     * would silently re-run the full stats-build scan of the data. */
   def apply(spark: SparkSession, dataPath: String, clusterColumn: String,
             optionalColumns: Seq[String] = Nil): Lakeshack = {
-    val schema = spark.read.parquet(dataPath).schema
+    // recursive, matching Metastore.build's discovery on nested layouts
+    val schema = spark.read.option("recursiveFileLookup", "true").parquet(dataPath).schema
     new Lakeshack(spark,
       Metastore.build(spark, dataPath, clusterColumn, optionalColumns).cache(),
       Some(schema))

@@ -107,7 +107,13 @@ object MetastoreFileIndex {
     * table for file skipping. Register it as a temp view and `spark.sql`
     * queries prune transparently. */
   def table(spark: SparkSession, dataPath: String, stats: DataFrame): DataFrame = {
-    val schema = spark.read.parquet(dataPath).schema
+    // default read keeps hive partition-column inference; a plain nested
+    // layout (no top-level files) can't infer that way, so fall back to
+    // recursive lookup (the file index below lists recursively either way)
+    val schema =
+      try spark.read.parquet(dataPath).schema
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        spark.read.option("recursiveFileLookup", "true").parquet(dataPath).schema }
     val base = new InMemoryFileIndex(spark, Seq(new Path(dataPath)),
       Map.empty[String, String], Some(schema), FileStatusCache.getOrCreate(spark), None, None)
     val idx = new MetastoreFileIndex(base, intervalMap(stats))
