@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.{Lakeshack, Metastore}
+import org.apache.spark.sql.functions._
+
+/** End-to-end streaming ingest: micro-batches land as clustered files,
+  * stats upsert per batch, and lake queries see the data through the
+  * metastore — the full reference lifecycle driven by a stream. */
+class LakeIngestSpec extends SparkSpec {
+
+  test("micro-batches land clustered, stats upsert, queries find the rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dataPath = tmpDir("ingest_data") + "/lake"
+    val statsPath = tmpDir("ingest_stats") + "/stats"
+    val checkpoint = tmpDir("ingest_ckpt")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = LakeIngest.start(stream.toDS().toDF("k", "payload"),
+      dataPath, statsPath, clusterColumn = "k",
+      filesPerBatch = 2, checkpoint = checkpoint)
+    try {
+      stream.addData((1 to 100).map(i => (i.toLong, s"v$i")): _*)
+      q.processAllAvailable()
+      stream.addData((101 to 200).map(i => (i.toLong, s"v$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val stats = Metastore.load(spark, statsPath)
+    assert(stats.count() === 4, "2 batches x 2 clustered files each")
+    // stats rows must be disjoint per batch (range clustering)
+    val shack = new Lakeshack(spark, stats,
+      Some(spark.read.option("recursiveFileLookup", "true").parquet(dataPath).schema))
+    // a value from each batch is retrievable through pruning
+    assert(shack.query(Seq(42L)).count() === 1)
+    assert(shack.query(Seq(142L)).count() === 1)
+    assert(shack.queryOne(142L).select("payload").first().getString(0) === "v142")
+    // point query prunes to one file of the four
+    assert(Metastore.prune(spark, stats, Seq(42L)).size === 1)
+    // re-upserting an already-ingested batch is a no-op (idempotent retry)
+    Metastore.update(spark, statsPath,
+      Metastore.build(spark, s"$dataPath/batch_0", "k"))
+    assert(Metastore.load(spark, statsPath).count() === 4)
+  }
+}
