@@ -237,6 +237,35 @@ object Metastore {
     fresh.write.mode("append").parquet(statsPath)
   }
 
+  /** Replace all stats rows under a directory prefix with fresh ones —
+    * the retry-safe upsert for rewritten immutable batches: a replayed
+    * `mode("overwrite")` write produces NEW part-file names (Spark
+    * embeds a fresh job UUID), so the plain left-anti `update` would
+    * keep stale rows pointing at deleted files. Stats are tiny (one row
+    * per file), so the merge is collected to the driver before the
+    * overwrite — never read-and-overwrite the same path lazily. */
+  def replaceUnderPrefix(spark: SparkSession, statsPath: String,
+                         dirPrefix: String, newStats: DataFrame): Unit = {
+    if (!exists(spark, statsPath)) {
+      newStats.write.mode("append").parquet(statsPath)
+      return
+    }
+    // fully qualify (scheme + authority): stored filepaths are qualified
+    // URIs like file:/x, and a bare /x prefix would match nothing
+    val p = new org.apache.hadoop.fs.Path(dirPrefix)
+    val norm = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+    val old = spark.read.parquet(statsPath)
+    require(old.schema.map(f => (f.name, f.dataType)) == newStats.schema.map(f => (f.name, f.dataType)),
+      s"Metastore schema mismatch: existing ${old.schema.simpleString} vs new ${newStats.schema.simpleString}")
+    val merged = old.where(!col("filepath").startsWith(norm + "/"))
+      .unionByName(newStats)
+    val rows = new java.util.ArrayList[Row]()
+    merged.collect().foreach(rows.add)
+    spark.createDataFrame(rows, merged.schema)
+      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+  }
+
   /** Load + validate an existing stats table (reference O14 reflection). */
   def load(spark: SparkSession, statsPath: String): DataFrame = {
     val df = spark.read.parquet(statsPath)

@@ -40,15 +40,32 @@ object EventsStream {
 
   /** Loads events with `ts` as TIMESTAMP_NTZ (micros, truncated from
     * nanos exactly like DuckDB's CAST(ts AS TIMESTAMP)). NTZ end-to-end
-    * keeps wall-clock semantics identical to the naive oracle values. */
+    * keeps wall-clock semantics identical to the naive oracle values.
+    *
+    * SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong` on the
+    * session and leaves it set — the flag is consulted both at schema
+    * inference and at execution, so restoring it between the two would
+    * corrupt this very read. Sessions using this loader opt into
+    * nanos-as-long for all TIMESTAMP(NANOS) parquet columns. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // `ts div 1000` is integral division on the long nanos — `ts / 1000`
     // would go through DOUBLE, whose 53-bit mantissa cannot represent
     // ~1.7e18 and rounds the last microsecond.
     spark.read.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .withColumn("ts", microsFromNanos.cast("timestamp_ntz"))
   }
+
+  /** The hourly aggregates, shared by the batch and streaming twins so
+    * the hash-match contract between them cannot drift through an edit
+    * to one copy. */
+  private def hourlyAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_events"),
+    sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** `ts div 1000`: integral nanos→micros conversion shared by both
+    * read paths (double division would round the last microsecond). */
+  private def microsFromNanos = timestamp_micros(expr("ts div 1000"))
 
   /** Tumbling-window aggregation, batch form. Deterministic (no floats
     * ungrounded: value sums decimal-cast) so it hash-matches a DuckDB
@@ -56,8 +73,7 @@ object EventsStream {
   def hourlyByType(events: DataFrame): DataFrame =
     events
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .agg(hourlyAggs.head, hourlyAggs.tail: _*)
 
   /** The same aggregation as a streaming query with a watermark: late
     * rows beyond 30 minutes are dropped, windows finalize incrementally.
@@ -73,11 +89,10 @@ object EventsStream {
     // engine-wide spark.sql.session.timeZone=UTC this library pins
     // (build.sbt, Verify, Bench) — asserted by EventsStreamSpec.
     spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", microsFromNanos)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .agg(hourlyAggs.head, hourlyAggs.tail: _*)
   }
 
   /** Native `session_window` sessionization, batch form: Spark merges
@@ -119,7 +134,10 @@ object EventsStream {
                                gapMinutes: Int = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60000000L
-    def toUs(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    // floorDiv, not /: truncation-toward-zero is off by a full second
+    // for pre-epoch timestamps (getTime = -800 would round UP to 0)
+    def toUs(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     def toTs(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
       t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
@@ -152,7 +170,7 @@ object EventsStream {
           // — no admissible event can extend or bridge it anymore)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (finalized, open) = sessions.partition(s =>
-            state.getCurrentWatermarkMs() > 0 && s.endMs + gapUs < wmUs)
+            wmUs > 0 && s.endMs + gapUs < wmUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(open)

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.lake.{ClusteredWriter, Metastore}
@@ -13,28 +12,36 @@ import graft.lake.{ClusteredWriter, Metastore}
   *
   * Each micro-batch is range-clustered on the cluster column and written
   * as immutable files under its own `batch_<id>/` directory, then its
-  * per-file stats are upserted into the metastore. The per-batch
-  * directory + overwrite mode + `Metastore.update`'s left-anti upsert
-  * make a retried batch idempotent (same directory rewritten, same
-  * filepaths skipped on re-upsert) — the foreachBatch exactly-once
-  * recipe. Queries through `Lakeshack`/`MetastoreFileIndex` see each
-  * batch as soon as its stats land; files within a batch have disjoint
-  * cluster ranges, so pruning stays tight as the lake grows.
+  * per-file stats land in the metastore via `replaceUnderPrefix`: a
+  * REPLAYED batch (driver died between the write and the streaming
+  * commit) rewrites its directory with new part-file names, so the
+  * stats rows from the failed attempt are replaced, not merely
+  * appended-around — no stale filepath can survive a retry. Stats come
+  * from the footer-only builder (KBs per file) so ingest never re-reads
+  * the data bytes it just wrote; the batch itself is persisted across
+  * its three uses (emptiness probe, range-sampling pass, write).
+  * Queries through `Lakeshack`/`MetastoreFileIndex` see each batch as
+  * soon as its stats land; files within a batch have disjoint cluster
+  * ranges, so pruning stays tight as the lake grows.
   */
 object LakeIngest {
 
   def start(stream: DataFrame, dataPath: String, statsPath: String,
-            clusterColumn: String, optionalColumns: Seq[String] = Nil,
-            filesPerBatch: Int = 4, checkpoint: String): StreamingQuery =
+            checkpoint: String, clusterColumn: String,
+            optionalColumns: Seq[String] = Nil,
+            filesPerBatch: Int = 4): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val dir = s"$dataPath/batch_$batchId"
-          ClusteredWriter.write(batch, dir, clusterColumn, filesPerBatch)
-          Metastore.update(batch.sparkSession, statsPath,
-            Metastore.build(batch.sparkSession, dir, clusterColumn, optionalColumns))
-        }
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val dir = s"$dataPath/batch_$batchId"
+            ClusteredWriter.write(batch, dir, clusterColumn, filesPerBatch)
+            Metastore.replaceUnderPrefix(batch.sparkSession, statsPath, dir,
+              Metastore.buildFromFooters(batch.sparkSession, dir, clusterColumn, optionalColumns))
+          }
+        } finally batch.unpersist()
         ()
       }
       .start()

@@ -39,9 +39,19 @@ class LakeIngestSpec extends SparkSpec {
     assert(shack.queryOne(142L).select("payload").first().getString(0) === "v142")
     // point query prunes to one file of the four
     assert(Metastore.prune(spark, stats, Seq(42L)).size === 1)
-    // re-upserting an already-ingested batch is a no-op (idempotent retry)
-    Metastore.update(spark, statsPath,
-      Metastore.build(spark, s"$dataPath/batch_0", "k"))
-    assert(Metastore.load(spark, statsPath).count() === 4)
+    // REAL replayed-batch retry: overwrite the batch dir (Spark embeds a
+    // fresh job UUID, so every part file gets a NEW name) and re-land its
+    // stats — replaceUnderPrefix must swap the old rows out, leaving no
+    // stale filepath behind and no growth in the stats table
+    import graft.lake.ClusteredWriter
+    val batch0 = spark.read.parquet(s"$dataPath/batch_0")
+    ClusteredWriter.write(batch0, s"$dataPath/batch_0", "k", nFiles = 2)
+    Metastore.replaceUnderPrefix(spark, statsPath, s"$dataPath/batch_0",
+      Metastore.buildFromFooters(spark, s"$dataPath/batch_0", "k"))
+    val after = Metastore.load(spark, statsPath)
+    assert(after.count() === 4, "retry must replace, not accumulate, the batch's stats rows")
+    // every stats filepath still exists on disk (no stale pointers)
+    val shack2 = new Lakeshack(spark, after, Some(batch0.schema))
+    assert(shack2.query(Seq(42L)).count() === 1)
   }
 }
