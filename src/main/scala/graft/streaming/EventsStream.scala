@@ -5,6 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
+/** One closed session emitted by the stateful streaming sessionizer.
+  * Top-level (not nested in the object): Spark's state-store encoder
+  * generates Janino code that cannot instantiate object-nested case
+  * classes. */
+case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                   session_end: java.sql.Timestamp, n_events: Long)
+
+/** One entry of the stateful sessionizer's per-user state (a LIST of
+  * open sessions — see sessionizeStreamStateful); times in micros. */
+case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
 /** Structured Streaming over the `events` table (event_id, ts[nanos],
   * user_id, event_type, value, props). The reference is batch-only — its
   * docs treat late data as an ETL partitioning problem
@@ -18,16 +29,6 @@ import org.apache.spark.sql.types._
   * `spark.sql.legacy.parquet.nanosAsLong`; we truncate to microseconds —
   * identical to DuckDB's CAST(ts AS TIMESTAMP) semantics.
   */
-/** One closed session emitted by the stateful streaming sessionizer.
-  * Top-level (not nested in the object): Spark's state-store encoder
-  * generates Janino code that cannot instantiate object-nested case
-  * classes. */
-case class Session(user_id: Long, session_start: java.sql.Timestamp,
-                   session_end: java.sql.Timestamp, n_events: Long)
-
-/** The per-user state of the stateful sessionizer: one open session. */
-case class OpenSession(startMs: Long, endMs: Long, n: Long)
-
 object EventsStream {
 
   val eventsSchema: StructType = StructType(Seq(
