@@ -471,7 +471,9 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(t(s, dir, "documents").repartition(col("doc_id")), "doc_id", "text",
+      Dedup.ngramJaccard(
+        t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text",
           n = 3, threshold = 0.12, maxShingleDf = 1000)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
@@ -588,7 +590,12 @@ object SparkEntry {
     val d = t(s, dir, "documents")
     d.select(col("doc_id"), col("text"))
       .union(d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      .repartition(col("doc_id"))
+      // EXPLICIT partition count: repartition(col) alone is a
+      // REPARTITION_BY_COL that AQE freely coalesces — and since the
+      // text bytes are tiny it coalesces to ~1 partition, serializing
+      // the expensive tokenize/shingle stage downstream (measured 1.0s
+      // vs 1.8s warm at sf0.1)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   /** embeddings ∪ shifted copy — planted cosine-1.0 near-dup pairs. */
