@@ -34,6 +34,12 @@ object SparkEntry {
     shackCache.getOrElseUpdate((System.identityHashCode(spark), dir),
       Lakeshack(spark, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
 
+  /** Trained IVF centroid matrices, cached per (session, data path) —
+    * same rationale as shackCache: an index is built once, queried many
+    * times. */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Array[Array[Double]]]
+
   /** Exact decimal sum of a 2-dp double column, returned as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
@@ -501,10 +507,15 @@ object SparkEntry {
 
     // IVF-Flat ANN (learned Voronoi cells + nprobe search) — k-means
     // training is not ANSI-expressible, so rows-only here; recall vs the
-    // brute-force oracle is pinned in SimilaritySpec.
+    // brute-force oracle is pinned in SimilaritySpec. Centroids are
+    // cached per (session, dir) like the Lakeshack stats: an ANN index
+    // is trained once and queried many times.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
+      val cents = ivfCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16))
+      Similarity.ivfTopKWith(cents, emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),

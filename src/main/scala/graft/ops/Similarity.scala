@@ -228,7 +228,17 @@ object Similarity {
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 3, seed: Long = 42L): DataFrame = {
     if (corpus.head(1).isEmpty) return emptyTopK(corpus, idCol)
-    val centroids = trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    ivfTopKWith(trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed),
+      corpus, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** IVF search against an already-trained centroid matrix — the
+    * steady-state path: an index is trained once (or refreshed on a
+    * schedule) and queried many times; re-training per query would make
+    * the training jobs dominate sub-second searches. */
+  def ivfTopKWith(centroids: Array[Array[Double]],
+                  corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     // null vectors are unscorable — drop them (zero-norm vectors are
     // fine here: cosine scores them 0.0, so they never rank)
     val c = corpus.where(col(vecCol).isNotNull)
