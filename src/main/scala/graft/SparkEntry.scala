@@ -34,6 +34,10 @@ object SparkEntry {
     shackCache.getOrElseUpdate((System.identityHashCode(spark), dir),
       Lakeshack(spark, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
 
+  /** lake_sql_pruned's view registration, once per (session, dir). */
+  private val prunedViewCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Boolean]
+
   /** Trained IVF centroid matrices, cached per (session, data path) —
     * same rationale as shackCache: an index is built once, queried many
     * times. */
@@ -88,11 +92,17 @@ object SparkEntry {
 
     // transparent zone-map pruning: plain spark.sql over a
     // MetastoreFileIndex-backed view — Catalyst hands the pushed filters
-    // to the index, which skips files by [min,max] before task scheduling
+    // to the index, which skips files by [min,max] before task scheduling.
+    // The view (stats + index) is registered once per (session, dir),
+    // like a real deployment: build the index at ingest, query it many
+    // times.
     "lake_sql_pruned" -> ((s, dir) => {
-      MetastoreFileIndex.table(s, s"$dir/lineitem.parquet",
-          Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
-        .createOrReplaceTempView("lineitem_pruned")
+      prunedViewCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+        MetastoreFileIndex.table(s, s"$dir/lineitem.parquet",
+            Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
+          .createOrReplaceTempView("lineitem_pruned")
+        true
+      })
       s.sql(
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
           |FROM lineitem_pruned
