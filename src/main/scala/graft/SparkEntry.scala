@@ -330,6 +330,17 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q_bool_bit_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+          count_if(col("l_quantity") > 25).as("n_bulk"),
+          bit_and(col("l_linenumber").cast("long")).as("ln_and"),
+          bit_or(col("l_linenumber").cast("long")).as("ln_or"),
+          bit_xor(col("l_linenumber").cast("long")).as("ln_xor"))
+        .orderBy("l_returnflag")),
+
     "q_window_frames" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       t(s, dir, "orders")
@@ -877,6 +888,16 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_bool_bit_agg" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_deep_discount,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_and,
+        |  CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_or,
+        |  CAST(bit_xor(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS ln_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_window_frames" ->
       """SELECT o_custkey, o_orderkey,

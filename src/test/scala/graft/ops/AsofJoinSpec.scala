@@ -41,6 +41,28 @@ class AsofJoinSpec extends SparkSpec {
       "null-key/null-time right rows must never supply the payload")
   }
 
+  test("property: random inputs match a brute-force as-of computation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    for (round <- 1 to 3) {
+      val left = Seq.fill(200)((rng.nextInt(8).toLong, rng.nextInt(1000).toLong, rng.nextInt(100)))
+        .zipWithIndex.map { case ((k, t, x), i) => (i.toLong, k, t, x) }
+      val right = Seq.fill(150)((rng.nextInt(8).toLong, rng.nextInt(1000).toLong, rng.nextDouble()))
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq // unique (k, rt): max payload wins, like the window tiebreak
+      val leftDf = left.toDF("row_id", "k", "t", "x")
+      val rightDf = right.toDF("k", "rt", "price")
+      val got = AsofJoin.asof(leftDf, rightDf, "k", "t", "rt", Seq("rt", "price"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(4)) None else Some((r.getLong(4), r.getDouble(5))))).toMap
+      for ((rowId, k, t, _) <- left) {
+        val expected = right.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(r => (r._2, r._3))
+        assert(got(rowId) === expected,
+          s"round $round row $rowId (k=$k, t=$t): got ${got(rowId)}, expected $expected")
+      }
+    }
+  }
+
   test("payload name clash with left columns raises") {
     import spark.implicits._
     val df = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
