@@ -330,6 +330,19 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // schema-aligned union: columns matched by NAME (order differs per
+    // branch; missing columns null-filled)
+    "q_union_by_name" -> ((s, dir) => {
+      val a = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+      val b = t(s, dir, "supplier")
+        .select(col("s_name").as("name"), col("s_suppkey").as("id")) // reordered, no segment
+      a.unionByName(b.withColumn("src", lit("supplier")), allowMissingColumns = true)
+        .withColumn("src", coalesce(col("src"), lit("customer")))
+        .orderBy("src", "id")
+    }),
+
     "q_bool_bit_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -888,6 +901,17 @@ object SparkEntry {
         |FROM part
         |WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT id, name, segment, coalesce(src, 'customer') AS src FROM (
+        |  SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+        |    CAST(NULL AS VARCHAR) AS src
+        |  FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_name AS name, s_suppkey AS id,
+        |    CAST(NULL AS VARCHAR) AS segment, 'supplier' AS src
+        |  FROM supplier)
+        |ORDER BY src, id""".stripMargin,
 
     "q_bool_bit_agg" ->
       """SELECT l_returnflag,
