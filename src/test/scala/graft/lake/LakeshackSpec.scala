@@ -77,6 +77,26 @@ class LakeshackSpec extends SparkSpec {
     assert(got.columns.toSeq === Seq("id", "x"))
   }
 
+  test("end-to-end query parity across all three timestamp variants") {
+    // the reference runs its e2e suite per fixture variant
+    // (tests/test_lakeshack.py:30-196); same here, compactly: point
+    // query + timestamp clause must equal the unpruned scan on naive,
+    // tz-aware, and date fixtures alike
+    import graft.Fixtures.{DateTs, ZonedTs}
+    for (v <- Seq(ZonedTs, DateTs)) {
+      val d = tmpDir(s"ls_e2e_$v")
+      Fixtures.generate(spark, d, v)
+      val data = Fixtures.read(spark, d)
+      val sh = Lakeshack(spark, d, "id", Seq("timestamp"))
+      val vid = data.agg(min("id")).first().getString(0)
+      assert(sh.query(Seq(vid)).count() === data.where(col("id") === vid).count(), s"$v: point")
+      val cut = Fixtures.tsLit(v, Fixtures.windowOf(0)._1 + 86400 * 10)
+      val got = sh.query(Seq(vid), clauses = Seq(Clause("timestamp", "<=", cut))).count()
+      val exp = data.where(col("id") === vid && col("timestamp") <= lit(cut)).count()
+      assert(got === exp, s"$v: timestamp clause")
+    }
+  }
+
   test("incremental ingest lifecycle: new files land, stats update, queries see them") {
     // the reference's primary workflow (docs/source/lakeshack.rst daily
     // loads): immutable files appended, Metastore.update harvests only
