@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main. Two passes over every `SparkEntry.queries` entry:
   * an untimed cold pass, then a timed warm pass, reporting warm times
@@ -11,8 +12,72 @@ import org.apache.spark.sql.SparkSession
   * compile time. Warm numbers are the steady-state per-query engine
   * cost; the cold total is still emitted (`cold_total_sec`) so both
   * are visible.
+  *
+  * Failures are NOT swallowed: a throwing query is recorded in an
+  * `errors` map (and excluded from the total), and the process exits
+  * nonzero — a regression must read as a failure, never as a speedup.
+  *
+  * SCALE SECTION: the sf0.1 total is scheduling-bound (~0.5 s/query),
+  * so data-volume regressions hide in it. A 10×-scaled dataset (~sf1)
+  * is synthesized once into `SPARK_GRAFT_SF1_DIR` (default
+  * /tmp/graft_sf1, reused across runs) by unioning key-shifted copies
+  * of the bench dir's tables — join keys shift consistently so join
+  * selectivity is preserved, lineitem is range-clustered into multiple
+  * files so lake pruning has real files to skip — and one headline
+  * query per family runs against it (`sf1` in the output JSON).
+  * Disable with SPARK_GRAFT_NO_SF1=1.
   */
 object Bench {
+
+  /** Queries re-run at the scaled dir: one per family (lake prune,
+    * shuffle join+topk, minhash dedup, ANN). */
+  private val scaleQueries = Seq("lake_point", "q3_topk", "dedup_minhash", "sim_ivf_topk")
+
+  private val copies = 10
+  private val orderOff = 10000000L
+  private val custOff = 1000000L
+  private val docOff = 1000000L
+  private val vecOff = 1000000L
+
+  /** Union `copies` key-shifted copies of the source tables into
+    * `outDir` (skipped if already present). Shifts keep referential
+    * joins intact (o_custkey and c_custkey shift together, l_orderkey
+    * and o_orderkey shift together). Document text gets a per-copy
+    * suffix token so content is distinct across copies; doc_id shifts
+    * stay below SparkEntry's planted +100000 offset spacing. */
+  private def scaleUp(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"))) return
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+
+    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+                  perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies).map { i =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
+          d.withColumn(c, col(c) + lit(i * off)) }
+        perturb(shifted, i)
+      }.reduce(_ unionByName _)
+
+    // lineitem: range-clustered on the lake cluster column so the scaled
+    // lake has many files with disjoint [min,max] — pruning must skip
+    // real files, as in a production clustered write
+    replicate(src("lineitem"), Map("l_orderkey" -> orderOff))
+      .repartitionByRange(4 * copies, col("l_orderkey"))
+      .write.parquet(s"$outDir/lineitem.parquet")
+    replicate(src("orders"), Map("o_orderkey" -> orderOff, "o_custkey" -> custOff))
+      .write.parquet(s"$outDir/orders.parquet")
+    replicate(src("customer"), Map("c_custkey" -> custOff))
+      .write.parquet(s"$outDir/customer.parquet")
+    replicate(src("documents"), Map("doc_id" -> docOff),
+        (d, i) => d.withColumn("text", concat(col("text"), lit(s" copyword$i"))))
+      .write.parquet(s"$outDir/documents.parquet")
+    replicate(src("embeddings"), Map("vec_id" -> vecOff))
+      .write.parquet(s"$outDir/embeddings.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE")).close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,21 +88,67 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+    def jsonStr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+
+    /** (times of successful queries, first-line error per failed query) */
+    def run(names: Seq[String], dir: String): (Map[String, Double], Map[String, String]) = {
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      names.foreach { name =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          SparkEntry.queries(name)(spark, dir).count()
+          times(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
       }
+      (times.toMap, errors.toMap)
+    }
 
-    val cold = runAll() // untimed-for-headline: pays codegen compile + JIT
-    val results = runAll()
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val (cold, coldErrs) = run(allNames, sfDir) // pays codegen compile + JIT
+    val (warm, warmErrs) = run(allNames, sfDir)
+    val errors = coldErrs ++ warmErrs
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ── scaled section ──
+    // cache key includes the base dir's name: a run against sf0.01 must
+    // not hand its scaled data to a later run against sf0.1
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      s"/tmp/graft_scale${copies}_${new java.io.File(sfDir).getName}")
+    var sf1Json = ""
+    var sf1Errors = Map.empty[String, String]
+    if (!sys.env.contains("SPARK_GRAFT_NO_SF1")) {
+      try {
+        val tGen0 = System.nanoTime()
+        scaleUp(spark, sfDir, sf1Dir)
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        val (sf1Cold, e1) = run(scaleQueries, sf1Dir)
+        val (sf1Warm, e2) = run(scaleQueries, sf1Dir)
+        sf1Errors = e1 ++ e2
+        val qs = sf1Warm.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
+        val errJson = sf1Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+          .mkString("{", ",", "}")
+        sf1Json = s""","sf1":{"dir":${jsonStr(sf1Dir)},"scale_of_base":$copies,""" +
+          s""""gen_sec":$genSec,"queries":$qs,"cold_total_sec":${sf1Cold.values.sum},""" +
+          s""""errors":$errJson}"""
+      } catch { case e: Throwable =>
+        sf1Errors = Map("sf1_setup" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        sf1Json = s""","sf1_error":${jsonStr(sf1Errors("sf1_setup"))}"""
+      }
+    }
+
+    val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total_sec":$coldTotal,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+    val total = warm.values.sum
+    val coldTotal = cold.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cold_total_sec":$coldTotal,"sf":"$sfDir"$sf1Json}""")
     spark.stop()
+    if (errors.nonEmpty || sf1Errors.nonEmpty) sys.exit(1)
   }
 }

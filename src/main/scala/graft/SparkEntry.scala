@@ -24,25 +24,44 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Per-(session, data path) cache keyed WEAKLY on the session object
+    * itself: identity is exact (an `identityHashCode` key could collide
+    * after GC hash reuse) and a stopped, unreferenced session's entries
+    * — which pin session-bound DataFrames — become collectable instead
+    * of accumulating for the life of the JVM. */
+  private final class SessionCache[T] {
+    private val bySession =
+      new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, T]]
+    def getOrElseUpdate(s: SparkSession, dir: String)(mk: => T): T = {
+      val inner = bySession.synchronized {
+        var t = bySession.get(s)
+        if (t == null) { t = scala.collection.concurrent.TrieMap.empty[String, T]; bySession.put(s, t) }
+        t
+      }
+      inner.getOrElseUpdate(dir, mk)
+    }
+  }
+
   /** Lakeshack instances are cached per (session, data path) so the
     * lake_* queries share one stats build — keyed by the session too,
     * because a Lakeshack holds DataFrames bound to the session that
     * built it; a dir-only key would hand a later session plans owned by
     * a (possibly stopped) earlier one. */
-  private val shackCache = scala.collection.concurrent.TrieMap.empty[(Int, String), Lakeshack]
+  private val shackCache = new SessionCache[Lakeshack]
   private def shack(spark: SparkSession, dir: String): Lakeshack =
-    shackCache.getOrElseUpdate((System.identityHashCode(spark), dir),
+    shackCache.getOrElseUpdate(spark, dir)(
       Lakeshack(spark, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
 
-  /** lake_sql_pruned's view registration, once per (session, dir). */
-  private val prunedViewCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Boolean]
+  /** lake_sql_pruned's view registration, once per (session, dir). The
+    * registered name is dir-unique so two data dirs in one session get
+    * two views — a shared name would let the second registration
+    * silently hijack the first dir's cached queries. */
+  private val prunedViewCache = new SessionCache[String]
 
   /** Trained IVF centroid matrices, cached per (session, data path) —
     * same rationale as shackCache: an index is built once, queried many
     * times. */
-  private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Array[Array[Double]]]
+  private val ivfCache = new SessionCache[Array[Array[Double]]]
 
   /** Exact decimal sum of a 2-dp double column, returned as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
@@ -97,17 +116,19 @@ object SparkEntry {
     // like a real deployment: build the index at ingest, query it many
     // times.
     "lake_sql_pruned" -> ((s, dir) => {
-      prunedViewCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      val view = prunedViewCache.getOrElseUpdate(s, dir) {
+        val name = "lineitem_pruned_" +
+          java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
         MetastoreFileIndex.table(s, s"$dir/lineitem.parquet",
             Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
-          .createOrReplaceTempView("lineitem_pruned")
-        true
-      })
+          .createOrReplaceTempView(name)
+        name
+      }
       s.sql(
-        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-          |FROM lineitem_pruned
-          |WHERE l_orderkey IN (42, 4242, 9999, 14000)
-          |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           |FROM $view
+           |WHERE l_orderkey IN (42, 4242, 9999, 14000)
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     }),
 
     // ───── core relational operators (SURVEY §2.2, free from Spark)
@@ -518,7 +539,15 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // exact-pairs form (ANSI-expressible → DuckDB hash oracle); the LSH
+    // bucketed form below is the scale path, rows-only + spec-pinned
     "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDup(plantedEmbeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.9, bruteForce = true)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDup(plantedEmbeddings(s, dir), "vec_id", "embedding",
           threshold = 0.9, bruteForce = false)
         .withColumn("cos", round(col("cos"), 6))
@@ -546,7 +575,7 @@ object SparkEntry {
     // is trained once and queried many times.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = ivfCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      val cents = ivfCache.getOrElseUpdate(s, dir)(
         Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16))
       Similarity.ivfTopKWith(cents, emb, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 5)
@@ -1049,6 +1078,22 @@ object SparkEntry {
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH pe AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+        |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM scored
+        |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,

@@ -68,8 +68,16 @@ object Metastore {
     // recursive discovery (reference O10, metastore.py:368-376): plain
     // nested layouts like <table>/2024/01/15/*.parquet are walked —
     // matching buildFromFooters' fs.listFiles(recursive) — instead of
-    // silently harvesting only the top level
-    val df = spark.read.option("recursiveFileLookup", "true").parquet(dataPath)
+    // silently harvesting only the top level.
+    // ignoreCorruptFiles: per-file error tolerance (reference
+    // metastore.py:304-305 logs-and-skips a failed harvest) — at 100k
+    // files one corrupt file must not fail the whole stats build; Spark
+    // logs each skip at WARN. The skipped file gets no stats row, and an
+    // unknown file is never pruned, so queries stay sound.
+    val df = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("ignoreCorruptFiles", "true")
+      .parquet(dataPath)
     val cols = statColumns(df.schema, clusterColumn, optionalColumns)
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max")))
     // `_metadata.file_path`, not `input_file_name()`: if the caller has
@@ -101,7 +109,7 @@ object Metastore {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
 
-    val dataSchema = spark.read.parquet(dataPath).schema
+    val dataSchema = spark.read.option("ignoreCorruptFiles", "true").parquet(dataPath).schema
     val cols = statColumns(dataSchema, clusterColumn, optionalColumns)
     val sparkTypes: Map[String, DataType] = cols.map(c => c -> dataSchema(c).dataType).toMap
     val outSchema = StructType(
@@ -140,11 +148,18 @@ object Metastore {
     }
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
-      .map { p =>
+      .flatMap { p =>
         val wanted = colsB.value
         val types = typesB.value
         val conf = new Configuration(false)
         confB.value.foreach { case (k, v) => conf.set(k, v) }
+        // Per-file error tolerance (reference metastore.py:304-305,
+        // 394-397 logs-and-skips): a corrupt or unreadable footer skips
+        // THAT file instead of failing the whole build — at 100k files
+        // one bad object must not kill the harvest. The file then has no
+        // stats row; unknown files are never pruned, so queries stay
+        // sound (may-contain, weaker pruning only).
+        try {
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
         try {
           val md = reader.getFooter
@@ -216,8 +231,13 @@ object Metastore {
               case None => Seq(null, null)
             }
           }
-          Row.fromSeq(p +: values)
+          Some(Row.fromSeq(p +: values))
         } finally reader.close()
+        } catch { case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger("graft.lake.Metastore")
+            .warn(s"skipping unreadable parquet file during stats harvest: $p", e)
+          None
+        }
       }
     spark.createDataFrame(rows, outSchema)
   }
@@ -227,6 +247,7 @@ object Metastore {
     * metastore.py:245-260), then append.
     */
   def update(spark: SparkSession, statsPath: String, newStats: DataFrame): Unit = {
+    recoverIfNeeded(spark, statsPath)
     val fresh =
       if (exists(spark, statsPath)) {
         val old = spark.read.parquet(statsPath)
@@ -243,9 +264,20 @@ object Metastore {
     * embeds a fresh job UUID), so the plain left-anti `update` would
     * keep stale rows pointing at deleted files. Stats are tiny (one row
     * per file), so the merge is collected to the driver before the
-    * overwrite — never read-and-overwrite the same path lazily. */
+    * overwrite — never read-and-overwrite the same path lazily.
+    *
+    * The rewrite commits via temp-dir-then-rename (write `<path>.tmp`,
+    * swing the live dir to `<path>.bak`, rename tmp in, drop bak), so a
+    * crash at any point leaves either the old or the new table
+    * recoverable — `recoverIfNeeded` (run by `load`/`update`/this) rolls
+    * the protocol forward or back. The reference inherits this from its
+    * RDBMS transaction (metastore.py:261-267); a parquet-backed store
+    * has to stage it. SINGLE-WRITER contract: like the file-append
+    * `update`, concurrent writers are not coordinated — run stats
+    * maintenance from one job (or point the store at a JDBC database). */
   def replaceUnderPrefix(spark: SparkSession, statsPath: String,
                          dirPrefix: String, newStats: DataFrame): Unit = {
+    recoverIfNeeded(spark, statsPath)
     if (!exists(spark, statsPath)) {
       newStats.write.mode("append").parquet(statsPath)
       return
@@ -262,16 +294,102 @@ object Metastore {
       .unionByName(newStats)
     val rows = new java.util.ArrayList[Row]()
     merged.collect().foreach(rows.add)
+
+    val live = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = tmpPath(live)
+    val bak = bakPath(live)
+    fs.delete(tmp, true)
     spark.createDataFrame(rows, merged.schema)
-      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // commit: live -> bak, tmp -> live, drop bak. Each rename is atomic
+    // on HDFS/POSIX; recoverIfNeeded covers the gaps between them.
+    fs.delete(bak, true)
+    require(fs.rename(live, bak), s"could not stage $live aside to $bak")
+    require(fs.rename(tmp, live), s"could not commit $tmp to $live")
+    fs.delete(bak, true)
   }
 
-  /** Load + validate an existing stats table (reference O14 reflection). */
+  private def tmpPath(live: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".tmp")
+  private def bakPath(live: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".bak")
+
+  /** Roll an interrupted `replaceUnderPrefix` commit forward or back:
+    *  - live missing + bak present → crashed between the two renames:
+    *    the bak dir IS the previous table; restore it (roll back — the
+    *    tmp dir may be incomplete, so it is discarded, and the replace
+    *    can simply be re-run).
+    *  - live present + bak present → crashed after commit before
+    *    cleanup: new table already live; drop bak (roll forward).
+    *  - leftover tmp → a write that never reached commit; drop it.
+    * Idempotent and cheap (three existence checks); `load`, `update`
+    * and `replaceUnderPrefix` run it first so a crashed writer never
+    * leaves readers without a table. */
+  def recoverIfNeeded(spark: SparkSession, statsPath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = tmpPath(live)
+    val bak = bakPath(live)
+    if (fs.exists(bak)) {
+      if (fs.exists(live)) fs.delete(bak, true) // committed; cleanup
+      else require(fs.rename(bak, live), s"could not restore $bak to $live") // roll back
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // uncommitted staging leftover
+  }
+
+  /** Load + shape-check an existing stats table. For the strict
+    * column-by-column check against the data schema (reference O14),
+    * use `loadValidated`. */
   def load(spark: SparkSession, statsPath: String): DataFrame = {
+    recoverIfNeeded(spark, statsPath)
     val df = spark.read.parquet(statsPath)
     require(df.schema.fieldNames.headOption.contains("filepath") &&
       df.schema.fieldNames.exists(_.endsWith("_min")),
       s"Not a metastore stats table: ${df.schema.simpleString}")
+    df
+  }
+
+  /** Strict reflection/validation (reference O14, metastore.py:128-204):
+    * the stats schema must carry `filepath` plus `<col>_min`/`<col>_max`
+    * for EXACTLY the columns this (schema, cluster, optional) spec would
+    * index, each with the data column's type — so a stats table built
+    * for a different table, a dropped/renamed column, or a type-drifted
+    * column is rejected with the offending column named, instead of
+    * silently pruning garbage. The cluster column must be the first stat
+    * column (the name-recovery rule, metastore.py:117-126). */
+  def validate(stats: StructType, dataSchema: StructType, clusterColumn: String,
+               optionalColumns: Seq[String] = Nil): Unit = {
+    val cols = statColumns(dataSchema, clusterColumn, optionalColumns)
+    val expected = "filepath" +: cols.flatMap(c => Seq(c + "_min", c + "_max"))
+    val actual = stats.fieldNames.toSeq
+    require(actual.headOption.contains("filepath"),
+      s"Not a metastore stats table: first column must be 'filepath', got ${actual.headOption.getOrElse("<empty>")}")
+    val missing = expected.filterNot(actual.contains)
+    require(missing.isEmpty,
+      s"Stats table is missing columns ${missing.mkString(", ")} — built for a different table or column set?")
+    val extra = actual.filterNot(expected.contains)
+    require(extra.isEmpty,
+      s"Stats table has unexpected columns ${extra.mkString(", ")} — built for a different table or column set?")
+    require(actual.find(_.endsWith("_min")).contains(clusterColumn + "_min"),
+      s"Stats table's first stat column is ${actual.find(_.endsWith("_min")).getOrElse("<none>")}, " +
+        s"expected ${clusterColumn}_min — cluster column mismatch")
+    cols.foreach { c =>
+      val want = dataSchema(c).dataType
+      Seq(c + "_min", c + "_max").foreach { sc =>
+        val got = stats(sc).dataType
+        require(got == want,
+          s"Stats column '$sc' has type ${got.simpleString} but data column '$c' is ${want.simpleString} — type drift")
+      }
+    }
+  }
+
+  /** Load an existing stats table and validate it column-by-column
+    * against the data table it claims to index (reference O14). */
+  def loadValidated(spark: SparkSession, statsPath: String, dataSchema: StructType,
+                    clusterColumn: String, optionalColumns: Seq[String] = Nil): DataFrame = {
+    val df = load(spark, statsPath)
+    validate(df.schema, dataSchema, clusterColumn, optionalColumns)
     df
   }
 

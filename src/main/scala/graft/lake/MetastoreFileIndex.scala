@@ -35,11 +35,27 @@ import org.apache.spark.sql.types._
   */
 class MetastoreFileIndex(
     base: FileIndex,
-    intervals: Map[String, Map[String, (Literal, Literal)]]) extends FileIndex {
+    statsSource: () => DataFrame) extends FileIndex {
+
+  def this(base: FileIndex, stats: DataFrame) = this(base, () => stats)
+
+  /** Snapshot of the stats table. IMMUTABLE-FILES contract: a file's
+    * bounds are fixed at harvest; a file rewritten IN PLACE after its
+    * stats row was collected may be pruned on stale bounds (a NEW file
+    * the metastore hasn't seen is safe — unknown files are never
+    * pruned). After appending files + updating stats, call `refresh()`:
+    * it re-lists the base index AND rebuilds the interval map from
+    * `statsSource` — a path-backed source (see `table(…, statsPath)`)
+    * re-reads the stats table, so rows appended since are picked up. */
+  @volatile private var intervals: Map[String, Map[String, (Literal, Literal)]] =
+    MetastoreFileIndex.intervalMap(statsSource())
 
   override def rootPaths: Seq[Path] = base.rootPaths
   override def inputFiles: Array[String] = base.inputFiles
-  override def refresh(): Unit = base.refresh()
+  override def refresh(): Unit = {
+    base.refresh()
+    intervals = MetastoreFileIndex.intervalMap(statsSource())
+  }
   override def sizeInBytes: Long = base.sizeInBytes
   override def partitionSchema: StructType = base.partitionSchema
 
@@ -105,8 +121,25 @@ object MetastoreFileIndex {
 
   /** A DataFrame over `dataPath` whose every scan consults the stats
     * table for file skipping. Register it as a temp view and `spark.sql`
-    * queries prune transparently. */
-  def table(spark: SparkSession, dataPath: String, stats: DataFrame): DataFrame = {
+    * queries prune transparently.
+    *
+    * Assumes IMMUTABLE data files (see the intervals doc): append new
+    * files + update stats, then drop/rebuild or refresh the index —
+    * never rewrite a file in place under the same name. With this
+    * overload the stats snapshot is the DataFrame as of its own plan;
+    * use the `statsPath` overload for an index whose refresh() re-reads
+    * the stats table from storage. */
+  def table(spark: SparkSession, dataPath: String, stats: DataFrame): DataFrame =
+    table(spark, dataPath, () => stats)
+
+  /** Path-backed variant: the interval map is (re)loaded from
+    * `statsPath` at construction and on every `FileIndex.refresh()`, so
+    * `Metastore.update` + `refresh()` makes newly harvested files
+    * prunable without rebuilding the view. */
+  def table(spark: SparkSession, dataPath: String, statsPath: String): DataFrame =
+    table(spark, dataPath, () => Metastore.load(spark, statsPath))
+
+  private def table(spark: SparkSession, dataPath: String, statsSource: () => DataFrame): DataFrame = {
     // default read keeps hive partition-column inference; a plain nested
     // layout (no top-level files) can't infer that way, so fall back to
     // recursive lookup (the file index below lists recursively either way)
@@ -116,7 +149,7 @@ object MetastoreFileIndex {
         spark.read.option("recursiveFileLookup", "true").parquet(dataPath).schema }
     val base = new InMemoryFileIndex(spark, Seq(new Path(dataPath)),
       Map.empty[String, String], Some(schema), FileStatusCache.getOrCreate(spark), None, None)
-    val idx = new MetastoreFileIndex(base, intervalMap(stats))
+    val idx = new MetastoreFileIndex(base, statsSource)
     // hive-style layouts: partition columns come from the directory
     // structure, not the file footers — declaring them in dataSchema
     // would read them (as nulls) from files where they don't exist
@@ -126,6 +159,19 @@ object MetastoreFileIndex {
       new ParquetFileFormat(), Map.empty[String, String])(spark)
     GraftColumnBridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
   }
+
+  /** The MetastoreFileIndex behind a DataFrame returned by `table` —
+    * call `.refresh()` on it after appending files + updating stats. */
+  def indexOf(df: DataFrame): MetastoreFileIndex =
+    df.queryExecution.logical.collectFirst {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location
+      }
+    } match {
+      case Some(idx: MetastoreFileIndex) => idx
+      case _ => throw new IllegalArgumentException(
+        "DataFrame was not produced by MetastoreFileIndex.table")
+    }
 
   /** Collect the (tiny) stats table into filepath → column → (min,max)
     * Literals. NULL bounds (a file with no footer stats for the column)

@@ -36,6 +36,9 @@ object AsofJoin {
            payload: Seq[String], leftCols: Option[Seq[String]] = None): DataFrame = {
     val lCols = leftCols.getOrElse(left.columns.toSeq)
     require(!payload.exists(lCols.contains), s"payload ${payload} clashes with left columns")
+    val reserved = Seq("_k", "_t", "_side", "_payload", "_m")
+    require(!(lCols ++ payload).exists(reserved.contains),
+      s"column names $reserved are reserved by asof; rename the clashing input column")
 
     // SQL join semantics: right rows with a null key or null time can
     // never match (equi-join never matches nulls; `left.ts >= NULL` is
@@ -54,8 +57,17 @@ object AsofJoin {
     // equal-time right row is visible to that left row (>= semantics);
     // the payload struct is the final sort key so duplicate
     // (key, rightTime) right rows resolve deterministically (greatest
-    // payload wins) instead of depending on partition arrival order
-    val w = Window.partitionBy("_k").orderBy(col("_t").asc, col("_side").asc, col("_payload").asc)
+    // payload wins) instead of depending on partition arrival order.
+    // Struct ordering requires every field orderable (MapType is not):
+    // an unorderable payload drops the tiebreak rather than failing
+    // analysis — ties then resolve by arrival order, documented best
+    // effort.
+    val payloadOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(taggedRight.schema("_payload").dataType)
+    val ordering =
+      if (payloadOrderable) Seq(col("_t").asc, col("_side").asc, col("_payload").asc)
+      else Seq(col("_t").asc, col("_side").asc)
+    val w = Window.partitionBy("_k").orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
       .withColumn("_m", last(col("_payload"), ignoreNulls = true).over(w))

@@ -233,10 +233,19 @@ object Dedup {
     * random-hyperplane LSH buckets (see Similarity.signBuckets) so the
     * pairwise cosine runs inside buckets, not across the corpus; at test
     * scale the bucketing is optional via `bruteForce=true`.
+    *
+    * The LSH path routes through `candidatePairsFromBuckets`, so the
+    * bucketing pipeline executes once and buckets above `maxBucket` are
+    * dropped — with only 2^planes buckets, a clustered corpus (the
+    * normal dedup case) concentrates mass in few buckets, and an
+    * uncapped bucket self-join would go quadratic on one reducer.
+    * Vectors are joined back only for surviving candidate pairs, so the
+    * pair expansion itself moves (id, id) rows, never embeddings.
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bruteForce: Boolean = false,
-                       planes: Int = 8, seed: Long = 42L): DataFrame = {
+                       planes: Int = 8, seed: Long = 42L,
+                       maxBucket: Int = 10000): DataFrame = {
     val pairs =
       if (bruteForce) {
         val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
@@ -251,10 +260,13 @@ object Dedup {
             org.apache.spark.sql.types.StructField("id_b", emb.schema(idCol).dataType),
             org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
         val dim = dimRow.head.getInt(0)
-        val bucketed = Similarity.signBuckets(emb, vecCol, dim, planes, seed).select(col(idCol), col(vecCol), col("bucket"))
-        val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-        val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-        a.join(b, Seq("bucket")).where(col("id_a") < col("id_b")).drop("bucket").distinct()
+        val bucketed = Similarity.signBuckets(emb, vecCol, dim, planes, seed)
+          .select(col("bucket"), col(idCol).as("doc"))
+        val cand = candidatePairsFromBuckets(bucketed, Seq("bucket"), "doc", maxBucket)
+        val vecs = emb.select(col(idCol), col(vecCol))
+        cand.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+          .join(vecs.toDF("id_a", "v_a"), Seq("id_a"))
+          .join(vecs.toDF("id_b", "v_b"), Seq("id_b"))
       }
     pairs
       .withColumn("cos", Similarity.cosineCol(col("v_a"), col("v_b")))

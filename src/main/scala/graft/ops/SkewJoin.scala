@@ -44,6 +44,8 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  salts: Int = 8): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
+    TextAnalysis.requireFree(left, "_salt")
+    TextAnalysis.requireFree(right, "_salt")
     val saltedLeft = left.withColumn("_salt", rowSalt(left, salts))
     val replicatedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
@@ -66,6 +68,7 @@ object SkewJoin {
                   partial: Seq[Column], merge: Seq[Column]): DataFrame = {
     require(partial.nonEmpty && partial.size == merge.size,
       "one merge expression per partial aggregate")
+    TextAnalysis.requireFree(df, "_salt")
     df.withColumn("_salt", rowSalt(df, salts))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(partial.head, partial.tail: _*)

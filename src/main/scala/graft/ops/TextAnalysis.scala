@@ -21,6 +21,13 @@ object TextAnalysis {
 
   private val punctPattern = "[^a-zA-Z0-9\\s]"
 
+  /** Working columns (`_toks`/`_norm`/`_sh`) are projected then dropped;
+    * an input that already owns one of those names would be silently
+    * clobbered and removed from the output — refuse instead. */
+  private[ops] def requireFree(df: DataFrame, names: String*): Unit =
+    names.foreach(n => require(!df.columns.contains(n),
+      s"input column '$n' clashes with a working column reserved by this operator; rename it first"))
+
   /** Per-language stopword lists for the language-ID heuristic. Tiny,
     * broadcast as literals into the plan (no join needed). */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -42,6 +49,7 @@ object TextAnalysis {
     // keeps the projections apart when the alias is an attribute — the
     // same trap Dedup.minhashCandidates documents)
     val toks = col("_toks")
+    requireFree(docs, "_toks")
     docs
       .withColumn("_toks", tokensCol(text))
       .withColumn("n_chars_calc", length(text))
@@ -99,6 +107,7 @@ object TextAnalysis {
       (acc, s) => when(s.getField("score") > acc.getField("score") ||
           (s.getField("score") === acc.getField("score") && s.getField("lang") < acc.getField("lang")), s)
         .otherwise(acc))
+    requireFree(docs, "_toks")
     docs.withColumn("_toks", tokensCol(col(textCol)))
       .withColumn("pred_lang", best.getField("lang"))
       .withColumn("pred_score", best.getField("score"))
@@ -110,10 +119,11 @@ object TextAnalysis {
     * a cheap rolling-hash sketch). Narrow map; hashes are 8-16 bytes per
     * doc, so downstream dedup shuffles fingerprints, never text bytes.
     */
-  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame = {
     // tokens/normalization/shingle-hashes each projected once as
     // attributes — md5+length reference _norm twice, min+max reference
     // _sh twice; raw expressions would re-run tokenize per reference
+    requireFree(docs, "_toks", "_norm", "_sh")
     docs
       .withColumn("_toks", tokensCol(col(textCol)))
       .withColumn("_norm", array_join(col("_toks"), " "))
@@ -123,4 +133,5 @@ object TextAnalysis {
       .withColumn("shingle_min_fp", array_min(col("_sh")))
       .withColumn("shingle_max_fp", array_max(col("_sh")))
       .drop("_toks", "_norm", "_sh")
+  }
 }

@@ -179,4 +179,26 @@ class MetastoreFileIndexSpec extends SparkSpec {
       .groupBy("id").agg(count(lit(1)).as("n"), sum("x").as("sx"))
     assert(byId.collect().toSeq === exp.collect().toSeq)
   }
+
+  test("refresh() on a path-backed index picks up newly harvested files") {
+    import spark.implicits._
+    val root = tmpDir("mfi_refresh")
+    val d = root + "/data"
+    val sp = root + "/stats"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1).write.parquet(d)
+    Metastore.update(spark, sp, Metastore.buildFromFooters(spark, d, "k"))
+    val tbl = MetastoreFileIndex.table(spark, d, sp)
+    assert(filesRead(tbl.where(col("k") === 1L)) === 1L)
+
+    // append a second immutable file, harvest it, refresh the index
+    Seq((100L, "x"), (101L, "y")).toDF("k", "v").coalesce(1).write.mode("append").parquet(d)
+    Metastore.update(spark, sp, Metastore.buildFromFooters(spark, d, "k"))
+    MetastoreFileIndex.indexOf(tbl).refresh()
+    assert(tbl.where(col("k") === 100L).count() === 1L,
+      "after refresh the new file's rows must be visible")
+    assert(filesRead(tbl.where(col("k") === 100L)) === 1L,
+      "the refreshed interval map must prune the old file for new-file keys")
+    assert(filesRead(tbl.where(col("k") === 1L)) === 1L,
+      "old-file keys must still prune the new file")
+  }
 }

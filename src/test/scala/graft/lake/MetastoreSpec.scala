@@ -185,4 +185,87 @@ class MetastoreSpec extends SparkSpec {
       Metastore.build(spark, d, "arr", Nil)
     }
   }
+
+  test("a corrupt file is skipped with a warning, not fatal (both builders)") {
+    import spark.implicits._
+    val d = tmpDir("ms_corrupt") + "/t"
+    (1L to 1000L).toDF("id").repartition(10).write.parquet(d)
+    // plant garbage that is not a parquet file
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "zzz_corrupt.parquet"),
+      Array.fill[Byte](128)(7))
+    val fromScan = Metastore.build(spark, d, "id")
+    assert(fromScan.count() === 10, "data-scan builder must skip the corrupt file")
+    val fromFooters = Metastore.buildFromFooters(spark, d, "id")
+    assert(fromFooters.count() === 10, "footer builder must skip the corrupt file")
+    assert(!fromFooters.collect().exists(_.getString(0).contains("zzz_corrupt")))
+  }
+
+  test("strict validation accepts matching stats and names the offending column otherwise") {
+    val v = NaiveTs
+    val s = stats(v)
+    val dataSchema = Fixtures.read(spark, dirs(v)).schema
+    Metastore.validate(s.schema, dataSchema, "id", Seq("timestamp")) // positive
+
+    // stats table built for a DIFFERENT table: expected columns missing
+    import spark.implicits._
+    val wrongTable = Seq(("f", 1L, 2L)).toDF("filepath", "foo_min", "foo_max")
+    val e1 = intercept[IllegalArgumentException](
+      Metastore.validate(wrongTable.schema, dataSchema, "id", Seq("timestamp")))
+    assert(e1.getMessage.contains("missing") && e1.getMessage.contains("id_min"))
+
+    // type drift: id_min stored as int while the data column is string
+    val drifted = s.withColumn("id_min", lit(1))
+    val e2 = intercept[IllegalArgumentException](
+      Metastore.validate(drifted.schema, dataSchema, "id", Seq("timestamp")))
+    assert(e2.getMessage.contains("id_min") && e2.getMessage.contains("type drift"))
+
+    // extra stat columns (stats built for a superset column spec)
+    val extra = s.withColumn("zz_min", lit(1)).withColumn("zz_max", lit(2))
+    val e3 = intercept[IllegalArgumentException](
+      Metastore.validate(extra.schema, dataSchema, "id", Seq("timestamp")))
+    assert(e3.getMessage.contains("zz_min"))
+  }
+
+  test("loadValidated round-trips good stats and rejects a wrong-table stats path") {
+    val v = NaiveTs
+    val statsPath = tmpDir("ms_lv") + "/stats"
+    Metastore.update(spark, statsPath, stats(v))
+    val dataSchema = Fixtures.read(spark, dirs(v)).schema
+    assert(Metastore.loadValidated(spark, statsPath, dataSchema, "id", Seq("timestamp")).count() === 10)
+    intercept[IllegalArgumentException](
+      Metastore.loadValidated(spark, statsPath, dataSchema, "timestamp", Nil))
+  }
+
+  test("replaceUnderPrefix commit is crash-recoverable in every window") {
+    import org.apache.hadoop.fs.Path
+    val statsPath = tmpDir("ms_atomic") + "/stats"
+    Metastore.update(spark, statsPath, stats(NaiveTs))
+    val before = Metastore.load(spark, statsPath).collect().map(_.toSeq).toSet
+    val fs = new Path(statsPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(statsPath)
+    val tmp = new Path(statsPath + ".tmp")
+    val bak = new Path(statsPath + ".bak")
+
+    // window A: crashed between live->bak and tmp->live (live missing)
+    assert(fs.rename(live, bak))
+    assert(Metastore.load(spark, statsPath).collect().map(_.toSeq).toSet === before,
+      "recovery must restore the staged-aside table")
+    assert(!fs.exists(bak))
+
+    // window B: crashed mid-staging (tmp leftover, live intact)
+    fs.mkdirs(tmp)
+    assert(Metastore.load(spark, statsPath).collect().map(_.toSeq).toSet === before)
+    assert(!fs.exists(tmp))
+
+    // window C: crashed after commit before cleanup (live + bak present)
+    fs.mkdirs(bak)
+    assert(Metastore.load(spark, statsPath).collect().map(_.toSeq).toSet === before)
+    assert(!fs.exists(bak), "committed state must drop the stale backup")
+
+    // normal replace leaves no staging dirs and applies the change
+    val replacement = stats(NaiveTs).limit(3)
+    Metastore.replaceUnderPrefix(spark, statsPath, dirs(NaiveTs), replacement)
+    assert(Metastore.load(spark, statsPath).count() === 3)
+    assert(!fs.exists(tmp) && !fs.exists(bak))
+  }
 }

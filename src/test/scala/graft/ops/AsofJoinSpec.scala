@@ -70,4 +70,24 @@ class AsofJoinSpec extends SparkSpec {
       AsofJoin.asof(df, df.withColumnRenamed("t", "rt"), "k", "t", "rt", Seq("v"))
     }
   }
+
+  test("unorderable payload (MapType) drops the tiebreak instead of failing") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Map("p" -> 1.0))).toDF("k", "rt", "m")
+    val r = AsofJoin.asof(left, right, "k", "t", "rt", Seq("rt", "m"))
+      .collect()
+    assert(r.length === 1 && r(0).getLong(2) === 5L)
+    assert(r(0).getMap[String, Double](3)("p") === 1.0)
+  }
+
+  test("reserved working-column names are refused") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "x")).toDF("k", "t", "_side")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, right, "k", "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

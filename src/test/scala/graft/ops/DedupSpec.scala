@@ -80,6 +80,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(bf), "LSH candidates must be a subset of brute-force truth")
   }
 
+  test("embedding near-dup: hot LSH bucket above maxBucket is dropped") {
+    import spark.implicits._
+    // 12 identical vectors land in one sign bucket -> 12 > maxBucket=10 -> dropped
+    val many = (1L to 12L).map(i => (i, Array(1.0f, 0.2f, 0.1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingNearDup(many, "vec_id", "embedding",
+      threshold = 0.9, maxBucket = 10)
+    assert(capped.count() === 0, "hot bucket above the cap must yield no pairs")
+    val uncapped = Dedup.embeddingNearDup(many, "vec_id", "embedding",
+      threshold = 0.9, maxBucket = 100)
+    assert(uncapped.count() === 12L * 11 / 2)
+  }
+
   test("oversized buckets are dropped by the skew cap") {
     import spark.implicits._
     // 12 identical docs -> one bucket of 12 > maxBucket=10 -> dropped

@@ -56,4 +56,12 @@ class SkewJoinSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(twoPhase === direct)
   }
+
+  test("an input _salt column is refused, not clobbered") {
+    import spark.implicits._
+    val l = Seq((1L, "x")).toDF("k", "_salt")
+    val r = Seq((1L, 2.0)).toDF("k", "v")
+    intercept[IllegalArgumentException](SkewJoin.saltedJoin(l, r, Seq("k")))
+    intercept[IllegalArgumentException](SkewJoin.twoPhaseCount(l, Seq("k")))
+  }
 }

@@ -74,4 +74,14 @@ class TextAnalysisSpec extends SparkSpec {
     val groups = Dedup.exactByHash(d, "doc_id", "text").collect()
     assert(groups.length === 1 && groups(0).getAs[Long]("n_dups") === 2L)
   }
+
+  test("working-column name collisions are refused, not clobbered") {
+    import spark.implicits._
+    val bad = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_toks")
+    val e = intercept[IllegalArgumentException](TextAnalysis.quality(bad))
+    assert(e.getMessage.contains("_toks"))
+    intercept[IllegalArgumentException](TextAnalysis.langId(bad))
+    val bad2 = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_sh")
+    intercept[IllegalArgumentException](TextAnalysis.fingerprint(bad2))
+  }
 }
