@@ -496,6 +496,42 @@ object SparkEntry {
           max(col("o_totalprice")).as("max_price"))
         .orderBy("o_orderpriority")),
 
+    // exact interpolated percentiles (single sort-based agg per group;
+    // at scale swap in percentile_approx for one-pass sketching)
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        .orderBy("o_orderpriority")),
+
+    // bivariate statistics: correlation, sample covariance, least-squares
+    // fit — all single-pass co-moment aggregates (partial-merged map-side,
+    // one exchange of per-group moment tuples)
+    "q_corr" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_pq"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept_pq"))
+        .orderBy("l_returnflag")),
+
+    // fixed-width histogram: arithmetic bucketing keeps the whole plan
+    // codegen'd (bucket expr + one partially-aggregated groupBy)
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket", floor(col("o_totalprice") / lit(30000.0)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bucket")),
+
     "q_array_fns" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -614,6 +650,11 @@ object SparkEntry {
       TextAnalysis.fingerprint(t(s, dir, "documents"))
         .select(col("doc_id"), col("md5_fp"), col("norm_len").cast("long").as("norm_len"))
         .orderBy("doc_id")),
+
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .withColumn("tfidf", round(col("tfidf_raw"), 6)).drop("tfidf_raw")
+        .orderBy("doc_id", "rank")),
 
     // ───── multimodal plumbing (north_star ★; decode is a marked stub)
     "mm_catalog" -> ((s, dir) =>
@@ -1019,6 +1060,29 @@ object SparkEntry {
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_pq,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  round(MIN(o_totalprice), 2) AS lo,
+        |  round(MAX(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q_array_fns" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
@@ -1162,6 +1226,26 @@ object SparkEntry {
       s"""SELECT doc_id, md5(array_to_string($normToks, ' ')) AS md5_fp,
          |  CAST(length(array_to_string($normToks, ' ')) AS BIGINT) AS norm_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS doc, unnest($normToks) AS token FROM documents),
+         |tf AS (SELECT doc, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |len AS (SELECT doc, SUM(tf) AS len FROM tf GROUP BY 1),
+         |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(doc_id) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc, tf.token,
+         |    (CAST(tf.tf AS DOUBLE) / CAST(len.len AS DOUBLE)) *
+         |      (ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)) + 1.0) AS tfidf_raw
+         |  FROM tf JOIN len USING (doc) JOIN dfq USING (token) CROSS JOIN n),
+         |ranked AS (
+         |  SELECT doc, token, tfidf_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY doc ORDER BY tfidf_raw DESC, token ASC) AS rank
+         |  FROM scored)
+         |SELECT doc AS doc_id, token, CAST(rank AS INT) AS rank,
+         |  round(tfidf_raw, 6) AS tfidf
+         |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "mm_catalog" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'

@@ -79,4 +79,18 @@ object Lakeshack {
       Metastore.build(spark, dataPath, clusterColumn, optionalColumns).cache(),
       Some(schema))
   }
+
+  /** The steady-state path: load a PERSISTED stats table instead of
+    * re-harvesting — harvest once at ingest (`Metastore.update`), then
+    * every later session loads in O(stats) time. The load is strictly
+    * validated column-by-column against the data schema (reference O14,
+    * metastore.py:128-204): stats built for a different table, cluster
+    * column, or drifted type are rejected up front instead of silently
+    * pruning garbage. */
+  def fromStats(spark: SparkSession, dataPath: String, statsPath: String,
+                clusterColumn: String, optionalColumns: Seq[String] = Nil): Lakeshack = {
+    val schema = spark.read.option("recursiveFileLookup", "true").parquet(dataPath).schema
+    val stats = Metastore.loadValidated(spark, statsPath, schema, clusterColumn, optionalColumns)
+    new Lakeshack(spark, stats.cache(), Some(schema))
+  }
 }

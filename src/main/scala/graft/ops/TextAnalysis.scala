@@ -114,6 +114,36 @@ object TextAnalysis {
       .drop("_toks")
   }
 
+  /** Per-document top-k TF-IDF terms — the classic relevance/keyword
+    * extraction op for a training-data pipeline (salient-term tagging,
+    * topic sampling). Smoothed IDF: ln((N+1)/(df+1)) + 1.
+    *
+    * Scale shape: the corpus collapses to (doc, token, tf) rows in ONE
+    * partially-aggregated exchange (vocabulary-scale, never text
+    * bytes); doc lengths and document frequencies both derive from that
+    * same tf relation (no second pass over text); the corpus size N is
+    * a broadcast single-row cross join; top-k per doc is a
+    * row_number window over the doc-partitioned tf rows.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc"), explode(tokensCol(col(textCol))).as("token"))
+    val tf = tok.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val docLen = tf.groupBy("doc").agg(sum("tf").as("len"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(col(idCol)).as("n_docs"))
+    val scored = tf.join(docLen, "doc")
+      .join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_raw",
+        (col("tf").cast("double") / col("len").cast("double")) *
+          (log((col("n_docs") + lit(1)).cast("double") / (col("df") + lit(1)).cast("double")) + lit(1.0)))
+    val w = Window.partitionBy("doc").orderBy(col("tfidf_raw").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc").as(idCol), col("token"), col("rank"), col("tfidf_raw"))
+  }
+
   /** Document fingerprinting: md5 of normalized text (exact-dup key) and
     * a shingle fingerprint (min/max of rolling 3-token shingle hashes —
     * a cheap rolling-hash sketch). Narrow map; hashes are 8-16 bytes per
