@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver json-parses the runMain stdout; sbt's default
+// logger prefixes every forked-process line with "[info] ", which breaks
+// that parse. StdoutOutput lets the forked JVM inherit stdout unwrapped.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

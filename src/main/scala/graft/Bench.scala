@@ -45,10 +45,30 @@ object Bench {
     * and o_orderkey shift together). Document text gets a per-copy
     * suffix token so content is distinct across copies; doc_id shifts
     * stay below SparkEntry's planted +100000 offset spacing. */
+  /** Cheap content fingerprint of the source dir (recursive file count +
+    * total bytes + max mtime): regenerating the base dataset in place
+    * must invalidate the cached scaled copy, not silently reuse it. */
+  private def fingerprint(fs: org.apache.hadoop.fs.FileSystem, dir: String): String = {
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    var n = 0L; var bytes = 0L; var mtime = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      n += 1; bytes += st.getLen; mtime = math.max(mtime, st.getModificationTime)
+    }
+    s"v2:$n:$bytes:$mtime"
+  }
+
   private def scaleUp(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_DONE"))) return
+    val doneFile = new org.apache.hadoop.fs.Path(s"$outDir/_DONE")
+    val fp = fingerprint(fs, srcDir)
+    if (fs.exists(doneFile)) {
+      val in = fs.open(doneFile)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      if (prev == fp) return // source unchanged since the cached scale-up
+    }
     fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
 
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
@@ -75,7 +95,8 @@ object Bench {
       .write.parquet(s"$outDir/documents.parquet")
     replicate(src("embeddings"), Map("vec_id" -> vecOff))
       .write.parquet(s"$outDir/embeddings.parquet")
-    fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_DONE")).close()
+    val out = fs.create(doneFile)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -88,9 +109,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def jsonStr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    // every char < 0x20 must be escaped or the emitted line is invalid
+    // JSON (exception messages can carry NUL or ANSI escapes)
+    def jsonStr(s: String): String = {
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append('"').toString
+    }
+    // 3-decimal seconds keep the (long) JSON line within the driver's
+    // 2000-char output-tail window; ms precision is plenty at this scale
+    def sec3(v: Double): String = f"$v%.3f"
 
     /** (times of successful queries, first-line error per failed query) */
     def run(names: Seq[String], dir: String): (Map[String, Double], Map[String, String]) = {
@@ -129,26 +162,35 @@ object Bench {
         val (sf1Warm, e2) = run(scaleQueries, sf1Dir)
         sf1Errors = e1 ++ e2
         val qs = sf1Warm.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
-        val errJson = sf1Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-          .mkString("{", ",", "}")
-        sf1Json = s""","sf1":{"dir":${jsonStr(sf1Dir)},"scale_of_base":$copies,""" +
-          s""""gen_sec":$genSec,"queries":$qs,"cold_total_sec":${sf1Cold.values.sum},""" +
-          s""""errors":$errJson}"""
+          .map { case (k, v) => s"${jsonStr(k)}:${sec3(v)}" }.mkString("{", ",", "}")
+        val errJson =
+          if (sf1Errors.isEmpty) ""
+          else "," + sf1Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+            .mkString("\"errors\":{", ",", "}")
+        sf1Json = s""","sf1":{"scale_of_base":$copies,"gen_sec":${sec3(genSec)},""" +
+          s""""queries":$qs,"cold_total_sec":${sec3(sf1Cold.values.sum)}$errJson}"""
       } catch { case e: Throwable =>
         sf1Errors = Map("sf1_setup" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         sf1Json = s""","sf1_error":${jsonStr(sf1Errors("sf1_setup"))}"""
       }
     }
 
-    val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:$v" }
+    val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:${sec3(v)}" }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-      .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else "," + errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString("\"errors\":{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"cold_total_sec":$coldTotal,"sf":"$sfDir"$sf1Json}""")
+    val line = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errJson,"cold_total_sec":${sec3(coldTotal)},"sf":"$sfDir"$sf1Json}"""
+    // also persist beside the repo: the driver keeps only a 2000-char
+    // output tail, so an on-disk copy guarantees the full JSON survives
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // best-effort; stdout line is the contract
     spark.stop()
+    println(line) // last line out: nothing may trail it but sbt's own epilogue
     if (errors.nonEmpty || sf1Errors.nonEmpty) sys.exit(1)
   }
 }

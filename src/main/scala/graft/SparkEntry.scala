@@ -24,16 +24,20 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** Per-(session, data path) cache keyed WEAKLY on the session object
-    * itself: identity is exact (an `identityHashCode` key could collide
-    * after GC hash reuse) and a stopped, unreferenced session's entries
-    * — which pin session-bound DataFrames — become collectable instead
-    * of accumulating for the life of the JVM. */
+  /** Per-(session, data path) cache keyed on the session object itself:
+    * identity keying is exact (an `identityHashCode` key could collide
+    * after GC hash reuse). The WeakHashMap alone cannot reclaim entries
+    * whose value strongly references its own key session (a Lakeshack
+    * holds session-bound DataFrames — the exact cycle the WeakHashMap
+    * javadoc warns about), so every access also evicts entries whose
+    * session has been stopped: a dead session's plans are unusable
+    * anyway, and dropping them breaks the value→key cycle. */
   private final class SessionCache[T] {
     private val bySession =
       new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, T]]
     def getOrElseUpdate(s: SparkSession, dir: String)(mk: => T): T = {
       val inner = bySession.synchronized {
+        bySession.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
         var t = bySession.get(s)
         if (t == null) { t = scala.collection.concurrent.TrieMap.empty[String, T]; bySession.put(s, t) }
         t
@@ -117,8 +121,9 @@ object SparkEntry {
     // times.
     "lake_sql_pruned" -> ((s, dir) => {
       val view = prunedViewCache.getOrElseUpdate(s, dir) {
-        val name = "lineitem_pruned_" +
-          java.lang.Integer.toHexString(dir.hashCode).replace('-', '_')
+        // suffix is the sanitized full path, not a 32-bit hash: two dirs
+        // must never share a view name, even with colliding hashCodes
+        val name = "lineitem_pruned_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         MetastoreFileIndex.table(s, s"$dir/lineitem.parquet",
             Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
           .createOrReplaceTempView(name)

@@ -72,14 +72,14 @@ object Metastore {
     // ignoreCorruptFiles: per-file error tolerance (reference
     // metastore.py:304-305 logs-and-skips a failed harvest) — at 100k
     // files one corrupt file must not fail the whole stats build; Spark
-    // logs each skip at WARN. The skipped file gets no stats row, and an
-    // unknown file is never pruned, so queries stay sound.
+    // logs each skip at WARN.
     val df = spark.read
       .option("recursiveFileLookup", "true")
       .option("ignoreCorruptFiles", "true")
       .parquet(dataPath)
     val cols = statColumns(df.schema, clusterColumn, optionalColumns)
-    val aggs = cols.flatMap(c => Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max")))
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max"))) :+
+      count(lit(1)).as("_scanned_rows")
     // `_metadata.file_path`, not `input_file_name()`: if the caller has
     // the table cached, cache substitution feeds the agg from the
     // InMemoryRelation and input_file_name() silently yields "" — the
@@ -88,9 +88,80 @@ object Metastore {
     // Paths are canonicalized (file:///x -> file:/x) so stats from this
     // builder and buildFromFooters (FileStatus-format paths) key
     // identically in update's anti-join and the FileIndex interval map.
-    df.select(normalizePath(col("_metadata.file_path")).as("filepath") +: cols.map(col): _*)
+    val scanned = df
+      .select(normalizePath(col("_metadata.file_path")).as("filepath") +: cols.map(col): _*)
       .groupBy("filepath")
       .agg(aggs.head, aggs.tail: _*)
+    // SOUNDNESS GUARD: ignoreCorruptFiles is NOT all-or-nothing per file —
+    // rows already read from a file that fails mid-read ARE returned, so a
+    // partially-read file would get an UNDER-COVERING stats row that later
+    // prunes values the file actually contains (silently dropping rows).
+    // Cross-check each file's scanned row count against its
+    // footer-declared count and keep only exact matches; a mismatched or
+    // footer-unreadable file simply stays un-indexed — an unknown file is
+    // never pruned, so queries stay sound (weaker pruning only).
+    scanned
+      .join(footerRowCounts(spark, dataPath), Seq("filepath"), "inner")
+      .where(col("_scanned_rows") === col("_footer_rows"))
+      .drop("_scanned_rows", "_footer_rows")
+  }
+
+  /** Recursive `.parquet` file listing (reference O10, metastore.py:368-376). */
+  private def listParquetFiles(spark: SparkSession, dataPath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // makeQualified: a bare single-file path must come out scheme-qualified
+    // ("file:/x") exactly like the FileStatus paths of the directory branch,
+    // or it will never join/anti-join against scan-derived filepaths
+    if (fs.getFileStatus(root).isFile) Seq(fs.makeQualified(root).toString)
+    else {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf.toSeq
+    }
+  }
+
+  /** The driver's Hadoop conf as serializable key/value pairs: a bare
+    * `new Configuration()` on an executor would drop fs.s3a credentials /
+    * endpoints and fail against object stores. */
+  private def hadoopConfKVs(spark: SparkSession): Seq[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.toSeq
+  }
+
+  /** Footer-declared row count per file, `(filepath, _footer_rows)`.
+    * Distributed footer-only sweep (KBs per file); a file whose footer
+    * cannot be read yields no row. */
+  private def footerRowCounts(spark: SparkSession, dataPath: String): DataFrame = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val paths = listParquetFiles(spark, dataPath)
+    val confB = spark.sparkContext.broadcast(hadoopConfKVs(spark))
+    val rows = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { p =>
+        val conf = new Configuration(false)
+        confB.value.foreach { case (k, v) => conf.set(k, v) }
+        try {
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p), conf))
+          try {
+            var n = 0L
+            reader.getFooter.getBlocks.forEach(b => n += b.getRowCount)
+            Some(Row(p, n))
+          } finally reader.close()
+        } catch { case _: Exception => None }
+      }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("filepath", StringType, nullable = false),
+      StructField("_footer_rows", LongType, nullable = false))))
   }
 
   /** Harvest per-file min/max from Parquet FOOTERS only — no data bytes
@@ -119,33 +190,10 @@ object Metastore {
         Seq(StructField(c + "_min", dt), StructField(c + "_max", dt))
       })
 
-    // Recursive file discovery (reference O10, metastore.py:368-376).
-    val root = new Path(dataPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths: Seq[String] =
-      if (fs.getFileStatus(root).isFile) Seq(root.toString)
-      else {
-        val it = fs.listFiles(root, true)
-        val buf = scala.collection.mutable.ArrayBuffer[String]()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
-        }
-        buf.toSeq
-      }
-
+    val paths = listParquetFiles(spark, dataPath)
     val colsB = spark.sparkContext.broadcast(cols)
     val typesB = spark.sparkContext.broadcast(sparkTypes)
-    // Ship the driver's Hadoop conf to the executors (Configuration is
-    // not Serializable, so as key/value pairs): a bare `new
-    // Configuration()` on the executor would drop fs.s3a credentials /
-    // endpoints and fail against object stores.
-    val confB = spark.sparkContext.broadcast {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
-      buf.toSeq
-    }
+    val confB = spark.sparkContext.broadcast(hadoopConfKVs(spark))
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
       .flatMap { p =>

@@ -56,6 +56,24 @@ class MetastoreSpec extends SparkSpec {
     }
   }
 
+  test("single-FILE tables get qualified filepaths from both builders") {
+    import spark.implicits._
+    val d = tmpDir("ms_single") + "/t"
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(d)
+    val file = new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet")).head
+    // point both builders at the bare FILE path (no scheme) — the exact
+    // shape of /root/testdata/sf*/TABLE.parquet when it is one file
+    val fromScan = Metastore.build(spark, file.getAbsolutePath, "id").collect()
+    val fromFooters = Metastore.buildFromFooters(spark, file.getAbsolutePath, "id").collect()
+    assert(fromScan.length === 1,
+      "scan builder must emit a stats row for a single-file table (row-count guard join must key on qualified paths)")
+    assert(fromFooters.length === 1)
+    assert(fromScan.head.getString(0) === fromFooters.head.getString(0),
+      "builders must agree on the filepath key")
+    assert(fromScan.head.getString(0).startsWith("file:/"),
+      "filepath must be scheme-qualified like FileStatus paths")
+  }
+
   test("update is idempotent (left-anti skip of existing filepaths)") {
     val statsPath = tmpDir("ms_stats")
     val s = stats(NaiveTs)
