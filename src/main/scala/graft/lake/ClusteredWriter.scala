@@ -22,4 +22,29 @@ object ClusteredWriter {
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-order clustered write over TWO dimensions: range-partition and
+    * sort by the Morton key of the pair, so each output file covers a
+    * tight box in both columns and zone-map pruning works for filters
+    * on either (or both) — see `ZOrder`. The bounds scan is one tiny
+    * min/max aggregate (a full-scan partial aggregate; at 100 TB reuse
+    * footer stats via `Metastore.buildFromFooters` and pass the global
+    * fold if the table is already on the lake). */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int): Unit = {
+    require(!df.columns.contains("_z"),
+      "input column '_z' clashes with the working Morton-key column; rename it first")
+    val b = df.agg(
+      F.min(F.col(colA).cast("double")), F.max(F.col(colA).cast("double")),
+      F.min(F.col(colB).cast("double")), F.max(F.col(colB).cast("double"))).first()
+    require(!b.isNullAt(0) && !b.isNullAt(2), "cannot z-order an empty table")
+    val z = ZOrder.mortonKey(
+      F.col(colA), b.getDouble(0), b.getDouble(1),
+      F.col(colB), b.getDouble(2), b.getDouble(3))
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, F.col("_z"))
+      .sortWithinPartitions(F.col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

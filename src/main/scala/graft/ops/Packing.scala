@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM batch preparation: assign documents to
+  * fixed-token-budget training sequences. The reference has no packing
+  * operator (SURVEY.md §2.2) — north_star extension.
+  */
+object Packing {
+
+  /** Greedy cumulative packing: within each shard (`partitionCol`),
+    * documents in `orderCol` order fill sequences of `budget` tokens; a
+    * document's sequence id is ⌊tokens-before-it / budget⌋. This is the
+    * standard streaming-fill approximation of bin packing — documents
+    * straddling a boundary are split/padded by the downstream tokenizer,
+    * which is how production packers behave.
+    *
+    * Scale shape: ONE window per shard (partition + sort), no global
+    * ordering — a global cumulative sum would serialize 100 TB through
+    * a single partition, so the shard key is required, not optional.
+    * Shards are natural corpus units (source, date, bucket); sequence
+    * ids are only unique per shard, matching per-shard training files.
+    *
+    * `tokens_before` is kept in the output: it is the doc's byte-offset
+    * analog in the packed stream, and downstream writers need it to
+    * place the doc inside its sequence. The working name must be free.
+    */
+  def packSequences(docs: DataFrame, tokenCol: Column, budget: Long,
+                    partitionCol: String, orderCol: String): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    TextAnalysis.requireFree(docs, "tokens_before")
+    val w = Window.partitionBy(partitionCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("tokens_before", coalesce(sum(tokenCol).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("tokens_before") / budget))
+  }
+}

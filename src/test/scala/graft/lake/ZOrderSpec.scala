@@ -1,0 +1,65 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+
+  /** Independent Morton reference: interleave bit-by-bit. */
+  private def morton(a: Long, b: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+    }
+
+  test("mortonKey matches a bit-by-bit reference on identity-normalized inputs") {
+    import spark.implicits._
+    // ranges chosen so norm16 is the identity: [0, 65535]
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 54321L),
+      (65535L, 65535L), (65535L, 0L))
+    val df = pairs.toDF("a", "b")
+      .withColumn("z", ZOrder.mortonKey(col("a"), 0, 65535, col("b"), 0, 65535))
+    val got = df.orderBy("a", "b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) => assert(z === morton(a, b), s"morton($a,$b)") }
+  }
+
+  test("mortonKey clamps out-of-range values and degenerate ranges") {
+    import spark.implicits._
+    val df = Seq((-5.0, 7.0), (1e12, 7.0)).toDF("a", "b")
+      .withColumn("z", ZOrder.mortonKey(col("a"), 0, 100, col("b"), 7, 7))
+    val zs = df.collect().map(_.getAs[Long]("z"))
+    assert(zs(0) === morton(0L, 0L))     // below range -> clamp to 0; degenerate b -> 0
+    assert(zs(1) === morton(65535L, 0L)) // above range -> clamp to max
+  }
+
+  test("z-ordered write + metastore prunes on BOTH dimensions") {
+    import spark.implicits._
+    val d = tmpDir("zorder") + "/t"
+    // 64k rows over a 256x256 grid: x sequential, y decorrelated
+    val df = (0 until 65536).map(i => (i.toLong % 256, (i.toLong * 37) % 256, i.toLong))
+      .toDF("x", "y", "payload")
+    ClusteredWriter.writeZOrdered(df, d, "x", "y", nFiles = 16)
+    val table = MetastoreFileIndex.table(spark, d,
+      Metastore.build(spark, d, "x", Seq("y")))
+
+    def filesRead(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+
+    // a tight box in (x, y) must read a small corner of the table
+    val box = table.where(col("x").between(10, 40) && col("y").between(10, 40))
+    val expected = df.where(col("x").between(10, 40) && col("y").between(10, 40)).count()
+    assert(box.count() === expected, "pruned result must equal the unpruned filter")
+    val boxFiles = filesRead(box)
+    assert(boxFiles < 16, s"two-dim box should prune some of 16 files, read $boxFiles")
+
+    // one-dimensional band on the SECOND dimension alone must also prune —
+    // the single-column clustered layout cannot do this
+    val band = table.where(col("y") < 32)
+    assert(band.count() === df.where(col("y") < 32).count())
+    val bandFiles = filesRead(band)
+    assert(bandFiles < 16, s"y-band should prune some of 16 files, read $bandFiles")
+  }
+}

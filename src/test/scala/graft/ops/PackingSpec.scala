@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "n_tok")
+  }
+
+  test("packSequences: hand-computed greedy fill") {
+    val r = Packing.packSequences(
+        docs((1L, "s", 4L), (2L, "s", 4L), (3L, "s", 4L), (4L, "s", 4L)),
+        col("n_tok"), budget = 10L, partitionCol = "source", orderCol = "doc_id")
+      .orderBy("doc_id")
+      .select("tokens_before", "seq_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(0L, 4L, 8L, 12L))
+    assert(r.map(_.getLong(1)).toSeq === Seq(0L, 0L, 0L, 1L))
+  }
+
+  test("packSequences: shards pack independently") {
+    val r = Packing.packSequences(
+        docs((1L, "a", 9L), (2L, "b", 9L), (3L, "a", 9L), (4L, "b", 9L)),
+        col("n_tok"), budget = 10L, partitionCol = "source", orderCol = "doc_id")
+      .orderBy("doc_id")
+      .select("doc_id", "seq_id").collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // each shard restarts at 0: doc 3 is the second doc of shard a
+    assert(r === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    val r2 = Packing.packSequences(
+        docs((1L, "a", 9L), (2L, "a", 9L), (3L, "a", 9L)),
+        col("n_tok"), budget = 10L, partitionCol = "source", orderCol = "doc_id")
+      .orderBy("doc_id").select("seq_id").collect().map(_.getLong(0)).toSeq
+    assert(r2 === Seq(0L, 0L, 1L)) // 0, 9, 18 tokens before
+  }
+
+  test("packSequences: oversized single doc occupies its own sequences") {
+    val r = Packing.packSequences(
+        docs((1L, "s", 25L), (2L, "s", 1L)),
+        col("n_tok"), budget = 10L, partitionCol = "source", orderCol = "doc_id")
+      .orderBy("doc_id").select("seq_id").collect().map(_.getLong(0)).toSeq
+    assert(r === Seq(0L, 2L)) // doc 2 starts at token 25 -> sequence 2
+    intercept[IllegalArgumentException](
+      Packing.packSequences(docs((1L, "s", 1L)), col("n_tok"), 0L, "source", "doc_id"))
+  }
+}

@@ -75,6 +75,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(groups.length === 1 && groups(0).getAs[Long]("n_dups") === 2L)
   }
 
+  test("normalize: collapses punctuation/whitespace runs; idempotent") {
+    val r = TextAnalysis.normalize(docsOf((1L, "  Hello,,,   WORLD!! 42  "))).first()
+    assert(r.getAs[String]("norm_text") === "hello world 42")
+    assert(r.getAs[Int]("n_norm_chars") === 14)
+    val again = TextAnalysis.normalize(
+      docsOf((1L, "hello world 42")).withColumnRenamed("text", "t"), "t").first()
+    assert(again.getAs[String]("norm_text") === "hello world 42")
+  }
+
+  test("repetition: hand-computed ratios") {
+    // tokens [a, a, a, b]: top 3/4, distinct 2/4
+    // bigrams [a a, a a, a b]: distinct 2 of 3 -> dup 1/3
+    val r = TextAnalysis.repetition(docsOf((1L, "a a a b"))).first()
+    assert(r.getAs[Double]("top_token_ratio") === 0.75)
+    assert(r.getAs[Double]("distinct_token_ratio") === 0.5)
+    assert(math.abs(r.getAs[Double]("dup_bigram_ratio") - 1.0 / 3) < 1e-12)
+    // degenerate docs: no tokens / one token -> all ratios defined, no NaN
+    val rows = TextAnalysis.repetition(docsOf((2L, "!!!"), (3L, "solo")))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Double]("top_token_ratio") === 0.0)
+    assert(rows(0).getAs[Double]("dup_bigram_ratio") === 0.0)
+    assert(rows(1).getAs[Double]("top_token_ratio") === 1.0)
+    assert(rows(1).getAs[Double]("dup_bigram_ratio") === 0.0)
+  }
+
+  test("redact: emails and IPs replaced with typed placeholders, counted") {
+    val r = TextAnalysis.redact(docsOf(
+      (1L, "mail a.b+c@ex-1.co.uk or 10.0.255.7, not 1.2.3 or version 1.2.3.4.5"))).first()
+    assert(r.getAs[Int]("n_emails") === 1)
+    // 1.2.3.4.5 contains a \b-delimited 1.2.3.4 prefix — counted; 1.2.3 is not
+    assert(r.getAs[Int]("n_ips") === 2)
+    assert(r.getAs[String]("redacted_text") ===
+      "mail [EMAIL] or [IP], not 1.2.3 or version [IP].5")
+    val clean = TextAnalysis.redact(docsOf((2L, "no pii here"))).first()
+    assert(clean.getAs[Int]("n_emails") === 0 && clean.getAs[Int]("n_ips") === 0)
+    assert(clean.getAs[String]("redacted_text") === "no pii here")
+  }
+
   test("working-column name collisions are refused, not clobbered") {
     import spark.implicits._
     val bad = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_toks")
