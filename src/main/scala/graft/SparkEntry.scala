@@ -321,6 +321,25 @@ object SparkEntry {
       EventsStream.hourlyByType(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .orderBy("hour", "event_type")),
 
+    // view→click attribution: the batch twin of the stream-stream
+    // interval join (EventsStreamSpec pins the streaming form to this)
+    "q_interval_join" -> ((s, dir) =>
+      EventsStream.intervalJoin(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .orderBy("view_id", "click_id")),
+
+    // both join sides filtered asymmetrically so all three row fates
+    // appear: matched, left-only (customer without orders in range),
+    // right-only (orders whose customer was filtered out)
+    "q_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_custkey") < 750)
+        .select(col("c_custkey"), col("c_name"))
+      val o = t(s, dir, "orders").where(col("o_custkey") >= 250)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("o_custkey"), col("c_name"), col("n_orders"))
+        .orderBy(coalesce(col("c_custkey"), col("o_custkey")))
+    }),
+
     "q_sessionize" -> ((s, dir) =>
       EventsStream.sessionize(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .orderBy("user_id", "session_seq")),
@@ -979,6 +998,24 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, view_id, click_id, view_ts, click_ts
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND click_ts >= view_ts AND click_ts < view_ts + INTERVAL 10 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT c_custkey, o_custkey, c_name, n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 750) c
+        |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+        |  FROM orders WHERE o_custkey >= 250 GROUP BY 1) o
+        |ON c_custkey = o_custkey
+        |ORDER BY COALESCE(c_custkey, o_custkey)""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (

@@ -87,11 +87,17 @@ object Metastore {
     // cannot be substituted, and file provenance survives.
     // Paths are canonicalized (file:///x -> file:/x) so stats from this
     // builder and buildFromFooters (FileStatus-format paths) key
-    // identically in update's anti-join and the FileIndex interval map.
+    // identically in update's anti-join and the FileIndex interval map —
+    // but only AFTER the aggregation: normalizePath is a UDF, and keying
+    // the groupBy on it would run it once per ROW (and once more per row
+    // as the join's isnotnull constraint, un-pushable around a UDF);
+    // post-agg it runs once per FILE.
     val scanned = df
-      .select(normalizePath(col("_metadata.file_path")).as("filepath") +: cols.map(col): _*)
-      .groupBy("filepath")
+      .select(col("_metadata.file_path").as("_raw_path") +: cols.map(col): _*)
+      .groupBy("_raw_path")
       .agg(aggs.head, aggs.tail: _*)
+      .select(normalizePath(col("_raw_path")).as("filepath") +:
+        (cols.flatMap(c => Seq(col(c + "_min"), col(c + "_max"))) :+ col("_scanned_rows")): _*)
     // SOUNDNESS GUARD: ignoreCorruptFiles is NOT all-or-nothing per file —
     // rows already read from a file that fails mid-read ARE returned, so a
     // partially-read file would get an UNDER-COVERING stats row that later

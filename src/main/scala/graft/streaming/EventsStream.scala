@@ -182,6 +182,47 @@ object EventsStream {
       }
   }
 
+  /** View→click attribution join, batch form: each view pairs with the
+    * same user's clicks landing within `maxGapMinutes` after it — the
+    * canonical interval join. Executes as one hash join keyed by
+    * user_id with the time band as a residual filter; both sides stay
+    * distributed (no broadcast needed), so the shape survives any
+    * corpus size as long as single users aren't hot keys. */
+  def intervalJoin(events: DataFrame, maxGapMinutes: Int = 10): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("_cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    views.join(clicks,
+        col("user_id") === col("_cu") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
+  /** The same attribution as a STREAM-STREAM join: watermarks on both
+    * sides plus the time-band join condition let Spark bound each
+    * side's buffered state (a view can be dropped once the click
+    * watermark passes view_ts + gap), which is what makes the join
+    * runnable forever. Inner join: output is identical to the batch
+    * twin's, modulo rows dropped for genuine lateness. */
+  def intervalJoinStream(views: DataFrame, clicks: DataFrame,
+                         maxGapMinutes: Int = 10): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "30 minutes")
+    val c = clicks
+      .select(col("user_id").as("_cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    v.join(c,
+        col("user_id") === col("_cu") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") < col("view_ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Sessionization with a 30-minute gap per user — the classic stateful
     * streaming shape, batch form: session id = running count of
     * gap-exceeding boundaries per user (window functions). */

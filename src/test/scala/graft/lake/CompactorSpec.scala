@@ -1,0 +1,62 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CompactorSpec extends SparkSpec {
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).map(_.getName).filter(_.endsWith(".parquet"))
+  }
+
+  test("compaction merges small files, preserves data, and refreshes stats") {
+    import spark.implicits._
+    val root = tmpDir("compact")
+    val data = s"$root/t"
+    val stats = s"$root/stats"
+    // simulate streaming ingest: 6 batch commits, 2 files each
+    for (b <- 0 until 6) {
+      val batch = (b * 1000L until b * 1000L + 1000L).toDF("id")
+      ClusteredWriter.write(batch, s"$data/batch_$b", "id", nFiles = 2)
+      Metastore.update(spark, stats, Metastore.buildFromFooters(spark, s"$data/batch_$b", "id"))
+    }
+    assert(parquetFiles(data).size === 12)
+    assert(spark.read.parquet(stats).count() === 12)
+    val before = spark.read.option("recursiveFileLookup", "true").parquet(data)
+      .agg(count(lit(1)), sum("id")).first()
+
+    Compactor.compact(spark, data, stats, "id", targetFiles = 3)
+
+    assert(parquetFiles(data).size === 3, "12 small files must become 3")
+    val after = spark.read.option("recursiveFileLookup", "true").parquet(data)
+      .agg(count(lit(1)), sum("id")).first()
+    assert(after === before, "compaction must not change the data")
+    // stats replaced: one row per new file, none pointing at dead files
+    val statRows = Metastore.load(spark, stats)
+    assert(statRows.count() === 3)
+    val livePaths = spark.read.option("recursiveFileLookup", "true").parquet(data)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(livePaths === 3)
+    // pruning still sound + effective on the compacted clustered layout
+    val hits = Metastore.prune(spark, statRows, Seq(42L))
+    assert(hits.size === 1, s"a point value should prune to 1 of 3 files, got ${hits.size}")
+    assert(spark.read.parquet(hits: _*).where(col("id") === 42L).count() === 1)
+  }
+
+  test("a crashed swap (live missing, bak present) rolls back cleanly") {
+    import spark.implicits._
+    val root = tmpDir("compact_crash")
+    val data = s"$root/t"
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(data)
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate: crash after live -> bak, before tmp -> live
+    require(fs.rename(new org.apache.hadoop.fs.Path(data),
+      new org.apache.hadoop.fs.Path(data + ".cbak")))
+    Compactor.recoverIfNeeded(spark, data)
+    assert(spark.read.parquet(data).count() === 100, "bak must be restored as live")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(data + ".cbak")))
+  }
+}

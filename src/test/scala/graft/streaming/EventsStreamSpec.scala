@@ -46,6 +46,30 @@ class EventsStreamSpec extends SparkSpec {
       "stream (complete mode) must equal batch aggregation")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // TimestampType (not NTZ): both watermark columns must be event-time
+    val src = spark.readStream.schema(EventsStream.eventsSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val joined = EventsStream.intervalJoinStream(
+      src.where(col("event_type") === "view"),
+      src.where(col("event_type") === "click"))
+    val q = joined.writeStream
+      .format("memory").queryName("interval_join_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("interval_join_test")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("click_ts").cast("timestamp_ntz").as("click_ts"))
+    val expected = EventsStream.intervalJoin(
+      EventsStream.readEvents(spark, eventsPath))
+    assert(got.count() > 0, "fixture must produce at least one attribution pair")
+    assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0,
+      "stream-stream join must equal the batch interval join (no late data in fixture)")
+  }
+
   test("session_window batch form matches the window-function sessionizer") {
     val events = EventsStream.readEvents(spark, eventsPath)
     val native = EventsStream.sessionWindow(events)
