@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   /** Queries re-run at the scaled dir: one per family (lake prune,
-    * shuffle join+topk, minhash dedup, ANN). */
-  private val scaleQueries = Seq("lake_point", "q3_topk", "dedup_minhash", "sim_ivf_topk")
+    * shuffle join+topk, minhash dedup, ANN, text multi-stage). */
+  private val scaleQueries =
+    Seq("lake_point", "q3_topk", "dedup_minhash", "sim_ivf_topk", "text_tfidf")
 
   private val copies = 10
   private val orderOff = 10000000L

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, GeometricMean}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Activate with
@@ -22,6 +22,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "cosine_similarity expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    // aggregate functions register the same way: the analyzer wraps a
+    // returned AggregateFunction in its AggregateExpression
+    ext.injectFunction((
+      new FunctionIdentifier("geo_mean"),
+      new ExpressionInfo(classOf[GeometricMean].getName, "geo_mean"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "geo_mean expects exactly 1 argument")
+        GeometricMean(org.apache.spark.sql.catalyst.expressions.Cast(
+          children.head, org.apache.spark.sql.types.DoubleType))
       }))
   }
 }

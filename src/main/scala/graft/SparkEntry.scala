@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.lake.{Clause, ClusteredWriter, Lakeshack, Metastore, MetastoreFileIndex}
+import graft.functions.GeometricMean
 import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
@@ -316,6 +317,31 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
+
+    // correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    // orders per customer) — the SQL-surface twin of q_window's rank
+    // filter; Catalyst decorrelates it into a ranked join, no per-row
+    // re-execution
+    "q_lateral" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           |FROM parquet.`$dir/customer.parquet` c,
+           |LATERAL (SELECT o_orderkey, o_totalprice
+           |         FROM parquet.`$dir/orders.parquet`
+           |         WHERE o_custkey = c.c_custkey
+           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+           |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
+
+    // native DeclarativeAggregate (graft.functions.GeometricMean):
+    // codegen'd HashAggregate with map-side partials, oracle-twinned by
+    // the exp(avg(ln x)) identity
+    "q_geo_mean" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(GeometricMean.geoMean(col("l_quantity")), 6).as("gm_qty"),
+          round(GeometricMean.geoMean(col("l_extendedprice")), 6).as("gm_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
 
     "q_events_hourly" -> ((s, dir) =>
       EventsStream.hourlyByType(EventsStream.readEvents(s, s"$dir/events.parquet"))
@@ -998,6 +1024,21 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+
+    "q_geo_mean" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(CASE WHEN l_quantity > 0 THEN ln(l_quantity) END)), 6) AS gm_qty,
+        |  round(exp(avg(CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END)), 6) AS gm_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_interval_join" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id
