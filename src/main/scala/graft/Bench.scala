@@ -122,9 +122,13 @@ object Bench {
       }
       b.append('"').toString
     }
-    // 3-decimal seconds keep the (long) JSON line within the driver's
-    // 2000-char output-tail window; ms precision is plenty at this scale
-    def sec3(v: Double): String = f"$v%.3f"
+    // rounded seconds keep the (long) JSON line within the driver's
+    // 2000-char output-tail window: totals get ms precision, per-query
+    // values 10 ms — at ~80 queries every char per entry costs 80 chars
+    // of window. Locale.ROOT: a comma-decimal default locale would make
+    // the line invalid JSON.
+    def sec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v: java.lang.Double)
+    def sec2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
 
     /** (times of successful queries, first-line error per failed query) */
     def run(names: Seq[String], dir: String): (Map[String, Double], Map[String, String]) = {
@@ -163,7 +167,7 @@ object Bench {
         val (sf1Warm, e2) = run(scaleQueries, sf1Dir)
         sf1Errors = e1 ++ e2
         val qs = sf1Warm.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jsonStr(k)}:${sec3(v)}" }.mkString("{", ",", "}")
+          .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
         val errJson =
           if (sf1Errors.isEmpty) ""
           else "," + sf1Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
@@ -176,7 +180,7 @@ object Bench {
       }
     }
 
-    val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:${sec3(v)}" }
+    val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""

@@ -74,6 +74,17 @@ object SparkEntry {
     * pruning. */
   private val zorderViewCache = new SessionCache[String]
 
+  /** Identifier-safe, collision-free tag for a data dir: the sanitized
+    * path keeps names human-readable, the md5 prefix makes distinct
+    * dirs distinct even when sanitization aliases them ("/a/b" vs
+    * "/a_b" both sanitize to "_a_b" — a raw sanitized suffix would let
+    * one dir's view/scratch-table silently serve the other's queries). */
+  private def dirTag(dir: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + md5
+  }
+
   /** Exact decimal sum of a 2-dp double column, returned as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
@@ -128,9 +139,7 @@ object SparkEntry {
     // times.
     "lake_sql_pruned" -> ((s, dir) => {
       val view = prunedViewCache.getOrElseUpdate(s, dir) {
-        // suffix is the sanitized full path, not a 32-bit hash: two dirs
-        // must never share a view name, even with colliding hashCodes
-        val name = "lineitem_pruned_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val name = "lineitem_pruned_" + dirTag(dir)
         MetastoreFileIndex.table(s, s"$dir/lineitem.parquet",
             Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))
           .createOrReplaceTempView(name)
@@ -151,7 +160,7 @@ object SparkEntry {
     // read of the original table (clustering only reorders rows).
     "lake_zorder" -> ((s, dir) => {
       val view = zorderViewCache.getOrElseUpdate(s, dir) {
-        val san = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val san = dirTag(dir)
         val path = s"/tmp/graft_zorder_$san/lineitem"
         ClusteredWriter.writeZOrdered(t(s, dir, "lineitem"), path,
           "l_orderkey", "l_partkey", nFiles = 16)

@@ -27,60 +27,44 @@ object Compactor {
               clusterColumn: String, targetFiles: Int,
               optionalColumns: Seq[String] = Nil): Unit = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    recoverIfNeeded(spark, dataPath)
+    // full stats context: a prior crash between the data swap and the
+    // stats replace left rows pointing at deleted files — repair now
+    recoverIfNeeded(spark, dataPath, Some((statsPath, clusterColumn, optionalColumns)))
     val live = new Path(dataPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = tmpPath(live)
-    val bak = bakPath(live)
-    fs.delete(tmp, true)
+    val swap = new SwapProtocol(fs, live, ".ctmp", ".cbak")
+    swap.clearTmp()
     // the rewrite is an eager action: the clustered copy is fully
     // committed to tmp before any rename touches the live dir
     ClusteredWriter.write(
       spark.read.option("recursiveFileLookup", "true").parquet(dataPath),
-      tmp.toString, clusterColumn, targetFiles)
-    fs.delete(bak, true)
-    require(fs.rename(live, bak), s"could not stage $live aside to $bak")
-    require(fs.rename(tmp, live), s"could not commit $tmp to $live")
+      swap.tmp.toString, clusterColumn, targetFiles)
+    swap.commit()
     // stats: all rows under the table's prefix are stale (the old files
     // are gone); replace them with a footer-only harvest of the new
     // files. Crash before this point: recoverIfNeeded rolls the data
     // swap back (bak still present), so stats were never wrong.
     Metastore.replaceUnderPrefix(spark, statsPath, dataPath,
       Metastore.buildFromFooters(spark, dataPath, clusterColumn, optionalColumns))
-    fs.delete(bak, true)
+    swap.dropBak()
   }
 
-  /** Roll an interrupted compaction forward or back:
-    *  - live missing + bak present → crashed between the renames: the
-    *    bak IS the table; restore it (the tmp may be incomplete — drop).
-    *  - live present + bak present → crashed after the data swap but
-    *    before stats/cleanup: the OLD files' stats rows may still be
-    *    live, so re-harvest and replace before dropping bak.
-    *  - leftover tmp → uncommitted rewrite; drop it. */
+  /** Roll an interrupted compaction forward or back (see
+    * `SwapProtocol.recover`). The committed-bak case means the data
+    * swap landed but the stats replace may not have: with a stats
+    * context the stats are re-harvested and the bak dropped; without
+    * one the bak is LEFT IN PLACE so a later caller that knows the
+    * stats table can finish — dropping it here would strand stats rows
+    * pointing at deleted files with no marker that repair is needed. */
   def recoverIfNeeded(spark: SparkSession, dataPath: String,
                       statsContext: Option[(String, String, Seq[String])] = None): Unit = {
     val live = new Path(dataPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = tmpPath(live)
-    val bak = bakPath(live)
-    if (fs.exists(bak)) {
-      if (!fs.exists(live)) {
-        require(fs.rename(bak, live), s"could not restore $bak to $live")
-      } else statsContext match {
-        case Some((statsPath, clusterColumn, optionalColumns)) =>
-          Metastore.replaceUnderPrefix(spark, statsPath, dataPath,
-            Metastore.buildFromFooters(spark, dataPath, clusterColumn, optionalColumns))
-          fs.delete(bak, true)
-        case None =>
-          // bak alongside live but no stats context: leave bak for a
-          // caller that knows the stats table — deleting it here would
-          // forfeit nothing (data is swapped) but stats may be stale
-          ()
-      }
+    val swap = new SwapProtocol(fs, live, ".ctmp", ".cbak")
+    if (swap.recover()) statsContext.foreach { case (statsPath, clusterColumn, optionalColumns) =>
+      Metastore.replaceUnderPrefix(spark, statsPath, dataPath,
+        Metastore.buildFromFooters(spark, dataPath, clusterColumn, optionalColumns))
+      swap.dropBak()
     }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
-
-  private def tmpPath(live: Path) = new Path(live.getParent, live.getName + ".ctmp")
-  private def bakPath(live: Path) = new Path(live.getParent, live.getName + ".cbak")
 }

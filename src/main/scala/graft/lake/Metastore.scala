@@ -351,45 +351,26 @@ object Metastore {
 
     val live = new org.apache.hadoop.fs.Path(statsPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = tmpPath(live)
-    val bak = bakPath(live)
-    fs.delete(tmp, true)
+    val swap = new SwapProtocol(fs, live, ".tmp", ".bak")
+    swap.clearTmp()
     spark.createDataFrame(rows, merged.schema)
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    // commit: live -> bak, tmp -> live, drop bak. Each rename is atomic
-    // on HDFS/POSIX; recoverIfNeeded covers the gaps between them.
-    fs.delete(bak, true)
-    require(fs.rename(live, bak), s"could not stage $live aside to $bak")
-    require(fs.rename(tmp, live), s"could not commit $tmp to $live")
-    fs.delete(bak, true)
+      .coalesce(1).write.mode("overwrite").parquet(swap.tmp.toString)
+    // each rename inside commit() is atomic on HDFS/POSIX;
+    // recoverIfNeeded covers the gaps between them
+    swap.commit()
+    swap.dropBak()
   }
 
-  private def tmpPath(live: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".tmp")
-  private def bakPath(live: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".bak")
-
-  /** Roll an interrupted `replaceUnderPrefix` commit forward or back:
-    *  - live missing + bak present → crashed between the two renames:
-    *    the bak dir IS the previous table; restore it (roll back — the
-    *    tmp dir may be incomplete, so it is discarded, and the replace
-    *    can simply be re-run).
-    *  - live present + bak present → crashed after commit before
-    *    cleanup: new table already live; drop bak (roll forward).
-    *  - leftover tmp → a write that never reached commit; drop it.
-    * Idempotent and cheap (three existence checks); `load`, `update`
-    * and `replaceUnderPrefix` run it first so a crashed writer never
-    * leaves readers without a table. */
+  /** Roll an interrupted `replaceUnderPrefix` commit forward or back
+    * (see `SwapProtocol.recover`; a stats table has no post-commit work
+    * beyond dropping the bak). Idempotent and cheap (three existence
+    * checks); `load`, `update` and `replaceUnderPrefix` run it first so
+    * a crashed writer never leaves readers without a table. */
   def recoverIfNeeded(spark: SparkSession, statsPath: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(statsPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = tmpPath(live)
-    val bak = bakPath(live)
-    if (fs.exists(bak)) {
-      if (fs.exists(live)) fs.delete(bak, true) // committed; cleanup
-      else require(fs.rename(bak, live), s"could not restore $bak to $live") // roll back
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true) // uncommitted staging leftover
+    val swap = new SwapProtocol(fs, live, ".tmp", ".bak")
+    if (swap.recover()) swap.dropBak()
   }
 
   /** Load + shape-check an existing stats table. For the strict

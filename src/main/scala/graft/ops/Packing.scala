@@ -30,7 +30,7 @@ object Packing {
   def packSequences(docs: DataFrame, tokenCol: Column, budget: Long,
                     partitionCol: String, orderCol: String): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    TextAnalysis.requireFree(docs, "tokens_before")
+    TextAnalysis.requireFree(docs, "tokens_before", "seq_id")
     val w = Window.partitionBy(partitionCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

@@ -120,24 +120,26 @@ object TextAnalysis {
     *
     * Scale shape: the corpus collapses to (doc, token, tf) rows in ONE
     * partially-aggregated exchange (vocabulary-scale, never text
-    * bytes). Document frequency and doc length are WINDOW aggregates
-    * over that same tf relation — not groupBy+join back: a join's
-    * docLen/dfreq sides grow with the corpus (one row per doc / per
-    * term), so at 100 TB they stop being broadcastable and each join
-    * becomes its own shuffle; a window needs exactly one exchange per
-    * partition key and nothing driver-sized. Total: tf exchange →
-    * token-partition window (df) → doc-partition window (len + the
-    * top-k row_number, sharing one exchange). The corpus size N is the
-    * only broadcast (a single row). Measured 1.5-2× over the join form
+    * bytes). Doc length and the top-k rank are WINDOW aggregates over
+    * the doc partition — the round-1 docLen join's build side grew with
+    * the corpus (one row per doc, unbroadcastable at 100 TB), and the
+    * window shares a single doc exchange with the rank. Document
+    * frequency stays a partial-aggregated groupBy JOINED back (shuffled
+    * on token, dfreq side vocabulary-sized), NOT a token-partition
+    * window: a window must buffer each partition, so a stopword-like
+    * hot token would funnel ~n_docs rows through one task's buffer,
+    * while a join reducer streams them. The corpus size N is the only
+    * broadcast (a single row). Measured 1.4-2× over the two-join form
     * at sf0.1.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol).as("doc"), explode(tokensCol(col(textCol))).as("token"))
     val tf = tok.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.select(count(col(idCol)).as("n_docs"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .join(dfreq, "token")
       .withColumn("len", sum("tf").over(Window.partitionBy("doc")))
       .crossJoin(broadcast(n))
       .withColumn("tfidf_raw",

@@ -45,6 +45,32 @@ class CompactorSpec extends SparkSpec {
     assert(spark.read.parquet(hits: _*).where(col("id") === 42L).count() === 1)
   }
 
+  test("a crash after the data swap but before the stats replace is repaired when stats context is given") {
+    import spark.implicits._
+    val root = tmpDir("compact_poststats")
+    val data = s"$root/t"
+    val stats = s"$root/stats"
+    (1L to 500L).toDF("id").repartition(4).write.parquet(data)
+    Metastore.update(spark, stats, Metastore.buildFromFooters(spark, data, "id"))
+    // simulate: data swap committed (bak present beside live) but the
+    // stats replace never ran — stats rows point at pre-swap files
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(data + ".cbak"))
+    val staleRows = Metastore.load(spark, stats).count()
+    // without stats context: bak must be LEFT so repair stays possible
+    Compactor.recoverIfNeeded(spark, data)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(data + ".cbak")))
+    assert(Metastore.load(spark, stats).count() === staleRows)
+    // with stats context: stats re-harvested from live files, bak dropped
+    Compactor.recoverIfNeeded(spark, data, Some((stats, "id", Nil)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(data + ".cbak")))
+    val repaired = Metastore.load(spark, stats)
+    val liveFiles = spark.read.parquet(data)
+      .select(col("_metadata.file_path")).distinct().count()
+    assert(repaired.count() === liveFiles, "stats rows must match live files after repair")
+  }
+
   test("a crashed swap (live missing, bak present) rolls back cleanly") {
     import spark.implicits._
     val root = tmpDir("compact_crash")
