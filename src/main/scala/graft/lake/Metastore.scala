@@ -73,9 +73,15 @@ object Metastore {
     // metastore.py:304-305 logs-and-skips a failed harvest) — at 100k
     // files one corrupt file must not fail the whole stats build; Spark
     // logs each skip at WARN.
+    // mergeSchema: SCHEMA EVOLUTION — a column added by later files
+    // (the normal lake lifecycle) must be visible even when the footer
+    // Spark happens to sample is an old file's. Old files read the new
+    // column as NULL, so their stats rows carry NULL bounds for it and
+    // are simply never pruned on that column (may-contain, sound).
     val df = spark.read
       .option("recursiveFileLookup", "true")
       .option("ignoreCorruptFiles", "true")
+      .option("mergeSchema", "true")
       .parquet(dataPath)
     val cols = statColumns(df.schema, clusterColumn, optionalColumns)
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max"))) :+
@@ -186,7 +192,12 @@ object Metastore {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
 
-    val dataSchema = spark.read.option("ignoreCorruptFiles", "true").parquet(dataPath).schema
+    // mergeSchema: see build — late-added columns must resolve; a file
+    // whose footer lacks the column contributes NULL bounds below
+    val dataSchema = spark.read
+      .option("ignoreCorruptFiles", "true")
+      .option("mergeSchema", "true")
+      .parquet(dataPath).schema
     val cols = statColumns(dataSchema, clusterColumn, optionalColumns)
     val sparkTypes: Map[String, DataType] = cols.map(c => c -> dataSchema(c).dataType).toMap
     val outSchema = StructType(

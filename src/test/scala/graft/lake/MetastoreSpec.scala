@@ -74,6 +74,30 @@ class MetastoreSpec extends SparkSpec {
       "filepath must be scheme-qualified like FileStatus paths")
   }
 
+  test("schema evolution: a late-added column gets NULL bounds for old files and prunes soundly") {
+    import spark.implicits._
+    val d = tmpDir("ms_evolve") + "/t"
+    // batch 1: the original schema; batch 2 adds a score column
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(d)
+    (101L to 200L).map(i => (i, i * 2.0)).toDF("id", "score")
+      .coalesce(1).write.mode("append").parquet(d)
+    for ((stats, tag) <- Seq(
+        Metastore.build(spark, d, "id", Seq("score")) -> "scan",
+        Metastore.buildFromFooters(spark, d, "id", Seq("score")) -> "footer")) {
+      val rows = stats.orderBy("id_min").collect()
+      assert(rows.length === 2, s"$tag: one stats row per file")
+      assert(rows(0).isNullAt(rows(0).fieldIndex("score_min")),
+        s"$tag: pre-evolution file must have NULL score bounds")
+      assert(rows(1).getDouble(rows(1).fieldIndex("score_min")) === 202.0, s"$tag: new file's bounds real")
+      // pruning on the evolved column: the old file has NULL bounds ->
+      // never pruned (may-contain); the new file prunes normally
+      val hit = Metastore.prune(spark, stats, Seq(50L),
+        Seq(Clause("score", ">", 1000.0)))
+      assert(hit.size === 1 && spark.read.parquet(hit.head).columns.sameElements(Array("id")),
+        s"$tag: value 50 lives in the old file, which a score clause must not prune")
+    }
+  }
+
   test("update is idempotent (left-anti skip of existing filepaths)") {
     val statsPath = tmpDir("ms_stats")
     val s = stats(NaiveTs)
