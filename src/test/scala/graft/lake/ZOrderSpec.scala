@@ -32,6 +32,22 @@ class ZOrderSpec extends SparkSpec {
     assert(zs(1) === morton(65535L, 0L)) // above range -> clamp to max
   }
 
+  test("property: 1000 random pairs match the reference; fixing one dim keeps order in the other") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // seeded: failures must reproduce
+    val pairs = Seq.fill(1000)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("a", "b")
+      .withColumn("z", ZOrder.mortonKey(col("a"), 0, 65535, col("b"), 0, 65535))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) => assert(z === morton(a, b), s"morton($a,$b)") }
+    // monotone in a for fixed b (even bits ordered, odd bits constant):
+    // sorting by z within a fixed b must equal sorting by a
+    val fixedB = got.head._2
+    val line = (0 until 200).map(i => (i * 327L % 65536, fixedB))
+    val zs = line.map { case (a, b) => (a, morton(a, b)) }
+    assert(zs.sortBy(_._2).map(_._1) === zs.sortBy(_._1).map(_._1))
+  }
+
   test("z-ordered write + metastore prunes on BOTH dimensions") {
     import spark.implicits._
     val d = tmpDir("zorder") + "/t"

@@ -35,6 +35,32 @@ class PackingSpec extends SparkSpec {
     assert(r2 === Seq(0L, 0L, 1L)) // 0, 9, 18 tokens before
   }
 
+  test("property: random corpora satisfy the packing invariants") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val docs = (1 to 2000).map(i =>
+      (i.toLong, s"shard${rnd.nextInt(5)}", 1L + rnd.nextInt(500)))
+      .toDF("doc_id", "source", "n_tok")
+    val packed = Packing.packSequences(docs, col("n_tok"), budget = 1024L,
+        partitionCol = "source", orderCol = "doc_id")
+      .select("source", "doc_id", "n_tok", "tokens_before", "seq_id")
+      .collect()
+      .groupBy(_.getString(0))
+    packed.foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      var cum = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) === cum, s"$shard: tokens_before must be the shard prefix sum")
+        assert(r.getLong(4) === cum / 1024L, s"$shard: seq_id = floor(before/budget)")
+        cum += r.getLong(2)
+      }
+      // seq ids are dense and non-decreasing: no skipped sequence can
+      // exceed one budget-width (an oversized doc may straddle several)
+      val seqs = sorted.map(_.getLong(4))
+      assert(seqs === seqs.sorted, s"$shard: seq_id must be non-decreasing in pack order")
+    }
+  }
+
   test("packSequences: oversized single doc occupies its own sequences") {
     val r = Packing.packSequences(
         docs((1L, "s", 25L), (2L, "s", 1L)),

@@ -28,6 +28,28 @@ class SamplingSpec extends SparkSpec {
     assert(small.size < big.size)
   }
 
+  test("property: membership is independent of physical layout") {
+    // the determinism contract: a doc's fate depends only on its key,
+    // never on partitioning or row order
+    val df = corpus(2000)
+    val flat = Sampling.hashSample(df.coalesce(1), col("id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val spread = Sampling.hashSample(df.repartition(17, col("lang")), col("id"), 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(flat === spread)
+  }
+
+  test("property: nesting holds across a ladder of random fractions") {
+    val df = corpus(3000)
+    val rnd = new scala.util.Random(7)
+    val fracs = Seq.fill(6)(rnd.nextDouble()).sorted
+    val sets = fracs.map(f =>
+      Sampling.hashSample(df, col("id"), f).collect().map(_.getLong(0)).toSet)
+    sets.sliding(2).foreach { case Seq(small, big) =>
+      assert(small.subsetOf(big), "a larger fraction may only ADD members")
+    }
+  }
+
   test("hashSample edge fractions") {
     val df = corpus(100)
     assert(Sampling.hashSample(df, col("id"), 0.0).count() === 0)
