@@ -586,6 +586,21 @@ object SparkEntry {
           max(col("o_totalprice")).as("max_price"))
         .orderBy("o_orderpriority")),
 
+    // sketch-based percentiles (GK quantile summaries — the one-pass
+    // MERGEABLE shape for 100 TB: partial sketches combine map-side,
+    // never a per-group sort). With accuracy ≥ group size the sketch is
+    // lossless, so this approximate operator is hash-checkable against
+    // DuckDB's discrete quantiles; production drops accuracy to the
+    // default 10000 and keeps the identical plan.
+    "q_approx_percentile" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("percentile_approx(o_totalprice, 0.5, 1000000)").as("p50"),
+          expr("percentile_approx(o_totalprice, 0.95, 1000000)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
     // exact interpolated percentiles (single sort-based agg per group;
     // at scale swap in percentile_approx for one-pass sketching)
     "q_percentiles" -> ((s, dir) =>
@@ -1235,6 +1250,13 @@ object SparkEntry {
         |  min(o_totalprice) AS min_price,
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.95) AS p95,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,
