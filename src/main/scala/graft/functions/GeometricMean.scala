@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -27,10 +28,9 @@ case class GeometricMean(child: Expression)
   // AbstractDataType (hence ImplicitCastInputTypes/ExpectsInputTypes) is
   // private[sql] in Spark 4, so input typing is checked explicitly and
   // the entry points (geoMean, GraftExtensions) insert the double cast
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (child.dataType == DoubleType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
       s"geo_mean requires DOUBLE input, got ${child.dataType.simpleString}; cast the argument")
   override def nullable: Boolean = true
   override def dataType: DataType = DoubleType

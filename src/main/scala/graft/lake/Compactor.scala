@@ -44,10 +44,16 @@ object Compactor {
     // are gone); replace them with a footer-only harvest of the new
     // files. Crash before this point: recoverIfNeeded rolls the data
     // swap back (bak still present), so stats were never wrong.
-    Metastore.replaceUnderPrefix(spark, statsPath, dataPath,
-      Metastore.buildFromFooters(spark, dataPath, clusterColumn, optionalColumns))
+    refreshStats(spark, dataPath, statsPath, clusterColumn, optionalColumns)
     swap.dropBak()
   }
+
+  /** Replace every stats row under the table's prefix with a fresh
+    * footer harvest of the files currently live. */
+  private def refreshStats(spark: SparkSession, dataPath: String, statsPath: String,
+                           clusterColumn: String, optionalColumns: Seq[String]): Unit =
+    Metastore.replaceUnderPrefix(spark, statsPath, dataPath,
+      Metastore.buildFromFooters(spark, dataPath, clusterColumn, optionalColumns))
 
   /** Roll an interrupted compaction forward or back (see
     * `SwapProtocol.recover`). The committed-bak case means the data
@@ -62,8 +68,7 @@ object Compactor {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val swap = new SwapProtocol(fs, live, ".ctmp", ".cbak")
     if (swap.recover()) statsContext.foreach { case (statsPath, clusterColumn, optionalColumns) =>
-      Metastore.replaceUnderPrefix(spark, statsPath, dataPath,
-        Metastore.buildFromFooters(spark, dataPath, clusterColumn, optionalColumns))
+      refreshStats(spark, dataPath, statsPath, clusterColumn, optionalColumns)
       swap.dropBak()
     }
   }

@@ -165,9 +165,12 @@ object TextAnalysis {
     * bigrams / bigrams — repeated phrasing).
     *
     * Scale shape: per-token counts go explode → (doc, token) partial
-    * aggregate → per-doc aggregate, so the exchange carries counts, not
-    * text; bigram stats are per-row array ops (narrow); the single join
-    * back to the input is keyed by the doc id. */
+    * aggregate → per-doc aggregate, so that exchange carries counts,
+    * not text; bigram stats are per-row array ops (narrow) PROJECTED
+    * BEFORE the final join, so the join exchanges only
+    * (id, dup_bigram_ratio) — never text bytes. Output is
+    * (idCol, three ratio columns); join it back to the corpus if the
+    * original columns are needed downstream. */
   def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     requireFree(docs, "_toks", "_bi", "_tok", "_cnt", "_mx", "_tot", "_nd")
     val counts = docs
@@ -177,19 +180,19 @@ object TextAnalysis {
         count(lit(1)).as("_nd"))
     val toks = col("_toks")
     val bi = col("_bi")
-    docs
-      .join(counts, Seq(idCol), "left") // docs with zero tokens have no counts row
+    val bigramStats = docs
       .withColumn("_toks", tokensCol(col(textCol)))
       .withColumn("_bi", Dedup.shingles(col("_toks"), 2))
-      .withColumn("top_token_ratio",
-        coalesce(col("_mx").cast("double") / col("_tot"), lit(0.0)))
-      .withColumn("distinct_token_ratio",
-        coalesce(col("_nd").cast("double") / col("_tot"), lit(0.0)))
-      .withColumn("dup_bigram_ratio",
+      .select(col(idCol),
         when(size(toks) >= 2,
           lit(1.0) - size(array_distinct(bi)).cast("double") / size(bi))
-          .otherwise(lit(0.0)))
-      .drop("_toks", "_bi", "_mx", "_tot", "_nd")
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+    bigramStats
+      .join(counts, Seq(idCol), "left") // docs with zero tokens have no counts row
+      .select(col(idCol),
+        coalesce(col("_mx").cast("double") / col("_tot"), lit(0.0)).as("top_token_ratio"),
+        coalesce(col("_nd").cast("double") / col("_tot"), lit(0.0)).as("distinct_token_ratio"),
+        col("dup_bigram_ratio"))
   }
 
   /** Regex patterns for PII-style redaction. Kept simple enough to mean
