@@ -1512,6 +1512,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY media_type""".stripMargin,
 
+    // the stub decode's OUTPUT SHAPE is deterministic (frame count from
+    // byte length, fixed 8-dim features), so the dims the query emits
+    // are fully oracle-checkable even though the vector VALUES come
+    // from the marked stub
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames,
+        |  CAST(8 AS BIGINT) AS feature_dim
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "mm_frame_sample" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) // 16 AS n_frames,
