@@ -4,30 +4,60 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** RDBMS-backed stats store — the reference's `store_url` parity
   * (lakeshack/metastore.py:81-100: a SQLAlchemy engine URL, "any DB").
-  * The parquet-backed `Metastore` functions carry a SINGLE-WRITER
-  * contract because object stores have no transactions; pointing the
-  * stats table at a database instead inherits the DB's locking and
-  * atomicity, exactly as the reference does — `update` keeps the same
-  * idempotent left-anti semantics, `replaceUnderPrefix` becomes a
-  * delete+insert the DB can wrap in its own transaction machinery.
+  *
+  * What the database buys over the parquet store, honestly stated:
+  * each statement is ATOMIC (the prefix delete in `replaceUnderPrefix`
+  * is one transactional DELETE — no rename protocol, no partial
+  * state on crash), and a crash between that delete and the following
+  * append loses only the prefix's rows, restored by simply re-running
+  * the replace. What it does NOT buy by itself: multi-writer
+  * coordination. `update`'s left-anti check and the delete+append pair
+  * are check-then-act across separate autocommit statements, so two
+  * concurrent updates of the SAME files can insert duplicate filepath
+  * rows (benign for correctness — `Metastore.prune` de-duplicates
+  * filepaths — but add a DB-side unique index on filepath, or keep
+  * maintenance single-writer, if duplicates matter), and a replace
+  * racing an update can lose the update's rows. Serialize maintenance
+  * per table, exactly as the reference's deployments do.
   *
   * The stats DataFrames are tiny (one row per file), so JDBC round
   * trips are MBs even at 100k files. Works against any JDBC database
   * on the classpath; tested against embedded Derby (ships with Spark).
-  * Caveat: embedded Derby is single-JVM — use a networked database for
-  * a real multi-writer cluster.
+  * Embedded Derby is single-JVM — use a networked database on a real
+  * cluster.
   */
 object JdbcMetastore {
+
+  private def props = new java.util.Properties()
+
+  /** Guard against SQL injection through the table identifier — it is
+    * interpolated into DDL/DML below. */
+  private def checkIdent(table: String): Unit =
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"table must be a plain SQL identifier, got '$table'")
 
   /** TIMESTAMP columns come back as TIMESTAMP_NTZ so stats written from
     * a TimestampNTZType lake column round-trip type-identically and
     * `Metastore.validate` sees no drift. */
   private def reader(spark: SparkSession, url: String, table: String) =
-    spark.read.option("preferTimestampNTZ", "true").jdbc(url, table, new java.util.Properties())
+    spark.read.option("preferTimestampNTZ", "true").jdbc(url, table, props)
 
-  def exists(spark: SparkSession, url: String, table: String): Boolean =
-    try { reader(spark, url, table).schema; true }
-    catch { case _: Exception => false }
+  /** True iff the table exists, via JDBC catalog metadata — a transient
+    * connection/permission error PROPAGATES instead of masquerading as
+    * "absent" (which would silently degrade replace into append and
+    * strand stale rows). Spark's JDBC writer quotes identifiers at
+    * CREATE, so the name is checked both as-given and case-folded. */
+  def exists(spark: SparkSession, url: String, table: String): Boolean = {
+    checkIdent(table)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { name =>
+        val rs = md.getTables(null, null, name, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
 
   def load(spark: SparkSession, url: String, table: String): DataFrame = {
     val df = reader(spark, url, table)
@@ -38,43 +68,44 @@ object JdbcMetastore {
   }
 
   /** Idempotent upsert, same left-anti semantics as `Metastore.update`
-    * (reference O12). */
+    * (reference O12). See the class doc for the concurrency contract. */
   def update(spark: SparkSession, url: String, table: String, newStats: DataFrame): Unit = {
+    checkIdent(table)
     val fresh =
       if (exists(spark, url, table)) {
         val old = load(spark, url, table)
-        require(old.schema.map(f => (f.name, f.dataType)) == newStats.schema.map(f => (f.name, f.dataType)),
-          s"Metastore schema mismatch: existing ${old.schema.simpleString} vs new ${newStats.schema.simpleString}")
+        Metastore.requireSameStatsSchema(old, newStats)
         newStats.join(old.select("filepath"), Seq("filepath"), "left_anti")
       } else newStats
-    fresh.write.mode(SaveMode.Append).jdbc(url, table, new java.util.Properties())
+    fresh.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 
   /** Replace all stats rows under a directory prefix with fresh ones
     * (the rewritten-batch upsert — see `Metastore.replaceUnderPrefix`).
-    * No rename protocol needed: the overwrite is the database's own
-    * table replacement. */
+    * The stale rows go in ONE transactional DELETE — never a
+    * drop-and-recreate of the whole table, so no crash window ever
+    * loses other prefixes' rows; a crash between the delete and the
+    * append is repaired by re-running the replace. */
   def replaceUnderPrefix(spark: SparkSession, url: String, table: String,
                          dirPrefix: String, newStats: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.col
+    checkIdent(table)
     if (!exists(spark, url, table)) {
-      newStats.write.mode(SaveMode.Append).jdbc(url, table, new java.util.Properties())
+      newStats.write.mode(SaveMode.Append).jdbc(url, table, props)
       return
     }
-    val p = new org.apache.hadoop.fs.Path(dirPrefix)
-    val norm = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(p).toString
-    val old = load(spark, url, table)
-    require(old.schema.map(f => (f.name, f.dataType)) == newStats.schema.map(f => (f.name, f.dataType)),
-      s"Metastore schema mismatch: existing ${old.schema.simpleString} vs new ${newStats.schema.simpleString}")
-    // collect-then-overwrite, like the parquet store: the merged table
-    // is tiny, and a lazy read-and-overwrite of the same JDBC table
-    // would truncate the source under the reader
-    val merged = old.where(!col("filepath").startsWith(norm + "/"))
-      .unionByName(newStats)
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    merged.collect().foreach(rows.add)
-    spark.createDataFrame(rows, merged.schema)
-      .write.mode(SaveMode.Overwrite).jdbc(url, table, new java.util.Properties())
+    Metastore.requireSameStatsSchema(load(spark, url, table), newStats)
+    val norm = Metastore.qualifiedPrefix(spark, dirPrefix)
+    // escape LIKE metacharacters in the path, then one DELETE statement
+    val pat = norm.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_") + "/%"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // mirror Spark's JDBC writer exactly: it embeds the TABLE name
+      // unquoted (case-folded by the DB) but quotes COLUMN names
+      // verbatim, so this statement must do the same to resolve
+      val st = conn.prepareStatement(
+        s"""DELETE FROM $table WHERE "filepath" LIKE ? ESCAPE '\\'""")
+      try { st.setString(1, pat); st.executeUpdate() } finally st.close()
+    } finally conn.close()
+    newStats.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 }

@@ -316,11 +316,24 @@ object Metastore {
     val fresh =
       if (exists(spark, statsPath)) {
         val old = spark.read.parquet(statsPath)
-        require(old.schema.map(f => (f.name, f.dataType)) == newStats.schema.map(f => (f.name, f.dataType)),
-          s"Metastore schema mismatch: existing ${old.schema.simpleString} vs new ${newStats.schema.simpleString}")
+        requireSameStatsSchema(old, newStats)
         newStats.join(old.select("filepath"), Seq("filepath"), "left_anti")
       } else newStats
     fresh.write.mode("append").parquet(statsPath)
+  }
+
+  /** Shared by both stores (parquet + JDBC): a stats write must match
+    * the existing table column-for-column, type-for-type. */
+  private[lake] def requireSameStatsSchema(old: DataFrame, newStats: DataFrame): Unit =
+    require(old.schema.map(f => (f.name, f.dataType)) == newStats.schema.map(f => (f.name, f.dataType)),
+      s"Metastore schema mismatch: existing ${old.schema.simpleString} vs new ${newStats.schema.simpleString}")
+
+  /** Fully qualified (scheme + authority) form of a directory prefix:
+    * stored filepaths are qualified URIs like file:/x, and a bare /x
+    * prefix would match nothing. Shared by both stores. */
+  private[lake] def qualifiedPrefix(spark: SparkSession, dirPrefix: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dirPrefix)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
   }
 
   /** Replace all stats rows under a directory prefix with fresh ones —
@@ -347,14 +360,9 @@ object Metastore {
       newStats.write.mode("append").parquet(statsPath)
       return
     }
-    // fully qualify (scheme + authority): stored filepaths are qualified
-    // URIs like file:/x, and a bare /x prefix would match nothing
-    val p = new org.apache.hadoop.fs.Path(dirPrefix)
-    val norm = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .makeQualified(p).toString
+    val norm = qualifiedPrefix(spark, dirPrefix)
     val old = spark.read.parquet(statsPath)
-    require(old.schema.map(f => (f.name, f.dataType)) == newStats.schema.map(f => (f.name, f.dataType)),
-      s"Metastore schema mismatch: existing ${old.schema.simpleString} vs new ${newStats.schema.simpleString}")
+    requireSameStatsSchema(old, newStats)
     val merged = old.where(!col("filepath").startsWith(norm + "/"))
       .unionByName(newStats)
     val rows = new java.util.ArrayList[Row]()

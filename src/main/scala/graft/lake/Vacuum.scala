@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Orphan-file cleanup for a lake table: data files on disk that no
   * metastore stats row references. The rename protocols protect the
@@ -11,46 +11,81 @@ import org.apache.spark.sql.SparkSession
   * real scan-listing overhead. The reference has no vacuum (its S3
   * layout assumes writers never fail mid-batch); this closes the gap.
   *
-  * Deletion is gated on a GRACE PERIOD: between a batch's write and its
-  * stats update every new file is legitimately unreferenced, so only
-  * orphans older than `graceMs` are touched. Pick a grace comfortably
-  * above the longest ingest-to-update window (hours, not minutes).
+  * SAFETY GATES — deletion refuses to run unless the table is known
+  * healthy, because "unreferenced" is only meaningful against
+  * trustworthy stats:
+  *  - a compaction crash marker (`.cbak`/`.ctmp` beside the table)
+  *    aborts: after a crash between the data swap and the stats
+  *    replace, EVERY live file is briefly unregistered — vacuuming then
+  *    would delete the whole table. Run `Compactor.recoverIfNeeded`
+  *    with the stats context first.
+  *  - stats rows pointing at files that no longer exist abort for the
+  *    same reason (stale stats ⇒ the unreferenced set is meaningless).
+  *  - a GRACE PERIOD covers the legitimate window between a batch's
+  *    write and its stats update; pick it comfortably above the longest
+  *    ingest-to-update gap (hours, not minutes).
   * SINGLE-WRITER like all metastore maintenance: do not vacuum while a
   * compaction or ingest for this table is in flight.
   */
 object Vacuum {
 
   /** Unreferenced `.parquet` files under `dataPath` older than
-    * `graceMs`, as qualified path strings. The registered set is one
-    * entry per file — driver-held, like the pruning interval map. */
-  def orphans(spark: SparkSession, dataPath: String, statsPath: String,
+    * `graceMs`, judged against an explicit stats table (use this
+    * overload with `JdbcMetastore.load` or any other store). */
+  def orphans(spark: SparkSession, dataPath: String, stats: DataFrame,
               graceMs: Long): Seq[String] = {
-    val registered = Metastore.load(spark, statsPath)
-      .select("filepath").collect()
-      .map(r => new Path(r.getString(0)).toString).toSet
     val root = new Path(dataPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (marker <- Seq(".cbak", ".ctmp"))
+      require(!fs.exists(new Path(dataPath + marker)),
+        s"crashed compaction detected ($dataPath$marker exists); run " +
+          "Compactor.recoverIfNeeded with the stats context before vacuuming")
+    // registered set: one entry per file — driver-held, like the
+    // pruning interval map
+    val registered = stats.select("filepath").collect()
+      .map(r => new Path(r.getString(0)).toString).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     val it = fs.listFiles(root, true)
+    val onDisk = scala.collection.mutable.Set[String]()
     val buf = scala.collection.mutable.ArrayBuffer[String]()
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-          f.getModificationTime < cutoff &&
-          !registered.contains(f.getPath.toString))
-        buf += f.getPath.toString
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        onDisk += f.getPath.toString
+        if (f.getModificationTime < cutoff && !registered.contains(f.getPath.toString))
+          buf += f.getPath.toString
+      }
     }
+    val dead = registered.filterNot(onDisk.contains)
+    require(dead.isEmpty,
+      s"stats reference ${dead.size} missing file(s) (e.g. ${dead.head}) — stats are stale; " +
+        "repair them (Metastore.replaceUnderPrefix / Compactor.recoverIfNeeded) before vacuuming")
     buf.toSeq
   }
 
-  /** Delete the orphans and return what was deleted. Stats are not
-    * touched — orphans were never registered. */
-  def vacuum(spark: SparkSession, dataPath: String, statsPath: String,
+  /** Parquet-store convenience overload. */
+  def orphans(spark: SparkSession, dataPath: String, statsPath: String,
+              graceMs: Long): Seq[String] =
+    orphans(spark, dataPath, Metastore.load(spark, statsPath), graceMs)
+
+  /** Delete the orphans and return what was actually deleted. Stats are
+    * not touched — orphans were never registered. A path whose delete
+    * returns false (permissions, concurrent removal) is logged and
+    * EXCLUDED from the result, never falsely reported reclaimed. */
+  def vacuum(spark: SparkSession, dataPath: String, stats: DataFrame,
              graceMs: Long): Seq[String] = {
     val root = new Path(dataPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dead = orphans(spark, dataPath, statsPath, graceMs)
-    dead.foreach(p => fs.delete(new Path(p), false))
-    dead
+    val (deleted, failed) = orphans(spark, dataPath, stats, graceMs)
+      .partition(p => fs.delete(new Path(p), false))
+    if (failed.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"vacuum could not delete ${failed.size} orphan(s): ${failed.take(5).mkString(", ")}")
+    deleted
   }
+
+  /** Parquet-store convenience overload. */
+  def vacuum(spark: SparkSession, dataPath: String, statsPath: String,
+             graceMs: Long): Seq[String] =
+    vacuum(spark, dataPath, Metastore.load(spark, statsPath), graceMs)
 }

@@ -37,6 +37,29 @@ class VacuumSpec extends SparkSpec {
     assert(spark.read.parquet(hits: _*).where(col("id") === 42L).count() === 1)
   }
 
+  test("vacuum refuses to run over a crashed compaction or stale stats") {
+    import spark.implicits._
+    val root = tmpDir("vacuum_guard")
+    val data = s"$root/t"
+    val stats = s"$root/stats"
+    (1L to 100L).toDF("id").repartition(2).write.parquet(data)
+    Metastore.update(spark, stats, Metastore.buildFromFooters(spark, data, "id"))
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash marker beside the table: every live file may be unregistered
+    fs.mkdirs(new org.apache.hadoop.fs.Path(data + ".cbak"))
+    val e1 = intercept[IllegalArgumentException](
+      Vacuum.orphans(spark, data, stats, graceMs = 0L))
+    assert(e1.getMessage.contains("crashed compaction"))
+    fs.delete(new org.apache.hadoop.fs.Path(data + ".cbak"), true)
+    // stats referencing a deleted file: the unreferenced set is meaningless
+    val victim = new java.io.File(data).listFiles().filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val e2 = intercept[IllegalArgumentException](
+      Vacuum.orphans(spark, data, stats, graceMs = 0L))
+    assert(e2.getMessage.contains("stale"))
+  }
+
   test("a fully registered table has no orphans at any grace") {
     import spark.implicits._
     val root = tmpDir("vacuum_clean")
