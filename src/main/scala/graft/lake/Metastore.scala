@@ -73,16 +73,15 @@ object Metastore {
     // metastore.py:304-305 logs-and-skips a failed harvest) — at 100k
     // files one corrupt file must not fail the whole stats build; Spark
     // logs each skip at WARN.
-    // mergeSchema: SCHEMA EVOLUTION — a column added by later files
-    // (the normal lake lifecycle) must be visible even when the footer
-    // Spark happens to sample is an old file's. Old files read the new
-    // column as NULL, so their stats rows carry NULL bounds for it and
-    // are simply never pruned on that column (may-contain, sound).
-    val df = spark.read
-      .option("recursiveFileLookup", "true")
-      .option("ignoreCorruptFiles", "true")
-      .option("mergeSchema", "true")
-      .parquet(dataPath)
+    // SCHEMA EVOLUTION — a column added by later files (the normal lake
+    // lifecycle) must be visible even when the footer Spark happens to
+    // sample is an old file's. A blanket mergeSchema would read EVERY
+    // footer just to infer the schema — doubling this build's dominant
+    // I/O at 100k files — so the merged probe runs only when the cheap
+    // single-footer sample lacks a wanted column. Files missing a
+    // declared column read it as NULL, so old files carry NULL bounds
+    // and are simply never pruned on it (may-contain, sound).
+    val df = evolvedRead(spark, dataPath, clusterColumn +: optionalColumns)
     val cols = statColumns(df.schema, clusterColumn, optionalColumns)
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(c + "_min"), max(col(c)).as(c + "_max"))) :+
       count(lit(1)).as("_scanned_rows")
@@ -116,6 +115,22 @@ object Metastore {
       .join(footerRowCounts(spark, dataPath), Seq("filepath"), "inner")
       .where(col("_scanned_rows") === col("_footer_rows"))
       .drop("_scanned_rows", "_footer_rows")
+  }
+
+  /** Read the table so every `wanted` column resolves under schema
+    * evolution: the cheap single-footer schema sample first, the
+    * full-footer-sweep mergeSchema probe only when a wanted column is
+    * absent from the sample (evolution is the rare case; the probe
+    * reads every footer). */
+  private def evolvedRead(spark: SparkSession, dataPath: String,
+                          wanted: Seq[String]): DataFrame = {
+    def read(merge: Boolean) = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("ignoreCorruptFiles", "true")
+      .option("mergeSchema", merge.toString)
+      .parquet(dataPath)
+    val cheap = read(merge = false)
+    if (wanted.forall(cheap.schema.fieldNames.contains)) cheap else read(merge = true)
   }
 
   /** Recursive `.parquet` file listing (reference O10, metastore.py:368-376). */
@@ -192,12 +207,9 @@ object Metastore {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
 
-    // mergeSchema: see build — late-added columns must resolve; a file
-    // whose footer lacks the column contributes NULL bounds below
-    val dataSchema = spark.read
-      .option("ignoreCorruptFiles", "true")
-      .option("mergeSchema", "true")
-      .parquet(dataPath).schema
+    // see build's evolution note — late-added columns must resolve; a
+    // file whose footer lacks the column contributes NULL bounds below
+    val dataSchema = evolvedRead(spark, dataPath, clusterColumn +: optionalColumns).schema
     val cols = statColumns(dataSchema, clusterColumn, optionalColumns)
     val sparkTypes: Map[String, DataType] = cols.map(c => c -> dataSchema(c).dataType).toMap
     val outSchema = StructType(
