@@ -31,10 +31,10 @@ object JdbcMetastore {
   private def props = new java.util.Properties()
 
   /** Guard against SQL injection through the table identifier — it is
-    * interpolated into DDL/DML below. */
+    * interpolated into DDL/DML below. Optionally schema-qualified. */
   private def checkIdent(table: String): Unit =
-    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"table must be a plain SQL identifier, got '$table'")
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"table must be a plain (optionally schema-qualified) SQL identifier, got '$table'")
 
   /** TIMESTAMP columns come back as TIMESTAMP_NTZ so stats written from
     * a TimestampNTZType lake column round-trip type-identically and
@@ -49,17 +49,29 @@ object JdbcMetastore {
     * CREATE, so the name is checked both as-given and case-folded. */
   def exists(spark: SparkSession, url: String, table: String): Boolean = {
     checkIdent(table)
+    val (schemaPart, namePart) = table.split('.') match {
+      case Array(s, n) => (Some(s), n)
+      case _ => (None, table)
+    }
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       val md = conn.getMetaData
-      Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { name =>
-        val rs = md.getTables(null, null, name, null)
+      // getTables takes LIKE patterns: '_' in a name like lake_stats is
+      // a single-char wildcard unless escaped — a false positive here
+      // would route the first write into the "existing table" branch
+      // and fail the bootstrap
+      val esc = md.getSearchStringEscape
+      def quote(s: String) = s.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      Seq(namePart, namePart.toUpperCase, namePart.toLowerCase).distinct.exists { name =>
+        val rs = md.getTables(null, schemaPart.map(quote).orNull, quote(name), null)
         try rs.next() finally rs.close()
       }
     } finally conn.close()
   }
 
   def load(spark: SparkSession, url: String, table: String): DataFrame = {
+    checkIdent(table) // the name reaches Spark's dbtable interpolation
     val df = reader(spark, url, table)
     require(df.schema.fieldNames.headOption.contains("filepath") &&
       df.schema.fieldNames.exists(_.endsWith("_min")),
@@ -95,17 +107,26 @@ object JdbcMetastore {
     }
     Metastore.requireSameStatsSchema(load(spark, url, table), newStats)
     val norm = Metastore.qualifiedPrefix(spark, dirPrefix)
-    // escape LIKE metacharacters in the path, then one DELETE statement
-    val pat = norm.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_") + "/%"
+    // MATERIALIZE newStats before mutating the table: a lazy plan that
+    // reads this very store (load().where(...) patches are the natural
+    // idiom) would otherwise be evaluated after the DELETE and see its
+    // own input gone. Stats are tiny (one row per file).
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    newStats.collect().foreach(rows.add)
+    val materialized = spark.createDataFrame(rows, newStats.schema)
+    // escape LIKE metacharacters with '#' — a backslash ESCAPE literal
+    // is itself lexed as an escape by some backends (MySQL), breaking
+    // the statement; '#' is inert in every SQL string literal
+    val pat = norm.replace("#", "##").replace("%", "#%").replace("_", "#_") + "/%"
     val conn = java.sql.DriverManager.getConnection(url)
     try {
       // mirror Spark's JDBC writer exactly: it embeds the TABLE name
       // unquoted (case-folded by the DB) but quotes COLUMN names
       // verbatim, so this statement must do the same to resolve
       val st = conn.prepareStatement(
-        s"""DELETE FROM $table WHERE "filepath" LIKE ? ESCAPE '\\'""")
+        s"""DELETE FROM $table WHERE "filepath" LIKE ? ESCAPE '#'""")
       try { st.setString(1, pat); st.executeUpdate() } finally st.close()
     } finally conn.close()
-    newStats.write.mode(SaveMode.Append).jdbc(url, table, props)
+    materialized.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
 }

@@ -117,20 +117,36 @@ object Metastore {
       .drop("_scanned_rows", "_footer_rows")
   }
 
-  /** Read the table so every `wanted` column resolves under schema
-    * evolution: the cheap single-footer schema sample first, the
-    * full-footer-sweep mergeSchema probe only when a wanted column is
-    * absent from the sample (evolution is the rare case; the probe
-    * reads every footer). */
+  /** Read the table so every `wanted` column resolves, cheapest probe
+    * first:
+    *  1. recursive lookup, single-footer schema sample — the lake's
+    *     native shape (nested immutable batches, reference O10) and the
+    *     overwhelmingly common case;
+    *  2. if a wanted column is missing, the DEFAULT read — hive
+    *     partition-column inference, for a partition-valued stat column
+    *     that lives in directory names, not footers (recursive lookup
+    *     disables that inference);
+    *  3. last, the recursive mergeSchema probe — schema evolution,
+    *     where the wanted column exists only in some files' footers.
+    *     This one reads EVERY footer, so it is never paid up front.
+    * A column found nowhere falls through to `statColumns`' error. */
   private def evolvedRead(spark: SparkSession, dataPath: String,
                           wanted: Seq[String]): DataFrame = {
-    def read(merge: Boolean) = spark.read
-      .option("recursiveFileLookup", "true")
-      .option("ignoreCorruptFiles", "true")
-      .option("mergeSchema", merge.toString)
-      .parquet(dataPath)
-    val cheap = read(merge = false)
-    if (wanted.forall(cheap.schema.fieldNames.contains)) cheap else read(merge = true)
+    def read(recursive: Boolean, merge: Boolean) = {
+      val r = spark.read
+        .option("ignoreCorruptFiles", "true")
+        .option("mergeSchema", merge.toString)
+      (if (recursive) r.option("recursiveFileLookup", "true") else r).parquet(dataPath)
+    }
+    def covers(df: DataFrame) = wanted.forall(df.schema.fieldNames.contains)
+    val cheap = read(recursive = true, merge = false)
+    if (covers(cheap)) return cheap
+    // a plain nested layout (no hive-style dir names) cannot infer
+    // without recursion — treat as "no hive columns here"
+    val hive =
+      try Some(read(recursive = false, merge = false))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    hive.filter(covers).getOrElse(read(recursive = true, merge = true))
   }
 
   /** Recursive `.parquet` file listing (reference O10, metastore.py:368-376). */

@@ -34,12 +34,16 @@ object Vacuum {
     * overload with `JdbcMetastore.load` or any other store). */
   def orphans(spark: SparkSession, dataPath: String, stats: DataFrame,
               graceMs: Long): Seq[String] = {
-    val root = new Path(dataPath)
+    val root = new Path(dataPath) // Path-normalized: "/t/" and "/t" agree
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (marker <- Seq(".cbak", ".ctmp"))
-      require(!fs.exists(new Path(dataPath + marker)),
-        s"crashed compaction detected ($dataPath$marker exists); run " +
+    for (suffix <- Seq(".cbak", ".ctmp")) {
+      // sibling markers built exactly as SwapProtocol builds them — raw
+      // string concat would miss them for a trailing-slash dataPath
+      val marker = new Path(root.getParent, root.getName + suffix)
+      require(!fs.exists(marker),
+        s"crashed compaction detected ($marker exists); run " +
           "Compactor.recoverIfNeeded with the stats context before vacuuming")
+    }
     // registered set: one entry per file — driver-held, like the
     // pruning interval map
     val registered = stats.select("filepath").collect()
@@ -56,7 +60,13 @@ object Vacuum {
           buf += f.getPath.toString
       }
     }
-    val dead = registered.filterNot(onDisk.contains)
+    // stale-stats gate, scoped to THIS path: one stats table may span
+    // many batch dirs, and registrations outside the vacuumed subtree
+    // are legitimately not on this listing
+    val prefix = Metastore.qualifiedPrefix(spark, dataPath)
+    val dead = registered
+      .filter(p => p == prefix || p.startsWith(prefix + "/"))
+      .filterNot(onDisk.contains)
     require(dead.isEmpty,
       s"stats reference ${dead.size} missing file(s) (e.g. ${dead.head}) — stats are stale; " +
         "repair them (Metastore.replaceUnderPrefix / Compactor.recoverIfNeeded) before vacuuming")

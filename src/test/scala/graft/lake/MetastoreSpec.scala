@@ -74,6 +74,24 @@ class MetastoreSpec extends SparkSpec {
       "filepath must be scheme-qualified like FileStatus paths")
   }
 
+  test("hive-partitioned layouts: a partition-valued stat column stays resolvable") {
+    import spark.implicits._
+    val d = tmpDir("ms_hive") + "/t"
+    (1L to 200L).map(i => (i, s"p${i % 2}")).toDF("id", "part")
+      .repartition(2, col("part")).write.partitionBy("part").parquet(d)
+    // footer builder: the column lives in directory names, not footers —
+    // NULL bounds (sound, never pruned on it), but the build must not throw
+    val fromFooters = Metastore.buildFromFooters(spark, d, "id", Seq("part"))
+    assert(fromFooters.count() >= 2)
+    assert(fromFooters.collect().forall(_.isNullAt(fromFooters.columns.indexOf("part_min"))))
+    // scan builder: partition values are real per-file constants
+    val fromScan = Metastore.build(spark, d, "id", Seq("part"))
+    val byPart = fromScan.collect()
+      .map(r => r.getString(r.fieldIndex("part_min")) -> r.getString(r.fieldIndex("part_max")))
+    assert(byPart.nonEmpty && byPart.forall { case (mn, mx) => mn == mx },
+      "each file lives in exactly one partition")
+  }
+
   test("schema evolution: a late-added column gets NULL bounds for old files and prunes soundly") {
     import spark.implicits._
     val d = tmpDir("ms_evolve") + "/t"
