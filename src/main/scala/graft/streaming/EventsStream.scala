@@ -223,6 +223,15 @@ object EventsStream {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Stream-static enrichment: a stream joined to a STATIC dimension
+    * table. Spark broadcasts (or rescans) the static side per
+    * micro-batch with no state at all — the third streaming join shape
+    * next to stream-stream (intervalJoinStream) and self-aggregation
+    * (hourlyByTypeStream). `dim` must be a batch DataFrame; inner join
+    * keeps only events whose key the dimension knows. */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Sessionization with a 30-minute gap per user — the classic stateful
     * streaming shape, batch form: session id = running count of
     * gap-exceeding boundaries per user (window functions). */

@@ -70,6 +70,26 @@ class EventsStreamSpec extends SparkSpec {
       "stream-stream join must equal the batch interval join (no late data in fixture)")
   }
 
+  test("stream-static enrichment equals the batch join") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a static user dimension: tier derived deterministically
+    val dim = (0L to 100L).map(u => (u, s"tier${u % 3}")).toDF("user_id", "tier")
+    val src = spark.readStream.schema(EventsStream.eventsSchema).parquet(eventsDir)
+      .select("event_id", "user_id", "event_type")
+    val q = EventsStream.enrichStream(src, dim, "user_id").writeStream
+      .format("memory").queryName("enrich_test")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enrich_test")
+    val expected = spark.read.parquet(eventsPath)
+      .select("event_id", "user_id", "event_type")
+      .join(dim, Seq("user_id"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0)
+  }
+
   test("session_window batch form matches the window-function sessionizer") {
     val events = EventsStream.readEvents(spark, eventsPath)
     val native = EventsStream.sessionWindow(events)
