@@ -356,6 +356,18 @@ object SparkEntry {
       EventsStream.hourlyByType(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .orderBy("hour", "event_type")),
 
+    // time-RANGE window frame: each event's trailing-1-hour per-user
+    // value sum — frame membership by EVENT-TIME distance, not row
+    // count (q_window_frames covers ROWS frames)
+    "q_window_range" -> ((s, dir) =>
+      EventsStream.readEvents(s, s"$dir/events.parquet")
+        .selectExpr("event_id", "user_id",
+          """CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+            |  PARTITION BY user_id ORDER BY ts
+            |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            |AS DOUBLE) AS trailing_1h""".stripMargin)
+        .orderBy("event_id")),
+
     // view→click attribution: the batch twin of the stream-stream
     // interval join (EventsStreamSpec pins the streaming form to this)
     "q_interval_join" -> ((s, dir) =>
@@ -1063,6 +1075,14 @@ object SparkEntry {
         |  round(exp(avg(CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END)), 6) AS gm_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS trailing_1h
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_interval_join" ->
       """WITH v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS view_ts, event_id AS view_id
