@@ -693,9 +693,12 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
 
     // exact-pairs form (ANSI-expressible → DuckDB hash oracle); the LSH
-    // bucketed form below is the scale path, rows-only + spec-pinned
+    // bucketed form below is the scale path, rows-only + spec-pinned.
+    // Quadratic by construction, so the corpus is CAPPED at 500 base
+    // vectors (the whole table at sf≤0.01; a fixed subset above) — the
+    // exact anchor must not own the bench as sf grows.
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDup(plantedEmbeddings(s, dir), "vec_id", "embedding",
+      Dedup.embeddingNearDup(plantedEmbeddings(s, dir, cap = 500L), "vec_id", "embedding",
           threshold = 0.9, bruteForce = true)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
@@ -878,11 +881,21 @@ object SparkEntry {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
 
-  /** embeddings ∪ shifted copy — planted cosine-1.0 near-dup pairs. */
-  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+  /** embeddings ∪ shifted copy — planted cosine-1.0 near-dup pairs.
+    * `cap` bounds the base table (vec_id < cap) BEFORE planting: the
+    * exact quadratic form stays an oracle anchor on a fixed-size subset
+    * instead of owning the bench as the corpus scales (Long.MaxValue =
+    * unbounded, the LSH scale path's input). */
+  private def plantedEmbeddings(s: SparkSession, dir: String,
+                                cap: Long = Long.MaxValue): DataFrame = {
+    val e = t(s, dir, "embeddings").where(col("vec_id") < cap)
     e.select(col("vec_id"), col("embedding"))
       .union(e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      // same rationale as plantedDocs: the raw table is 1-2 scan splits,
+      // and the expensive stage downstream is the narrow per-row vector
+      // math (bands·planes cosines in LSH) — spread it across all cores
+      // with a pinned partition count AQE can't coalesce away
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
   }
 
   // ─────────────────────────────────────────────────────────────────────
@@ -1364,11 +1377,11 @@ object SparkEntry {
     "dedup_embedding" ->
       """WITH pe AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
+        |  FROM embeddings WHERE vec_id < 500
         |  UNION ALL
         |  SELECT vec_id + 100000 AS vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings WHERE vec_id < 500),
         |scored AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_dot_product(a.v, b.v)
@@ -1518,11 +1531,11 @@ object SparkEntry {
         |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS n_bpe_est
         |  FROM documents),
         |c AS (SELECT doc_id, source, n_bpe_est,
-        |    COALESCE(SUM(n_bpe_est) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        |    CAST(COALESCE(SUM(n_bpe_est) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
         |  FROM t)
         |SELECT doc_id, source, n_bpe_est, tokens_before,
-        |  tokens_before // 2048 AS seq_id
+        |  CAST(tokens_before // 2048 AS BIGINT) AS seq_id
         |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "mm_catalog" ->

@@ -229,40 +229,63 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
-  /** Embedding-cosine near-dup pairs. Candidate generation uses
-    * random-hyperplane LSH buckets (see Similarity.signBuckets) so the
-    * pairwise cosine runs inside buckets, not across the corpus; at test
+  /** Embedding-cosine near-dup pairs. Candidate generation uses BANDED
+    * random-hyperplane LSH (see Similarity.bandedSignBuckets): each
+    * vector explodes to `bands` rows keyed (band, r-plane sign bucket),
+    * the same shape as `minhashCandidates`' band rows, so the pairwise
+    * cosine runs inside band-buckets, not across the corpus; at test
     * scale the bucketing is optional via `bruteForce=true`.
     *
+    * `planesPerBand=0` (default) derives r from the corpus count so the
+    * bucket space GROWS with the corpus — r = log2(n / 64), i.e. ~64
+    * vectors per band-bucket on average regardless of n. A fixed 2^r
+    * space (the earlier single-code form) stops reducing candidates the
+    * moment n outgrows it: every bucket goes hot, and the `maxBucket`
+    * cap must either drop most of a clustered corpus (recall collapse)
+    * or admit near-quadratic buckets.
+    *
     * The LSH path routes through `candidatePairsFromBuckets`, so the
-    * bucketing pipeline executes once and buckets above `maxBucket` are
-    * dropped — with only 2^planes buckets, a clustered corpus (the
-    * normal dedup case) concentrates mass in few buckets, and an
-    * uncapped bucket self-join would go quadratic on one reducer.
+    * bucketing pipeline executes once and band-buckets above `maxBucket`
+    * are dropped — the cap bounds BOTH reducer skew and the in-array
+    * pair expansion (≤ maxBucket²/2 structs materialize in one row,
+    * which is why the default is 1000, ≈ 500K structs worst case, not
+    * 10K). Recall survives the cap through the multi-band OR: a pair
+    * sharing one hot band-bucket usually also shares a colder one.
     * Vectors are joined back only for surviving candidate pairs, so the
     * pair expansion itself moves (id, id) rows, never embeddings.
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bruteForce: Boolean = false,
-                       planes: Int = 8, seed: Long = 42L,
-                       maxBucket: Int = 10000): DataFrame = {
+                       bands: Int = 8, planesPerBand: Int = 0,
+                       seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     val pairs =
       if (bruteForce) {
         val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
         val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
         a.join(b, col("id_a") < col("id_b"))
       } else {
-        val dimRow = emb.select(size(col(vecCol))).head(1)
-        if (dimRow.isEmpty) return emb.sparkSession.createDataFrame(
+        // one probe job for (corpus count, dim) — not two separate scans
+        val probe = emb.agg(count(lit(1)), max(size(col(vecCol)))).head()
+        val n = probe.getLong(0)
+        if (n == 0L) return emb.sparkSession.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("id_a", emb.schema(idCol).dataType),
             org.apache.spark.sql.types.StructField("id_b", emb.schema(idCol).dataType),
             org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
-        val dim = dimRow.head.getInt(0)
-        val bucketed = Similarity.signBuckets(emb, vecCol, dim, planes, seed)
-          .select(col("bucket"), col(idCol).as("doc"))
-        val cand = candidatePairsFromBuckets(bucketed, Seq("bucket"), "doc", maxBucket)
+        val dim = probe.getInt(1)
+        val r =
+          if (planesPerBand > 0) planesPerBand
+          else
+            // scale the per-band bucket space with the corpus: mean
+            // band-bucket ≈ 16 vectors, so candidate volume stays
+            // ≈ bands·8·n (linear in n) instead of quadratic
+            math.min(24, math.max(4,
+              math.ceil(math.log(math.max(n, 1L) / 16.0) / math.log(2.0)).toInt))
+        val bucketed = Similarity.bandedSignBuckets(
+            emb.select(col(idCol).as("doc"), col(vecCol)), vecCol, dim, bands, r, seed)
+          .select(col("band"), col("bucket"), col("doc"))
+        val cand = candidatePairsFromBuckets(bucketed, Seq("band", "bucket"), "doc", maxBucket)
         val vecs = emb.select(col(idCol), col(vecCol))
         cand.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
           .join(vecs.toDF("id_a", "v_a"), Seq("id_a"))

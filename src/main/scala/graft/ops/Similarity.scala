@@ -92,6 +92,33 @@ object Similarity {
     df.withColumn("bucket", bucket)
   }
 
+  /** Banded random-hyperplane LSH keys: each input row explodes to
+    * `bands` rows keyed (band, bucket), where a band's bucket is the
+    * sign pattern of that band's `planesPerBand` private hyperplanes.
+    * Two vectors at angle θ share a given band with probability
+    * (1-θ/π)^planesPerBand; over b bands the OR gives the standard
+    * 1-(1-p^r)^b S-curve — recall comes from multi-band OR, so a pair
+    * dropped from one band's hot bucket can still surface in another.
+    *
+    * The bucket space is bands × 2^planesPerBand — callers scale
+    * `planesPerBand` with corpus size so mean bucket size stays bounded
+    * (vs the single-code `signBuckets`, whose 2^planes space is fixed).
+    * Each sign test is the native codegen'd cosine against the
+    * hyperplane (sign(cos) = sign(dot): norms are positive), not the
+    * interpreted `dotCol` lambda — bands·planes dots per row is the hot
+    * loop here. */
+  def bandedSignBuckets(df: DataFrame, vecCol: String, dim: Int,
+                        bands: Int, planesPerBand: Int, seed: Long): DataFrame = {
+    require(planesPerBand >= 1 && planesPerBand <= 62, s"planesPerBand=$planesPerBand out of range")
+    val bandCols = (0 until bands).map { b =>
+      (0 until planesPerBand).map { p =>
+        val h = hyperplane(seed, b * planesPerBand + p, dim)
+        when(cosineCol(floatLits(h), col(vecCol)) >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    df.select(col("*"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+  }
+
   /** Empty (query_id, neighbor_id, rank, cos) result with the right id
     * type — the approximate paths probe the corpus for its dimension, so
     * an empty corpus must short-circuit instead of crashing `.head`. */

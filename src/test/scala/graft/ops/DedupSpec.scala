@@ -82,7 +82,8 @@ class DedupSpec extends SparkSpec {
 
   test("embedding near-dup: hot LSH bucket above maxBucket is dropped") {
     import spark.implicits._
-    // 12 identical vectors land in one sign bucket -> 12 > maxBucket=10 -> dropped
+    // 12 identical vectors share EVERY band's bucket -> all 12-sized
+    // band-buckets exceed maxBucket=10 -> dropped in every band
     val many = (1L to 12L).map(i => (i, Array(1.0f, 0.2f, 0.1f, 0.05f)))
       .toDF("vec_id", "embedding")
     val capped = Dedup.embeddingNearDup(many, "vec_id", "embedding",
@@ -91,6 +92,31 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.embeddingNearDup(many, "vec_id", "embedding",
       threshold = 0.9, maxBucket = 100)
     assert(uncapped.count() === 12L * 11 / 2)
+  }
+
+  test("embedding LSH recall floor on a seeded clustered corpus") {
+    import spark.implicits._
+    // 40 Gaussian cluster centers × 10 members each (noise σ=0.05 →
+    // intra-cluster cosine ≈ 0.998): the shape dedup actually runs on.
+    // Pins candidate recall QUANTITATIVELY against the exact pairs so a
+    // banding/bucketing rework cannot silently trade recall away.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 40).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 10).map { m =>
+        ((c * 10 + m).toLong, center.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val bf = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.9, bruteForce = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.size >= 40 * (10 * 9 / 2), s"ground truth too small: ${bf.size}")
+    assert(lsh.subsetOf(bf), "LSH pairs must be a subset of exact truth")
+    val recall = lsh.size.toDouble / bf.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9 floor (|bf|=${bf.size}, |lsh|=${lsh.size})")
   }
 
   test("oversized buckets are dropped by the skew cap") {
