@@ -20,6 +20,18 @@ import org.apache.spark.sql.SparkSession
   * stats, drop bak. `recoverIfNeeded` rolls a crashed swap forward or
   * back; SINGLE-WRITER like all metastore maintenance — pause ingest
   * for the table (not the whole lake) while compacting.
+  *
+  * READER visibility: between `swap.commit()` and the stats refresh the
+  * live dir already holds the new files while the stats table still
+  * references the deleted old ones, so a concurrent reader that prunes
+  * through the metastore (Lakeshack / MetastoreFileIndex) can resolve
+  * to missing paths and fail with FileNotFound for the swap window
+  * (seconds — the rewrite itself happens BEFORE the window opens).
+  * This is the same contract as the reference's non-transactional
+  * catalog: retry the query, or route readers through
+  * `Lakeshack.query(..., tolerateCorrupt = true)`, which skips
+  * missing/unreadable files instead of failing. Writers are already
+  * excluded by the single-writer rule.
   */
 object Compactor {
 

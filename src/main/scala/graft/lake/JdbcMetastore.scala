@@ -63,9 +63,17 @@ object JdbcMetastore {
       val esc = md.getSearchStringEscape
       def quote(s: String) = s.replace(esc, esc + esc)
         .replace("_", esc + "_").replace("%", esc + "%")
-      Seq(namePart, namePart.toUpperCase, namePart.toLowerCase).distinct.exists { name =>
-        val rs = md.getTables(null, schemaPart.map(quote).orNull, quote(name), null)
-        try rs.next() finally rs.close()
+      // case-fold the SCHEMA part too: Derby folds unquoted identifiers
+      // to upper case, so a schema-qualified 'myschema.stats' probed
+      // as-given reports absent, silently degrading replace into append
+      def variants(s: String) = Seq(s, s.toUpperCase, s.toLowerCase).distinct
+      val schemaVariants: Seq[Option[String]] =
+        schemaPart.fold(Seq(Option.empty[String]))(s => variants(s).map(Some(_)))
+      schemaVariants.exists { schema =>
+        variants(namePart).exists { name =>
+          val rs = md.getTables(null, schema.map(quote).orNull, quote(name), null)
+          try rs.next() finally rs.close()
+        }
       }
     } finally conn.close()
   }
@@ -122,9 +130,13 @@ object JdbcMetastore {
     try {
       // mirror Spark's JDBC writer exactly: it embeds the TABLE name
       // unquoted (case-folded by the DB) but quotes COLUMN names
-      // verbatim, so this statement must do the same to resolve
+      // verbatim — via the backend's dialect (MySQL backticks, ANSI
+      // double quotes elsewhere), so the statement resolves against
+      // whatever quoting the writer used at CREATE
+      val quotedCol =
+        org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier("filepath")
       val st = conn.prepareStatement(
-        s"""DELETE FROM $table WHERE "filepath" LIKE ? ESCAPE '#'""")
+        s"DELETE FROM $table WHERE $quotedCol LIKE ? ESCAPE '#'")
       try { st.setString(1, pat); st.executeUpdate() } finally st.close()
     } finally conn.close()
     materialized.write.mode(SaveMode.Append).jdbc(url, table, props)

@@ -1,8 +1,34 @@
 package graft.lake
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Per-query operational counters — the reference's O19 telemetry
+  * (lakeshack/lakeshack.py:566-577 logs n_queries/n_files/n_records/
+  * elapsed per call; metastore.py:478-479 logs the prune count). At
+  * 100 TB, "how many files did pruning save me" is THE operational
+  * metric — a silent prune regression turns a seconds query into an
+  * hours scan with no other signal.
+  *
+  * Prune-side counters are known at plan time; `nRecords`/`elapsedSec`
+  * only exist once the (lazy) DataFrame actually executes, so they are
+  * filled in asynchronously by a QueryExecutionListener and are `None`
+  * until the first execution completes.
+  */
+final case class QueryTelemetry(
+    nValues: Int,
+    filesTotal: Long,
+    filesScanned: Long,
+    filesSkippedMissing: Long,
+    pruneSec: Double,
+    nRecords: Option[Long],
+    elapsedSec: Option[Double])
 
 /** The retrieval engine: prune files via the Metastore, then scan only the
   * surviving Parquet files with projection + conjunctive predicate
@@ -33,6 +59,14 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
 
   val clusterColumn: String = Metastore.clusterColumnOf(stats)
 
+  /** Counters of the most recent `query` call (prune side immediately;
+    * rows/elapsed after its DataFrame first executes). */
+  @volatile var lastTelemetry: Option[QueryTelemetry] = None
+
+  /** Total indexed files — the prune denominator. Computed once: the
+    * stats frame is immutable for this instance's lifetime. */
+  lazy val filesTotal: Long = stats.select("filepath").distinct().count()
+
   /** Point/range retrieval. Returns an unexecuted DataFrame so callers
     * can compose further operators (the host engine IS Spark).
     *
@@ -41,24 +75,64 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
     * @param columns  projection; None = all columns
     * @param limit    max records (None = unlimited); exact, unlike the
     *                 reference's approximate n_records_max
+    * @param tolerateCorrupt opt-in per-file error tolerance, mirroring
+    *                 the reference's scan loop (lakeshack.py:223-230,
+    *                 386-388: log-and-skip a file that errors during the
+    *                 scan). Pruned files missing on disk are dropped
+    *                 up front (logged at WARN) and files whose bytes
+    *                 fail to decode are skipped by the reader
+    *                 (`ignoreCorruptFiles`) — the query returns every
+    *                 healthy file's rows instead of failing whole. Off
+    *                 by default: silently incomplete results must be
+    *                 asked for, never handed out.
     */
   def query(values: Seq[Any],
             clauses: Seq[Clause] = Nil,
             columns: Option[Seq[String]] = None,
-            limit: Option[Int] = None): DataFrame = {
-    val files = Metastore.prune(spark, stats, values, clauses)
+            limit: Option[Int] = None,
+            tolerateCorrupt: Boolean = false): DataFrame = {
+    val t0 = System.nanoTime()
+    val pruned = Metastore.prune(spark, stats, values, clauses)
+    val (files, missing) =
+      if (!tolerateCorrupt || pruned.isEmpty) (pruned, Nil)
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val (ok, gone) = pruned.partition { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+        gone.foreach(p => Lakeshack.log.warn(s"lakeshack.query: skipping missing file $p"))
+        (ok, gone)
+      }
+    val pruneSec = (System.nanoTime() - t0) / 1e9
+    val telemetry = QueryTelemetry(values.size, filesTotal, files.size, missing.size,
+      pruneSec, nRecords = None, elapsedSec = None)
+    lastTelemetry = Some(telemetry)
+    Lakeshack.log.info(
+      f"lakeshack.query: n_values=${values.size} files_scanned=${files.size}/$filesTotal " +
+        f"files_pruned=${filesTotal - files.size} files_skipped_missing=${missing.size} " +
+        f"prune_sec=$pruneSec%.3f")
+
     if (files.isEmpty) {
-      // no surviving file: empty result with the right schema
+      // no surviving file: empty result with the right schema — and the
+      // execution-side counters are already known
+      lastTelemetry = Some(telemetry.copy(nRecords = Some(0L), elapsedSec = Some(0.0)))
       val schema = dataSchema.getOrElse(
         throw new IllegalStateException("No files matched and no schema supplied for empty result"))
       val projected = columns.map(cs => StructType(cs.map(schema(_)))).getOrElse(schema)
       return spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), projected)
     }
-    val reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))
+    var reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))
+    if (tolerateCorrupt)
+      // per-read options, not session confs: tolerance is scoped to THIS
+      // query. ignoreMissingFiles covers files that vanish between the
+      // exists() probe above and task execution (e.g. a racing compactor)
+      reader = reader.option("ignoreCorruptFiles", "true").option("ignoreMissingFiles", "true")
     var df = reader.parquet(files: _*)
       .where(col(clusterColumn).isin(values: _*) && Clause.conjunction(clauses))
     df = columns.fold(df)(cs => df.select(cs.map(col): _*))
-    limit.fold(df)(df.limit)
+    df = limit.fold(df)(df.limit)
+    Lakeshack.observed(spark, this, telemetry, df)
   }
 
   /** Scalar-input convenience, mirroring the reference's scalar→list
@@ -67,6 +141,62 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
 }
 
 object Lakeshack {
+  private[lake] val log = org.slf4j.LoggerFactory.getLogger(classOf[Lakeshack])
+
+  private val obsCounter = new AtomicLong()
+
+  /** Observation name → (owner, plan-time counters) for queries built
+    * but not yet executed. Entries are removed when the listener sees
+    * the metric (success) or the query fails; a DataFrame that is never
+    * executed leaves its (tiny) entry behind — bounded by the number of
+    * abandoned plans, not by data. */
+  private val pending = new ConcurrentHashMap[String, (Lakeshack, QueryTelemetry)]()
+
+  /** Sessions that already carry the telemetry listener. Weak keys: a
+    * stopped-and-collected session must not be pinned by telemetry. */
+  private val listenerSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Wrap a query result with a named row-count observation so the
+    * execution-side counters (n_records, elapsed) land in the owner's
+    * `lastTelemetry` — and in the INFO log — when the lazy plan finally
+    * runs. `observe` adds a CollectMetrics node ABOVE the limit/project,
+    * so it counts exactly the rows the query returned, costs one
+    * accumulator update per row, and triggers no extra job. */
+  private def observed(spark: SparkSession, owner: Lakeshack,
+                       t: QueryTelemetry, df: DataFrame): DataFrame = {
+    ensureListener(spark)
+    val name = s"lakeshack.query.${obsCounter.incrementAndGet()}"
+    pending.put(name, (owner, t))
+    df.observe(name, count(lit(1)).as("n_records"))
+  }
+
+  private def ensureListener(spark: SparkSession): Unit =
+    listenerSessions.synchronized {
+      if (!listenerSessions.containsKey(spark)) {
+        spark.listenerManager.register(new QueryExecutionListener {
+          override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              Option(pending.remove(name)).foreach { case (owner, t) =>
+                val done = t.copy(nRecords = Some(row.getLong(0)),
+                  elapsedSec = Some(durationNs / 1e9))
+                owner.lastTelemetry = Some(done)
+                log.info(f"lakeshack.query complete: n_records=${row.getLong(0)} " +
+                  f"elapsed_sec=${durationNs / 1e9}%.3f " +
+                  f"(files_scanned=${t.filesScanned}/${t.filesTotal})")
+              }
+            }
+          override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =
+            // drop pending entries for failed plans so the map stays
+            // bounded; observedMetrics can itself throw on a broken plan
+            try qe.observedMetrics.keysIterator.foreach(pending.remove)
+            catch { case _: Exception => () }
+        })
+        listenerSessions.put(spark, java.lang.Boolean.TRUE)
+      }
+    }
+
   /** Build stats in one pass and return a ready-to-query engine. The
     * stats DataFrame is cached: it is tiny (one row per file) and every
     * query's prune step consumes it — without the cache each query

@@ -24,16 +24,26 @@ object Sampling {
 
   /** Deterministic Bernoulli sampling: keep a row iff the multiplicative
     * hash of its numeric key falls under `fraction` of the hash space.
-    * A narrow filter — no shuffle, survives predicate pushdown, and at
-    * 100 TB it composes with partition pruning instead of fighting it.
+    * A narrow filter — no shuffle, no barrier to pushdown of OTHER
+    * predicates, and at 100 TB it composes with partition pruning
+    * instead of fighting it.
     *
-    * The key must be non-negative and < ~3.4e9 so `key * KnuthA` stays
-    * inside Long (overflow would still be deterministic but would break
-    * the ANSI-SQL oracle twin, which is the point of this simple form).
+    * The hash is `(key·A) mod 2^32` computed overflow-free for ANY Long
+    * key: reduce the key mod 2^32 (only the low 32 bits affect the
+    * result), split it into 16-bit halves with bit ops, and fold — every
+    * intermediate stays < 2^49, so the arithmetic never overflows Long
+    * (a naive `key * A` overflows past key ≈ 3.47e9: silently
+    * nondeterministic vs the ANSI oracle twin, and a hard error under
+    * ANSI mode). For keys in [0, 2^32) this is bit-identical to the
+    * plain `(key * 2654435761) % 4294967296` oracle SQL.
     */
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    df.where(pmod(keyCol * lit(KnuthA), lit(Mod)) < lit((fraction * Mod).toLong))
+    val k = pmod(keyCol, lit(Mod)) // [0, 2^32), negatives folded
+    val hi = shiftright(k, 16) * lit(KnuthA)          // < 2^48
+    val lo = k.bitwiseAND(lit(0xFFFFL)) * lit(KnuthA) // < 2^48
+    val hash = pmod(pmod(hi, lit(Mod)) * lit(65536L) + lo, lit(Mod))
+    df.where(hash < lit((fraction * Mod).toLong))
   }
 
   /** Fixed-size-per-stratum sampling: the first `k` rows of each stratum

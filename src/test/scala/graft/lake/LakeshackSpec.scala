@@ -134,6 +134,80 @@ class LakeshackSpec extends SparkSpec {
     }
   }
 
+  test("tolerateCorrupt skips a corrupted pruned file and returns the healthy rows") {
+    val d = tmpDir("ls_corrupt")
+    Fixtures.generate(spark, d, NaiveTs, nFiles = 4)
+    val s = Lakeshack(spark, d, "id", Seq("timestamp"))
+    // materialize the (lazy) cached stats BEFORE corrupting: otherwise
+    // the first query would run the tolerant stats build over the
+    // already-corrupt file, leave it un-indexed, and prune it away —
+    // never exercising the scan-side tolerance under test
+    assert(s.filesTotal === 4)
+    val allIds = spark.read.parquet(d).select("id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val files = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toPath).sortBy(_.toString)
+    assert(files.length === 4)
+    // corrupt one file AFTER the stats build: it still survives pruning,
+    // exactly the reference's mid-scan failure (lakeshack.py:223-230)
+    java.nio.file.Files.write(files.head, "not a parquet file".getBytes)
+    val healthy = files.tail.map(_.toString)
+    val expected = spark.read.parquet(healthy: _*).count()
+    // default: the corrupt file fails the whole query
+    intercept[org.apache.spark.SparkException] {
+      s.query(allIds).count()
+    }
+    // opt-in tolerance: every healthy file's rows come back
+    assert(s.query(allIds, tolerateCorrupt = true).count() === expected)
+  }
+
+  test("tolerateCorrupt drops a missing pruned file (logged, counted)") {
+    val d = tmpDir("ls_missing")
+    Fixtures.generate(spark, d, NaiveTs, nFiles = 4)
+    val s = Lakeshack(spark, d, "id", Seq("timestamp"))
+    assert(s.filesTotal === 4) // materialize stats before deleting (see above)
+    val allIds = spark.read.parquet(d).select("id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val files = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toPath).sortBy(_.toString)
+    java.nio.file.Files.delete(files.head)
+    val healthy = files.tail.map(_.toString)
+    val expected = spark.read.parquet(healthy: _*).count()
+    assert(s.query(allIds, tolerateCorrupt = true).count() === expected)
+    val t = s.lastTelemetry.get
+    assert(t.filesSkippedMissing === 1)
+    assert(t.filesScanned === 3)
+  }
+
+  test("query telemetry reports prune counters and, after execution, rows + elapsed") {
+    // fresh instance: async completions of EARLIER tests' queries target
+    // their own instances and cannot clobber this one's lastTelemetry
+    val own = Lakeshack(spark, dir, "id", Seq("timestamp"))
+    val got = own.query(Seq(id0))
+    val t0 = own.lastTelemetry.get
+    assert(t0.nValues === 1)
+    assert(t0.filesTotal === own.filesTotal && t0.filesTotal > 1)
+    assert(t0.filesScanned >= 1 && t0.filesScanned < t0.filesTotal,
+      s"a point query must prune: scanned ${t0.filesScanned}/${t0.filesTotal}")
+    assert(t0.pruneSec >= 0.0 && t0.nRecords.isEmpty)
+    val n = got.count()
+    // the execution-side counters arrive via an async listener
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var t = own.lastTelemetry.get
+    while (t.nRecords.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50); t = own.lastTelemetry.get
+    }
+    assert(t.nRecords.contains(n), s"telemetry rows ${t.nRecords} != counted $n")
+    assert(t.elapsedSec.exists(_ >= 0.0))
+  }
+
+  test("empty prune result reports zero-row telemetry immediately") {
+    val before = shack.query(Seq("zz_no_such_id"))
+    assert(before.count() === 0)
+    val t = shack.lastTelemetry.get
+    assert(t.filesScanned === 0 && t.nRecords.contains(0L) && t.elapsedSec.contains(0.0))
+  }
+
   test("clustered writer produces disjoint per-file ranges that prune to one file") {
     val out = tmpDir("ls_clustered")
     ClusteredWriter.write(all.toDF(), out, "id", nFiles = 5)
