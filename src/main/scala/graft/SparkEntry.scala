@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.lake.{Clause, ClusteredWriter, Lakeshack, Metastore, MetastoreFileIndex}
+import graft.lake.{Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex}
 import graft.functions.GeometricMean
 import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
@@ -73,6 +73,42 @@ object SparkEntry {
     * times — rebuilding it per query would bench the writer, not the
     * pruning. */
   private val zorderViewCache = new SessionCache[String]
+
+  /** lake_merge/lake_delete's merged-table setup, once per (session,
+    * dir): copy lineitem into a clustered lake, apply one CDC upsert
+    * batch and one delete batch through `Merge`, register a pruned view
+    * over the REFRESHED stats — so the queries verify both the merged
+    * rows and that the swapped-in stats still prune correctly. */
+  private val mergeViewCache = new SessionCache[String]
+
+  private def mergedLineitemView(s: SparkSession, dir: String): String =
+    mergeViewCache.getOrElseUpdate(s, dir) {
+      val san = dirTag(dir)
+      val base = s"/tmp/graft_merge_$san"
+      // wipe a previous process's leftovers: Merge MUTATES the copy, and
+      // a stale half-merged table (or appended stats) would double-apply
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      val data = s"$base/t"; val stats = s"$base/stats"
+      ClusteredWriter.write(t(s, dir, "lineitem"), data, "l_orderkey", nFiles = 16)
+      Metastore.update(s, stats,
+        Metastore.buildFromFooters(s, data, "l_orderkey", Seq("l_shipdate")))
+      // CDC upsert: key-group replace of orderkeys 42 and 47 with the
+      // same rows at quantity+100 (exact in double AND in the oracle's
+      // identical DOUBLE arithmetic)
+      Merge.upsert(s, data, stats,
+        t(s, dir, "lineitem").where(col("l_orderkey").isin(42L, 47L))
+          .withColumn("l_quantity", col("l_quantity") + lit(100.0)))
+      // delete two present keys + one key absent below sf0.01 (a no-op
+      // there — the oracle's NOT IN agrees either way)
+      import s.implicits._
+      Merge.delete(s, data, stats, Seq(43L, 50L, 4243L).toDF("l_orderkey"))
+      val name = "lineitem_merged_" + san
+      MetastoreFileIndex.table(s, data, Metastore.load(s, stats))
+        .createOrReplaceTempView(name)
+      name
+    }
 
   /** Identifier-safe, collision-free tag for a data dir: the sanitized
     * path keeps names human-readable, the md5 prefix makes distinct
@@ -175,6 +211,31 @@ object SparkEntry {
            |FROM $view
            |WHERE l_orderkey BETWEEN 4000 AND 4600 AND l_partkey BETWEEN 500 AND 700
            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // copy-on-write MERGE: row-level listing across the upserted (42,
+    // 47 at quantity+100) and deleted (43, 50) key range — through the
+    // REFRESHED stats' pruned view, so a stats-swap bug surfaces as
+    // missing rows here
+    "lake_merge" -> ((s, dir) => {
+      val view = mergedLineitemView(s, dir)
+      s.sql(
+        s"""SELECT l_orderkey, l_linenumber, l_quantity
+           |FROM $view
+           |WHERE l_orderkey BETWEEN 40 AND 60
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // whole-table checksum of the merged state: proves the delete
+    // removed every row of its keys table-wide and the rewrite
+    // preserved every other row (not just the listed window above)
+    "lake_delete" -> ((s, dir) => {
+      val view = mergedLineitemView(s, dir)
+      s.sql(
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+           |FROM $view""".stripMargin)
     }),
 
     // ───── core relational operators (SURVEY §2.2, free from Spark)
@@ -934,6 +995,21 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_orderkey IN (42, 4242, 9999, 14000)
         |ORDER BY l_orderkey, l_linenumber LIMIT 7""".stripMargin,
+
+    "lake_merge" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey IN (42, 47) THEN l_quantity + 100 ELSE l_quantity END
+        |    AS l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 40 AND 60 AND l_orderkey NOT IN (43, 50, 4243)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "lake_delete" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN l_orderkey IN (42, 47) THEN l_quantity + 100
+        |                     ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+        |FROM lineitem WHERE l_orderkey NOT IN (43, 50, 4243)""".stripMargin,
 
     "lake_stats" ->
       """SELECT min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,

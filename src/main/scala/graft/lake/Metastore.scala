@@ -419,6 +419,40 @@ object Metastore {
     swap.dropBak()
   }
 
+  /** Replace the stats rows of an explicit FILE SET with fresh rows —
+    * the row-level sibling of `replaceUnderPrefix`, for maintenance that
+    * rewrites a subset of a table's files in place (Merge): the removed
+    * files' rows are dropped, the new files' rows appended, in one
+    * atomic swap of the stats table. Same crash contract as
+    * `replaceUnderPrefix` (SwapProtocol + recoverIfNeeded); same
+    * single-writer rule. */
+  def replaceFiles(spark: SparkSession, statsPath: String,
+                   removedFiles: Seq[String], newStats: DataFrame): Unit = {
+    recoverIfNeeded(spark, statsPath)
+    if (!exists(spark, statsPath)) {
+      newStats.write.mode("append").parquet(statsPath)
+      return
+    }
+    val old = spark.read.parquet(statsPath)
+    requireSameStatsSchema(old, newStats)
+    // Path-normalize both sides so "file:///x" and "file:/x" agree
+    val removed = removedFiles.map(p => new org.apache.hadoop.fs.Path(p).toString).toSet
+    val keep = old.collect().filterNot(r =>
+      removed.contains(new org.apache.hadoop.fs.Path(r.getString(0)).toString))
+    val rows = new java.util.ArrayList[Row]()
+    keep.foreach(rows.add)
+    newStats.collect().foreach(rows.add)
+
+    val live = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new SwapProtocol(fs, live, ".tmp", ".bak")
+    swap.clearTmp()
+    spark.createDataFrame(rows, old.schema)
+      .coalesce(1).write.mode("overwrite").parquet(swap.tmp.toString)
+    swap.commit()
+    swap.dropBak()
+  }
+
   /** Roll an interrupted `replaceUnderPrefix` commit forward or back
     * (see `SwapProtocol.recover`; a stats table has no post-commit work
     * beyond dropping the bak). Idempotent and cheap (three existence

@@ -147,8 +147,20 @@ object MetastoreFileIndex {
       try spark.read.parquet(dataPath).schema
       catch { case _: org.apache.spark.sql.AnalysisException =>
         spark.read.option("recursiveFileLookup", "true").parquet(dataPath).schema }
-    val base = new InMemoryFileIndex(spark, Seq(new Path(dataPath)),
+    val probe = new InMemoryFileIndex(spark, Seq(new Path(dataPath)),
       Map.empty[String, String], Some(schema), FileStatusCache.getOrCreate(spark), None, None)
+    // NON-hive layouts must list recursively: with empty partition
+    // columns and no recursiveFileLookup, PartitioningAwareFileIndex
+    // .allFiles returns only each root's DIRECT child files, silently
+    // dropping nested batch dirs (a Merge/ingest lake's native shape —
+    // top-level files plus merge-*/batch-* subdirs). Hive layouts keep
+    // the default index: their files all live under partition dirs, and
+    // recursive lookup would disable the partition-column inference.
+    val base =
+      if (probe.partitionSchema.nonEmpty) probe
+      else new InMemoryFileIndex(spark, Seq(new Path(dataPath)),
+        Map("recursiveFileLookup" -> "true"), Some(schema),
+        FileStatusCache.getOrCreate(spark), None, None)
     val idx = new MetastoreFileIndex(base, statsSource)
     // hive-style layouts: partition columns come from the directory
     // structure, not the file footers — declaring them in dataSchema

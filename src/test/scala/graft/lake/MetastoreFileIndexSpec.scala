@@ -201,4 +201,23 @@ class MetastoreFileIndexSpec extends SparkSpec {
     assert(filesRead(tbl.where(col("k") === 1L)) === 1L,
       "old-file keys must still prune the new file")
   }
+
+  test("mixed layout: top-level files plus nested batch dirs are all visible") {
+    import spark.implicits._
+    // the Merge/ingest lake shape: original top-level files + a nested
+    // batch subdir. A non-recursive index silently returns only the
+    // root's DIRECT children (PartitioningAwareFileIndex.allFiles) —
+    // this pins the recursive branch of MetastoreFileIndex.table.
+    val root = tmpDir("mfi_mixed")
+    val d = root + "/data"
+    val sp = root + "/stats"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1).write.parquet(d)
+    Seq((100L, "x"), (101L, "y")).toDF("k", "v").coalesce(1).write.parquet(s"$d/merge-0001")
+    Metastore.update(spark, sp, Metastore.buildFromFooters(spark, d, "k"))
+    val tbl = MetastoreFileIndex.table(spark, d, sp)
+    assert(tbl.count() === 4L, "nested batch rows must be listed")
+    assert(tbl.where(col("k") === 100L).count() === 1L)
+    assert(filesRead(tbl.where(col("k") === 100L)) === 1L,
+      "zone maps must prune the top-level file for nested-batch keys")
+  }
 }
