@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.lake.{Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex}
+import graft.lake.{BloomIndex, Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex}
 import graft.functions.GeometricMean
 import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
@@ -80,6 +80,22 @@ object SparkEntry {
     * over the REFRESHED stats — so the queries verify both the merged
     * rows and that the swapped-in stats still prune correctly. */
   private val mergeViewCache = new SessionCache[String]
+
+  /** lake_bloom's clustered orders copy + per-file Bloom table, once
+    * per (session, dir) — an index is built at ingest and probed many
+    * times. The copy is clustered by o_orderkey, so zone maps prune
+    * NOTHING for a customer lookup; the Bloom table is what narrows the
+    * scan to the files that really hold the customer's orders (a ~10-
+    * row key in 24 files here; at 100 TB, 10 files out of 100 000). */
+  private val bloomCache = new SessionCache[(String, DataFrame)]
+
+  private def bloomOrders(s: SparkSession, dir: String): (String, DataFrame) =
+    bloomCache.getOrElseUpdate(s, dir) {
+      val path = s"/tmp/graft_bloom_${dirTag(dir)}/orders"
+      ClusteredWriter.write(t(s, dir, "orders"), path, "o_orderkey", nFiles = 24)
+      (path, BloomIndex.build(s, path, "o_custkey",
+        expectedItemsPerFile = 16384L).cache())
+    }
 
   private def mergedLineitemView(s: SparkSession, dir: String): String =
     mergeViewCache.getOrElseUpdate(s, dir) {
@@ -236,6 +252,23 @@ object SparkEntry {
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys
            |FROM $view""".stripMargin)
+    }),
+
+    // per-file Bloom pruning on an UNCLUSTERED high-cardinality column:
+    // the orders copy is clustered by o_orderkey, so every file's
+    // o_custkey [min,max] spans the whole domain and zone maps keep all
+    // 24 files — the Bloom table narrows the scan to the files actually
+    // holding the probed customers (may-contain: a false positive only
+    // adds a file whose rows the scan filter then drops)
+    "lake_bloom" -> ((s, dir) => {
+      val (path, bloom) = bloomOrders(s, dir)
+      val files = BloomIndex.prune(bloom, Seq(37L, 55L))
+      val base =
+        if (files.isEmpty) s.read.parquet(path).limit(0)
+        else s.read.parquet(files: _*)
+      base.where(col("o_custkey").isin(37L, 55L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
     }),
 
     // ───── core relational operators (SURVEY §2.2, free from Spark)
@@ -1003,6 +1036,10 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 40 AND 60 AND l_orderkey NOT IN (43, 50, 4243)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "lake_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (37, 55) ORDER BY o_orderkey""".stripMargin,
 
     "lake_delete" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

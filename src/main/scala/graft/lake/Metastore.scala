@@ -40,6 +40,11 @@ object Metastore {
   private val normalizePath =
     udf((p: String) => new org.apache.hadoop.fs.Path(p).toString).asNondeterministic()
 
+  /** Path normalization for sibling index builders (BloomIndex): apply
+    * only POST-AGGREGATION (per file), never per row — see above. */
+  private[lake] def normalizePathCol(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = normalizePath(c)
+
   /** Column types that get min/max stats. Anything else is silently
     * excluded (with the cluster column required to be orderable),
     * preserving the reference's drop-with-warning policy
