@@ -15,6 +15,11 @@ run / fork := true
 // logger prefixes every forked-process line with "[info] ", which breaks
 // that parse. StdoutOutput lets the forked JVM inherit stdout unwrapped.
 run / outputStrategy := Some(StdoutOutput)
+// The driver keeps only the LAST 2000 chars of the bench run's stdout;
+// sbt's "[success] Total time: ..." epilogue trails the bench JSON line
+// and eats ~80 chars of that window. Suppress it — the exit code still
+// reports success/failure.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

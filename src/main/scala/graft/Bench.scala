@@ -128,7 +128,12 @@ object Bench {
     // of window. Locale.ROOT: a comma-decimal default locale would make
     // the line invalid JSON.
     def sec3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v: java.lang.Double)
-    def sec2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
+    // per-query values drop trailing zeros ("0.50" → "0.5", "3.00" → "3"):
+    // same 10 ms precision, ~1 char per query back from the tail window
+    def sec2(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", v: java.lang.Double)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
 
     /** (times of successful queries, first-line error per failed query) */
     def run(names: Seq[String], dir: String): (Map[String, Double], Map[String, String]) = {
@@ -195,6 +200,11 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // best-effort; stdout line is the contract
     spark.stop()
+    // the driver's stdout-tail window is 2000 chars; past ~1950 the
+    // line's own HEAD (metric/value) risks getting clipped
+    if (line.length > 1950)
+      System.err.println(s"WARNING: bench JSON line is ${line.length} chars — " +
+        "trim query names or values before the driver's 2000-char tail clips it")
     println(line) // last line out: nothing may trail it but sbt's own epilogue
     if (errors.nonEmpty || sf1Errors.nonEmpty) sys.exit(1)
   }

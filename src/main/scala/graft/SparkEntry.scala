@@ -786,6 +786,20 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // transitive closure of the near-dup pairs: one canonical doc per
+    // duplicate CLUSTER (A~B, B~C ⟹ one keeper even without an A~C
+    // pair) — the step an actual dedup pipeline runs after pair
+    // generation. Pairs are the (hash-verified) jaccard pairs above;
+    // the oracle recomputes the same components with a recursive CTE.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+          Dedup.ngramJaccard(
+            t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text", n = 3, threshold = 0.12, maxShingleDf = 1000)
+            .select("doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("canonical").as("canonical_id"))
+        .orderBy("doc_id")),
+
     // exact-pairs form (ANSI-expressible → DuckDB hash oracle); the LSH
     // bucketed form below is the scale path, rows-only + spec-pinned.
     // Quadratic by construction, so the corpus is CAPPED at 500 base
@@ -1486,6 +1500,36 @@ object SparkEntry {
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $normToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |    JOIN sizes sa ON sa.doc_id = doc_a
+         |    JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
+         |SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH pe AS (

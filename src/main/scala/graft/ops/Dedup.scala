@@ -297,6 +297,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Connected components over near-dup PAIRS → one canonical document
+    * per duplicate cluster. Pair generation (minhash/simhash/jaccard/
+    * embedding) answers "which pairs look alike"; an actual dedup
+    * pipeline must then pick ONE keeper per transitive group — A~B and
+    * B~C must collapse to a single canonical even when A~C was never
+    * emitted. Returns `(idCol, canonical)` for every id that appears in
+    * a pair, canonical = the component's minimum id (deterministic);
+    * ids in no pair are their own canonical and are simply absent here
+    * (callers left-join and coalesce to the id itself).
+    *
+    * Algorithm: iterative min-label propagation (the classic
+    * large-graph connected components — what GraphX's
+    * `connectedComponents` runs — expressed as DataFrame joins so
+    * Catalyst/AQE handle the physical plan): every vertex starts as its
+    * own label; each round takes the min of its own and its neighbors'
+    * labels; converges in O(component diameter) rounds. Near-dup
+    * clusters are dense (stars/cliques around shared content), so the
+    * diameter — and the round count — is small regardless of corpus
+    * size; each round is one equi-join + partial-agged groupBy on
+    * (id, long) rows, never documents. Labels are re-persisted and the
+    * previous round unpersisted each iteration, so the lineage stays
+    * one round deep instead of accumulating `maxIters` joins.
+    * Convergence is detected by an order-insensitive signature (sum of
+    * xxhash64(id, label)) — one narrow aggregate per round instead of a
+    * change-counting self-join.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+               maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).persist()
+      // bit_xor, not sum: summing 64-bit hashes overflows Long (a hard
+      // error under ANSI mode); XOR is order-insensitive and closed.
+      // coalesce: the fold over an empty vertex set (no pairs) is NULL
+      def signature(df: DataFrame): Long =
+        df.agg(coalesce(bit_xor(xxhash64(col("id"), col("label"))), lit(0L))).head().getLong(0)
+      var sig = signature(labels)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst").as("id")).agg(min("label").as("_nbr"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
+          .persist()
+        val nextSig = signature(next)
+        labels.unpersist()
+        labels = next
+        converged = nextSig == sig
+        sig = nextSig
+        i += 1
+      }
+      require(converged, s"clusters did not converge in $maxIters rounds — " +
+        "raise maxIters (component diameter exceeds it)")
+      // the returned frame is BACKED BY the final round's persisted
+      // labels — without that cache a later execution would re-run the
+      // whole iteration chain (each round's plan references the
+      // previous round's). Call `.unpersist()` on the result when done.
+      labels.select(col("id"), col("label").as("canonical"))
+    } finally edges.unpersist()
+  }
+
   /** Pairs of ids sharing a bucket key, with a skew cap: buckets larger
     * than `maxBucket` are dropped entirely (documented recall trade).
     *
