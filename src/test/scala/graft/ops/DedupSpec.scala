@@ -129,39 +129,59 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() === 12L * 11 / 2)
   }
 
-  test("clusters: transitive chains collapse to the component minimum") {
+  test("clusters: transitive chains collapse to the component minimum (both paths)") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, no direct 1-4 pair), separate pair
     // 10-11, singleton edge 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
       .toDF("doc_a", "doc_b")
-    val got = Dedup.clusters(pairs).orderBy("id")
+    val expect = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    // small graph → local union-find path
+    val local = Dedup.clusters(pairs).orderBy("id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(local === expect)
+    // threshold 0 → distributed label-propagation path, same answer
+    val dist = Dedup.clusters(pairs, localEdgeThreshold = 0L).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dist === expect)
   }
 
-  test("clusters: a cycle converges (not just trees)") {
+  test("clusters: a cycle converges on both paths (not just trees)") {
     import spark.implicits._
     val pairs = Seq((5L, 6L), (6L, 7L), (7L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
-    val got = Dedup.clusters(pairs).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got === Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+    val expect = Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L)
+    assert(Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap === expect)
+    assert(Dedup.clusters(pairs, localEdgeThreshold = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap === expect)
   }
 
   test("clusters: empty pair set yields an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.clusters(empty).count() === 0)
+    assert(Dedup.clusters(empty, localEdgeThreshold = 0L).count() === 0)
+  }
+
+  test("clusters: string ids work on both paths") {
+    import spark.implicits._
+    val pairs = Seq(("b", "c"), ("a", "b")).toDF("doc_a", "doc_b")
+    val expect = Map("a" -> "a", "b" -> "a", "c" -> "a")
+    assert(Dedup.clusters(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap === expect)
+    assert(Dedup.clusters(pairs, localEdgeThreshold = 0L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap === expect)
   }
 
   test("clusters: long chain needs its diameter in rounds; maxIters guards") {
     import spark.implicits._
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.clusters(chain, maxIters = 40)
+    val got = Dedup.clusters(chain, maxIters = 40, localEdgeThreshold = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.length === 30 && got.forall(_._2 == 1L))
     intercept[IllegalArgumentException] {
-      Dedup.clusters(chain, maxIters = 2).collect()
+      Dedup.clusters(chain, maxIters = 2, localEdgeThreshold = 0L).collect()
     }
   }
 }
