@@ -187,15 +187,26 @@ object Bench {
       }
     }
 
-    val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }
-      .mkString("{", ",", "}")
+    def sec1(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.1f", v: java.lang.Double)
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    }
     val errJson =
       if (errors.isEmpty) ""
       else "," + errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
         .mkString("\"errors\":{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
-    val line = s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errJson,"cold_total_sec":${sec2(coldTotal)},"sf":"$sfDir"$sf1Json}"""
+    def render(fmt: Double => String): String = {
+      val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:${fmt(v)}" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errJson,"cold_total_sec":${sec2(coldTotal)},"sf":"$sfDir"$sf1Json}"""
+    }
+    // full 10 ms precision goes to the committed BENCH_FULL.json; the
+    // stdout line auto-degrades per-query values to 0.1 s precision when
+    // the full form would crowd the driver's 2000-char stdout tail
+    val fullLine = render(sec2)
+    val line = if (fullLine.length > 1900) render(sec1) else fullLine
     // also persist beside the repo: the driver keeps only a 2000-char
     // output tail, so an on-disk copy guarantees the full JSON survives.
     // BENCH_LOCAL.json is the gitignored scratch copy; BENCH_FULL.json
@@ -203,7 +214,7 @@ object Bench {
     // if the stdout line is ever clipped.
     for (f <- Seq("BENCH_LOCAL.json", "BENCH_FULL.json"))
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: java.io.IOException => () } // best-effort; stdout line is the contract
     spark.stop()
     // the driver's stdout-tail window is 2000 chars; past ~1950 the

@@ -858,6 +858,24 @@ object SparkEntry {
           round(col("stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy("doc_id")),
 
+    // end-to-end corpus curation — the composed pipeline a training-data
+    // run actually executes: quality gates ∧ language filter ∧ exact-
+    // dedup canonical keep, in ONE plan. Each stage is individually
+    // hash-verified above; this entry verifies they COMPOSE (no column
+    // collisions, one scan feeding three branches, joins on doc_id).
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+      val lang = TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang"))
+      val keep = Dedup.exactByHash(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      q.join(lang, "doc_id").join(keep, "doc_id")
+        .where(col("n_tokens") >= 20 && col("pred_lang") === "en")
+        .orderBy("doc_id")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_ws_tokens"),
@@ -1609,6 +1627,36 @@ object SparkEntry {
          |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
          |  greatest(s_de, s_en, s_es, s_fr) AS pred_score
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $normToks AS tk FROM documents),
+         |q AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    round(CASE WHEN len(tk) > 0 THEN
+         |      CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','was'))) AS DOUBLE) / len(tk)
+         |      ELSE 0.0 END, 6) AS stopword_ratio
+         |  FROM base),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','zu','den','ist','von','mit','nicht'))) AS BIGINT) AS s_de,
+         |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it','that','was'))) AS BIGINT) AS s_en,
+         |    CAST(len(list_filter(tk, x -> x IN ('el','la','de','que','y','en','un','es','se','no'))) AS BIGINT) AS s_es,
+         |    CAST(len(list_filter(tk, x -> x IN ('le','la','de','et','un','est','que','pour','dans','qui'))) AS BIGINT) AS s_fr
+         |  FROM base),
+         |lang AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+         |  FROM scored),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM base
+         |  GROUP BY md5(array_to_string(tk, ' ')))
+         |SELECT q.doc_id, n_tokens, stopword_ratio, pred_lang
+         |FROM q JOIN lang USING (doc_id) JOIN keep USING (doc_id)
+         |WHERE n_tokens >= 20 AND pred_lang = 'en'
+         |ORDER BY q.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($normToks, ' ')) AS md5_fp,
