@@ -141,4 +141,60 @@ object JdbcMetastore {
     } finally conn.close()
     materialized.write.mode(SaveMode.Append).jdbc(url, table, props)
   }
+
+  /** Replace the stats rows of an explicit FILE SET — the RDBMS twin of
+    * `Metastore.replaceFiles`, and the `StatsStore` hook Merge runs on.
+    * Unlike `update`/`replaceUnderPrefix` (whose delete and append are
+    * separate autocommit statements), the delete AND the insert here run
+    * in ONE database transaction via plain JDBC — Merge's crash
+    * contract needs replace-atomicity, and a crash between a committed
+    * delete and the append would leave stats-routed readers blind to
+    * rows whose files still exist. Stats are tiny (one row per file),
+    * so hand-inserting the collected rows costs nothing. */
+  def replaceFiles(spark: SparkSession, url: String, table: String,
+                   removedFiles: Seq[String], newStats: DataFrame): Unit = {
+    checkIdent(table)
+    if (!exists(spark, url, table)) {
+      newStats.write.mode(SaveMode.Append).jdbc(url, table, props)
+      return
+    }
+    Metastore.requireSameStatsSchema(load(spark, url, table), newStats)
+    val rows = newStats.collect() // materialize before touching the table
+    val nCols = newStats.schema.size
+    val quotedCol =
+      org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier("filepath")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      // exact match via escaped LIKE, not '=': Spark's JDBC writer maps
+      // StringType to CLOB on Derby, and CLOB supports LIKE but not
+      // equality comparison. '#'-escaping as in replaceUnderPrefix.
+      val del = conn.prepareStatement(s"DELETE FROM $table WHERE $quotedCol LIKE ? ESCAPE '#'")
+      try {
+        removedFiles.foreach { p =>
+          val exact = new org.apache.hadoop.fs.Path(p).toString
+            .replace("#", "##").replace("%", "#%").replace("_", "#_")
+          del.setString(1, exact)
+          del.addBatch()
+        }
+        del.executeBatch()
+      } finally del.close()
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $table VALUES (${Seq.fill(nCols)("?").mkString(",")})")
+      try {
+        rows.foreach { r =>
+          // setObject handles the stats column types (String, numerics,
+          // java.sql.Timestamp, LocalDateTime for NTZ — JDBC 4.2)
+          (0 until nCols).foreach(i => ins.setObject(i + 1, r.get(i)))
+          ins.addBatch()
+        }
+        ins.executeBatch()
+      } finally ins.close()
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: java.sql.SQLException => () }
+        throw e
+    } finally conn.close()
+  }
 }

@@ -59,6 +59,20 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
 
   val clusterColumn: String = Metastore.clusterColumnOf(stats)
 
+  /** Optional per-file Bloom table over the CLUSTER column
+    * (`BloomIndex.build(..., clusterColumn, ...)`). Zone maps prune by
+    * [min,max] overlap, which collapses to "keep everything" on a
+    * table that is NOT well-clustered (every file's range spans the
+    * domain — the reference's unclustered-table failure mode,
+    * docs/source/lakeshack.rst:184-250). With a Bloom table attached,
+    * `query` intersects the zone-map survivors with Bloom membership,
+    * so point lookups stay tight even on a badly laid-out table. */
+  private var bloomStats: Option[DataFrame] = None
+
+  /** Attach a Bloom filter table for the cluster column; returns this
+    * for chaining. */
+  def withBloom(bloom: DataFrame): Lakeshack = { bloomStats = Some(bloom); this }
+
   /** Counters of the most recent `query` call (prune side immediately;
     * rows/elapsed after its DataFrame first executes). */
   @volatile var lastTelemetry: Option[QueryTelemetry] = None
@@ -92,7 +106,16 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
             limit: Option[Int] = None,
             tolerateCorrupt: Boolean = false): DataFrame = {
     val t0 = System.nanoTime()
-    val pruned = Metastore.prune(spark, stats, values, clauses)
+    val zonePruned = Metastore.prune(spark, stats, values, clauses)
+    val pruned = bloomStats match {
+      // intersect with Bloom membership of the requested values — both
+      // prunes are may-contain, so the intersection is too (the scan
+      // filter below still re-applies every predicate)
+      case Some(bloom) if values.nonEmpty =>
+        val hit = BloomIndex.prune(bloom, values).toSet
+        zonePruned.filter(hit.contains)
+      case _ => zonePruned
+    }
     val (files, missing) =
       if (!tolerateCorrupt || pruned.isEmpty) (pruned, Nil)
       else {

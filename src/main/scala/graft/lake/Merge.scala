@@ -42,17 +42,29 @@ object Merge {
     * files as were rewritten, so file granularity is preserved). */
   def upsert(spark: SparkSession, dataPath: String, statsPath: String,
              source: DataFrame, targetFiles: Int = 0): Unit =
-    merge(spark, dataPath, statsPath, source, isDelete = false, targetFiles)
+    merge(spark, dataPath, StatsStore.parquet(spark, statsPath), source,
+      isDelete = false, targetFiles)
 
   /** Delete all rows of the given cluster-column keys. `keys` is a
     * one-column DataFrame of cluster values. */
   def delete(spark: SparkSession, dataPath: String, statsPath: String,
              keys: DataFrame, targetFiles: Int = 0): Unit =
-    merge(spark, dataPath, statsPath, keys, isDelete = true, targetFiles)
+    merge(spark, dataPath, StatsStore.parquet(spark, statsPath), keys,
+      isDelete = true, targetFiles)
 
-  private def merge(spark: SparkSession, dataPath: String, statsPath: String,
+  /** Store-generic forms: run the same merge against ANY `StatsStore`
+    * (e.g. `StatsStore.jdbc` for a database-backed metastore). */
+  def upsertWith(spark: SparkSession, dataPath: String, store: StatsStore,
+                 source: DataFrame, targetFiles: Int = 0): Unit =
+    merge(spark, dataPath, store, source, isDelete = false, targetFiles)
+
+  def deleteWith(spark: SparkSession, dataPath: String, store: StatsStore,
+                 keys: DataFrame, targetFiles: Int = 0): Unit =
+    merge(spark, dataPath, store, keys, isDelete = true, targetFiles)
+
+  private def merge(spark: SparkSession, dataPath: String, store: StatsStore,
                     source: DataFrame, isDelete: Boolean, targetFiles: Int): Unit = {
-    val stats = Metastore.load(spark, statsPath)
+    val stats = store.load()
     val cluster = Metastore.clusterColumnOf(stats)
     // optional stat columns derivable from the stats schema itself: the
     // _min columns after the (first) cluster column
@@ -97,7 +109,7 @@ object Merge {
     val newStats =
       if (wroteBatch) Metastore.buildFromFooters(spark, batchDir, cluster, optionalColumns)
       else stats.limit(0)
-    Metastore.replaceFiles(spark, statsPath, affected, newStats)
+    store.replaceFiles(affected, newStats)
 
     val fs = new Path(dataPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.foreach(p => fs.delete(new Path(p), false))

@@ -46,6 +46,46 @@ class JdbcMetastoreSpec extends SparkSpec {
     assert(rows.head.getLong(rows.head.fieldIndex("id_min")) === 201L)
   }
 
+  test("replaceFiles is transactional and Merge runs against the DB store") {
+    import spark.implicits._
+    val root = tmpDir("jdbc_merge")
+    val data = s"$root/lake"
+    ClusteredWriter.write(
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "payload"), data, "k", nFiles = 4)
+    JdbcMetastore.update(spark, url, "merge_stats",
+      Metastore.buildFromFooters(spark, data, "k"))
+    val store = StatsStore.jdbc(spark, url, "merge_stats")
+
+    // key-group upsert + delete through the SAME Merge core, DB-backed
+    Merge.upsertWith(spark, data, store,
+      Seq((42L, "v42-new"), (999L, "v999")).toDF("k", "payload"))
+    Merge.deleteWith(spark, data, store, Seq(77L).toDF("k"))
+
+    val table = spark.read.option("recursiveFileLookup", "true").parquet(data)
+    val byKey = table.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey(42L) === "v42-new" && byKey(999L) === "v999" && !byKey.contains(77L))
+    assert(byKey.size === 400) // 400 seeded - 77 deleted + 999 inserted
+    // DB stats agree with disk: every registered file exists, pruning works
+    val loaded = JdbcMetastore.load(spark, url, "merge_stats")
+    val registered = loaded.select("filepath").collect().map(_.getString(0))
+    registered.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      assert(hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+    }
+    val shack = new Lakeshack(spark, loaded, Some(table.schema))
+    assert(shack.queryOne(42L).select("payload").first().getString(0) === "v42-new")
+    assert(shack.query(Seq(77L)).count() === 0)
+    // a failing replace must roll the delete back (atomicity): a
+    // schema-mismatched newStats aborts before any statement commits
+    val before = JdbcMetastore.load(spark, url, "merge_stats").count()
+    intercept[IllegalArgumentException] {
+      JdbcMetastore.replaceFiles(spark, url, "merge_stats",
+        registered.toSeq, Seq((1L, 2L)).toDF("a", "b"))
+    }
+    assert(JdbcMetastore.load(spark, url, "merge_stats").count() === before,
+      "failed replace must leave the table untouched")
+  }
+
   test("timestamp stats round-trip type-identically (validate sees no drift)") {
     import spark.implicits._
     val d = tmpDir("jdbc_ts") + "/t"

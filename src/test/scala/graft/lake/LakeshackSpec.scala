@@ -208,6 +208,34 @@ class LakeshackSpec extends SparkSpec {
     assert(t.filesScanned === 0 && t.nRecords.contains(0L) && t.elapsedSec.contains(0.0))
   }
 
+  test("withBloom tightens point lookups on a badly-clustered table") {
+    import spark.implicits._
+    // UNCLUSTERED layout: round-robin keys, so every file's [min,max]
+    // spans the whole domain and zone maps keep all files
+    val d = tmpDir("ls_bloom") + "/t"
+    (0L until 4000L).map(k => (k, s"p$k")).toDF("k", "payload")
+      .repartition(8) // hash-ish spread, no clustering
+      .write.parquet(d)
+    val s = Lakeshack(spark, d, "k")
+    assert(s.filesTotal === 8)
+    // zone maps alone: the point query survives to (nearly) every file
+    assert(s.query(Seq(1234L)).count() === 1)
+    val zoneScanned = s.lastTelemetry.get.filesScanned
+    assert(zoneScanned >= 7, s"unclustered layout should defeat zone maps, scanned $zoneScanned")
+    // bloom attached: same rows, far fewer files
+    s.withBloom(BloomIndex.build(spark, d, "k", expectedItemsPerFile = 1000L))
+    assert(s.query(Seq(1234L)).count() === 1)
+    val bloomScanned = s.lastTelemetry.get.filesScanned
+    assert(bloomScanned <= 2, s"bloom should prune to ~1 file, scanned $bloomScanned")
+    // may-contain soundness across many random probes
+    val rng = new scala.util.Random(3)
+    for (_ <- 1 to 10) {
+      val ks = Seq.fill(3)(rng.nextInt(4000).toLong)
+      assert(s.query(ks).count() ===
+        spark.read.parquet(d).where(col("k").isin(ks: _*)).count())
+    }
+  }
+
   test("clustered writer produces disjoint per-file ranges that prune to one file") {
     val out = tmpDir("ls_clustered")
     ClusteredWriter.write(all.toDF(), out, "id", nFiles = 5)
