@@ -60,15 +60,28 @@ class MetastoreFileIndex(
   override def partitionSchema: StructType = base.partitionSchema
 
   override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    base.listFiles(partitionFilters, dataFilters).map { pd =>
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    var total = 0L
+    var kept = 0L
+    val out = base.listFiles(partitionFilters, dataFilters).map { pd =>
       pd.copy(files = pd.files.filter { f =>
-        intervals.get(f.getPath.toString) match {
+        total += 1
+        val keep = intervals.get(f.getPath.toString) match {
           case Some(stats) => dataFilters.forall(mayContain(stats, _))
           case None => true // file unknown to the metastore: never prune
         }
+        if (keep) kept += 1
+        keep
       })
     }
+    // O19 telemetry for the transparent path (Lakeshack.query logs its
+    // own counters): at 100 TB "how many files did pruning skip" is the
+    // operational signal a plan regression shows up in first
+    if (dataFilters.nonEmpty)
+      MetastoreFileIndex.log.info(
+        s"metastore prune: files_scanned=$kept/$total files_pruned=${total - kept}")
+    out
+  }
 
   /** May the file (with these column intervals) contain a row satisfying
     * `e`? Unknown shapes answer true. */
@@ -118,6 +131,8 @@ class MetastoreFileIndex(
 }
 
 object MetastoreFileIndex {
+
+  private[lake] val log = org.slf4j.LoggerFactory.getLogger(classOf[MetastoreFileIndex])
 
   /** A DataFrame over `dataPath` whose every scan consults the stats
     * table for file skipping. Register it as a temp view and `spark.sql`
