@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimilarity, GeometricMean}
+import graft.functions.{CosineSimilarity, DotProduct, GeometricMean}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use. Activate with
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "cosine_similarity expects exactly 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "dot_product expects exactly 2 arguments")
+        DotProduct(children.head, children(1))
       }))
     // aggregate functions register the same way: the analyzer wraps a
     // returned AggregateFunction in its AggregateExpression

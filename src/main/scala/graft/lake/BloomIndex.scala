@@ -119,7 +119,9 @@ object BloomIndex {
     * never leave the executors. */
   def prune(bloomStats: DataFrame, values: Seq[Any]): Seq[String] = {
     if (values.isEmpty) return Nil
-    val head = bloomStats.select("colname", "coltype", "m", "k").head()
+    val headRows = bloomStats.select("colname", "coltype", "m", "k").head(1)
+    if (headRows.isEmpty) return Nil // nothing indexed → nothing to assert
+    val head = headRows.head
     val colType = DataType.fromJson(head.getString(1))
     val m = head.getInt(2); val k = head.getInt(3)
     val pred = values.map { v =>
@@ -128,13 +130,30 @@ object BloomIndex {
     bloomStats.where(pred).select("filepath").collect().map(_.getString(0)).toSeq
   }
 
+  /** Files whose membership answer for ANY of `values` is "maybe":
+    * Bloom survivors PLUS every file the Bloom table does not index —
+    * an unknown file must never be pruned (the exact rule the zone-map
+    * path applies to files missing from the stats table). This is the
+    * form to INTERSECT with other prunes: a stale Bloom table — a file
+    * written after the index build — costs a false positive, never a
+    * lost row. (`prune` alone returns only indexed survivors: correct
+    * for a table whose files all carry index rows, e.g. right after a
+    * build.) */
+  def mayContainFiles(bloomStats: DataFrame, values: Seq[Any],
+                      candidates: Seq[String]): Seq[String] = {
+    val indexed = bloomStats.select("filepath").collect().map(_.getString(0)).toSet
+    val hit = prune(bloomStats, values).toSet
+    candidates.filter(f => !indexed.contains(f) || hit.contains(f))
+  }
+
   /** Zone-map ∩ Bloom pruning: the stats table bounds the CLUSTER
     * column's ranges, the Bloom table answers point membership on an
     * unclustered column — a query filtering on both scans only the
-    * intersection. */
+    * intersection. Files unknown to the Bloom table survive (may-
+    * contain soundness). */
   def pruneWith(spark: SparkSession, stats: DataFrame, bloomStats: DataFrame,
                 clusterValues: Seq[Any], bloomValues: Seq[Any]): Seq[String] = {
-    val zone = Metastore.prune(spark, stats, clusterValues).toSet
-    prune(bloomStats, bloomValues).filter(zone.contains)
+    val zone = Metastore.prune(spark, stats, clusterValues)
+    mayContainFiles(bloomStats, bloomValues, zone)
   }
 }

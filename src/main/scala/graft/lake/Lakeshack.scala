@@ -110,10 +110,11 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
     val pruned = bloomStats match {
       // intersect with Bloom membership of the requested values — both
       // prunes are may-contain, so the intersection is too (the scan
-      // filter below still re-applies every predicate)
+      // filter below still re-applies every predicate). Files UNKNOWN
+      // to the Bloom table survive: a stale index must cost a false
+      // positive, never a lost row.
       case Some(bloom) if values.nonEmpty =>
-        val hit = BloomIndex.prune(bloom, values).toSet
-        zonePruned.filter(hit.contains)
+        BloomIndex.mayContainFiles(bloom, values, zonePruned)
       case _ => zonePruned
     }
     val (files, missing) =

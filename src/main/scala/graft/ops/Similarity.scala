@@ -46,6 +46,16 @@ object Similarity {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
+  /** Native codegen'd dot product (`array<float>` × `array<float>` →
+    * double). For SIGN tests (LSH hyperplane sides) this is the right
+    * kernel: `sign(dot) == sign(cos)` and the cosine form would pay a
+    * redundant norm loop per plane. */
+  def dotColNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** Exact top-k neighbors for each query vector.
     *
     * @param corpus  (idCol, vecCol) corpus table
@@ -103,17 +113,17 @@ object Similarity {
     * The bucket space is bands × 2^planesPerBand — callers scale
     * `planesPerBand` with corpus size so mean bucket size stays bounded
     * (vs the single-code `signBuckets`, whose 2^planes space is fixed).
-    * Each sign test is the native codegen'd cosine against the
-    * hyperplane (sign(cos) = sign(dot): norms are positive), not the
-    * interpreted `dotCol` lambda — bands·planes dots per row is the hot
-    * loop here. */
+    * Each sign test is the native codegen'd DOT PRODUCT against the
+    * hyperplane (sign(dot) = sign(cos): norms are positive) — the
+    * earlier cosine form recomputed the vector's norm once per plane,
+    * and bands·planes sign tests per row is the hot loop here. */
   def bandedSignBuckets(df: DataFrame, vecCol: String, dim: Int,
                         bands: Int, planesPerBand: Int, seed: Long): DataFrame = {
     require(planesPerBand >= 1 && planesPerBand <= 62, s"planesPerBand=$planesPerBand out of range")
     val bandCols = (0 until bands).map { b =>
       (0 until planesPerBand).map { p =>
         val h = hyperplane(seed, b * planesPerBand + p, dim)
-        when(cosineCol(floatLits(h), col(vecCol)) >= 0, lit(1L << p)).otherwise(lit(0L))
+        when(dotColNative(floatLits(h), col(vecCol)) >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
     df.select(col("*"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))

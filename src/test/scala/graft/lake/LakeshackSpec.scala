@@ -236,6 +236,23 @@ class LakeshackSpec extends SparkSpec {
     }
   }
 
+  test("a stale bloom table never loses rows from files it does not index") {
+    import spark.implicits._
+    val d = tmpDir("ls_bloom_stale") + "/t"
+    (0L until 1000L).map(k => (k, s"p$k")).toDF("k", "payload")
+      .coalesce(2).write.parquet(d)
+    val staleBloom = BloomIndex.build(spark, d, "k", expectedItemsPerFile = 1000L)
+    staleBloom.cache().count() // snapshot BEFORE the new file lands
+    // a new batch arrives after the bloom build; stats are rebuilt
+    // (ingest updates stats every batch) but the bloom index is not
+    Seq((50000L, "late")).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(d)
+    val s = Lakeshack(spark, d, "k").withBloom(staleBloom)
+    // the late file is unknown to the bloom table → must survive the
+    // intersection: the row comes back despite the stale index
+    assert(s.queryOne(50000L).select("payload").first().getString(0) === "late")
+  }
+
   test("clustered writer produces disjoint per-file ranges that prune to one file") {
     val out = tmpDir("ls_clustered")
     ClusteredWriter.write(all.toDF(), out, "id", nFiles = 5)
