@@ -320,10 +320,17 @@ object Dedup {
     * clusters are dense (stars/cliques around shared content), so the
     * diameter — and the round count — is small regardless of corpus
     * size; each round is one equi-join + partial-agged groupBy on
-    * (id, long) rows, never documents. Labels are re-persisted and the
-    * previous round unpersisted each iteration, so the lineage stays
-    * one round deep instead of accumulating `maxIters` joins.
-    * Convergence is detected by an order-insensitive signature (sum of
+    * (id, long) rows, never documents. Each round is `localCheckpoint`ed
+    * (eager), NOT merely persisted: round N's plan references round
+    * N-1's TWICE (once via the neighbor-min, once via the self join), so
+    * without a lineage chop the logical tree doubles per round — 2^30
+    * nodes by round 30, and AQE's plan-string rendering alone OOMs the
+    * driver. The checkpoint replaces each round's plan with a flat
+    * `LogicalRDD` leaf; the previous round's blocks are released
+    * explicitly once the next round is materialized. (Local checkpoints
+    * trade executor-loss tolerance for speed; labels are (id, long)
+    * rows, cheap to recompute from `pairs` if a round is ever lost.)
+    * Convergence is detected by an order-insensitive signature (XOR of
     * xxhash64(id, label)) — one narrow aggregate per round instead of a
     * change-counting self-join.
     */
@@ -344,7 +351,7 @@ object Dedup {
       val edgeCount = edges.count()
       if (edgeCount <= localEdgeThreshold) return localClusters(pairs, edges)
       var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).persist()
+        .withColumn("label", col("id")).localCheckpoint(true)
       // bit_xor, not sum: summing 64-bit hashes overflows Long (a hard
       // error under ANSI mode); XOR is order-insensitive and closed.
       // coalesce: the fold over an empty vertex set (no pairs) is NULL
@@ -356,22 +363,30 @@ object Dedup {
       while (!converged && i < maxIters) {
         val nbrMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
           .groupBy(col("dst").as("id")).agg(min("label").as("_nbr"))
+        // eager checkpoint: materializes the round AND flattens its plan
+        // to a LogicalRDD leaf (see scaladoc — the tree doubles per
+        // round otherwise)
         val next = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), least(col("label"), coalesce(col("_nbr"), col("label"))).as("label"))
-          .persist()
+          .localCheckpoint(true)
         val nextSig = signature(next)
-        labels.unpersist()
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(labels)
         labels = next
         converged = nextSig == sig
         sig = nextSig
         i += 1
       }
-      require(converged, s"clusters did not converge in $maxIters rounds — " +
-        "raise maxIters (component diameter exceeds it)")
-      // the returned frame is BACKED BY the final round's persisted
-      // labels — without that cache a later execution would re-run the
-      // whole iteration chain (each round's plan references the
-      // previous round's). Call `.unpersist()` on the result when done.
+      if (!converged) {
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(labels)
+        throw new IllegalArgumentException(
+          s"clusters did not converge in $maxIters rounds — " +
+            "raise maxIters (component diameter exceeds it)")
+      }
+      // the returned frame is BACKED BY the final round's materialized
+      // local checkpoint — already computed, no lineage to re-run. Its
+      // blocks are reclaimed by the ContextCleaner once the frame is
+      // unreachable (or immediately via
+      // GraftColumnBridge.releaseLocalCheckpoint).
       labels.select(col("id"), col("label").as("canonical"))
     } finally edges.unpersist()
   }

@@ -17,4 +17,18 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Free the storage behind a `localCheckpoint(eager = true)`'d frame.
+    * `Dataset.unpersist` only talks to the CacheManager, which knows
+    * nothing about checkpoint RDDs; the blocks live on the RDD inside
+    * the checkpoint's `LogicalRDD` leaf. Iterative algorithms that
+    * checkpoint per round (e.g. label propagation) need this to release
+    * round N-1 once round N is materialized, instead of waiting for the
+    * driver GC + ContextCleaner to notice. No-op on frames that are not
+    * local checkpoints. */
+  def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
