@@ -127,8 +127,15 @@ object Metastore {
     // shuffle BOTH sides through an exchange pair + AQE replanning —
     // measured ~0.8s of pure stage overhead on a single-file table —
     // where the broadcast hash join keeps the guard map-side.
+    // df.inputFiles reuses the listing the scan's FileIndex already
+    // computed — the guard must NOT pay a second recursive LIST of the
+    // table (at 100k objects that is a full extra S3 LIST sweep).
+    // new Path(p).toString canonicalizes file:///x -> file:/x so the
+    // paths key identically to the scan-derived normalized filepaths.
+    val listedPaths = df.inputFiles.toSeq
+      .map(p => new org.apache.hadoop.fs.Path(p).toString)
     scanned
-      .join(broadcast(footerRowCounts(spark, dataPath)), Seq("filepath"), "inner")
+      .join(broadcast(footerRowCounts(spark, listedPaths)), Seq("filepath"), "inner")
       .where(col("_scanned_rows") === col("_footer_rows"))
       .drop("_scanned_rows", "_footer_rows")
   }
@@ -195,14 +202,14 @@ object Metastore {
   }
 
   /** Footer-declared row count per file, `(filepath, _footer_rows)`.
-    * Distributed footer-only sweep (KBs per file); a file whose footer
-    * cannot be read yields no row. */
-  private def footerRowCounts(spark: SparkSession, dataPath: String): DataFrame = {
+    * Distributed footer-only sweep (KBs per file) over an
+    * already-listed path set; a file whose footer cannot be read yields
+    * no row. */
+  private def footerRowCounts(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val paths = listParquetFiles(spark, dataPath)
     val confB = spark.sparkContext.broadcast(hadoopConfKVs(spark))
     val rows = spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
