@@ -660,6 +660,34 @@ object SparkEntry {
           |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
     }),
 
+    // recursive CTE (Spark 4 iterative SQL) as a calendar gap-fill:
+    // the recursion builds ONLY the tiny month dimension (one row per
+    // iteration, ~80 iterations, driver-sized LocalRelation batches);
+    // the fact-table work — one distributed left join + aggregate over
+    // orders — runs once, OUTSIDE the loop. That is the scale-sound
+    // shape for recursion on Spark: never iterate over the fact table.
+    // Months with zero orders still appear (the gap-fill contract).
+    "q_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      // default level limit is 100; the month span is data-dependent,
+      // so widen defensively rather than fail on a longer date range
+      s.sql("SET spark.sql.cteRecursionLevelLimit=10000")
+      s.sql(
+        """WITH RECURSIVE months(ym, mx) AS (
+          |  SELECT CAST(YEAR(MIN(o_orderdate))*12 + MONTH(MIN(o_orderdate)) - 1 AS INT),
+          |         CAST(YEAR(MAX(o_orderdate))*12 + MONTH(MAX(o_orderdate)) - 1 AS INT)
+          |  FROM orders
+          |  UNION ALL
+          |  SELECT ym + 1, mx FROM months WHERE ym < mx
+          |)
+          |SELECT CAST(ym DIV 12 AS BIGINT) AS yr, CAST(ym % 12 + 1 AS BIGINT) AS mon,
+          |  COUNT(o_orderkey) AS n_orders,
+          |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price
+          |FROM months LEFT JOIN orders
+          |  ON YEAR(o_orderdate)*12 + MONTH(o_orderdate) - 1 = ym
+          |GROUP BY ym ORDER BY yr, mon""".stripMargin)
+    }),
+
     "q_exists_subquery" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("customer")
       t(s, dir, "orders").createOrReplaceTempView("orders")
@@ -1407,6 +1435,23 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // `//` not CAST(x/12): DuckDB's cast-of-division ROUNDS where
+    // Spark's DIV truncates
+    "q_recursive_cte" ->
+      """WITH RECURSIVE months(ym, mx) AS (
+        |  SELECT CAST(YEAR(MIN(o_orderdate))*12 + MONTH(MIN(o_orderdate)) - 1 AS INT),
+        |         CAST(YEAR(MAX(o_orderdate))*12 + MONTH(MAX(o_orderdate)) - 1 AS INT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT ym + 1, mx FROM months WHERE ym < mx
+        |)
+        |SELECT CAST(ym // 12 AS BIGINT) AS yr, CAST(ym % 12 + 1 AS BIGINT) AS mon,
+        |  COUNT(o_orderkey) AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price
+        |FROM months LEFT JOIN orders
+        |  ON YEAR(o_orderdate)*12 + MONTH(o_orderdate) - 1 = ym
+        |GROUP BY ym ORDER BY yr, mon""".stripMargin,
 
     "q_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer
