@@ -47,4 +47,28 @@ object ClusteredWriter {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-order clustered write over ANY 2-8 dimensions — `writeZOrdered`
+    * generalized via `ZOrder.mortonKeyN`. One tiny min/max aggregate
+    * computes all bounds in a single pass; same 100 TB note as the
+    * two-column form (reuse footer stats for the bounds if the table
+    * is already on the lake). */
+  def writeZOrderedN(df: DataFrame, path: String, cols: Seq[String],
+                     nFiles: Int): Unit = {
+    require(!df.columns.contains("_z"),
+      "input column '_z' clashes with the working Morton-key column; rename it first")
+    val aggs = cols.flatMap(c =>
+      Seq(F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))))
+    val b = df.agg(aggs.head, aggs.tail: _*).first()
+    require((0 until cols.size * 2).forall(i => !b.isNullAt(i)),
+      "cannot z-order an empty table or an all-NULL dimension")
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      (F.col(c), b.getDouble(2 * i), b.getDouble(2 * i + 1))
+    }
+    df.withColumn("_z", ZOrder.mortonKeyN(dims))
+      .repartitionByRange(nFiles, F.col("_z"))
+      .sortWithinPartitions(F.col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -44,4 +44,40 @@ object ZOrder {
                 b: Column, bMin: Double, bMax: Double): Column =
     spread16(norm16(a, aMin, aMax))
       .bitwiseOR(shiftleft(spread16(norm16(b, bMin, bMax)), 1))
+
+  /** Linear [min,max] → [0, 2^bits-1] quantization (norm16 generalized
+    * to a caller-chosen code width). */
+  private def normBits(c: Column, mn: Double, mx: Double, bits: Int): Column = {
+    val maxCode = (1L << bits) - 1
+    if (mx <= mn) lit(0L)
+    else least(greatest(
+      ((c.cast("double") - lit(mn)) / lit(mx - mn) * lit(maxCode.toDouble)).cast("long"),
+      lit(0L)), lit(maxCode))
+  }
+
+  /** Morton key over ANY number of dimensions (2-8): bit i of dimension
+    * d's quantized code lands at position i·k + d, so every dimension
+    * gets equal interleaving weight and a range-partition on the key
+    * gives each output file a tight box in ALL k columns. Code width
+    * shrinks as dimensions are added (min(16, 62/k) bits per dim — the
+    * key must stay in a positive Long), which is also the right
+    * modeling choice: each added dimension dilutes per-dimension
+    * pruning selectivity, the standard Z-order trade-off.
+    *
+    * Built as per-bit extract/shift/or terms rather than a
+    * stride-generalized shift-mask ladder: k·bits ≈ 48 tiny integer
+    * ops stay inside one whole-stage-codegen projection, and Spark's
+    * subexpression elimination evaluates each dimension's quantization
+    * once. For k = 2 this is bit-identical to `mortonKey` (same bit
+    * layout; pinned by ZOrderSpec). */
+  def mortonKeyN(dims: Seq[(Column, Double, Double)]): Column = {
+    val k = dims.size
+    require(k >= 2 && k <= 8, s"mortonKeyN supports 2-8 dimensions, got $k")
+    val bits = math.min(16, 62 / k)
+    val terms = for {
+      (code, d) <- dims.map { case (c, mn, mx) => normBits(c, mn, mx, bits) }.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(code, i).bitwiseAND(lit(1L)), i * k + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
 }

@@ -78,4 +78,66 @@ class ZOrderSpec extends SparkSpec {
     val bandFiles = filesRead(band)
     assert(bandFiles < 16, s"y-band should prune some of 16 files, read $bandFiles")
   }
+
+  test("mortonKeyN(2 dims) is bit-identical to mortonKey") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val pairs = Seq.fill(500)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("a", "b")
+      .withColumn("z2", ZOrder.mortonKey(col("a"), 0, 65535, col("b"), 0, 65535))
+      .withColumn("zn", ZOrder.mortonKeyN(Seq(
+        (col("a"), 0.0, 65535.0), (col("b"), 0.0, 65535.0))))
+      .collect()
+    got.foreach(r => assert(r.getAs[Long]("zn") === r.getAs[Long]("z2")))
+  }
+
+  /** Independent k-dim Morton reference, `bits` bits per dim. */
+  private def mortonN(vals: Seq[Long], bits: Int): Long = {
+    val k = vals.size
+    vals.zipWithIndex.foldLeft(0L) { case (acc, (v, d)) =>
+      (0 until bits).foldLeft(acc)((a, i) => a | ((v >> i) & 1L) << (i * k + d))
+    }
+  }
+
+  test("mortonKeyN(3 dims) matches the bit-by-bit reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 62/3 = 20 -> capped at 16 bits/dim; identity ranges
+    val triples = Seq.fill(500)(
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = triples.toDF("a", "b", "c")
+      .withColumn("z", ZOrder.mortonKeyN(Seq(
+        (col("a"), 0.0, 65535.0), (col("b"), 0.0, 65535.0), (col("c"), 0.0, 65535.0))))
+      .collect()
+    got.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getAs[Long]("z") === mortonN(Seq(a, b, c), 16), s"mortonN($a,$b,$c)")
+    }
+  }
+
+  test("3-dim z-ordered write + metastore prunes on EVERY dimension") {
+    import spark.implicits._
+    val d = tmpDir("zorder3") + "/t"
+    // 64k rows over a 64^3 grid: three mutually decorrelated coordinates
+    val df = (0 until 65536).map { i =>
+      (i.toLong % 64, (i.toLong * 37) % 64, (i.toLong * 101) % 64, i.toLong)
+    }.toDF("x", "y", "w", "payload")
+    ClusteredWriter.writeZOrderedN(df, d, Seq("x", "y", "w"), nFiles = 16)
+    val table = MetastoreFileIndex.table(spark, d,
+      Metastore.build(spark, d, "x", Seq("y", "w")))
+
+    def filesRead(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+
+    for (dim <- Seq("x", "y", "w")) {
+      val band = table.where(col(dim) < 8)
+      assert(band.count() === df.where(col(dim) < 8).count(),
+        s"pruned result must equal the unpruned filter on $dim")
+      val n = filesRead(band)
+      assert(n < 16, s"$dim-band should prune some of 16 files, read $n")
+    }
+  }
 }
