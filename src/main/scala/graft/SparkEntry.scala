@@ -814,6 +814,20 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // decontamination: benchmark excerpts (200-char prefixes of every
+    // 17th doc) checked against the full corpus — each excerpt must
+    // surface its source doc (frac ≈ 1.0) plus any near-dup of it
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+      Dedup.contamination(
+          docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          bench, "doc_id", "text", n = 3, threshold = 0.5)
+        .withColumn("frac", round(col("frac"), 6))
+        .orderBy("train_id", "bench_id")
+    }),
+
     // transitive closure of the near-dup pairs: one canonical doc per
     // duplicate CLUSTER (A~B, B~C ⟹ one keeper even without an A~C
     // pair) — the step an actual dedup pipeline runs after pair
@@ -1563,6 +1577,35 @@ object SparkEntry {
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT doc_id, substr(text, 1, 200) AS text FROM documents WHERE doc_id % 17 = 0),
+         |btoks AS (SELECT doc_id AS bench_id, $normToks AS tk FROM bench),
+         |bsh AS (
+         |  SELECT DISTINCT bench_id, shingle FROM (
+         |    SELECT bench_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM btoks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |ttoks AS (SELECT doc_id AS train_id, $normToks AS tk FROM documents),
+         |tsh AS (
+         |  SELECT DISTINCT train_id, shingle FROM (
+         |    SELECT train_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM ttoks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |bsizes AS (SELECT bench_id, COUNT(*) AS n_bench_sh FROM bsh GROUP BY 1),
+         |shared AS (
+         |  SELECT train_id, bench_id, COUNT(*) AS n_shared
+         |  FROM tsh JOIN bsh ON tsh.shingle = bsh.shingle GROUP BY 1, 2)
+         |SELECT train_id, bench_id, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / n_bench_sh, 6) AS frac
+         |FROM shared JOIN bsizes USING (bench_id)
+         |WHERE CAST(n_shared AS DOUBLE) / n_bench_sh >= 0.5
+         |ORDER BY train_id, bench_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE toks AS (

@@ -229,6 +229,57 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
 
+  /** Cross-corpus n-gram CONTAMINATION — the train-vs-benchmark overlap
+    * check every serious pretraining pipeline runs before training (the
+    * published decontamination recipe: flag a training document when a
+    * high fraction of a benchmark document's n-grams appear in it).
+    * Returns one row per overlapping (trainIdCol=train_id,
+    * bench idCol=bench_id) pair with `n_shared` (distinct shared
+    * shingles) and `frac` = n_shared / the BENCH doc's distinct shingle
+    * count, filtered to `frac >= threshold`.
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB train
+    * corpus, so BOTH bench-derived sides are broadcast — the train
+    * corpus is scanned once, never shuffled as text; the only exchange
+    * carries partially-aggregated ((train_id, bench_id), count) rows.
+    * Shingles are replaced by their 64-bit hash before the join (same
+    * collision argument as `ngramJaccard`). `maxShingleDf` drops
+    * shingles appearing in more than that many TRAIN docs — boilerplate
+    * n-grams that would otherwise explode the pair space under one
+    * broadcast row. The df count runs AFTER the broadcast semi-join to
+    * the bench shingle set, so the guard's exchange carries only
+    * bench-matching (sh) hashes — proportional to the overlap, never
+    * to the corpus. The train corpus is scanned twice (df pass + pair
+    * pass), both narrow map-side passes; the default cutoff never
+    * fires at bench scale (mirrors the ngramJaccard convention so the
+    * DuckDB oracle stays expressible — lower it in production for
+    * skewy corpora).
+    */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3, threshold: Double = 0.5,
+                    maxShingleDf: Int = 1000000): DataFrame = {
+    def docShingles(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+      .select(col(as), explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
+      .select(col(as), xxhash64(col("shingle")).as("sh"))
+    val bs = docShingles(bench, "bench_id")
+    val bSizes = bs.groupBy("bench_id").agg(count(lit(1)).as("n_bench_sh"))
+    // train shingles that can matter at all: broadcast semi-join against
+    // the (small) bench shingle set, map-side, no shuffle of the corpus
+    val tsMatching = docShingles(train, "train_id")
+      .join(broadcast(bs.select("sh").distinct()), Seq("sh"), "left_semi")
+    val hot = tsMatching.groupBy("sh").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxShingleDf).select("sh")
+    val shared = tsMatching
+      .join(broadcast(hot), Seq("sh"), "left_anti")
+      .join(broadcast(bs), Seq("sh"))
+      .groupBy("train_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+    shared.join(broadcast(bSizes), Seq("bench_id"))
+      .withColumn("frac", col("n_shared").cast("double") / col("n_bench_sh"))
+      .where(col("frac") >= threshold)
+      .select("train_id", "bench_id", "n_shared", "frac")
+  }
+
   /** Embedding-cosine near-dup pairs. Candidate generation uses BANDED
     * random-hyperplane LSH (see Similarity.bandedSignBuckets): each
     * vector explodes to `bands` rows keyed (band, r-plane sign bucket),

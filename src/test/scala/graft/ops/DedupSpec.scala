@@ -119,6 +119,30 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 floor (|bf|=${bf.size}, |lsh|=${lsh.size})")
   }
 
+  test("contamination flags the source doc, not unrelated docs; hot shingles dropped") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about spark query engines and parquet files"),
+      (3L, "the quick brown fox jumps over the lazy dog every single day")
+    ).toDF("doc_id", "text")
+    // bench doc = an excerpt of train doc 1
+    val bench = Seq((10L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(train, bench, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    val ids = got.map(_._1).toSet
+    assert(ids.contains(1L), "source doc must be flagged")
+    assert(got.find(_._1 == 1L).get._3 === 1.0, "full containment -> frac 1.0")
+    assert(ids.contains(3L), "near-copy sharing most shingles must be flagged")
+    assert(!ids.contains(2L), "unrelated doc must not be flagged")
+    // df cutoff: with maxShingleDf = 1 every bench shingle appears in 2
+    // train docs -> all dropped -> no pairs at all
+    val capped = Dedup.contamination(train, bench, "doc_id", "text",
+      n = 3, threshold = 0.5, maxShingleDf = 1)
+    assert(capped.count() === 0, "hot shingles above the df cap must be dropped")
+  }
+
   test("oversized buckets are dropped by the skew cap") {
     import spark.implicits._
     // 12 identical docs -> one bucket of 12 > maxBucket=10 -> dropped
