@@ -969,6 +969,17 @@ object SparkEntry {
           col("n_ips").cast("long").as("n_ips"), col("redacted_text"))
         .orderBy("doc_id")),
 
+    // url/domain rollup: plants two URLs per doc (the synthetic corpus
+    // has none) so the domain table provably covers every doc — the
+    // blocklist/per-domain-cap shape of web-corpus curation
+    "text_urls" -> ((s, dir) =>
+      TextAnalysis.urlDomains(
+          t(s, dir, "documents").withColumn("text",
+            concat(col("text"), lit(" see https://site"), pmod(col("doc_id"), lit(23)),
+              lit(".example.org/page and http://cdn"), pmod(col("doc_id"), lit(7)),
+              lit(".example.net/x"))))
+        .orderBy("domain")),
+
     // ───── corpus sampling + sequence packing (north_star ★)
     "sample_hash" -> ((s, dir) =>
       Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), 0.1)
@@ -1806,6 +1817,16 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted_text
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "text_urls" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' see https://site' || (doc_id % 23) || '.example.org/page and http://cdn' || (doc_id % 7) || '.example.net/x' AS text
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)')) AS url FROM p)
+        |SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain,
+        |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
+        |FROM urls GROUP BY 1 ORDER BY domain""".stripMargin,
 
     "sample_hash" ->
       """SELECT doc_id, lang, source FROM documents

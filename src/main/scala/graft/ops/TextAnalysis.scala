@@ -214,6 +214,25 @@ object TextAnalysis {
         regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"), ipv4Pattern, "[IP]"))
   }
 
+  private val urlPattern = "https?://([a-z0-9.-]+)"
+
+  /** URL extraction + per-domain rollup — the table web-corpus curation
+    * operates on: domain blocklists/allowlists, per-domain caps, and
+    * source-mix reports all key on exactly this (domain, n_docs,
+    * n_urls) aggregate. Narrow map (regexp scan + explode) into one
+    * partially-aggregated groupBy keyed on short domain strings — text
+    * bytes never shuffle; the countDistinct expands to (domain, doc)
+    * partial-dedup, still bounded by the URL mention count, not corpus
+    * text. */
+  def urlDomains(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("_doc"),
+        explode(regexp_extract_all(col(textCol), lit(urlPattern), lit(0))).as("_url"))
+      .select(col("_doc"), regexp_extract(col("_url"), urlPattern, 1).as("domain"))
+      .groupBy("domain")
+      .agg(countDistinct(col("_doc")).as("n_docs"), count(lit(1)).as("n_urls"))
+
   /** Document fingerprinting: md5 of normalized text (exact-dup key) and
     * a shingle fingerprint (min/max of rolling 3-token shingle hashes —
     * a cheap rolling-hash sketch). Narrow map; hashes are 8-16 bytes per

@@ -113,6 +113,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean.getAs[String]("redacted_text") === "no pii here")
   }
 
+  test("urlDomains extracts, rolls up per domain, and ignores url-free docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see https://a.example.org/x and http://b.example.net/y"),
+      (2L, "again https://a.example.org/z twice https://a.example.org/w"),
+      (3L, "no urls at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.urlDomains(docs).orderBy("domain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(("a.example.org", 2L, 3L), ("b.example.net", 1L, 1L)))
+  }
+
   test("working-column name collisions are refused, not clobbered") {
     import spark.implicits._
     val bad = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_toks")
