@@ -71,4 +71,35 @@ object ClusteredWriter {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Z-order clustered write with RANK (quantile) normalization — use
+    * when a cluster column is heavy-tailed: linear quantization lets
+    * one outlier stretch [min,max] until the dense region collapses to
+    * a single code and pruning on that column dies (see
+    * `ZOrder.mortonKeyRanked`). Boundaries come from one
+    * `approxQuantile` pass (Greenwald-Khanna sketch — a single
+    * distributed scan; the driver receives cols × `buckets` doubles).
+    * Duplicate boundaries from heavy ties are collapsed, which only
+    * merges empty codes. */
+  def writeZOrderedRanked(df: DataFrame, path: String, cols: Seq[String],
+                          nFiles: Int, buckets: Int = 256): Unit = {
+    require(!df.columns.contains("_z"),
+      "input column '_z' clashes with the working Morton-key column; rename it first")
+    require(buckets >= 2 && buckets <= 256, s"buckets must be in [2,256], got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // one pass over a projection cast to double (approxQuantile is
+    // numeric-only; the cast also normalizes int/date dims)
+    val castCols = cols.map(c => F.col(c).cast("double").as(c))
+    val quantiles = df.select(castCols: _*)
+      .stat.approxQuantile(cols.toArray, probs, 0.001)
+    val dims = cols.zip(quantiles).map { case (c, q) =>
+      require(q.nonEmpty, s"cannot rank-normalize '$c': empty or all-NULL column")
+      (F.col(c), q.distinct.sorted)
+    }
+    df.withColumn("_z", ZOrder.mortonKeyRanked(dims))
+      .repartitionByRange(nFiles, F.col("_z"))
+      .sortWithinPartitions(F.col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

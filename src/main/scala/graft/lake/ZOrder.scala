@@ -80,4 +80,41 @@ object ZOrder {
     } yield shiftleft(shiftright(code, i).bitwiseAND(lit(1L)), i * k + d)
     terms.reduce(_.bitwiseOR(_))
   }
+
+  /** Rank (quantile) code: #boundaries ≤ v, over a sorted boundary
+    * array baked into the plan. NULL compares land at code 0 (the
+    * bottom bucket — sound, like any may-contain stat). O(|boundaries|)
+    * codegen'd comparisons per row, so boundary counts stay ≤ 255. */
+  private def rankCode(c: Column, boundaries: Array[Double]): Column =
+    size(filter(lit(boundaries), b => b <= c.cast("double"))).cast("long")
+
+  /** Morton key with RANK (quantile) normalization instead of linear
+    * value scaling: dimension d's code = how many of its supplied
+    * quantile boundaries the value exceeds, so codes are
+    * equi-POPULATED regardless of the value distribution. Linear
+    * scaling collapses a heavy-tailed column into a handful of codes —
+    * one outlier stretches [min,max] until the dense region quantizes
+    * to a single value, the key stops varying in that dimension, and
+    * zone-map pruning on it dies. Rank codes keep every file's box
+    * tight in occupied value space (the Delta/Iceberg production
+    * answer to skewed ZORDER BY columns).
+    *
+    * `boundaries` per dim: sorted interior quantiles (≤ 255 of them —
+    * file-granularity pruning needs code cardinality ~ file count, not
+    * 16-bit resolution). Same bit layout as `mortonKeyN`. */
+  def mortonKeyRanked(dims: Seq[(Column, Array[Double])]): Column = {
+    val k = dims.size
+    require(k >= 2 && k <= 8, s"mortonKeyRanked supports 2-8 dimensions, got $k")
+    val bits = math.min(16, 62 / k)
+    dims.foreach { case (_, b) =>
+      require(b.length <= (1 << bits) - 1,
+        s"${b.length} boundaries exceed the $bits-bit code space for $k dims")
+      require(b.sameElements(b.sorted), "boundaries must be sorted ascending")
+    }
+    val terms = for {
+      (code, d) <- dims.map { case (c, b) => rankCode(c, b) }.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(code, i).bitwiseAND(lit(1L)), i * k + d)
+    terms.reduce(_.bitwiseOR(_))
+  }
 }

@@ -140,4 +140,40 @@ class ZOrderSpec extends SparkSpec {
       assert(n < 16, s"$dim-band should prune some of 16 files, read $n")
     }
   }
+
+  test("rank normalization prunes a heavy-tailed dimension where linear scaling cannot") {
+    import spark.implicits._
+    // x: 99% of rows dense in [0, 99], 1% outliers near 1e6 — linear
+    // [min,max] quantization maps the whole dense region to code 0, so
+    // the z-key stops varying in x and an x-filter prunes nothing
+    val df = (0 until 65536).map { i =>
+      val x = if (i % 100 == 0) 1000000L + i else (i % 100).toLong
+      (x, (i.toLong * 37) % 256, i.toLong)
+    }.toDF("x", "y", "payload")
+
+    def filesRead(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numFiles").value).sum
+    }
+    def tableAt(d: String) =
+      MetastoreFileIndex.table(spark, d, Metastore.build(spark, d, "x", Seq("y")))
+    val expected = df.where(col("x") < 20).count()
+
+    val dLin = tmpDir("zorder_lin") + "/t"
+    ClusteredWriter.writeZOrderedN(df, dLin, Seq("x", "y"), nFiles = 16)
+    val linQ = tableAt(dLin).where(col("x") < 20)
+    assert(linQ.count() === expected)
+    val linFiles = filesRead(linQ)
+
+    val dRank = tmpDir("zorder_rank") + "/t"
+    ClusteredWriter.writeZOrderedRanked(df, dRank, Seq("x", "y"), nFiles = 16)
+    val rankQ = tableAt(dRank).where(col("x") < 20)
+    assert(rankQ.count() === expected, "rank-normalized result must equal the plain filter")
+    val rankFiles = filesRead(rankQ)
+
+    assert(rankFiles < 16, s"ranked x-band should prune some of 16 files, read $rankFiles")
+    assert(rankFiles < linFiles,
+      s"rank normalization must out-prune linear scaling on skew ($rankFiles vs $linFiles)")
+  }
 }
