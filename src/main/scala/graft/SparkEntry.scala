@@ -670,9 +670,15 @@ object SparkEntry {
     "q_recursive_cte" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       // default level limit is 100; the month span is data-dependent,
-      // so widen defensively rather than fail on a longer date range
-      s.sql("SET spark.sql.cteRecursionLevelLimit=10000")
-      s.sql(
+      // so widen defensively rather than fail on a longer date range.
+      // The limit is read at EXECUTION time, so the query must run
+      // before the finally restores it — localCheckpoint(eager) forces
+      // that; the ~80-row result then carries no conf dependence and
+      // the shared session's config stays pristine for later queries.
+      val limitKey = "spark.sql.cteRecursionLevelLimit"
+      val prevLimit = s.conf.getOption(limitKey)
+      s.conf.set(limitKey, "10000")
+      try s.sql(
         """WITH RECURSIVE months(ym, mx) AS (
           |  SELECT CAST(YEAR(MIN(o_orderdate))*12 + MONTH(MIN(o_orderdate)) - 1 AS INT),
           |         CAST(YEAR(MAX(o_orderdate))*12 + MONTH(MAX(o_orderdate)) - 1 AS INT)
@@ -685,7 +691,11 @@ object SparkEntry {
           |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_price
           |FROM months LEFT JOIN orders
           |  ON YEAR(o_orderdate)*12 + MONTH(o_orderdate) - 1 = ym
-          |GROUP BY ym ORDER BY yr, mon""".stripMargin)
+          |GROUP BY ym ORDER BY yr, mon""".stripMargin).localCheckpoint()
+      finally prevLimit match {
+        case Some(v) => s.conf.set(limitKey, v)
+        case None    => s.conf.unset(limitKey)
+      }
     }),
 
     "q_exists_subquery" -> ((s, dir) => {
@@ -977,7 +987,8 @@ object SparkEntry {
           t(s, dir, "documents").withColumn("text",
             concat(col("text"), lit(" see https://site"), pmod(col("doc_id"), lit(23)),
               lit(".example.org/page and http://cdn"), pmod(col("doc_id"), lit(7)),
-              lit(".example.net/x"))))
+              lit(".example.net/x plus HTTPS://MiXedCase"), pmod(col("doc_id"), lit(5)),
+              lit(".Example.COM/y"))))
         .orderBy("domain")),
 
     // ───── corpus sampling + sequence packing (north_star ★)
@@ -1609,9 +1620,15 @@ object SparkEntry {
          |    FROM ttoks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
          |  WHERE shingle <> ''),
          |bsizes AS (SELECT bench_id, COUNT(*) AS n_bench_sh FROM bsh GROUP BY 1),
+         |hot AS (
+         |  SELECT shingle FROM tsh
+         |  WHERE shingle IN (SELECT shingle FROM bsh)
+         |  GROUP BY shingle HAVING COUNT(*) > 10000),
          |shared AS (
          |  SELECT train_id, bench_id, COUNT(*) AS n_shared
-         |  FROM tsh JOIN bsh ON tsh.shingle = bsh.shingle GROUP BY 1, 2)
+         |  FROM tsh JOIN bsh ON tsh.shingle = bsh.shingle
+         |  WHERE tsh.shingle NOT IN (SELECT shingle FROM hot)
+         |  GROUP BY 1, 2)
          |SELECT train_id, bench_id, n_shared,
          |  round(CAST(n_shared AS DOUBLE) / n_bench_sh, 6) AS frac
          |FROM shared JOIN bsizes USING (bench_id)
@@ -1820,11 +1837,11 @@ object SparkEntry {
 
     "text_urls" ->
       """WITH p AS (SELECT doc_id,
-        |  text || ' see https://site' || (doc_id % 23) || '.example.org/page and http://cdn' || (doc_id % 7) || '.example.net/x' AS text
+        |  text || ' see https://site' || (doc_id % 23) || '.example.org/page and http://cdn' || (doc_id % 7) || '.example.net/x plus HTTPS://MiXedCase' || (doc_id % 5) || '.Example.COM/y' AS text
         |  FROM documents),
         |urls AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://([a-z0-9.-]+)')) AS url FROM p)
-        |SELECT regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS domain,
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '(?i)https?://([a-z0-9.-]+)')) AS url FROM p)
+        |SELECT lower(regexp_extract(url, '(?i)https?://([a-z0-9.-]+)', 1)) AS domain,
         |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
         |FROM urls GROUP BY 1 ORDER BY domain""".stripMargin,
 

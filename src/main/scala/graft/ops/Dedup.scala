@@ -250,14 +250,18 @@ object Dedup {
     * the bench shingle set, so the guard's exchange carries only
     * bench-matching (sh) hashes — proportional to the overlap, never
     * to the corpus. The train corpus is scanned twice (df pass + pair
-    * pass), both narrow map-side passes; the default cutoff never
-    * fires at bench scale (mirrors the ngramJaccard convention so the
-    * DuckDB oracle stays expressible — lower it in production for
-    * skewy corpora).
+    * pass), both narrow map-side passes. The default cutoff (10K train
+    * docs per shingle) actually fires on pathological corpora — a
+    * boilerplate shingle shared by millions of train docs caps at 10K
+    * pair-rows instead of materializing the full pair space — while
+    * staying far above any legitimate contamination signal (a bench
+    * shingle in >10K distinct train docs is boilerplate by definition,
+    * not leakage). The DuckDB oracle carries the identical df-cutoff
+    * CTE, so the guard is hash-verified, not doc-only.
     */
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3, threshold: Double = 0.5,
-                    maxShingleDf: Int = 1000000): DataFrame = {
+                    maxShingleDf: Int = 10000): DataFrame = {
     def docShingles(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), TextAnalysis.tokensCol(col(textCol)).as("toks"))
       .select(col(as), explode(array_distinct(shingles(col("toks"), n))).as("shingle"))

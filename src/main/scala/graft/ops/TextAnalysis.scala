@@ -214,12 +214,17 @@ object TextAnalysis {
         regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"), ipv4Pattern, "[IP]"))
   }
 
-  private val urlPattern = "https?://([a-z0-9.-]+)"
+  // Case-insensitive: scheme and host case vary freely in real web text
+  // ('HTTPS://ExAmple.org' is the same domain as 'https://example.org');
+  // a case-sensitive match would miss or truncate mixed-case hosts.
+  private val urlPattern = "(?i)https?://([a-z0-9.-]+)"
 
   /** URL extraction + per-domain rollup — the table web-corpus curation
     * operates on: domain blocklists/allowlists, per-domain caps, and
     * source-mix reports all key on exactly this (domain, n_docs,
-    * n_urls) aggregate. Narrow map (regexp scan + explode) into one
+    * n_urls) aggregate. Domains are lower-cased (DNS is
+    * case-insensitive) so rollups never split one host across case
+    * variants. Narrow map (regexp scan + explode) into one
     * partially-aggregated groupBy keyed on short domain strings — text
     * bytes never shuffle; the countDistinct expands to (domain, doc)
     * partial-dedup, still bounded by the URL mention count, not corpus
@@ -229,7 +234,7 @@ object TextAnalysis {
     docs
       .select(col(idCol).as("_doc"),
         explode(regexp_extract_all(col(textCol), lit(urlPattern), lit(0))).as("_url"))
-      .select(col("_doc"), regexp_extract(col("_url"), urlPattern, 1).as("domain"))
+      .select(col("_doc"), lower(regexp_extract(col("_url"), urlPattern, 1)).as("domain"))
       .groupBy("domain")
       .agg(countDistinct(col("_doc")).as("n_docs"), count(lit(1)).as("n_urls"))
 

@@ -24,11 +24,18 @@ object GraftColumnBridge {
     * the checkpoint's `LogicalRDD` leaf. Iterative algorithms that
     * checkpoint per round (e.g. label propagation) need this to release
     * round N-1 once round N is materialized, instead of waiting for the
-    * driver GC + ContextCleaner to notice. No-op on frames that are not
-    * local checkpoints. */
-  def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(blocking = false)
-      case _ => ()
+    * driver GC + ContextCleaner to notice.
+    *
+    * Deliberately matches ONLY the plan ROOT: the frame must BE a local
+    * checkpoint (what `.localCheckpoint(true)` returns), not merely
+    * embed one. Traversing the whole tree would free `LogicalRDD`
+    * leaves possibly still shared by other live frames — blocks that,
+    * with truncated lineage, can never be recomputed. No-op (returns
+    * false) on any other frame. */
+  def releaseLocalCheckpoint(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); true
+      case _ => false
     }
 }

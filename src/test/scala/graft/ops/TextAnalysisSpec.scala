@@ -125,6 +125,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Array(("a.example.org", 2L, 3L), ("b.example.net", 1L, 1L)))
   }
 
+  test("urlDomains is case-insensitive and folds host case into one domain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "upper HTTPS://A.Example.ORG/x mixed HttpS://a.exAmple.org/y"),
+      (2L, "plain https://a.example.org/z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.urlDomains(docs).orderBy("domain")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(("a.example.org", 2L, 3L)))
+  }
+
   test("working-column name collisions are refused, not clobbered") {
     import spark.implicits._
     val bad = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_toks")
