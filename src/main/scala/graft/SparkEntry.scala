@@ -596,13 +596,23 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
-    // HLL sketch — approximate by construction, so no hash oracle; the
-    // driver records rows-only and ApproxSpec pins the relative error.
+    // HLL sketch pinned against the exact answer IN the result: the
+    // exact distinct counts hash-check against DuckDB's COUNT(DISTINCT),
+    // and the sketch's relative error is asserted as a boolean the
+    // oracle expects TRUE (HLL default rsd=0.05; measured error here is
+    // 2.7% / 3.0%, and the estimate is deterministic for fixed data).
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_suppkey")).as("exact_supps"),
+          approx_count_distinct(col("l_partkey")).as("_ap"),
+          approx_count_distinct(col("l_suppkey")).as("_as"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("_ap") - col("exact_parts")).cast("double") / col("exact_parts") < 0.05)
+            .as("parts_err_lt_5pct"),
+          (abs(col("_as") - col("exact_supps")).cast("double") / col("exact_supps") < 0.05)
+            .as("supps_err_lt_5pct"))
         .orderBy("l_returnflag")),
 
     "q_scalar_subquery" -> ((s, dir) => {
@@ -808,13 +818,45 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("lang", "source"))
         .orderBy("lang", "source")),
 
+    // Full two-phase pipeline: banded-LSH candidates re-checked against
+    // true shingle Jaccard. With the S-curve knee at the verify
+    // threshold, the verified output IS the exact J>=0.5 pair set (the
+    // oracle recomputes it all-pairs in SQL), so the whole
+    // shingle→hash→band→bucket→verify chain is hash-checked — a miss
+    // anywhere surfaces as a missing pair.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashCandidates(plantedDocs(s, dir), "doc_id", "text")
+      Dedup.minhashNearDup(plantedDocs(s, dir), "doc_id", "text", threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(Dedup.simhash(plantedDocs(s, dir), "doc_id", "text"))
-        .orderBy("doc_a", "doc_b")),
+    // SimHash quality scorecard vs two exact anchors, both
+    // SQL-recomputable: (a) identical-content pairs — equal fingerprints
+    // share every 16-bit chunk, so 100% recall at hamming 0 is a
+    // THEOREM the hash check pins; (b) J>=0.9 near-dup pairs — an
+    // empirical recall floor (measured 93% here; hamming<=3 and Jaccard
+    // are correlated, not nested, so 100% would be wrong to assert).
+    "dedup_simhash" -> ((s, dir) => {
+      val planted = plantedDocs(s, dir)
+      val cand = Dedup.simhashCandidates(Dedup.simhash(planted, "doc_id", "text"))
+      val norm = planted.select(col("doc_id"),
+        md5(array_join(TextAnalysis.tokensCol(col("text")), " ")).as("_m"))
+      val dups = norm.as("a")
+        .join(norm.as("b"), col("a._m") === col("b._m") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val hi = Dedup.ngramJaccard(planted, "doc_id", "text",
+          n = 3, threshold = 0.9, maxShingleDf = 2000)
+        .select("doc_a", "doc_b")
+      dups.agg(count(lit(1)).as("n_exact_dups"))
+        .crossJoin(dups.join(cand.where(col("hamming") === 0), Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("_n0")))
+        .crossJoin(hi.agg(count(lit(1)).as("n_j09")))
+        .crossJoin(hi.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("_nh")))
+        .select(col("n_exact_dups"),
+          round(lit(100.0) * col("_n0") / col("n_exact_dups"), 2).as("exact_dup_recall_pct"),
+          col("n_j09"),
+          (col("_nh").cast("double") / col("n_j09") >= 0.9).as("j09_recall_ge_090"))
+    }),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(
@@ -853,7 +895,8 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // exact-pairs form (ANSI-expressible → DuckDB hash oracle); the LSH
-    // bucketed form below is the scale path, rows-only + spec-pinned.
+    // bucketed form below is the scale path, hash-checked against the
+    // same exact recomputation (its verified output must match).
     // Quadratic by construction, so the corpus is CAPPED at 500 base
     // vectors (the whole table at sf≤0.01; a fixed subset above) — the
     // exact anchor must not own the bench as sf grows.
@@ -877,23 +920,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Approximate search over a corpus with PLANTED ground truth: five
+    // exact-direction copies (power-of-2 scalings — exact in binary fp,
+    // so cosines and hyperplane signs are bit-identical to the source's)
+    // of each query vector. Same-direction vectors share every LSH sign
+    // bucket and every IVF cell BY CONSTRUCTION, so the approximate
+    // top-5 must equal the exact top-5 (the 5 copies, cos 1.0, id-order
+    // tiebreak) — a theorem the DuckDB oracle re-derives by exhaustive
+    // ranking, hash-checking the whole bucket/probe/score/rank pipeline
+    // while the search itself stays sublinear (probed buckets/cells
+    // only, never the full corpus).
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
+      Similarity.lshTopK(annCorpus(emb), emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
 
-    // IVF-Flat ANN (learned Voronoi cells + nprobe search) — k-means
-    // training is not ANSI-expressible, so rows-only here; recall vs the
-    // brute-force oracle is pinned in SimilaritySpec. Centroids are
-    // cached per (session, dir) like the Lakeshack stats: an ANN index
-    // is trained once and queried many times.
+    // IVF-Flat ANN (learned Voronoi cells + nprobe search); same planted
+    // ground truth as sim_lsh_topk. Centroids are cached per (session,
+    // dir) like the Lakeshack stats: an ANN index is trained once and
+    // queried many times. Scale-invariant cell assignment puts each
+    // planted copy in its source's cell, and a query's first probe is
+    // its own cell, so exact-top-5 recovery is structural, not lucky.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val corpus = annCorpus(emb)
       val cents = ivfCache.getOrElseUpdate(s, dir)(
-        Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 16))
-      Similarity.ivfTopKWith(cents, emb, emb.where(col("vec_id") < 5),
+        Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 16))
+      Similarity.ivfTopKWith(cents, corpus, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
@@ -1088,17 +1144,65 @@ object SparkEntry {
       .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
   }
 
+  /** embeddings ∪ five exact-direction copies of each query vector
+    * (vec_id < 5), copy m of query q at id q + m·100000 scaled by 2^m.
+    * Power-of-2 scaling is EXACT in binary floating point, so a copy's
+    * cosine against any vector, its hyperplane signs, and its argmax-
+    * cosine IVF cell are bit-identical to its source's — which makes
+    * the exact top-5 of each query (its 5 copies, all at cos 1.0,
+    * id-order tiebreak) structurally recoverable by both approximate
+    * paths, and therefore DuckDB-oracle-checkable. */
+  private def annCorpus(emb: DataFrame): DataFrame = {
+    val q = emb.where(col("vec_id") < 5)
+    val copies = (1 to 5).map(m =>
+      q.select((col("vec_id") + m * 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit((1 << m).toFloat)).as("embedding")))
+      .reduce(_ union _)
+    emb.select(col("vec_id"), col("embedding")).union(copies)
+  }
+
   // ─────────────────────────────────────────────────────────────────────
   // DuckDB oracle twins. Conventions: identical aliases, identical
   // ORDER BY, DECIMAL for double sums, BIGINT for counts/sizes.
-  // Queries whose mechanics are not ANSI-expressible (xxhash-based
-  // minhash/simhash/LSH, the mapPartitions decode stub) are omitted →
-  // driver records the weaker rows-only check; their semantics are
-  // covered by ScalaTest specs instead.
+  // Approximate operators (minhash/simhash/LSH/IVF/HLL) are verified
+  // against EXACT anchors the oracle recomputes in ANSI SQL: either the
+  // verified output must equal the exact answer (minhash, embedding-LSH,
+  // planted ANN top-k) or the result carries exact counts plus
+  // recall/error assertions the oracle expects (simhash scorecard, HLL
+  // error pin). Every query is hash-checked; none are rows-only.
   // ─────────────────────────────────────────────────────────────────────
 
   private val normToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  /** Shared oracle for both approximate top-k paths: exhaustive exact
+    * ranking over the planted-copy corpus (see `annCorpus`). `pow(2, m)`
+    * is a double power of two, so the oracle's copies are scaled with
+    * the same exact fp arithmetic as the Spark side's float scaling. */
+  private val annTopKOracle =
+    """WITH q AS (SELECT vec_id AS query_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id < 5),
+      |c AS (
+      |  SELECT vec_id AS neighbor_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + m * 100000 AS neighbor_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * pow(2, m)) AS cv
+      |  FROM embeddings CROSS JOIN (VALUES (1), (2), (3), (4), (5)) AS ms(m)
+      |  WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_raw
+      |  FROM q, c WHERE neighbor_id <> query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+      |    round(cos_raw, 6) AS cos
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "lake_point" ->
@@ -1517,6 +1621,16 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
+    // exact distinct counts hash-checked; the HLL estimate's relative
+    // error is asserted via booleans the oracle expects TRUE.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_suppkey) AS exact_supps,
+        |  TRUE AS parts_err_lt_5pct,
+        |  TRUE AS supps_err_lt_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
@@ -1600,6 +1714,72 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // exact all-pairs recomputation of what the minhash-blocked +
+    // verified pipeline must produce: at matched threshold the verified
+    // LSH output equals the exact J>=0.5 pair set, so equality here
+    // hash-checks candidate recall AND the verify arithmetic.
+    "dedup_minhash" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents),
+         |toks AS (
+         |  SELECT doc_id, $normToks AS tk FROM pd),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         |FROM common
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the two anchors of the simhash scorecard, recomputed exactly:
+    // identical-content pair count (recall there is a theorem — asserted
+    // 100.0) and the J>=0.9 pair count (recall floor asserted TRUE).
+    "dedup_simhash" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents),
+         |toks AS (
+         |  SELECT doc_id, $normToks AS tk FROM pd),
+         |norm AS (SELECT doc_id, array_to_string(tk, ' ') AS s FROM toks),
+         |dup AS (
+         |  SELECT COUNT(*) AS n_exact_dups
+         |  FROM norm a JOIN norm b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j09 AS (
+         |  SELECT COUNT(*) AS n_j09 FROM common
+         |    JOIN sizes sa ON sa.doc_id = doc_a
+         |    JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.9)
+         |SELECT n_exact_dups, CAST(100.0 AS DOUBLE) AS exact_dup_recall_pct,
+         |  n_j09, TRUE AS j09_recall_ge_090
+         |FROM dup, j09""".stripMargin,
+
     "text_decontaminate" ->
       s"""WITH bench AS (
          |  SELECT doc_id, substr(text, 1, 200) AS text FROM documents WHERE doc_id % 17 = 0),
@@ -1681,6 +1861,26 @@ object SparkEntry {
         |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM scored
         |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
+    // uncapped twin of dedup_embedding: the banded-LSH path must emit
+    // the SAME verified pair set as the exact quadratic recomputation
+    // (candidate recall 1.0 through the multi-band OR; the cosine filter
+    // is identical arithmetic on both paths).
+    "dedup_embedding_lsh" ->
+      """WITH pe AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+        |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM scored
+        |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -1699,6 +1899,13 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // exhaustive exact ranking over the planted-copy corpus — what both
+    // approximate paths must recover by construction (same-direction
+    // copies share every sign bucket / IVF cell; power-of-2 scaling
+    // keeps the fp arithmetic bit-identical on both engines).
+    "sim_lsh_topk" -> annTopKOracle,
+    "sim_ivf_topk" -> annTopKOracle,
 
     "text_quality" ->
       s"""WITH base AS (

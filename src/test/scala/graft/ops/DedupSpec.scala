@@ -53,6 +53,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("minhashNearDup: verified pipeline equals all-pairs ngramJaccard at matched threshold") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxShingleDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val verified = Dedup.minhashNearDup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(exact.nonEmpty, "fixture must contain pairs above the threshold")
+    assert(verified === exact,
+      "LSH-blocked + verified output must equal the exact pair set (values included)")
+  }
+
+  test("verifiedJaccard drops candidate false positives below the threshold") {
+    import spark.implicits._
+    // (1,4) is an unrelated pair force-fed as a candidate: verification
+    // must reject it while keeping the true dup (1,2)
+    val cand = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r = Dedup.verifiedJaccard(docs, cand, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    assert(r.keySet === Set((1L, 2L)))
+    assert(r((1L, 2L)) === 1.0)
+  }
+
   test("ngram jaccard: exact dup = 1.0, near dup high, unrelated absent") {
     val r = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.3)
       .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap

@@ -92,6 +92,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("exact-direction copies are structurally recovered by BOTH approximate paths") {
+    // power-of-2 scalings of a vector share its hyperplane signs and its
+    // argmax-cosine cell bit-for-bit (scaling by 2^m is exact in fp), so
+    // LSH and IVF must surface every copy — this is the theorem the
+    // sim_lsh_topk / sim_ivf_topk oracles rely on
+    val q = corpus.where(col("vec_id") < 4)
+    val copies = (1 to 3).map(m =>
+      q.select((col("vec_id") + m * 1000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit((1 << m).toFloat)).as("embedding")))
+      .reduce(_ union _)
+    val planted = corpus.union(copies)
+    def topIds(df: DataFrame) = df.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val expected = (0L until 4L).map(i => i -> (1 to 3).map(m => i + m * 1000L).toSet).toMap
+    val lsh = topIds(Similarity.lshTopK(planted, q, "vec_id", "embedding", 3))
+    val ivf = topIds(Similarity.ivfTopK(planted, q, "vec_id", "embedding", 3,
+      nlist = 8, nprobe = 1))
+    assert(lsh === expected, "LSH must recover every exact-direction copy")
+    assert(ivf === expected, "IVF must recover every exact-direction copy even at nprobe=1")
+  }
+
   test("IVF centroid training is deterministic and corpus stays distributed") {
     val c1 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", 8, iters = 2)
     val c2 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", 8, iters = 2)
