@@ -948,7 +948,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val corpus = annCorpus(emb)
       val cents = ivfCache.getOrElseUpdate(s, dir)(
-        Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 16))
+        Similarity.trainIvfCentroids(corpus, "vec_id", "embedding")) // nlist auto ≈ √n
       Similarity.ivfTopKWith(cents, corpus, emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 5)
         .withColumn("cos", round(col("cos"), 6))

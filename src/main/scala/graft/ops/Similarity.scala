@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   *    in 2^planes sign-pattern buckets; queries probe their own bucket
   *    (plus multi-probe neighbors at Hamming distance 1), so per-query
   *    work is corpus/2^planes on average instead of the full corpus.
+  *    The plane count auto-scales with the corpus (`autoPlanes`) so the
+  *    bucket space grows with n — per-query work stays ~(planes+1)·64
+  *    instead of silently degrading to linear once n outgrows a fixed
+  *    2^planes.
+  *  - `ivfTopK` — learned-cell path: spherical k-means Voronoi cells,
+  *    `nlist` auto-sized to √n (`autoNlist`) and trainable on a seeded
+  *    sample (`sampleFraction`) so index build cost is decoupled from
+  *    corpus size.
   *
   * All vector math is `zip_with`/`aggregate` higher-order functions in
   * DOUBLE precision — codegen'd, no UDF, and bit-identical to a DuckDB
@@ -129,6 +137,24 @@ object Similarity {
     df.select(col("*"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
   }
 
+  /** Auto-derived LSH plane count: 2^planes buckets sized so the mean
+    * bucket holds ~64 vectors regardless of corpus size. A FIXED plane
+    * count stops being sublinear the moment the corpus outgrows its
+    * 2^planes bucket space (every bucket goes hot and per-query work
+    * degrades to corpus/2^planes → Θ(n)); growing the space with n keeps
+    * per-query candidate work ≈ (planes+1)·64 — logarithmic in n. Same
+    * derivation as `Dedup.embeddingNearDup`'s per-band bucket space. */
+  private[ops] def autoPlanes(n: Long): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).toInt))
+
+  /** Auto-derived IVF cell count: nlist ≈ √n (the standard IVF sizing —
+    * balances per-query centroid scoring, O(nlist), against cell scan,
+    * O(n·nprobe/nlist); √n equalizes the two), clamped to [16, 65536].
+    * Per-query work then grows as √n instead of n/16. */
+  private[ops] def autoNlist(n: Long): Int =
+    math.min(65536, math.max(16, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt))
+
   /** Empty (query_id, neighbor_id, rank, cos) result with the right id
     * type — the approximate paths probe the corpus for its dimension, so
     * an empty corpus must short-circuit instead of crashing `.head`. */
@@ -156,7 +182,10 @@ object Similarity {
     * (cluster, dim, sum, n) — nlist·dim rows, independent of corpus
     * size. Empty clusters keep their previous centroid. */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                        nlist: Int, iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+                        nlist: Int = 0, iters: Int = 3, seed: Long = 42L,
+                        sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction=$sampleFraction out of (0, 1]")
     // Degenerate vectors are excluded from training: a zero-norm vector
     // would contribute 0/0 = NaN components and poison its centroid
     // (NaN then sorts above every real cosine, so argmax funnels the
@@ -166,11 +195,23 @@ object Similarity {
     // projected frame is persisted: training touches it 1 + 2·iters
     // times, and without the persist each pass re-executes the corpus
     // lineage.
-    val vecs = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    //
+    // `sampleFraction` is THE 100 TB knob: centroid quality needs a
+    // representative sample, not the corpus — Lloyd passes over 10% cost
+    // 10× less and assignment quality is statistically indistinguishable
+    // (recall parity is spec-pinned). The sample is seeded, so training
+    // is deterministic. nlist = 0 auto-sizes cells as √n of the FULL
+    // corpus (the sample count is scaled back up by the fraction —
+    // cells partition the corpus, not the training sample).
+    val all = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .where(col("_v").isNotNull && cosineCol(col("_v"), col("_v")) > 0)
+    val vecs = (if (sampleFraction < 1.0) all.sample(sampleFraction, seed) else all)
       .persist()
     try {
-      trainOn(vecs, nlist, iters, seed)
+      val k =
+        if (nlist > 0) nlist
+        else autoNlist(math.ceil(vecs.count() / sampleFraction).toLong)
+      trainOn(vecs, k, iters, seed)
     } finally vecs.unpersist()
   }
 
@@ -262,10 +303,11 @@ object Similarity {
     * per-query rank window on candidate rows. Recall vs bruteForceTopK
     * is pinned in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              iters: Int = 3, seed: Long = 42L): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 4,
+              iters: Int = 3, seed: Long = 42L,
+              sampleFraction: Double = 1.0): DataFrame = {
     if (corpus.head(1).isEmpty) return emptyTopK(corpus, idCol)
-    ivfTopKWith(trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed),
+    ivfTopKWith(trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, seed, sampleFraction),
       corpus, queries, idCol, vecCol, k, nprobe)
   }
 
@@ -300,22 +342,26 @@ object Similarity {
     * Recall is tested against bruteForceTopK in SimilaritySpec.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 4, seed: Long = 42L): DataFrame = {
-    // dimension probe + null filter: null vectors are unbucketable (a
-    // null dot silently lands them all in bucket 0) and a null-vector
-    // first row would NPE the getInt
+              vecCol: String, k: Int, planes: Int = 0, seed: Long = 42L): DataFrame = {
+    // (count, dimension) probe + null filter: null vectors are
+    // unbucketable (a null dot silently lands them all in bucket 0) and
+    // a null-vector first row would NPE the getInt. One job probes both.
     val valid = corpus.where(col(vecCol).isNotNull)
-    val dimRow = valid.select(size(col(vecCol))).head(1)
-    if (dimRow.isEmpty) return emptyTopK(corpus, idCol)
-    val dim = dimRow.head.getInt(0)
+    val probe = valid.agg(count(lit(1)), max(size(col(vecCol)))).head()
+    if (probe.getLong(0) == 0L) return emptyTopK(corpus, idCol)
+    val dim = probe.getInt(1)
+    // planes = 0 auto-scales the bucket space with the corpus (mean
+    // bucket ~64 vectors); a fixed plane count is a scale trap — see
+    // autoPlanes
+    val p = if (planes > 0) planes else autoPlanes(probe.getLong(0))
     val c = signBuckets(valid.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      "c_vec", dim, planes, seed)
+      "c_vec", dim, p, seed)
     val qb = signBuckets(queries.where(col(vecCol).isNotNull)
         .select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "q_vec", dim, planes, seed)
+      "q_vec", dim, p, seed)
     // multi-probe: own bucket + flip of each plane bit
     val probes = qb.select(col("query_id"), col("q_vec"), col("bucket"),
-      explode(array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)).as("flip"))
+      explode(array((lit(0L) +: (0 until p).map(b => lit(1L << b))): _*)).as("flip"))
       .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
       .drop("flip")
     val scored = broadcast(probes).join(c, Seq("bucket"))

@@ -113,6 +113,51 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === expected, "IVF must recover every exact-direction copy even at nprobe=1")
   }
 
+  test("auto-scaled knobs keep per-query work sublinear across a 16x corpus sweep") {
+    // LSH: mean bucket size n / 2^autoPlanes(n) must stay bounded (~64)
+    // instead of growing linearly the way a fixed plane count lets it
+    for (n <- Seq(1000L, 4000L, 16000L, 1000000L, 16000000L)) {
+      val mean = n.toDouble / (1L << Similarity.autoPlanes(n))
+      assert(mean >= 16 && mean <= 128,
+        s"n=$n: mean bucket $mean outside [16, 128] — bucket space not tracking corpus")
+    }
+    assert(Similarity.autoPlanes(100L) === 4, "small corpora keep the floor")
+    // IVF: cells must multiply ~4x per 16x corpus (nlist ≈ √n), so
+    // per-query work nprobe·n/nlist grows as √n, not n
+    for (n <- Seq(10000L, 160000L, 2560000L)) {
+      val r = Similarity.autoNlist(16 * n).toDouble / Similarity.autoNlist(n)
+      assert(r >= 3.9 && r <= 4.1, s"n=$n: nlist ratio $r, expected ~4 (sqrt scaling)")
+    }
+  }
+
+  test("sample-trained IVF centroids reach recall parity with full-corpus training") {
+    import spark.implicits._
+    // clustered corpus: 20 seeded centers, 100 members each — structure
+    // a 10% training sample must still capture
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(8)(rng.nextGaussian()))
+    val big = (0L until 2000L).map { i =>
+      val c = centers((i % 20).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.15).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = big.where(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(big, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(sampleFraction: Double): Double = {
+      val cents = Similarity.trainIvfCentroids(big, "vec_id", "embedding",
+        nlist = 20, sampleFraction = sampleFraction)
+      val got = Similarity.ivfTopKWith(cents, big, q, "vec_id", "embedding", 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf intersect got).size.toDouble / bf.size
+    }
+    val full = recall(1.0)
+    val sampled = recall(0.1)
+    assert(full >= 0.8, f"full-corpus recall $full%.2f below floor")
+    assert(sampled >= 0.8, f"10%%-sample recall $sampled%.2f below floor")
+    assert(sampled >= full - 0.1,
+      f"sample-trained recall $sampled%.2f not at parity with full $full%.2f")
+  }
+
   test("IVF centroid training is deterministic and corpus stays distributed") {
     val c1 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", 8, iters = 2)
     val c2 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", 8, iters = 2)
