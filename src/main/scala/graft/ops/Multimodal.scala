@@ -39,6 +39,28 @@ object Multimodal {
       .withColumn("height", (pmod(xxhash64(col("doc_id"), lit(1)), lit(1080L)) + 1).cast("int"))
   }
 
+  /** The decoder seam: a production pipeline implements this against a
+    * real codec (libjpeg/ffmpeg/an ONNX embedder) and passes it to
+    * [[extractFeatures]] — the operator itself never changes. The
+    * lifecycle mirrors what heavy codecs need under `mapPartitions`:
+    * `open()` runs once per partition (JNI init, model load), `decode`
+    * once per row, `close()` once per partition even if decode throws.
+    * Implementations must be `Serializable` (instances are shipped to
+    * executors once per task, not per row). */
+  trait MediaDecoder extends Serializable {
+    /** Per-partition setup — called once before any `decode`. */
+    def open(): Unit = ()
+    def decode(bytes: Array[Byte]): Array[Float]
+    /** Per-partition teardown — called once, even on failure. */
+    def close(): Unit = ()
+  }
+
+  /** Default decoder: the deterministic stub (no codec libs in this
+    * container). Carries no state, so open/close are no-ops. */
+  object StubDecoder extends MediaDecoder {
+    def decode(bytes: Array[Byte]): Array[Float] = stubDecode(bytes)
+  }
+
   /** STUB decode: a real implementation calls an image/audio codec here
     * (per partition, so codec init is amortized). The stub derives an
     * 8-dim feature vector from byte-chunk averages — deterministic, and
@@ -63,15 +85,27 @@ object Multimodal {
   /** Feature extraction over the media column. `mapPartitions` is the
     * deliberate choice (guide's option (d)) because a real decoder has
     * heavy per-task setup; the narrow pipeline means no shuffle — one
-    * pass over the bytes, emitting small fixed-width features. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[Features] = {
+    * pass over the bytes, emitting small fixed-width features.
+    *
+    * The decoder is pluggable: `decoder.open()` runs once per partition
+    * before the first row and `close()` is registered as a task-completion
+    * listener so teardown fires even when a mid-partition decode throws
+    * (a bare `it.map` would never reach a trailing close). A decoder
+    * object shared across a JVM's task slots may see concurrent
+    * open/decode calls from different partitions — keep per-partition
+    * state inside `open`-created locals or make the decoder a `class`
+    * (new instance per closure serialization), not an `object`. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      decoder: MediaDecoder = StubDecoder): Dataset[Features] = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"), col("n_bytes"))
       .as[(Long, Array[Byte], Long)]
       .mapPartitions { it =>
-        // real codec init would happen once per partition, here:
+        decoder.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
         it.map { case (id, bytes, nBytes) =>
-          Features(id, stubDecode(bytes), nFramesFor(nBytes))
+          Features(id, decoder.decode(bytes), nFramesFor(nBytes))
         }
       }
   }

@@ -66,6 +66,30 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).n_frames === (160 % 30 + 1))
   }
 
+  test("extractFeatures accepts a custom decoder through the same partition-amortized path") {
+    // a stateful class decoder: open() builds per-partition state, close()
+    // must fire once per partition (counted via accumulators so the
+    // assertion sees executor-side effects)
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    class ConstDecoder extends Multimodal.MediaDecoder {
+      @transient private var ready = false
+      override def open(): Unit = { ready = true; opens.add(1) }
+      def decode(bytes: Array[Byte]): Array[Float] = {
+        assert(ready, "decode before open()")
+        Array.fill(4)(bytes.length.toFloat)
+      }
+      override def close(): Unit = closes.add(1)
+    }
+    val feats = Multimodal
+      .extractFeatures(spark, Multimodal.withMedia(docs).repartition(2), new ConstDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(feats.forall(_.feature.length === 4), "custom decoder's width must pass through")
+    assert(feats(0).feature.head === 160.0f)
+    assert(opens.value === 2 && closes.value === 2,
+      s"open/close once per partition, got ${opens.value}/${closes.value}")
+  }
+
   test("sampleFrames slices every stride-th frame") {
     val r = Multimodal.sampleFrames(Multimodal.withMedia(docs))
       .orderBy("doc_id").collect()
