@@ -61,6 +61,25 @@ class MetastoreFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // Compaction tolerance: Compactor's commit protocol leaves a
+    // `<root>.cbak` marker beside the live dir from the data swap until
+    // the stats refresh completes (Compactor.scala, "READER visibility").
+    // Inside that window — or after a crash mid-compaction — this
+    // index's cached FileStatus entries and its interval map both
+    // reference the renamed-away files, so a scan would FileNotFound.
+    // When the marker is present, re-list the live dir and skip
+    // interval pruning for this planning call: the live files are
+    // unknown to the stale stats, and the may-contain contract already
+    // forbids pruning unknown files. Costs pruning effectiveness (never
+    // correctness) for the seconds-wide window; once the marker drops,
+    // call refresh() to re-arm the interval map over the new files.
+    if (MetastoreFileIndex.underCompaction(base.rootPaths)) {
+      MetastoreFileIndex.log.warn(
+        "metastore prune: .cbak marker present (compaction in flight or crashed) — " +
+          "re-listing live files; zone-map pruning disabled for this query")
+      base.refresh()
+      return base.listFiles(partitionFilters, dataFilters)
+    }
     var total = 0L
     var kept = 0L
     val out = base.listFiles(partitionFilters, dataFilters).map { pd =>
@@ -133,6 +152,18 @@ class MetastoreFileIndex(
 object MetastoreFileIndex {
 
   private[lake] val log = org.slf4j.LoggerFactory.getLogger(classOf[MetastoreFileIndex])
+
+  /** True when any root has a live `<name>.cbak` sibling — the
+    * Compactor swap's mid-commit marker. One driver-side existence
+    * probe per root per planning call (no I/O beyond a namenode/inode
+    * stat), so the steady-state cost of the guard is negligible. */
+  private def underCompaction(roots: Seq[Path]): Boolean = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    roots.exists { r =>
+      r.getParent != null &&
+        r.getFileSystem(conf).exists(new Path(r.getParent, r.getName + ".cbak"))
+    }
+  }
 
   /** A DataFrame over `dataPath` whose every scan consults the stats
     * table for file skipping. Register it as a temp view and `spark.sql`

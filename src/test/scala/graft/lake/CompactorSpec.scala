@@ -71,6 +71,40 @@ class CompactorSpec extends SparkSpec {
     assert(repaired.count() === liveFiles, "stats rows must match live files after repair")
   }
 
+  test("a MetastoreFileIndex reader succeeds mid-swap while stats are stale") {
+    import spark.implicits._
+    val root = tmpDir("compact_reader")
+    val data = s"$root/t"
+    val stats = s"$root/stats"
+    (1L to 1000L).toDF("id").repartitionByRange(4, col("id")).write.parquet(data)
+    Metastore.update(spark, stats, Metastore.buildFromFooters(spark, data, "id"))
+    val table = MetastoreFileIndex.table(spark, data, stats)
+    assert(table.where(col("id") === 42L).count() === 1)
+
+    // reproduce Compactor.compact's reader-visible window exactly: the
+    // clustered rewrite lands in tmp, the swap commits (live dir now
+    // holds NEW files, `.cbak` marker present), and the stats refresh
+    // has NOT happened — stats rows point at renamed-away paths
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ClusteredWriter.write(spark.read.parquet(data), data + ".ctmp", "id", nFiles = 2)
+    val swap = new SwapProtocol(fs, new org.apache.hadoop.fs.Path(data), ".ctmp", ".cbak")
+    swap.commit()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(data + ".cbak")))
+
+    // the same DataFrame must keep answering (unpruned) mid-window
+    assert(table.where(col("id") === 42L).count() === 1,
+      "reader must survive the swap window instead of FileNotFound")
+    assert(table.count() === 1000)
+
+    // finish the compaction: stats re-harvested, marker dropped — and
+    // after refresh() the interval map prunes over the NEW files again
+    Compactor.recoverIfNeeded(spark, data, Some((stats, "id", Nil)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(data + ".cbak")))
+    MetastoreFileIndex.indexOf(table).refresh()
+    assert(table.where(col("id") === 42L).count() === 1)
+  }
+
   test("a crashed swap (live missing, bak present) rolls back cleanly") {
     import spark.implicits._
     val root = tmpDir("compact_crash")
