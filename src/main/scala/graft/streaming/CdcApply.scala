@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.lake.{Merge, Metastore}
+import graft.lake.{Merge, Metastore, StatsStore}
 
 /** Continuous CDC apply: a change stream — rows tagged upsert/delete —
   * applied to a clustered lake table as one `Merge` transaction pair
@@ -37,18 +37,27 @@ object CdcApply {
   def start(stream: DataFrame, dataPath: String, statsPath: String,
             checkpoint: String, opCol: String = "op",
             deleteOp: String = "delete"): StreamingQuery =
+    startWith(stream, dataPath, StatsStore.parquet(stream.sparkSession, statsPath),
+      checkpoint, opCol, deleteOp)
+
+  /** Store-generic form — the streaming sibling of `Merge.upsertWith`:
+    * apply the change stream against ANY `StatsStore` (e.g.
+    * `StatsStore.jdbc` for a database-backed metastore). */
+  def startWith(stream: DataFrame, dataPath: String, store: StatsStore,
+                checkpoint: String, opCol: String = "op",
+                deleteOp: String = "delete"): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.persist()
         try {
           val spark = batch.sparkSession
-          val cluster = Metastore.clusterColumnOf(Metastore.load(spark, statsPath))
+          val cluster = Metastore.clusterColumnOf(store.load())
           val upserts = batch.where(col(opCol) =!= lit(deleteOp)).drop(opCol)
           val deletes = batch.where(col(opCol) === lit(deleteOp))
             .select(col(cluster)).distinct()
-          if (upserts.head(1).nonEmpty) Merge.upsert(spark, dataPath, statsPath, upserts)
-          if (deletes.head(1).nonEmpty) Merge.delete(spark, dataPath, statsPath, deletes)
+          if (upserts.head(1).nonEmpty) Merge.upsertWith(spark, dataPath, store, upserts)
+          if (deletes.head(1).nonEmpty) Merge.deleteWith(spark, dataPath, store, deletes)
         } finally batch.unpersist()
         ()
       }

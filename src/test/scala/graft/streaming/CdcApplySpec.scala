@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.lake.{ClusteredWriter, Metastore}
+import graft.lake.{ClusteredWriter, JdbcMetastore, Metastore, StatsStore}
 import org.apache.spark.sql.functions._
 
 /** Streaming CDC apply: change batches (upsert/delete ops) land on a
@@ -52,5 +52,38 @@ class CdcApplySpec extends SparkSpec {
     val shack = graft.lake.Lakeshack.fromStats(spark, dataPath, statsPath, "k")
     assert(shack.queryOne(5L).select("payload").first().getString(0) === "v5-new")
     assert(shack.query(Seq(9L)).count() === 0)
+  }
+
+  test("store-generic streaming CDC runs against a DB-backed metastore") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("cdc_jdbc")
+    val dataPath = s"$root/lake"
+    val checkpoint = s"$root/ckpt"
+    val url = s"jdbc:derby:$root/db;create=true"
+    ClusteredWriter.write(
+      (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "payload"),
+      dataPath, "k", nFiles = 2)
+    JdbcMetastore.update(spark, url, "cdc_stats",
+      Metastore.buildFromFooters(spark, dataPath, "k"))
+
+    val stream = MemoryStream[(String, Long, String)]
+    val q = CdcApply.startWith(stream.toDS().toDF("op", "k", "payload"),
+      dataPath, StatsStore.jdbc(spark, url, "cdc_stats"), checkpoint)
+    try {
+      stream.addData(("upsert", 5L, "v5-new"), ("delete", 9L, ""), ("upsert", 60L, "v60"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val byKey = spark.read.option("recursiveFileLookup", "true").parquet(dataPath)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey(5L) === "v5-new" && byKey(60L) === "v60" && !byKey.contains(9L))
+    // the DB-held stats agree with disk: every row's file exists
+    val fs = new org.apache.hadoop.fs.Path(dataPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    JdbcMetastore.load(spark, url, "cdc_stats")
+      .select("filepath").collect().map(_.getString(0)).foreach(p =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(p)), s"stale stats row $p"))
   }
 }
