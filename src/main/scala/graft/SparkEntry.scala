@@ -837,7 +837,12 @@ object SparkEntry {
     // are correlated, not nested, so 100% would be wrong to assert).
     "dedup_simhash" -> ((s, dir) => {
       val planted = plantedDocs(s, dir)
+      // merge hint: cand is a pair table behind aggregates — its size
+      // estimate is garbage, and at 10× bench scale Catalyst broadcast
+      // it (1.3 GiB of task results > maxResultSize). Pair tables are
+      // never broadcastable at scale; pin the semi-joins to sort-merge.
       val cand = Dedup.simhashCandidates(Dedup.simhash(planted, "doc_id", "text"))
+        .hint("merge")
       val norm = planted.select(col("doc_id"),
         md5(array_join(TextAnalysis.tokensCol(col("text")), " ")).as("_m"))
       val dups = norm.as("a")

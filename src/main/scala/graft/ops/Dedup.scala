@@ -159,9 +159,14 @@ object Dedup {
       .select(col(idCol).as("_vid"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
       .select(col("_vid"),
         array_distinct(transform(shingles(col("_tk"), n), s => xxhash64(s))).as("_shs"))
+    // merge hints: the pair side's post-aggregate size estimate is
+    // garbage (Catalyst would happily decide to broadcast a pair table
+    // that is huge at scale — the measured 10× failure mode in
+    // ngramJaccard's old join form) and the sets side grows with the
+    // corpus, so sort-merge is the only strategy safe on both sides
     pairs.select("doc_a", "doc_b")
-      .join(sets.select(col("_vid").as("doc_a"), col("_shs").as("_sa")), Seq("doc_a"))
-      .join(sets.select(col("_vid").as("doc_b"), col("_shs").as("_sb")), Seq("doc_b"))
+      .join(sets.select(col("_vid").as("doc_a"), col("_shs").as("_sa")).hint("merge"), Seq("doc_a"))
+      .join(sets.select(col("_vid").as("doc_b"), col("_shs").as("_sb")).hint("merge"), Seq("doc_b"))
       .withColumn("n_common", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("_sa")) + size(col("_sb")) - col("n_common")))
@@ -238,11 +243,21 @@ object Dedup {
   }
 
   /** n-gram (shingle) Jaccard similarity via an inverted index:
-    * explode shingles → self-equi-join on shingle → common-count per
+    * explode shingles → per-shingle doc list → common-count per
     * pair → |A∩B| / (|A|+|B|-|A∩B|). Document-frequency cutoff
     * (`maxShingleDf`) drops stop-shingles, which is both the skew guard
     * and the recall/cost knob at scale.
-    */
+    *
+    * JOIN-FREE shape: each doc's distinct-shingle count rides WITH its
+    * (doc, sh) rows via a window count, so the per-shingle doc lists
+    * carry (doc, n_sh) structs and every pair row leaves its bucket
+    * already holding both denominators. The earlier form joined a
+    * per-doc `sizes` aggregate back onto the pair table — measured at
+    * 10× bench scale, Catalyst's post-aggregate size estimates are
+    * garbage there and it chose to BROADCAST the pair table (driver
+    * OOM); both sides of that join grow with the corpus, so no join
+    * strategy is actually safe. This form has no corpus-sized join at
+    * all, and one scan of the input instead of three. */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDf: Int = 100): DataFrame = {
@@ -254,23 +269,24 @@ object Dedup {
       .select(col(idCol).as("doc"), toks.as("toks")) // tokens once (see minhash note)
       .select(col("doc"), explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
-    val sizes = docShingles.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    // inverted index: one row per shingle with its (deduped, sorted) doc
-    // list; pair generation happens INSIDE the array, so there is no
-    // self-join — one aggregation replaces the join + two scans, and the
-    // df cutoff (skew guard / recall knob) is a size() filter.
-    val byShingle = docShingles.groupBy("sh")
-      .agg(sort_array(collect_set(col("doc"))).as("docs")) // set: duplicate doc ids must not emit (d, d) self-pairs
+    val withN = docShingles.withColumn("n_sh",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc")))
+    // inverted index: one row per shingle with its (deduped, doc-sorted)
+    // doc list; pair generation happens INSIDE the array, so there is no
+    // self-join, and the df cutoff (skew guard / recall knob) is a
+    // size() filter. struct puts doc first so sort_array orders by doc
+    // and the i<j expansion yields doc_a < doc_b.
+    val byShingle = withN.groupBy("sh")
+      .agg(sort_array(collect_set(struct(col("doc"), col("n_sh")))).as("docs")) // set: duplicate doc ids must not emit (d, d) self-pairs
       .where(size(col("docs")) >= 2 && size(col("docs")) <= maxShingleDf)
-    val common = byShingle
+    byShingle
       .select(explode(flatten(transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+          b => struct(a.getField("doc").as("doc_a"), a.getField("n_sh").as("sh_a"),
+            b.getField("doc").as("doc_b"), b.getField("n_sh").as("sh_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "sh_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "sh_b"), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("sh_a") + col("sh_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
@@ -310,10 +326,8 @@ object Dedup {
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3, threshold: Double = 0.5,
                     maxShingleDf: Int = 10000): DataFrame = {
-    def docShingles(df: DataFrame, as: String) = df
-      .select(col(idCol).as(as), TextAnalysis.tokensCol(col(textCol)).as("toks"))
-      .select(col(as), explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
-      .select(col(as), xxhash64(col("shingle")).as("sh"))
+    def docShingles(df: DataFrame, as: String) =
+      hashedShingles(df, idCol, textCol, n, as).drop("shingle")
     val bs = docShingles(bench, "bench_id")
     val bSizes = bs.groupBy("bench_id").agg(count(lit(1)).as("n_bench_sh"))
     // train shingles that can matter at all: broadcast semi-join against
@@ -331,6 +345,42 @@ object Dedup {
       .where(col("frac") >= threshold)
       .select("train_id", "bench_id", "n_shared", "frac")
   }
+
+  /** Diagnostic twin of [[contamination]]'s hot-shingle guard: the bench
+    * shingles the df cutoff silently excluded from matching, as
+    * (shingle text, train-doc frequency), heaviest first. Each row is a
+    * pair-space blowup the guard absorbed — run this when a sweep's
+    * pair counts look off, or log its count on a schedule, instead of
+    * guessing whether the cutoff fired. A SEPARATE call by design: the
+    * count lives on a broadcast subtree of the main query, where an
+    * `observe` metric does not report (measured: the CollectMetrics
+    * accumulator stays 0 under BroadcastExchange), and folding an eager
+    * count into `contamination` would force a corpus scan on an
+    * otherwise lazy operator. Cost when called: the same semi-join +
+    * df aggregation the main operator runs — one narrow train scan. */
+  def contaminationHotShingles(train: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String, n: Int = 3,
+                               maxShingleDf: Int = 10000): DataFrame = {
+    val bs = hashedShingles(bench, idCol, textCol, n, "bench_id")
+      .select("sh", "shingle").distinct()
+    hashedShingles(train, idCol, textCol, n, "train_id").drop("shingle")
+      .join(broadcast(bs.select("sh")), Seq("sh"), "left_semi")
+      .groupBy("sh").agg(count(lit(1)).as("train_df"))
+      .where(col("train_df") > maxShingleDf)
+      // hash -> text via the tiny bench side, for a human-readable report
+      .join(broadcast(bs), Seq("sh"))
+      .select("shingle", "train_df")
+      .orderBy(col("train_df").desc)
+  }
+
+  /** One row per (doc, distinct shingle): id, shingle text, 64-bit
+    * shingle hash. The hash is what travels through any shuffle; the
+    * text column is dropped by callers that do not report to humans. */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, as: String): DataFrame = df
+    .select(col(idCol).as(as), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+    .select(col(as), explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
+    .select(col(as), col("shingle"), xxhash64(col("shingle")).as("sh"))
 
   /** Embedding-cosine near-dup pairs. Candidate generation uses BANDED
     * random-hyperplane LSH (see Similarity.bandedSignBuckets): each

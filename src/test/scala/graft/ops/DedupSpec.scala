@@ -163,6 +163,16 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.contamination(train, bench, "doc_id", "text",
       n = 3, threshold = 0.5, maxShingleDf = 1)
     assert(capped.count() === 0, "hot shingles above the df cap must be dropped")
+    // the diagnostic reports exactly the dropped shingles, with text and
+    // train-df — what the guard absorbed is observable, not silent
+    val hot = Dedup.contaminationHotShingles(train, bench, "doc_id", "text",
+        n = 3, maxShingleDf = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hot.nonEmpty && hot.forall(_._2 === 2L),
+      "every bench shingle appears in train docs 1 and 3 -> df 2 for all")
+    assert(hot.exists(_._1 === "the quick brown"))
+    assert(Dedup.contaminationHotShingles(train, bench, "doc_id", "text", n = 3)
+      .count() === 0, "default cutoff drops nothing on a healthy corpus")
   }
 
   test("oversized buckets are dropped by the skew cap") {
