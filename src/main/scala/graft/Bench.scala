@@ -29,10 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  /** Queries re-run at the scaled dir: one per family (lake prune,
-    * shuffle join+topk, minhash dedup, ANN, text multi-stage). */
-  private val scaleQueries =
-    Seq("lake_point", "q3_topk", "dedup_minhash", "sim_ivf_topk", "text_tfidf")
+  /** Queries re-run at the scaled dir: the full dedup/ANN/
+    * decontamination pipeline set plus one headline per engine family
+    * (lake prune, shuffle join + top-k, skew join, text multi-stage) —
+    * the operators whose cost CAN grow superlinearly are exactly the
+    * ones that must be measured at 10×, not argued about. */
+  private val scaleQueries = Seq(
+    "lake_point", "q3_topk", "q_skew_join", "text_tfidf",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding_lsh", "dedup_clusters", "text_decontaminate",
+    "sim_lsh_topk", "sim_ivf_topk")
 
   private val copies = 10
   private val orderOff = 10000000L
@@ -43,9 +49,10 @@ object Bench {
   /** Union `copies` key-shifted copies of the source tables into
     * `outDir` (skipped if already present). Shifts keep referential
     * joins intact (o_custkey and c_custkey shift together, l_orderkey
-    * and o_orderkey shift together). Document text gets a per-copy
-    * suffix token so content is distinct across copies; doc_id shifts
-    * stay below SparkEntry's planted +100000 offset spacing. */
+    * and o_orderkey shift together). Document text / embeddings are
+    * rotation-perturbed per copy so copies are mutually distinct (see
+    * the write sites below); doc_id shifts stay below SparkEntry's
+    * planted +100000 offset spacing. */
   /** Cheap content fingerprint of the source dir (recursive file count +
     * total bytes + max mtime): regenerating the base dataset in place
     * must invalidate the cached scaled copy, not silently reuse it. */
@@ -56,7 +63,7 @@ object Bench {
       val st = it.next()
       n += 1; bytes += st.getLen; mtime = math.max(mtime, st.getModificationTime)
     }
-    s"v2:$n:$bytes:$mtime"
+    s"v3:$n:$bytes:$mtime" // v3: per-copy rotation perturbation (see scaleUp)
   }
 
   private def scaleUp(spark: SparkSession, srcDir: String, outDir: String): Unit = {
@@ -91,10 +98,26 @@ object Bench {
       .write.parquet(s"$outDir/orders.parquet")
     replicate(src("customer"), Map("c_custkey" -> custOff))
       .write.parquet(s"$outDir/customer.parquet")
+    // documents: copy i letter-rotates a..j (i=0 = identity, the base
+    // corpus verbatim), so copies are mutually DISTINCT — most tokens
+    // change, so no shingle survives across copies. An earlier form
+    // appended one token per copy, which made every doc 9 near-dups:
+    // the dedup probes then measured a 10,000× OUTPUT-pair explosion
+    // instead of the 10× input slope they exist to measure. Within-copy
+    // dup structure (the queries' planted +100000 twins, natural dups)
+    // is preserved, so the pipelines still produce pairs — scaled ~10×.
+    val abc = "abcdefghij"
     replicate(src("documents"), Map("doc_id" -> docOff),
-        (d, i) => d.withColumn("text", concat(col("text"), lit(s" copyword$i"))))
+        (d, i) => d.withColumn("text",
+          translate(col("text"), abc, abc.drop(i % 10) + abc.take(i % 10))))
       .write.parquet(s"$outDir/documents.parquet")
-    replicate(src("embeddings"), Map("vec_id" -> vecOff))
+    // embeddings: copy i rotates the vector i positions — norm-preserving,
+    // cosine between different rotations of a noise vector ≈ 0, so no
+    // cross-copy near-dup pairs (same rationale as the text rotation)
+    replicate(src("embeddings"), Map("vec_id" -> vecOff),
+        (d, i) => if (i == 0) d else d.withColumn("embedding",
+          concat(slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
+            slice(col("embedding"), lit(1), lit(i)))))
       .write.parquet(s"$outDir/embeddings.parquet")
     val out = fs.create(doneFile)
     try out.write(fp.getBytes("UTF-8")) finally out.close()
@@ -203,25 +226,39 @@ object Bench {
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errJson,"cold_total_sec":${sec2(coldTotal)},"sf":"$sfDir"$sf1Json}"""
     }
     // full 10 ms precision goes to the committed BENCH_FULL.json; the
-    // stdout line auto-degrades per-query values to 0.1 s precision when
-    // the full form would crowd the driver's 2000-char stdout tail
+    // stdout line prefers the full form, degrades per-query values to
+    // 0.1 s precision if that overflows the driver's 2000-char stdout
+    // tail, and past that stops carrying the per-query map at all: a
+    // compact summary line (total, cold, per-section sums, first errors)
+    // plus a `path` to the on-disk full JSON. A clipped JSON line parses
+    // as NOTHING — a summary + pointer always parses.
     val fullLine = render(sec2)
-    val line = if (fullLine.length > 1900) render(sec1) else fullLine
-    // also persist beside the repo: the driver keeps only a 2000-char
-    // output tail, so an on-disk copy guarantees the full JSON survives.
-    // BENCH_LOCAL.json is the gitignored scratch copy; BENCH_FULL.json
-    // is COMMITTED each round — the durable full-detail artifact even
-    // if the stdout line is ever clipped.
+    // persist beside the repo: BENCH_LOCAL.json is the gitignored
+    // scratch copy; BENCH_FULL.json is COMMITTED each round — the
+    // durable full-detail artifact whatever the stdout line carries
     for (f <- Seq("BENCH_LOCAL.json", "BENCH_FULL.json"))
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: java.io.IOException => () } // best-effort; stdout line is the contract
+    def summaryLine: String = {
+      val errJ =
+        if (errors.isEmpty && sf1Errors.isEmpty) ""
+        else "," + (errors ++ sf1Errors).take(3)
+          .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
+          .mkString("\"errors\":{", ",", "}") +
+          s""","n_errors":${errors.size + sf1Errors.size}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${warm.size},""" +
+        s""""cold_total_sec":${sec2(coldTotal)},"sf":"$sfDir"$sf1Json$errJ,""" +
+        s""""queries":"see path","path":"BENCH_FULL.json"}"""
+    }
+    val line =
+      if (fullLine.length <= 1900) fullLine
+      else if (render(sec1).length <= 1900) render(sec1)
+      else summaryLine
     spark.stop()
-    // the driver's stdout-tail window is 2000 chars; past ~1950 the
-    // line's own HEAD (metric/value) risks getting clipped
     if (line.length > 1950)
       System.err.println(s"WARNING: bench JSON line is ${line.length} chars — " +
-        "trim query names or values before the driver's 2000-char tail clips it")
+        "even the summary form risks the driver's 2000-char tail clip")
     println(line) // last line out: nothing may trail it but sbt's own epilogue
     if (errors.nonEmpty || sf1Errors.nonEmpty) sys.exit(1)
   }
