@@ -55,7 +55,8 @@ final case class QueryTelemetry(
   * both the membership predicate and every clause — including clauses on
   * columns the metastore never indexed.
   */
-class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[StructType] = None) {
+class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[StructType] = None,
+                dataPath: Option[String] = None) {
 
   val clusterColumn: String = Metastore.clusterColumnOf(stats)
 
@@ -106,6 +107,36 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
             limit: Option[Int] = None,
             tolerateCorrupt: Boolean = false): DataFrame = {
     val t0 = System.nanoTime()
+    // Compaction tolerance (same contract as MetastoreFileIndex): while
+    // Compactor's `.cbak` marker is up, the stats rows reference
+    // renamed-away files, so a stats-routed file list would
+    // FileNotFound. Scan the live dir unpruned instead — the query's
+    // own filter re-applies every predicate, so the window costs
+    // pruning, never correctness. Only engines built through
+    // `Lakeshack.apply`/`fromStats` know their data path; a direct
+    // constructor caller keeps the retry/tolerateCorrupt contract.
+    dataPath.foreach { dp =>
+      val p = new org.apache.hadoop.fs.Path(dp)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (p.getParent != null &&
+          fs.exists(new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".cbak"))) {
+        Lakeshack.log.warn("lakeshack.query: .cbak marker present (compaction in " +
+          "flight or crashed) — scanning live files unpruned for this query")
+        val pruneSec = (System.nanoTime() - t0) / 1e9
+        val telemetry = QueryTelemetry(values.size, filesTotal, filesTotal, 0,
+          pruneSec, nRecords = None, elapsedSec = None)
+        lastTelemetry = Some(telemetry)
+        var reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))
+          .option("recursiveFileLookup", "true")
+        if (tolerateCorrupt)
+          reader = reader.option("ignoreCorruptFiles", "true").option("ignoreMissingFiles", "true")
+        var df = reader.parquet(dp)
+          .where(col(clusterColumn).isin(values: _*) && Clause.conjunction(clauses))
+        df = columns.fold(df)(cs => df.select(cs.map(col): _*))
+        df = limit.fold(df)(df.limit)
+        return Lakeshack.observed(spark, this, telemetry, df)
+      }
+    }
     val zonePruned = Metastore.prune(spark, stats, values, clauses)
     val pruned = bloomStats match {
       // intersect with Bloom membership of the requested values — both
@@ -231,7 +262,7 @@ object Lakeshack {
     val schema = spark.read.option("recursiveFileLookup", "true").parquet(dataPath).schema
     new Lakeshack(spark,
       Metastore.build(spark, dataPath, clusterColumn, optionalColumns).cache(),
-      Some(schema))
+      Some(schema), Some(dataPath))
   }
 
   /** The steady-state path: load a PERSISTED stats table instead of
@@ -245,6 +276,6 @@ object Lakeshack {
                 clusterColumn: String, optionalColumns: Seq[String] = Nil): Lakeshack = {
     val schema = spark.read.option("recursiveFileLookup", "true").parquet(dataPath).schema
     val stats = Metastore.loadValidated(spark, statsPath, schema, clusterColumn, optionalColumns)
-    new Lakeshack(spark, stats.cache(), Some(schema))
+    new Lakeshack(spark, stats.cache(), Some(schema), Some(dataPath))
   }
 }

@@ -97,6 +97,15 @@ class CompactorSpec extends SparkSpec {
       "reader must survive the swap window instead of FileNotFound")
     assert(table.count() === 1000)
 
+    // the API path tolerates the window the same way: a Lakeshack built
+    // from the (stale) stats scans live files unpruned instead of
+    // resolving the stats' dead paths
+    val shack = Lakeshack.fromStats(spark, data, stats, "id")
+    assert(shack.queryOne(42L).count() === 1,
+      "Lakeshack.query must survive the swap window")
+    assert(shack.lastTelemetry.exists(t => t.filesScanned === t.filesTotal),
+      "mid-window telemetry reports the unpruned scan")
+
     // finish the compaction: stats re-harvested, marker dropped — and
     // after refresh() the interval map prunes over the NEW files again
     Compactor.recoverIfNeeded(spark, data, Some((stats, "id", Nil)))
