@@ -265,6 +265,14 @@ object Dedup {
     // shingles are replaced by their 64-bit hash before any shuffle, so
     // exchanges carry (doc, long) rows instead of strings; collision
     // probability at ~1e6 distinct shingles is ~1e-7 (birthday/2^64).
+    // n_sh rides in via a window count AFTER the explode. The seemingly
+    // cheaper size(arr)-next-to-explode(arr) form was measured 2.5×
+    // SLOWER end-to-end at sf0.1 (6.1 s vs 2.4 s): referencing the
+    // shingle array from two expressions re-runs the whole
+    // tokenize+shingle pipeline per reference (the CollapseProject
+    // inlining trap — see the minhash note), while the window is a
+    // local sort-free count over the doc partitioning the upstream
+    // repartition already established.
     val docShingles = df
       .select(col(idCol).as("doc"), toks.as("toks")) // tokens once (see minhash note)
       .select(col("doc"), explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
