@@ -137,16 +137,35 @@ object Similarity {
     df.select(col("*"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
   }
 
-  /** Auto-derived LSH plane count: 2^planes buckets sized so the mean
-    * bucket holds ~64 vectors regardless of corpus size. A FIXED plane
-    * count stops being sublinear the moment the corpus outgrows its
-    * 2^planes bucket space (every bucket goes hot and per-query work
-    * degrades to corpus/2^planes → Θ(n)); growing the space with n keeps
-    * per-query candidate work ≈ (planes+1)·64 — logarithmic in n. Same
-    * derivation as `Dedup.embeddingNearDup`'s per-band bucket space. */
+  /** Auto-derived planes PER BAND for the banded lshTopK: 2^planes
+    * band-buckets sized so the mean band-bucket holds ~256 vectors. A
+    * FIXED plane count stops being sublinear when the corpus outgrows
+    * its bucket space — but growing the plane count unboundedly is the
+    * OPPOSITE trap: per-band match probability for a cos-0.8 neighbor
+    * is 0.795^planes, so a single giant-bucket-space table silently
+    * loses recall as n grows (measured failure of the earlier
+    * single-table form: ~9% recall at n=16M). The cap at 14 planes
+    * holds the per-band recall floor; past n ≈ 4M the band-bucket size
+    * grows linearly instead — candidates stay a vanishing FRACTION of
+    * the corpus (L·n/2^14) at pinned recall, which is the honest LSH
+    * trade (true sublinearity at fixed recall needs L ∝ n^ρ tables,
+    * i.e. more bands, which `bands` exposes). */
   private[ops] def autoPlanes(n: Long): Int =
-    math.min(24, math.max(4,
-      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).toInt))
+    math.min(14, math.max(4,
+      math.ceil(math.log(math.max(n, 1L) / 256.0) / math.log(2.0)).toInt))
+
+  /** Bands needed for ≥90% recall at the cos 0.8 reference similarity:
+    * per-plane sign agreement s₀ = 1 − acos(0.8)/π ≈ 0.795, per-band
+    * match s₀^r, and the multi-band OR gives 1−(1−s₀^r)^L — solved for
+    * L at 0.9, clamped to [8, 56] (56 = the exact solve at the r = 14
+    * plane cap, so the floor holds across the whole reachable range).
+    * Every band is an independent chance to catch a neighbor, so recall
+    * is monotone in L; callers chasing higher recall at higher cost
+    * raise `bands` explicitly. */
+  private[ops] def autoBands(planesPerBand: Int): Int = {
+    val pBand = math.pow(1.0 - math.acos(0.8) / math.Pi, planesPerBand)
+    math.min(56, math.max(8, math.ceil(math.log(0.1) / math.log(1.0 - pBand)).toInt))
+  }
 
   /** Auto-derived IVF cell count: nlist ≈ √n (the standard IVF sizing —
     * balances per-query centroid scoring, O(nlist), against cell scan,
@@ -208,10 +227,18 @@ object Similarity {
     val vecs = (if (sampleFraction < 1.0) all.sample(sampleFraction, seed) else all)
       .persist()
     try {
+      val sampled = vecs.count()
+      // an empty (or undersized) sample must fail HERE with a usable
+      // message, not downstream as a zero-centroid analysis error
+      require(sampled > 0,
+        s"sampleFraction=$sampleFraction produced 0 training vectors — raise it " +
+          "(or check that the corpus has non-null, non-zero-norm vectors)")
       val k =
         if (nlist > 0) nlist
-        else autoNlist(math.ceil(vecs.count() / sampleFraction).toLong)
-      trainOn(vecs, k, iters, seed)
+        else autoNlist(math.ceil(sampled / sampleFraction).toLong)
+      // never ask for more cells than training vectors: limit(k) would
+      // silently return fewer centroids than promised
+      trainOn(vecs, math.min(k, sampled).toInt, iters, seed)
     } finally vecs.unpersist()
   }
 
@@ -303,7 +330,7 @@ object Similarity {
     * per-query rank window on candidate rows. Recall vs bruteForceTopK
     * is pinned in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 4,
+              vecCol: String, k: Int, nlist: Int = 0, nprobe: Int = 0,
               iters: Int = 3, seed: Long = 42L,
               sampleFraction: Double = 1.0): DataFrame = {
     if (corpus.head(1).isEmpty) return emptyTopK(corpus, idCol)
@@ -311,13 +338,25 @@ object Similarity {
       corpus, queries, idCol, vecCol, k, nprobe)
   }
 
+  /** Auto-scaled probe count: nprobe ≈ √nlist, floor 4. With
+    * nlist ≈ √n this probes ~n^¾ vectors per query — still sublinear —
+    * where a FIXED nprobe shrinks the probed fraction as 4/nlist and
+    * silently degrades recall exactly as the corpus grows (a query
+    * whose true neighbor sits in its 5th-closest cell loses it). */
+  private[ops] def autoNprobe(nlist: Int): Int =
+    math.max(4, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+
   /** IVF search against an already-trained centroid matrix — the
     * steady-state path: an index is trained once (or refreshed on a
     * schedule) and queried many times; re-training per query would make
     * the training jobs dominate sub-second searches. */
   def ivfTopKWith(centroids: Array[Array[Double]],
                   corpus: DataFrame, queries: DataFrame, idCol: String,
-                  vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+                  vecCol: String, k: Int, nprobe: Int = 0): DataFrame = {
+    // nprobe = 0 scales probes with the cell count (see autoNprobe):
+    // one knob auto-scaling while the other stays fixed is how recall
+    // silently decays with corpus growth
+    val np = if (nprobe > 0) nprobe else autoNprobe(centroids.length)
     // null vectors are unscorable — drop them (zero-norm vectors are
     // fine here: cosine scores them 0.0, so they never rank)
     val c = corpus.where(col(vecCol).isNotNull)
@@ -325,7 +364,7 @@ object Similarity {
       .withColumn("cell", argmaxCos(centroids, col("c_vec")))
     val q = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(topProbes(centroids, col("q_vec"), nprobe)))
+      .withColumn("cell", explode(topProbes(centroids, col("q_vec"), np)))
     val scored = broadcast(q).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
@@ -336,13 +375,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** LSH approximate top-k: bucket corpus + queries with the same
-    * hyperplanes, multi-probe the query bucket and all Hamming-1
-    * neighbors (flip each bit), rank within the probed candidates.
+  /** LSH approximate top-k: BANDED multi-table search — L independent
+    * bands of r private hyperplanes each (same `bandedSignBuckets` as
+    * `Dedup.embeddingNearDup`); candidates are the union over bands of
+    * the query's band-bucket, ranked by exact cosine. Recall comes from
+    * the multi-band OR, 1−(1−s^r)^L: each band is an independent draw,
+    * so growing the bucket space (r, which bounds candidate work) no
+    * longer collapses recall — the earlier single-table+bit-flip form
+    * had exactly that failure: auto-scaling its one table's plane count
+    * with n drove per-table match probability for a non-identical
+    * neighbor toward zero (~9% recall for cos 0.8 at n=16M) while the
+    * Hamming-1 probes recovered only one flipped bit of p. Defaults:
+    * r = autoPlanes(n) (mean band-bucket ~256, capped — see autoPlanes
+    * for the past-the-cap contract), L = autoBands(r) (≥90% recall at
+    * cos 0.8). Per-query candidate work ≈ L · mean-bucket.
     * Recall is tested against bruteForceTopK in SimilaritySpec.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 0, seed: Long = 42L): DataFrame = {
+              vecCol: String, k: Int, planes: Int = 0, seed: Long = 42L,
+              bands: Int = 0): DataFrame = {
     // (count, dimension) probe + null filter: null vectors are
     // unbucketable (a null dot silently lands them all in bucket 0) and
     // a null-vector first row would NPE the getInt. One job probes both.
@@ -350,21 +401,18 @@ object Similarity {
     val probe = valid.agg(count(lit(1)), max(size(col(vecCol)))).head()
     if (probe.getLong(0) == 0L) return emptyTopK(corpus, idCol)
     val dim = probe.getInt(1)
-    // planes = 0 auto-scales the bucket space with the corpus (mean
-    // bucket ~64 vectors); a fixed plane count is a scale trap — see
-    // autoPlanes
-    val p = if (planes > 0) planes else autoPlanes(probe.getLong(0))
-    val c = signBuckets(valid.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
-      "c_vec", dim, p, seed)
-    val qb = signBuckets(queries.where(col(vecCol).isNotNull)
+    val r = if (planes > 0) planes else autoPlanes(probe.getLong(0))
+    val l = if (bands > 0) bands else autoBands(r)
+    val c = bandedSignBuckets(
+      valid.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
+      "c_vec", dim, l, r, seed)
+    val qb = bandedSignBuckets(queries.where(col(vecCol).isNotNull)
         .select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "q_vec", dim, p, seed)
-    // multi-probe: own bucket + flip of each plane bit
-    val probes = qb.select(col("query_id"), col("q_vec"), col("bucket"),
-      explode(array((lit(0L) +: (0 until p).map(b => lit(1L << b))): _*)).as("flip"))
-      .withColumn("bucket", col("bucket").bitwiseXOR(col("flip")))
-      .drop("flip")
-    val scored = broadcast(probes).join(c, Seq("bucket"))
+      "q_vec", dim, l, r, seed)
+    // equi-join on (band, bucket): a candidate surfacing in several
+    // bands is scored per band and deduped after — cosines are cheap
+    // next to shuffling vector arrays through a pre-score distinct
+    val scored = broadcast(qb).join(c, Seq("band", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
       .select("query_id", "neighbor_id", "cos").distinct()

@@ -62,8 +62,10 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.lshTopK(corpus, q, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf intersect lsh).size.toDouble / bf.size
-    // deterministic (fixed seed): multi-probe at Hamming-1 with 4 planes
-    assert(recall >= 0.5, f"LSH recall $recall%.2f too low vs brute force")
+    // deterministic (fixed seed): banded multi-table OR — independent
+    // bands make recall robust where the old single-table form's was
+    // a per-seed coin flip
+    assert(recall >= 0.6, f"LSH recall $recall%.2f too low vs brute force")
     // and LSH never invents neighbors with higher cos than true top-k's floor
     assert(lsh.forall { case (qid, _) => q.select("vec_id").collect().map(_.getLong(0)).contains(qid) })
   }
@@ -114,14 +116,29 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("auto-scaled knobs keep per-query work sublinear across a 16x corpus sweep") {
-    // LSH: mean bucket size n / 2^autoPlanes(n) must stay bounded (~64)
-    // instead of growing linearly the way a fixed plane count lets it
-    for (n <- Seq(1000L, 4000L, 16000L, 1000000L, 16000000L)) {
+    // LSH: below the plane cap, mean band-bucket n / 2^autoPlanes(n)
+    // stays bounded instead of growing linearly with the corpus
+    for (n <- Seq(1000L, 4000L, 16000L, 1000000L, 4000000L)) {
       val mean = n.toDouble / (1L << Similarity.autoPlanes(n))
-      assert(mean >= 16 && mean <= 128,
-        s"n=$n: mean bucket $mean outside [16, 128] — bucket space not tracking corpus")
+      assert(mean >= 16 && mean <= 512,
+        s"n=$n: mean band-bucket $mean outside [16, 512] — bucket space not tracking corpus")
     }
     assert(Similarity.autoPlanes(100L) === 4, "small corpora keep the floor")
+    assert(Similarity.autoPlanes(1000000000L) === 14,
+      "the plane cap holds per-band recall; past it buckets grow instead")
+    // the band count must hold the S-curve recall floor at cos 0.8 for
+    // every reachable plane count — the knob pair scales TOGETHER
+    // (growing r without growing L is the silent-recall-loss trap)
+    val s0 = 1.0 - math.acos(0.8) / math.Pi
+    for (r <- 4 to 14) {
+      val l = Similarity.autoBands(r)
+      val rec = 1.0 - math.pow(1.0 - math.pow(s0, r), l)
+      assert(rec >= 0.88, f"r=$r, L=$l: theoretical recall $rec%.2f below floor")
+      assert(l <= 56, s"r=$r: band count $l exceeds the cost cap")
+    }
+    // IVF: probes scale as √nlist, so the probed fraction shrinks
+    // gracefully instead of collapsing as 4/nlist
+    assert(Similarity.autoNprobe(16) === 4 && Similarity.autoNprobe(1024) === 32)
     // IVF: cells must multiply ~4x per 16x corpus (nlist ≈ √n), so
     // per-query work nprobe·n/nlist grows as √n, not n
     for (n <- Seq(10000L, 160000L, 2560000L)) {
