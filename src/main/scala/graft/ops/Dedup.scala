@@ -178,10 +178,14 @@ object Dedup {
     * complete production pipeline: banded-LSH candidates (sublinear,
     * `minhashCandidates`) re-checked against true shingle Jaccard
     * (`verifiedJaccard`), so the output contains no LSH false positives
-    * and is directly comparable to — at matched recall, identical to —
-    * the all-pairs `ngramJaccard` result, at bucket-join cost instead of
-    * inverted-index-pair cost. Defaults put the LSH S-curve knee at
-    * J≈0.5, matching `threshold`. */
+    * and approaches the all-pairs `ngramJaccard` result from below, at
+    * bucket-join cost instead of inverted-index-pair cost. The gap is
+    * the candidate-stage miss probability (1−J^r)^b — NOT zero at the
+    * threshold under the defaults (b=16, r=4: a J=0.5 pair is missed
+    * with probability ≈0.36; the S-curve knee sits at the threshold,
+    * not below it). Callers needing near-exact equality at J≥t choose
+    * shorter rows/more bands (b=32, r=2 → miss ≈1e-4 at J=0.5) and pay
+    * the looser buckets. */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      threshold: Double = 0.5, numHashes: Int = 64,
                      bands: Int = 16, shingleSize: Int = 3,
