@@ -23,17 +23,29 @@ import org.apache.spark.sql.SparkSession
   *
   * READER visibility: between `swap.commit()` and the stats refresh the
   * live dir already holds the new files while the stats table still
-  * references the deleted old ones, so a concurrent reader that prunes
-  * through the metastore (Lakeshack / MetastoreFileIndex) can resolve
-  * to missing paths and fail with FileNotFound for the swap window
-  * (seconds — the rewrite itself happens BEFORE the window opens).
-  * This is the same contract as the reference's non-transactional
-  * catalog: retry the query, or route readers through
-  * `Lakeshack.query(..., tolerateCorrupt = true)`, which skips
-  * missing/unreadable files instead of failing. Writers are already
-  * excluded by the single-writer rule.
+  * references the deleted old ones. Both metastore-routed readers
+  * (`Lakeshack.query`, `MetastoreFileIndex`) detect the `.cbak` marker
+  * (`underCompaction`) at planning time and fall back to scanning the
+  * live listing unpruned, so queries PLANNED inside the window succeed.
+  * What remains is the planning-to-execution instant: a query planned
+  * just before the swap commits still resolves the old paths and can
+  * FileNotFound — for that residual race the contract is the same as
+  * the reference's non-transactional catalog: retry the query, or
+  * route readers through `Lakeshack.query(..., tolerateCorrupt =
+  * true)`, which skips missing/unreadable files instead of failing.
+  * Writers are already excluded by the single-writer rule.
   */
 object Compactor {
+
+  /** True while `dataPath` has a live swap marker (`<path>.cbak`) —
+    * the window between the data swap and the stats refresh, or a
+    * crash inside it. Readers (Lakeshack.query, MetastoreFileIndex)
+    * use this to fall back to live-listing instead of resolving stale
+    * stats paths. ONE definition so the commit protocol's marker
+    * naming cannot drift apart from the readers that depend on it. */
+  def underCompaction(fs: org.apache.hadoop.fs.FileSystem, dataPath: Path): Boolean =
+    dataPath.getParent != null &&
+      fs.exists(new Path(dataPath.getParent, dataPath.getName + ".cbak"))
 
   def compact(spark: SparkSession, dataPath: String, statsPath: String,
               clusterColumn: String, targetFiles: Int,

@@ -118,8 +118,7 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
     dataPath.foreach { dp =>
       val p = new org.apache.hadoop.fs.Path(dp)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (p.getParent != null &&
-          fs.exists(new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".cbak"))) {
+      if (Compactor.underCompaction(fs, p)) {
         Lakeshack.log.warn("lakeshack.query: .cbak marker present (compaction in " +
           "flight or crashed) — scanning live files unpruned for this query")
         val pruneSec = (System.nanoTime() - t0) / 1e9

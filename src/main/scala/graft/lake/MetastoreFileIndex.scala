@@ -73,6 +73,12 @@ class MetastoreFileIndex(
     // forbids pruning unknown files. Costs pruning effectiveness (never
     // correctness) for the seconds-wide window; once the marker drops,
     // call refresh() to re-arm the interval map over the new files.
+    // RESIDUAL RACE: the probe runs at PLANNING time — a query planned
+    // an instant before the swap commits still executes against the
+    // old FileStatus list and can FileNotFound. The guard closes the
+    // dominant (seconds-wide, stats-refresh) window; the
+    // planning-to-execution instant keeps the documented retry /
+    // tolerateCorrupt contract (Compactor.scala, READER visibility).
     if (MetastoreFileIndex.underCompaction(base.rootPaths)) {
       MetastoreFileIndex.log.warn(
         "metastore prune: .cbak marker present (compaction in flight or crashed) — " +
@@ -153,16 +159,14 @@ object MetastoreFileIndex {
 
   private[lake] val log = org.slf4j.LoggerFactory.getLogger(classOf[MetastoreFileIndex])
 
-  /** True when any root has a live `<name>.cbak` sibling — the
-    * Compactor swap's mid-commit marker. One driver-side existence
-    * probe per root per planning call (no I/O beyond a namenode/inode
-    * stat), so the steady-state cost of the guard is negligible. */
+  /** True when any root has a live compaction marker (see
+    * `Compactor.underCompaction` — one definition of the marker
+    * naming). One driver-side existence probe per root per planning
+    * call (no I/O beyond a namenode/inode stat), so the steady-state
+    * cost of the guard is negligible. */
   private def underCompaction(roots: Seq[Path]): Boolean = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    roots.exists { r =>
-      r.getParent != null &&
-        r.getFileSystem(conf).exists(new Path(r.getParent, r.getName + ".cbak"))
-    }
+    roots.exists(r => Compactor.underCompaction(r.getFileSystem(conf), r))
   }
 
   /** A DataFrame over `dataPath` whose every scan consults the stats
