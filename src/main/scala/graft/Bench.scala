@@ -185,6 +185,7 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       s"/tmp/graft_scale${copies}_${new java.io.File(sfDir).getName}")
     var sf1Json = ""
+    var sf1Compact = ""
     var sf1Errors = Map.empty[String, String]
     if (!sys.env.contains("SPARK_GRAFT_NO_SF1")) {
       try {
@@ -196,17 +197,23 @@ object Bench {
         sf1Errors = e1 ++ e2
         val qs = sf1Warm.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
+        // error strings truncated: per-query exceptions are unbounded,
+        // and a broad sf1 failure (13 × full messages) would by itself
+        // overflow the 2000-char stdout tail the JSON must fit
         val errJson =
           if (sf1Errors.isEmpty) ""
-          else "," + sf1Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+          else "," + sf1Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
             .mkString("\"errors\":{", ",", "}")
         // compact keys: every sf1 char competes with a main-dict query
         // entry for the driver's 2000-char stdout tail
         sf1Json = s""","sf1":{"scale":$copies,"gen":${sec2(genSec)},""" +
           s""""queries":$qs,"cold_sec":${sec2(sf1Cold.values.sum)}$errJson}"""
+        sf1Compact = s""","sf1_total_sec":${sec2(sf1Warm.values.sum)}""" +
+          (if (sf1Errors.isEmpty) "" else s""","sf1_n_errors":${sf1Errors.size}""")
       } catch { case e: Throwable =>
         sf1Errors = Map("sf1_setup" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         sf1Json = s""","sf1_error":${jsonStr(sf1Errors("sf1_setup"))}"""
+        sf1Compact = sf1Json
       }
     }
 
@@ -247,9 +254,15 @@ object Bench {
           .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
           .mkString("\"errors\":{", ",", "}") +
           s""","n_errors":${errors.size + sf1Errors.size}"""
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${warm.size},""" +
-        s""""cold_total_sec":${sec2(coldTotal)},"sf":"$sfDir"$sf1Json$errJ,""" +
-        s""""queries":"see path","path":"BENCH_FULL.json"}"""
+      def form(sf1Part: String) =
+        s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${warm.size},""" +
+          s""""cold_total_sec":${sec2(coldTotal)},"sf":"$sfDir"$sf1Part$errJ,""" +
+          s""""queries":"see path","path":"BENCH_FULL.json"}"""
+      // the sf1 per-query map is itself unbounded as the probe set
+      // grows — degrade it to totals rather than let the "always
+      // parses" line become the thing that clips
+      val withSf1 = form(sf1Json)
+      if (withSf1.length <= 1900) withSf1 else form(sf1Compact)
     }
     val line =
       if (fullLine.length <= 1900) fullLine
