@@ -147,6 +147,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("banded LSH holds recall at a scale where the auto knobs actually engage") {
+    import spark.implicits._
+    // 10k clustered vectors: auto r = 6 (not the floor 4 the n=500 pin
+    // exercises), auto L = autoBands(6). Within-cluster cosines sit
+    // near the 0.8 reference similarity, so the S-curve floor applies
+    // to the true top-k — this is the regression test for the
+    // single-table form's silent recall collapse (which scored ~single-
+    // digit recall once its one table's plane count grew with n).
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(100)(Array.fill(8)(rng.nextGaussian()))
+    val big = (0L until 10000L).map { i =>
+      val c = centers((i % 100).toInt)
+      (i, c.map(x => (x + rng.nextGaussian() * 0.12).toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val q = big.where(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(big, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(big, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.85, f"banded LSH recall $recall%.2f below floor at n=10k")
+    big.unpersist()
+  }
+
   test("sample-trained IVF centroids reach recall parity with full-corpus training") {
     import spark.implicits._
     // clustered corpus: 20 seeded centers, 100 members each — structure
