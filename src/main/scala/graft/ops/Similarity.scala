@@ -13,14 +13,13 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   *    compute cosine against every corpus vector in one narrow pass, then
   *    rank per query. The corpus is scanned once and never shuffled; the
   *    only exchange carries (query_id, corpus_id, cos) candidate rows.
-  *  - `lshTopK` — scale path: random-hyperplane LSH. Corpus vectors land
-  *    in 2^planes sign-pattern buckets; queries probe their own bucket
-  *    (plus multi-probe neighbors at Hamming distance 1), so per-query
-  *    work is corpus/2^planes on average instead of the full corpus.
-  *    The plane count auto-scales with the corpus (`autoPlanes`) so the
-  *    bucket space grows with n — per-query work stays ~(planes+1)·64
-  *    instead of silently degrading to linear once n outgrows a fixed
-  *    2^planes.
+  *  - `lshTopK` — scale path: BANDED random-hyperplane LSH — L
+  *    independent tables of r sign planes each; candidates are the
+  *    union over bands of the query's band-bucket, so per-query work
+  *    is ~L · mean-band-bucket instead of the full corpus, and recall
+  *    comes from the multi-band OR (held ≥90% at the cos-0.8 reference
+  *    by deriving L from r — see `autoPlanes`/`autoBands` for why the
+  *    knobs must move TOGETHER).
   *  - `ivfTopK` — learned-cell path: spherical k-means Voronoi cells,
   *    `nlist` auto-sized to √n (`autoNlist`) and trainable on a seeded
   *    sample (`sampleFraction`) so index build cost is decoupled from
@@ -373,6 +372,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Persist a trained IVF centroid matrix as a tiny parquet table
+    * (`cell`, `centroid`) — the missing half of the train-once contract:
+    * `trainIvfCentroids` already decouples training cost from queries
+    * within a session, but a 100 TB deployment trains on a schedule and
+    * queries from MANY sessions/jobs; the index must round-trip through
+    * storage like the Metastore's stats do. Overwrites atomically via
+    * parquet's job commit (readers see old or new, never a mix). */
+  def saveIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   centroids: Array[Array[Double]]): Unit = {
+    require(centroids.nonEmpty, "refusing to persist an empty centroid matrix")
+    val rows = centroids.zipWithIndex.map { case (v, i) => Row(i, v.toSeq) }
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("cell", IntegerType, nullable = false),
+          StructField("centroid", org.apache.spark.sql.types.ArrayType(DoubleType, false)))))
+      .repartition(1) // nlist × dim doubles — KBs; one file, like a stats table
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted IVF index. Validates shape on the way in — cells
+    * must be exactly 0..n-1 with one uniform-dimension centroid each —
+    * so a corrupted or half-written index fails HERE with a usable
+    * message, not downstream as a wrong-cell assignment. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path).select("cell", "centroid").collect()
+    require(rows.nonEmpty, s"IVF index at $path is empty")
+    val byCell = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    require(byCell.map(_._1).toSeq == (0 until rows.length),
+      s"IVF index at $path has non-contiguous cells — corrupted or partially written")
+    val dims = byCell.map(_._2.length).distinct
+    require(dims.length == 1 && dims.head > 0,
+      s"IVF index at $path mixes centroid dimensions: ${dims.mkString(",")}")
+    byCell.map(_._2)
   }
 
   /** LSH approximate top-k: BANDED multi-table search — L independent

@@ -147,6 +147,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF index round-trips through storage and answers identically") {
+    val root = tmpDir("ivf_idx")
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    Similarity.saveIvfIndex(spark, s"$root/idx", cents)
+    val loaded = Similarity.loadIvfIndex(spark, s"$root/idx")
+    assert(loaded.length === cents.length)
+    assert(loaded.zip(cents).forall { case (a, b) => a.toSeq == b.toSeq },
+      "persisted centroids must round-trip bit-identically")
+    val q = corpus.where(col("vec_id") < 5)
+    val direct = Similarity.ivfTopKWith(cents, corpus, q, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSeq
+    val fromDisk = Similarity.ivfTopKWith(loaded, corpus, q, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSeq
+    assert(direct === fromDisk, "a reloaded index must answer identically")
+    // corruption fails loudly at load, not as a wrong-cell assignment
+    import spark.implicits._
+    Seq((0, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0))).toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$root/bad")
+    val e = intercept[IllegalArgumentException](Similarity.loadIvfIndex(spark, s"$root/bad"))
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+
   test("banded LSH holds recall at a scale where the auto knobs actually engage") {
     import spark.implicits._
     // 10k clustered vectors: auto r = 6 (not the floor 4 the n=500 pin
