@@ -379,18 +379,47 @@ object Similarity {
     * `trainIvfCentroids` already decouples training cost from queries
     * within a session, but a 100 TB deployment trains on a schedule and
     * queries from MANY sessions/jobs; the index must round-trip through
-    * storage like the Metastore's stats do. Overwrites atomically via
-    * parquet's job commit (readers see old or new, never a mix). */
+    * storage like the Metastore's stats do.
+    *
+    * Refresh protocol: the new index is FULLY written to a `.tmp` dir
+    * first, then swapped in by two renames (old → `.old`, tmp → live) —
+    * a plain `mode("overwrite")` would delete the live dir for the
+    * whole duration of the write job, leaving concurrent readers a
+    * seconds-wide missing-index window; the rename pair narrows that to
+    * the instant between renames. A reader that hits that instant (or
+    * a crash between the renames) finds no live dir and should retry
+    * after `recoverIvfIndex` — same contract as the lake swaps. */
   def saveIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                    centroids: Array[Array[Double]]): Unit = {
     require(centroids.nonEmpty, "refusing to persist an empty centroid matrix")
     val rows = centroids.zipWithIndex.map { case (v, i) => Row(i, v.toSeq) }
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".old")
+    fs.delete(tmp, true)
     spark.createDataFrame(
         java.util.Arrays.asList(rows: _*),
         StructType(Seq(StructField("cell", IntegerType, nullable = false),
           StructField("centroid", org.apache.spark.sql.types.ArrayType(DoubleType, false)))))
       .repartition(1) // nlist × dim doubles — KBs; one file, like a stats table
-      .write.mode("overwrite").parquet(path)
+      .write.parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(live)) require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not commit $tmp to $live")
+    fs.delete(old, true)
+  }
+
+  /** Roll back a refresh that crashed between the two renames (live
+    * missing, `.old` present): restores the previous index. Call before
+    * `loadIvfIndex` in environments where a trainer may die mid-swap. */
+  def recoverIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".old")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"could not restore $old to $live")
+    fs.delete(new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".tmp"), true)
   }
 
   /** Load a persisted IVF index. Validates shape on the way in — cells

@@ -161,6 +161,19 @@ class SimilaritySpec extends SparkSpec {
     val fromDisk = Similarity.ivfTopKWith(loaded, corpus, q, "vec_id", "embedding", 5)
       .collect().map(_.toSeq).toSeq
     assert(direct === fromDisk, "a reloaded index must answer identically")
+    // a refresh REPLACES the live index via rename swap; a crash
+    // between the renames (live missing, .old present) rolls back
+    val cents2 = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4, iters = 1)
+    Similarity.saveIvfIndex(spark, s"$root/idx", cents2)
+    assert(Similarity.loadIvfIndex(spark, s"$root/idx").length === 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$root/idx"),
+      new org.apache.hadoop.fs.Path(s"$root/idx.old"))) // simulate mid-swap crash
+    Similarity.recoverIvfIndex(spark, s"$root/idx")
+    assert(Similarity.loadIvfIndex(spark, s"$root/idx").length === 4,
+      "previous index must be restored after a mid-swap crash")
+
     // corruption fails loudly at load, not as a wrong-cell assignment
     import spark.implicits._
     Seq((0, Seq(1.0, 2.0)), (2, Seq(3.0, 4.0))).toDF("cell", "centroid")
@@ -172,16 +185,19 @@ class SimilaritySpec extends SparkSpec {
   test("banded LSH holds recall at a scale where the auto knobs actually engage") {
     import spark.implicits._
     // 10k clustered vectors: auto r = 6 (not the floor 4 the n=500 pin
-    // exercises), auto L = autoBands(6). Within-cluster cosines sit
-    // near the 0.8 reference similarity, so the S-curve floor applies
-    // to the true top-k — this is the regression test for the
-    // single-table form's silent recall collapse (which scored ~single-
-    // digit recall once its one table's plane count grew with n).
+    // exercises), auto L = autoBands(6). Noise σ=0.5 per dim against
+    // unit-variance centers puts within-cluster cosines at ≈1/(1+σ²) ≈
+    // 0.8 — ON the S-curve reference similarity, where the recall
+    // guarantee is actually at stake (tight σ would make the true
+    // top-k cos≈0.99 neighbors that even a broken band count finds).
+    // This is the regression test for the single-table form's silent
+    // recall collapse (single-digit recall once its one table's plane
+    // count grew with n).
     val rng = new scala.util.Random(11)
     val centers = Array.fill(100)(Array.fill(8)(rng.nextGaussian()))
     val big = (0L until 10000L).map { i =>
       val c = centers((i % 100).toInt)
-      (i, c.map(x => (x + rng.nextGaussian() * 0.12).toFloat))
+      (i, c.map(x => (x + rng.nextGaussian() * 0.5).toFloat))
     }.toDF("vec_id", "embedding").cache()
     val q = big.where(col("vec_id") < 8)
     val bf = Similarity.bruteForceTopK(big, q, "vec_id", "embedding", 5)
@@ -189,7 +205,7 @@ class SimilaritySpec extends SparkSpec {
     val lsh = Similarity.lshTopK(big, q, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf intersect lsh).size.toDouble / bf.size
-    assert(recall >= 0.85, f"banded LSH recall $recall%.2f below floor at n=10k")
+    assert(recall >= 0.8, f"banded LSH recall $recall%.2f below floor at n=10k, cos≈0.8")
     big.unpersist()
   }
 
