@@ -599,8 +599,7 @@ object SparkEntry {
     // HLL sketch pinned against the exact answer IN the result: the
     // exact distinct counts hash-check against DuckDB's COUNT(DISTINCT),
     // and the sketch's relative error is asserted as a boolean the
-    // oracle expects TRUE (HLL default rsd=0.05; measured error here is
-    // 2.7% / 3.0%, and the estimate is deterministic for fixed data).
+    // oracle expects TRUE (estimates are deterministic for fixed data).
     // rsd 0.01 with a 5% assertion bound = a 5-sigma test: the HLL
     // error bound holds for ANY regeneration of the fixtures, where the
     // default rsd 0.05 made "< 5%" a 1-sigma coin flip per statistic
@@ -832,7 +831,11 @@ object SparkEntry {
     // default b=16/r=4 — a coin-flip landmine on any corpus with an
     // organic near-threshold pair), so the assertion is sound for any
     // plausible regeneration of the fixtures, not just the planted
-    // J=1.0 pairs.
+    // J=1.0 pairs. Remaining conditionality (same tripwire contract as
+    // dedup_simhash's): r=2 band-buckets are coarse, so a regenerated
+    // fixture with a >1000-doc boilerplate cluster would trip the
+    // maxBucket skew cap and drop its candidates — and the resulting
+    // hash mismatch is the check correctly flagging degraded recall.
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDup(plantedDocs(s, dir), "doc_id", "text", threshold = 0.5,
           numHashes = 64, bands = 32)

@@ -37,6 +37,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Compactor {
 
+  /** The swap protocol's staging/marker suffixes — ONE definition for
+    * the writer (`compact`/`recoverIfNeeded`), the reader guards
+    * (`underCompaction`) and Vacuum's safety gate, so the naming cannot
+    * drift between the side that creates markers and the sides that
+    * must notice them. */
+  val TmpSuffix = ".ctmp"
+  val BakSuffix = ".cbak"
+
   /** True while `dataPath` has a live swap marker (`<path>.cbak`) —
     * the window between the data swap and the stats refresh, or a
     * crash inside it. Readers (Lakeshack.query, MetastoreFileIndex)
@@ -45,7 +53,7 @@ object Compactor {
     * naming cannot drift apart from the readers that depend on it. */
   def underCompaction(fs: org.apache.hadoop.fs.FileSystem, dataPath: Path): Boolean =
     dataPath.getParent != null &&
-      fs.exists(new Path(dataPath.getParent, dataPath.getName + ".cbak"))
+      fs.exists(new Path(dataPath.getParent, dataPath.getName + BakSuffix))
 
   def compact(spark: SparkSession, dataPath: String, statsPath: String,
               clusterColumn: String, targetFiles: Int,
@@ -56,7 +64,7 @@ object Compactor {
     recoverIfNeeded(spark, dataPath, Some((statsPath, clusterColumn, optionalColumns)))
     val live = new Path(dataPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val swap = new SwapProtocol(fs, live, ".ctmp", ".cbak")
+    val swap = new SwapProtocol(fs, live, TmpSuffix, BakSuffix)
     swap.clearTmp()
     // the rewrite is an eager action: the clustered copy is fully
     // committed to tmp before any rename touches the live dir
@@ -90,7 +98,7 @@ object Compactor {
                       statsContext: Option[(String, String, Seq[String])] = None): Unit = {
     val live = new Path(dataPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val swap = new SwapProtocol(fs, live, ".ctmp", ".cbak")
+    val swap = new SwapProtocol(fs, live, TmpSuffix, BakSuffix)
     if (swap.recover()) statsContext.foreach { case (statsPath, clusterColumn, optionalColumns) =>
       refreshStats(spark, dataPath, statsPath, clusterColumn, optionalColumns)
       swap.dropBak()

@@ -36,7 +36,7 @@ object Vacuum {
               graceMs: Long): Seq[String] = {
     val root = new Path(dataPath) // Path-normalized: "/t/" and "/t" agree
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (suffix <- Seq(".cbak", ".ctmp")) {
+    for (suffix <- Seq(Compactor.BakSuffix, Compactor.TmpSuffix)) {
       // sibling markers built exactly as SwapProtocol builds them — raw
       // string concat would miss them for a trailing-slash dataPath
       val marker = new Path(root.getParent, root.getName + suffix)

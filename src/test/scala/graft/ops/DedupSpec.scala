@@ -57,7 +57,12 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5,
         maxShingleDf = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    val verified = Dedup.minhashNearDup(docs, "doc_id", "text", threshold = 0.5)
+    // b=32/r=2: the candidate-miss probability at the J=0.5 boundary is
+    // ~1e-4, so set equality is sound for any fixture edit; the b=16/r=4
+    // defaults miss a boundary pair with p≈0.36 (see minhashNearDup's
+    // scaladoc) and would make this assert a per-fixture coin flip
+    val verified = Dedup.minhashNearDup(docs, "doc_id", "text", threshold = 0.5,
+        numHashes = 64, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(exact.nonEmpty, "fixture must contain pairs above the threshold")
     assert(verified === exact,
