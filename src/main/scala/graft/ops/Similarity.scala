@@ -103,7 +103,7 @@ object Similarity {
                   seed: Long): DataFrame = {
     val bucket = (0 until planes).map { p =>
       val h = hyperplane(seed, p, dim)
-      val hCol = array(h.map(lit(_)): _*)
+      val hCol = array(h.toIndexedSeq.map(lit(_)): _*)
       when(dotCol(hCol, col(vecCol)) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn("bucket", bucket)
@@ -292,7 +292,7 @@ object Similarity {
     * expression's input type; float truncation only perturbs cell
     * boundaries, never the reported scores. */
   private def floatLits(c: Array[Double]): Column =
-    array(c.map(x => lit(x.toFloat)): _*)
+    array(c.toIndexedSeq.map(x => lit(x.toFloat)): _*)
 
   /** Index (0-based) of the centroid most cosine-similar to `v`.
     * Centroids are plan literals; each score is the native codegen'd
@@ -302,7 +302,7 @@ object Similarity {
     * was 30× slower: higher-order functions are interpreted per
     * element.) */
   private def argmaxCos(centroids: Array[Array[Double]], v: Column): Column =
-    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+    array_max(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(cosineCol(floatLits(c), v).as("s"), lit(i).as("i"))
     }: _*)).getField("i")
 
@@ -312,7 +312,7 @@ object Similarity {
   private def topProbes(centroids: Array[Array[Double]], v: Column,
                         nprobe: Int): Column =
     transform(
-      slice(sort_array(array(centroids.zipWithIndex.map { case (c, i) =>
+      slice(sort_array(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(cosineCol(floatLits(c), v).as("s"), lit(i).as("i"))
       }: _*), asc = false), 1, nprobe),
       s => s.getField("i"))
