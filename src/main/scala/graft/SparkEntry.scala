@@ -866,6 +866,13 @@ object SparkEntry {
       val dups = norm.as("a")
         .join(norm.as("b"), col("a._m") === col("b._m") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // inverted-index form, measured against the prefix-filtered
+      // variant at 10× bench scale: identical 59,960 pairs, 17.7 s vs
+      // 20.6 s — this corpus has no hot-shingle dup clusters, so the
+      // quadratic expansion prefix filtering removes is not the cost
+      // here and the full-set verification pass it adds is. Keep
+      // ngramJaccardPrefix for dup-dense corpora (its scaladoc carries
+      // the trade); the df-guard semantics here mirror the oracle's CTE.
       val hi = Dedup.ngramJaccard(planted, "doc_id", "text",
           n = 3, threshold = 0.9, maxShingleDf = 2000)
         .select("doc_a", "doc_b")

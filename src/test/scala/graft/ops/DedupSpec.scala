@@ -146,6 +146,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 floor (|bf|=${bf.size}, |lsh|=${lsh.size})")
   }
 
+  test("prefix-filtered jaccard equals the inverted-index form at every threshold") {
+    // prefix filtering is an EXACT algorithm — the theorem says the
+    // smallest common shingle lands in both prefixes; any divergence
+    // from ngramJaccard is a bug, not approximation error
+    for (t <- Seq(0.3, 0.5, 0.9)) {
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = t,
+          maxShingleDf = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val pref = Dedup.ngramJaccardPrefix(docs, "doc_id", "text", n = 3, threshold = t,
+          maxShingleDf = 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(pref === exact, s"prefix-filtered result diverged at threshold $t")
+    }
+    assert(Dedup.ngramJaccardPrefix(docs, "doc_id", "text", threshold = 0.5).count() > 0)
+  }
+
   test("contamination flags the source doc, not unrelated docs; hot shingles dropped") {
     import spark.implicits._
     val train = Seq(
