@@ -160,6 +160,15 @@ class DedupSpec extends SparkSpec {
       assert(pref === exact, s"prefix-filtered result diverged at threshold $t")
     }
     assert(Dedup.ngramJaccardPrefix(docs, "doc_id", "text", threshold = 0.5).count() > 0)
+    // edge: empty and punctuation-only docs have no shingles — they must
+    // be silently absent from pairs, not crash the prefix slice; and
+    // t=1.0 (prefix length 1) still catches exact-duplicate sets
+    import spark.implicits._
+    val withEmpty = docs.unionByName(Seq((6L, ""), (7L, "!!! ...")).toDF("doc_id", "text"))
+    val strict = Dedup.ngramJaccardPrefix(withEmpty, "doc_id", "text", threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSet === Set((1L, 2L), (1L, 5L), (2L, 5L)),
+      "t=1.0 must yield exactly the identical-content pairs")
   }
 
   test("contamination flags the source doc, not unrelated docs; hot shingles dropped") {
