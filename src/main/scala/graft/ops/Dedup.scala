@@ -159,6 +159,17 @@ object Dedup {
       .select(col(idCol).as("_vid"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
       .select(col("_vid"),
         array_distinct(transform(shingles(col("_tk"), n), s => xxhash64(s))).as("_shs"))
+    verifiedJaccardOnSets(sets, pairs, threshold)
+  }
+
+  /** Verification core over PRECOMPUTED (_vid, _shs) shingle-hash sets —
+    * shared by `verifiedJaccard` (which derives the sets from text) and
+    * `ngramJaccardPrefix` (which already built them for its prefixes;
+    * re-deriving would add a redundant tokenize+shingle corpus pass,
+    * the measured hot loop of these pipelines). `array_intersect` is
+    * order-insensitive, so sorted and unsorted set arrays both work. */
+  private def verifiedJaccardOnSets(sets: DataFrame, pairs: DataFrame,
+                                    threshold: Double): DataFrame =
     // merge hints: the pair side's post-aggregate size estimate is
     // garbage (Catalyst would happily decide to broadcast a pair table
     // that is huge at scale — the measured 10× failure mode in
@@ -172,7 +183,6 @@ object Dedup {
         (size(col("_sa")) + size(col("_sb")) - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-  }
 
   /** MinHash-blocked near-dup pairs WITH exact verification — the
     * complete production pipeline: banded-LSH candidates (sublinear,
@@ -323,8 +333,16 @@ object Dedup {
     * frequency, which steers prefixes toward RARE shingles and makes
     * buckets near-minimal) costs an extra corpus pass to compute df;
     * hash order already shrinks hot buckets by the prefix fraction,
-    * which measured sufficient here. `maxShingleDf` caps prefix-bucket
-    * skew exactly as in `ngramJaccard`.
+    * which measured sufficient here.
+    *
+    * `maxShingleDf` here caps PREFIX-BUCKET size — a recall guard that
+    * drops candidate buckets, NOT `ngramJaccard`'s exclude-from-
+    * `n_common` semantics (survivors here always get full-set scores).
+    * The default is deliberately high (10000): this operator's target
+    * is dup-DENSE corpora, where an exact-duplicate cluster shares
+    * identical prefixes — a low cap would silently erase exactly the
+    * clusters the operator exists to find. Results equal `ngramJaccard`
+    * whenever neither operator's guard fires.
     *
     * WHEN TO CHOOSE WHICH (measured at 10× bench scale, t=0.9,
     * identical outputs): on a corpus with no hot-shingle dup clusters
@@ -336,26 +354,27 @@ object Dedup {
     * prefix shrink dominates everything else. */
   def ngramJaccardPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5,
-                         maxShingleDf: Int = 100): DataFrame = {
+                         maxShingleDf: Int = 10000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold out of (0, 1]")
     val sets = df
       .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
       .select(col("doc"),
         array_sort(array_distinct(transform(shingles(col("_tk"), n), s => xxhash64(s))))
           .as("_shs"))
-    val prefLen = (floor(size(col("_shs")).cast("double") * lit(1.0 - threshold)) + 1)
+    // +1e-9 before the floor: the bound must be the MATHEMATICAL
+    // ⌊(1−t)·n⌋, but (1.0−0.9)·10 is 0.9999999999999998 in doubles —
+    // truncating one short exactly when (1−t)·n is an integer, i.e. at
+    // the theorem's tight case, where the one-element shortfall loses
+    // real J=t pairs (t=0.9: every shingle count divisible by 10). The
+    // epsilon absorbs ~1e-15·n representation error (n would need to
+    // exceed 1e6 shingles per doc to matter) and can only err by
+    // including one extra prefix element.
+    val prefLen = (floor(size(col("_shs")).cast("double") * lit(1.0 - threshold) + lit(1e-9)) + 1)
       .cast("int")
     val pref = sets.select(col("doc"),
       explode(slice(col("_shs"), lit(1), prefLen)).as("sh"))
-    val cand = pref.groupBy("sh")
-      .agg(sort_array(collect_set(col("doc"))).as("docs"))
-      .where(size(col("docs")) >= 2 && size(col("docs")) <= maxShingleDf)
-      .select(explode(flatten(transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
-    verifiedJaccard(df, cand, idCol, textCol, n, threshold)
+    val cand = candidatePairsFromBuckets(pref, Seq("sh"), "doc", maxShingleDf)
+    verifiedJaccardOnSets(sets.select(col("doc").as("_vid"), col("_shs")), cand, threshold)
   }
 
   /** Cross-corpus n-gram CONTAMINATION — the train-vs-benchmark overlap

@@ -160,10 +160,27 @@ class DedupSpec extends SparkSpec {
       assert(pref === exact, s"prefix-filtered result diverged at threshold $t")
     }
     assert(Dedup.ngramJaccardPrefix(docs, "doc_id", "text", threshold = 0.5).count() > 0)
+    // float-boundary regression: |A| = 10 shingles, B = A minus its
+    // last shingle → J = 9/10 = t exactly. The theorem's prefix bound
+    // is ⌊(1−t)·10⌋+1 = 2, but a bare floor over doubles computes
+    // floor(10 · (1.0−0.9)) = floor(0.9999…) = 0 — one short at
+    // exactly the tight case, losing any group whose A-only shingle
+    // hashes smallest. 20 varied-vocabulary groups make the hash-order
+    // bad case near-certain to occur at least once.
+    import spark.implicits._
+    val boundary = (0 until 20).flatMap { g =>
+      val a = (0 until 12).map(j => s"w${g}x$j").mkString(" ")
+      Seq((100L + 2 * g, a), (101L + 2 * g, a.split(" ").dropRight(1).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val exactB = Dedup.ngramJaccard(boundary, "doc_id", "text", n = 3,
+      threshold = 0.9, maxShingleDf = 10000).count()
+    assert(exactB === 20L, "each group's (A, A-minus-one) pair sits at J = 0.9 exactly")
+    assert(Dedup.ngramJaccardPrefix(boundary, "doc_id", "text", n = 3, threshold = 0.9)
+      .count() === exactB, "prefix bound must not truncate at integer (1-t)*n")
+
     // edge: empty and punctuation-only docs have no shingles — they must
     // be silently absent from pairs, not crash the prefix slice; and
     // t=1.0 (prefix length 1) still catches exact-duplicate sets
-    import spark.implicits._
     val withEmpty = docs.unionByName(Seq((6L, ""), (7L, "!!! ...")).toDF("doc_id", "text"))
     val strict = Dedup.ngramJaccardPrefix(withEmpty, "doc_id", "text", threshold = 1.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
