@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, StructField, StructType}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`Array[Float]`). Absent from the reference (SURVEY.md §2.2 ★).
@@ -30,6 +30,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructT
   * double-precision oracle.
   */
 object Similarity {
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Similarity")
 
   /** Double-precision dot product of two array columns (higher-order-fn
     * form; used where inputs are mixed double/float, e.g. hyperplanes). */
@@ -127,11 +129,16 @@ object Similarity {
   def bandedSignBuckets(df: DataFrame, vecCol: String, dim: Int,
                         bands: Int, planesPerBand: Int, seed: Long): DataFrame = {
     require(planesPerBand >= 1 && planesPerBand <= 62, s"planesPerBand=$planesPerBand out of range")
+    // One O(1)-sized expression node per band: the hyperplane components
+    // are regenerated executor-side from (seed, plane, d) inside the
+    // fused loop (bit-identical to the earlier literal-array form — see
+    // HyperplaneBandBucket), so the plan no longer carries L·r·dim float
+    // literals into every task binary.
     val bandCols = (0 until bands).map { b =>
-      (0 until planesPerBand).map { p =>
-        val h = hyperplane(seed, b * planesPerBand + p, dim)
-        when(dotColNative(floatLits(h), col(vecCol)) >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.HyperplaneBandBucket(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(vecCol)),
+          seed, b * planesPerBand, planesPerBand, dim))
     }
     df.select(col("*"), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
   }
@@ -160,7 +167,26 @@ object Similarity {
     * plane cap, so the floor holds across the whole reachable range).
     * Every band is an independent chance to catch a neighbor, so recall
     * is monotone in L; callers chasing higher recall at higher cost
-    * raise `bands` explicitly. */
+    * raise `bands` explicitly.
+    *
+    * COST CURVE — L is a direct multiplier on candidate generation
+    * (each band is a full bucketing pass + its share of the candidate
+    * join), and the solve grows fast in r because per-band match decays
+    * as 0.795^r. The reachable (r, L) pairs:
+    *
+    * | r (planes/band) | L = autoBands(r) | candidate multiplier |
+    * |---|---|---|
+    * | 4  | 8  (floor) | 8×  |
+    * | 6  | 8  | 8×  |
+    * | 8  | 14 | 14× |
+    * | 10 | 22 | 22× |
+    * | 12 | 35 | 35× |
+    * | 14 | 56 (cap)   | 56× |
+    *
+    * With r = autoPlanes(n), a corpus crossing the n ≈ 4M plane-cap
+    * threshold is already running 56 tables — a caller who fixes
+    * `planes` high without fixing `bands` hits the same multiplier
+    * silently, which is why `lshTopK` logs the chosen pair at INFO. */
   private[ops] def autoBands(planesPerBand: Int): Int = {
     val pBand = math.pow(1.0 - math.acos(0.8) / math.Pi, planesPerBand)
     math.min(56, math.max(8, math.ceil(math.log(0.1) / math.log(1.0 - pBand)).toInt))
@@ -169,7 +195,9 @@ object Similarity {
   /** Auto-derived IVF cell count: nlist ≈ √n (the standard IVF sizing —
     * balances per-query centroid scoring, O(nlist), against cell scan,
     * O(n·nprobe/nlist); √n equalizes the two), clamped to [16, 65536].
-    * Per-query work then grows as √n instead of n/16. */
+    * Per-query work then grows as √n instead of n/16. The full range is
+    * reachable: past [[LiteralCentroidCap]] cell assignment rides a
+    * broadcast centroid table, so plan size stays O(1) in nlist. */
   private[ops] def autoNlist(n: Long): Int =
     math.min(65536, math.max(16, math.ceil(math.sqrt(math.max(n, 1L).toDouble)).toInt))
 
@@ -252,13 +280,22 @@ object Similarity {
       }
     for (_ <- 0 until iters) {
       // assignment is the native codegen'd cosine against each centroid
-      // literal (cosine is scale-invariant, so no normalization pass);
-      // the norm for the mean update is ONE interpreted aggregate per
-      // row, kept on the far side of the posexplode Generate node so
+      // (literal plan below LiteralCentroidCap, broadcast centroid table
+      // above — training hits the same plan-size ceiling as search);
+      // cosine is scale-invariant, so no normalization pass. The norm
+      // for the mean update is ONE interpreted aggregate per row, kept
+      // on the far side of the posexplode Generate node so
       // CollapseProject cannot inline it per element.
-      val assigned = vecs.select(col("_v"))
-        .withColumn("_c", argmaxCos(centroids, col("_v")))
-        .withColumn("_norm", normCol(col("_v")))
+      val base = vecs.select(col("_v"))
+      val withCell =
+        if (centroids.length <= LiteralCentroidCap)
+          base.withColumn("_c", argmaxCos(centroids, col("_v")))
+        else {
+          val cents = broadcast(centroidArrayDf(vecs.sparkSession, centroids))
+          base.crossJoin(cents)
+            .withColumn("_c", argmaxCosArr(col("_cents"), col("_v"))).drop("_cents")
+        }
+      val assigned = withCell.withColumn("_norm", normCol(col("_v")))
       // (cluster, dim) sums of unit vectors: nlist·dim rows through the
       // exchange, with map-side partial aggregation — corpus-size-
       // independent.
@@ -300,7 +337,13 @@ object Similarity {
     * structs — lexicographic struct comparison gives max-by-score with
     * index tiebreak. (An earlier `aggregate`/`zip_with` dot-product form
     * was 30× slower: higher-order functions are interpreted per
-    * element.) */
+    * element.)
+    *
+    * LITERAL-PATH ONLY: one CosineSimilarity node per centroid means
+    * plan size, analysis time, and Janino codegen all grow with nlist —
+    * fine to ~2K cells, fatal at `autoNlist`'s 65,536 cap (a ~400 MB
+    * plan at dim 768). Callers switch to [[argmaxCosArr]] over a
+    * broadcast centroid table past [[LiteralCentroidCap]]. */
   private def argmaxCos(centroids: Array[Array[Double]], v: Column): Column =
     array_max(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(cosineCol(floatLits(c), v).as("s"), lit(i).as("i"))
@@ -308,13 +351,62 @@ object Similarity {
 
   /** Top-`nprobe` centroid indices for a query vector, as an array
     * column: sort the (score, index) struct array descending, slice,
-    * project the index. */
+    * project the index. Literal-path only — see [[argmaxCos]]. */
   private def topProbes(centroids: Array[Array[Double]], v: Column,
                         nprobe: Int): Column =
     transform(
       slice(sort_array(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
         struct(cosineCol(floatLits(c), v).as("s"), lit(i).as("i"))
       }: _*), asc = false), 1, nprobe),
+      s => s.getField("i"))
+
+  /** Centroid count above which cell assignment switches from
+    * plan-literal centroids to a broadcast centroid table. The literal
+    * form wins below the cap (no join node, pure codegen'd map); above
+    * it the plan itself becomes the bottleneck: 65,536 CosineSimilarity
+    * nodes ≈ 400 MB of `array<float>` literals at dim 768 — plan
+    * construction, task-binary broadcast, and Janino all die long
+    * before execution. 2,048 centroids × dim 768 is ~6 MB of literals,
+    * safely under every one of those ceilings while keeping the fast
+    * path for the common √n-sized nlist at bench scale. */
+  private[ops] val LiteralCentroidCap = 2048
+
+  /** The full centroid matrix as ONE ROW holding an
+    * `array<struct<i int, v array<float>>>` column `_cents` — the
+    * scale-path carrier: broadcast-cross-joined onto the corpus (a
+    * single-row BroadcastNestedLoopJoin), it ships the matrix ONCE per
+    * executor as data (torrent broadcast), keeping the plan O(1) in
+    * nlist. Components are float-truncated exactly like [[floatLits]],
+    * so cell boundaries match the literal path bit-for-bit. */
+  private def centroidArrayDf(spark: org.apache.spark.sql.SparkSession,
+                              centroids: Array[Array[Double]]): DataFrame = {
+    val rows: Array[Row] =
+      centroids.zipWithIndex.map { case (v, i) => Row(i, v.map(_.toFloat).toSeq) }
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("v", org.apache.spark.sql.types.ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .agg(sort_array(collect_list(struct(col("i"), col("v")))).as("_cents"))
+  }
+
+  /** Broadcast-table twin of [[argmaxCos]]: argmax-cosine over the
+    * `_cents` array column. Same (score, index) struct comparison →
+    * identical tie-break; CosineSimilarity per element is the same
+    * compiled kernel (dispatched per centroid by the higher-order
+    * `transform` instead of inlined — the interpreted dispatch is noise
+    * next to the dim-length fused loop inside each call). */
+  private def argmaxCosArr(cents: Column, v: Column): Column =
+    array_max(transform(cents, c =>
+      struct(cosineCol(c.getField("v"), v).as("s"), c.getField("i").as("i"))))
+      .getField("i")
+
+  /** Broadcast-table twin of [[topProbes]]. */
+  private def topProbesArr(cents: Column, v: Column, nprobe: Int): Column =
+    transform(
+      slice(sort_array(transform(cents, c =>
+        struct(cosineCol(c.getField("v"), v).as("s"), c.getField("i").as("i"))),
+        asc = false), 1, nprobe),
       s => s.getField("i"))
 
   /** IVF-Flat approximate top-k: corpus vectors are partitioned into
@@ -351,19 +443,42 @@ object Similarity {
     * the training jobs dominate sub-second searches. */
   def ivfTopKWith(centroids: Array[Array[Double]],
                   corpus: DataFrame, queries: DataFrame, idCol: String,
-                  vecCol: String, k: Int, nprobe: Int = 0): DataFrame = {
+                  vecCol: String, k: Int, nprobe: Int = 0): DataFrame =
+    ivfTopKWithCap(centroids, corpus, queries, idCol, vecCol, k, nprobe,
+      LiteralCentroidCap)
+
+  /** [[ivfTopKWith]] with the literal/broadcast switchover exposed —
+    * `literalCap = 0` forces the broadcast-centroid path at any nlist
+    * (the spec pins both paths to identical rows). */
+  private[ops] def ivfTopKWithCap(centroids: Array[Array[Double]],
+                                  corpus: DataFrame, queries: DataFrame, idCol: String,
+                                  vecCol: String, k: Int, nprobe: Int,
+                                  literalCap: Int): DataFrame = {
     // nprobe = 0 scales probes with the cell count (see autoNprobe):
     // one knob auto-scaling while the other stays fixed is how recall
     // silently decays with corpus growth
     val np = if (nprobe > 0) nprobe else autoNprobe(centroids.length)
     // null vectors are unscorable — drop them (zero-norm vectors are
     // fine here: cosine scores them 0.0, so they never rank)
-    val c = corpus.where(col(vecCol).isNotNull)
+    val cRaw = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cell", argmaxCos(centroids, col("c_vec")))
-    val q = queries.where(col(vecCol).isNotNull)
+    val qRaw = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cell", explode(topProbes(centroids, col("q_vec"), np)))
+    val (c, q) =
+      if (centroids.length <= literalCap) (
+        cRaw.withColumn("cell", argmaxCos(centroids, col("c_vec"))),
+        qRaw.withColumn("cell", explode(topProbes(centroids, col("q_vec"), np))))
+      else {
+        // scale path: the matrix rides a single-row broadcast cross
+        // join instead of the plan — O(1) plan size in nlist, no
+        // `Broadcasting large task binary` growth, same cells
+        val cents = broadcast(centroidArrayDf(corpus.sparkSession, centroids))
+        (cRaw.crossJoin(cents)
+          .withColumn("cell", argmaxCosArr(col("_cents"), col("c_vec"))).drop("_cents"),
+          qRaw.crossJoin(cents)
+            .withColumn("cell", explode(topProbesArr(col("_cents"), col("q_vec"), np)))
+            .drop("_cents"))
+      }
     val scored = broadcast(q).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
@@ -419,6 +534,11 @@ object Similarity {
     val old = new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".old")
     if (!fs.exists(live) && fs.exists(old))
       require(fs.rename(old, live), s"could not restore $old to $live")
+    else if (fs.exists(old))
+      // live exists → `.old` is a superseded leftover from a save that
+      // crashed after its commit rename but before the final delete;
+      // without this it lingers until the NEXT successful save
+      fs.delete(old, true)
     fs.delete(new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".tmp"), true)
   }
 
@@ -466,6 +586,11 @@ object Similarity {
     val dim = probe.getInt(1)
     val r = if (planes > 0) planes else autoPlanes(probe.getLong(0))
     val l = if (bands > 0) bands else autoBands(r)
+    // the chosen pair is the cost story (L multiplies candidate work —
+    // see autoBands' table); logged so a bench regression after corpus
+    // growth is attributable to the knobs, not guessed at
+    log.info(s"lshTopK: n=${probe.getLong(0)} dim=$dim planesPerBand=$r bands=$l " +
+      s"(candidate work scales with bands × mean band-bucket size)")
     val c = bandedSignBuckets(
       valid.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")),
       "c_vec", dim, l, r, seed)

@@ -272,6 +272,78 @@ class SimilaritySpec extends SparkSpec {
     assert(Dedup.embeddingNearDup(empty, "vec_id", "embedding", 0.9).count() === 0)
   }
 
+  test("executor-side hyperplane buckets match a literal-form recomputation bit-for-bit") {
+    // bandedSignBuckets now regenerates hyperplane components on the
+    // executor (HyperplaneBandBucket) instead of shipping L·r·dim float
+    // literals; this pins the arithmetic to the exact literal-form
+    // recipe — splitmix double, truncated through float, dot
+    // accumulated left-to-right in double — so dedup_embedding_lsh /
+    // sim_lsh_topk hashes cannot move
+    def hyperplane(seed: Long, plane: Int, dim: Int): Array[Float] =
+      Array.tabulate(dim) { d =>
+        var z = seed + plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        (z.toDouble / Long.MaxValue.toDouble).toFloat
+      }
+    val bands = 3; val planes = 5; val seed = 42L
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = vecs.flatMap { case (id, v) =>
+      (0 until bands).map { b =>
+        var bucket = 0L
+        for (p <- 0 until planes) {
+          val h = hyperplane(seed, b * planes + p, 8)
+          var dot = 0.0
+          for (d <- 0 until 8) dot += h(d).toDouble * v(d).toDouble
+          if (dot >= 0.0) bucket |= 1L << p
+        }
+        (id, b, bucket)
+      }
+    }.toSet
+    val got = Similarity.bandedSignBuckets(corpus, "embedding", 8, bands, planes, seed)
+      .select("vec_id", "band", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // wrong-dimension vectors still fail loudly, same as the DotProduct form
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.bandedSignBuckets(
+        corpus.select(col("vec_id"), slice(col("embedding"), 1, 4).as("embedding")),
+        "embedding", 8, 1, 4, seed).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause.getMessage.contains("dimension mismatch"))
+  }
+
+  test("IVF literal and broadcast-centroid paths return identical rows") {
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 8, iters = 2)
+    val q = corpus.where(col("vec_id") < 5)
+    val literal = Similarity.ivfTopKWith(cents, corpus, q, "vec_id", "embedding", 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val broadcasted = Similarity.ivfTopKWithCap(cents, corpus, q, "vec_id", "embedding", 5,
+        nprobe = 3, literalCap = 0) // force the scale path at any nlist
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(literal === broadcasted,
+      "cell assignment and probe order must be identical across the literal/broadcast switch")
+  }
+
+  test("broadcast-centroid path survives nlist=4096 (past the literal-plan ceiling)") {
+    // 4096 centroids × dim 8 as literals would be ~4096 expression nodes
+    // per projection — plan construction and Janino die well before
+    // execution (the round-6 scale ceiling). The broadcast path keeps
+    // the plan O(1) in nlist; probing ALL cells degenerates IVF to
+    // exact search, so correctness is pinned against bruteForceTopK.
+    val rng = new scala.util.Random(99)
+    val cents = Array.fill(4096)(Array.fill(8)(rng.nextGaussian()))
+    val q = corpus.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopKWith(cents, corpus, q, "vec_id", "embedding", 5,
+        nprobe = 4096)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val bf = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ivf === bf, "all-cells IVF at nlist=4096 must equal exact top-k")
+  }
+
   test("sign buckets are deterministic and stable across invocations") {
     val b1 = Similarity.signBuckets(corpus, "embedding", 8, 4, 42L)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
