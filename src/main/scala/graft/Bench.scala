@@ -106,6 +106,13 @@ object Bench {
     // instead of the 10× input slope they exist to measure. Within-copy
     // dup structure (the queries' planted +100000 twins, natural dups)
     // is preserved, so the pipelines still produce pairs — scaled ~10×.
+    // BOTH perturbations wrap at 10 (letter alphabet; vector rotation
+    // uses i % 10): raising `copies` past that would make copies 10
+    // apart byte-identical and silently reintroduce the cross-copy
+    // near-dup explosion — fail loudly instead. (The 100× probe uses
+    // scaleUp100, whose sign-flip perturbation is valid at any count.)
+    require(copies <= 10,
+      s"copies=$copies: rotation perturbations are distinct only up to 10 copies")
     val abc = "abcdefghij"
     replicate(src("documents"), Map("doc_id" -> docOff),
         (d, i) => d.withColumn("text",
@@ -118,6 +125,54 @@ object Bench {
         (d, i) => if (i == 0) d else d.withColumn("embedding",
           concat(slice(col("embedding"), lit(i + 1), size(col("embedding")) - i),
             slice(col("embedding"), lit(1), lit(i)))))
+      .write.parquet(s"$outDir/embeddings.parquet")
+    val out = fs.create(doneFile)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** 100× probe: the queries whose 10× slope was steepest in round 6
+    * (dedup_embedding_lsh 7.7×, sim_lsh_topk 5.2×, q_skew_join 5.2×) —
+    * the ones whose next scale step most needs measuring, not arguing. */
+  private val scale100Queries = Seq("q_skew_join", "sim_lsh_topk", "dedup_embedding_lsh")
+  private val copies100 = 100
+
+  /** Synthesize the ~sf10-equivalent corpus (100 key-shifted copies of
+    * the bench dir) — ONLY the three tables `scale100Queries` read.
+    * The 10× perturbations wrap past 10 copies, so embeddings get a
+    * per-copy deterministic SIGN-FLIP pattern instead (component d of
+    * copy i flips iff xxhash64(i, d) is odd): f_d² = 1, so every
+    * within-copy dot product and norm — and therefore the planted-twin
+    * near-dup structure the queries measure — is preserved EXACTLY,
+    * while cross-copy cosines are sign-agreement noise ≈ 0 at any copy
+    * count. Key tables need only shifts. */
+  private def scaleUp100(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doneFile = new org.apache.hadoop.fs.Path(s"$outDir/_DONE")
+    val fp = fingerprint(fs, srcDir)
+    if (fs.exists(doneFile)) {
+      val in = fs.open(doneFile)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      if (prev == fp) return
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+                  perturb: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until copies100).map { i =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, off)) =>
+          d.withColumn(c, col(c) + lit(i * off)) }
+        perturb(shifted, i)
+      }.reduce(_ unionByName _)
+    replicate(src("lineitem"), Map("l_orderkey" -> orderOff))
+      .write.parquet(s"$outDir/lineitem.parquet")
+    replicate(src("orders"), Map("o_orderkey" -> orderOff, "o_custkey" -> custOff))
+      .write.parquet(s"$outDir/orders.parquet")
+    replicate(src("embeddings"), Map("vec_id" -> vecOff),
+        (d, i) => if (i == 0) d else d.withColumn("embedding",
+          transform(col("embedding"), (x, idx) =>
+            when(pmod(xxhash64(lit(i), idx), lit(2)) === 0, x).otherwise(-x))))
       .write.parquet(s"$outDir/embeddings.parquet")
     val out = fs.create(doneFile)
     try out.write(fp.getBytes("UTF-8")) finally out.close()
@@ -177,7 +232,33 @@ object Bench {
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val (cold, coldErrs) = run(allNames, sfDir) // pays codegen compile + JIT
     val (warm, warmErrs) = run(allNames, sfDir)
-    val errors = coldErrs ++ warmErrs
+
+    // ── operator-vs-anchor split ──
+    // the scorecard queries above time operator + exact-verification
+    // anchor together (the price of 88-for-88 hash checking); the twins
+    // time just the operator, so `op_total_sec` is the number a user's
+    // pipeline would pay and the per-operator regression signal
+    def runTwins(): (Map[String, Double], Map[String, String]) = {
+      val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      SparkEntry.operatorTwins.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          errs(s"op_$name") = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
+      }
+      (times.toMap, errs.toMap)
+    }
+    val (_, twinColdErrs) = runTwins()
+    val (opWarm, twinErrs) = runTwins()
+    val errors = coldErrs ++ warmErrs ++ twinColdErrs ++ twinErrs
+    // headline total with each anchored query's time replaced by its
+    // operator-only twin's — queries without a twin carry no anchor
+    val opTotal = warm.values.sum -
+      opWarm.keys.flatMap(warm.get).sum + opWarm.values.sum
 
     // ── scaled section ──
     // cache key includes the base dir's name: a run against sf0.01 must
@@ -217,6 +298,40 @@ object Bench {
       }
     }
 
+    // ── 100× probe ──
+    // one TIMED pass, no warm twin: these are multi-second queries whose
+    // codegen classes were already compiled by the sf0.1/sf1 passes
+    // (same plan shapes — only the scan path literal differs), so a
+    // second pass would roughly double a multi-minute section to shave
+    // sub-second compile noise off 30+-second measurements
+    var sf10Json = ""
+    var sf10Compact = ""
+    var sf10Errors = Map.empty[String, String]
+    if (!sys.env.contains("SPARK_GRAFT_NO_SF1") && !sys.env.contains("SPARK_GRAFT_NO_SF10")) {
+      try {
+        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+          s"/tmp/graft_scale${copies100}_${new java.io.File(sfDir).getName}")
+        val tGen0 = System.nanoTime()
+        scaleUp100(spark, sfDir, sf10Dir)
+        val genSec = (System.nanoTime() - tGen0) / 1e9
+        val (sf10Times, e10) = run(scale100Queries, sf10Dir)
+        sf10Errors = e10
+        val qs = sf10Times.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
+        val errJson =
+          if (sf10Errors.isEmpty) ""
+          else "," + sf10Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
+            .mkString("\"errors\":{", ",", "}")
+        sf10Json = s""","sf10":{"scale":$copies100,"gen":${sec2(genSec)},"queries":$qs$errJson}"""
+        sf10Compact = s""","sf10_total_sec":${sec2(sf10Times.values.sum)}""" +
+          (if (sf10Errors.isEmpty) "" else s""","sf10_n_errors":${sf10Errors.size}""")
+      } catch { case e: Throwable =>
+        sf10Errors = Map("sf10_setup" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        sf10Json = s""","sf10_error":${jsonStr(sf10Errors("sf10_setup"))}"""
+        sf10Compact = sf10Json
+      }
+    }
+
     def sec1(v: Double): String = {
       val s = String.format(java.util.Locale.ROOT, "%.1f", v: java.lang.Double)
       if (s.endsWith(".0")) s.dropRight(2) else s
@@ -227,10 +342,17 @@ object Bench {
         .mkString("\"errors\":{", ",", "}")
     val total = warm.values.sum
     val coldTotal = cold.values.sum
+    // operator-only twin times ride the line as "op":{...} and the
+    // anchor-free headline as op_total_sec (see operatorTwins)
+    val opJson = {
+      val qs = opWarm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }
+        .mkString("{", ",", "}")
+      s""","op_total_sec":${sec3(opTotal)},"op":$qs"""
+    }
     def render(fmt: Double => String): String = {
       val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:${fmt(v)}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errJson,"cold_total_sec":${sec2(coldTotal)},"sf":"$sfDir"$sf1Json}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errJson,"cold_total_sec":${sec2(coldTotal)}$opJson,"sf":"$sfDir"$sf1Json$sf10Json}"""
     }
     // full 10 ms precision goes to the committed BENCH_FULL.json; the
     // stdout line prefers the full form, degrades per-query values to
@@ -249,20 +371,21 @@ object Bench {
       catch { case _: java.io.IOException => () } // best-effort; stdout line is the contract
     def summaryLine: String = {
       val errJ =
-        if (errors.isEmpty && sf1Errors.isEmpty) ""
-        else "," + (errors ++ sf1Errors).take(3)
+        if (errors.isEmpty && sf1Errors.isEmpty && sf10Errors.isEmpty) ""
+        else "," + (errors ++ sf1Errors ++ sf10Errors).take(3)
           .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
           .mkString("\"errors\":{", ",", "}") +
-          s""","n_errors":${errors.size + sf1Errors.size}"""
-      def form(sf1Part: String) =
+          s""","n_errors":${errors.size + sf1Errors.size + sf10Errors.size}"""
+      def form(scalePart: String) =
         s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${warm.size},""" +
-          s""""cold_total_sec":${sec2(coldTotal)},"sf":"$sfDir"$sf1Part$errJ,""" +
+          s""""cold_total_sec":${sec2(coldTotal)},"op_total_sec":${sec3(opTotal)},""" +
+          s""""sf":"$sfDir"$scalePart$errJ,""" +
           s""""queries":"see path","path":"BENCH_FULL.json"}"""
-      // the sf1 per-query map is itself unbounded as the probe set
-      // grows — degrade it to totals rather than let the "always
-      // parses" line become the thing that clips
-      val withSf1 = form(sf1Json)
-      if (withSf1.length <= 1900) withSf1 else form(sf1Compact)
+      // the scale-probe per-query maps are themselves unbounded as the
+      // probe sets grow — degrade them to totals rather than let the
+      // "always parses" line become the thing that clips
+      val withScale = form(sf1Json + sf10Json)
+      if (withScale.length <= 1900) withScale else form(sf1Compact + sf10Compact)
     }
     val line =
       if (fullLine.length <= 1900) fullLine
@@ -273,6 +396,6 @@ object Bench {
       System.err.println(s"WARNING: bench JSON line is ${line.length} chars — " +
         "even the summary form risks the driver's 2000-char tail clip")
     println(line) // last line out: nothing may trail it but sbt's own epilogue
-    if (errors.nonEmpty || sf1Errors.nonEmpty) sys.exit(1)
+    if (errors.nonEmpty || sf1Errors.nonEmpty || sf10Errors.nonEmpty) sys.exit(1)
   }
 }

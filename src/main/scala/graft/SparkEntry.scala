@@ -896,6 +896,19 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // prefix-filtered (AllPairs/PPJoin-style) exact Jaccard — the
+    // dup-dense-corpus variant of ngramJaccard. EXACT at matched
+    // threshold (the prefix bound is a theorem, spec-pinned at its
+    // tight case), so the oracle is the same all-pairs recomputation
+    // as dedup_minhash's, at t=0.9 on the planted corpus: equality
+    // hash-checks the prefix candidate generation AND the verify
+    // arithmetic end-to-end.
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.ngramJaccardPrefix(plantedDocs(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a", "doc_b")),
+
     // decontamination: benchmark excerpts (200-char prefixes of every
     // 17th doc) checked against the full corpus — each excerpt must
     // surface its source doc (frac ≈ 1.0) plus any near-dup of it
@@ -962,7 +975,7 @@ object SparkEntry {
     // only, never the full corpus).
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(annCorpus(emb), emb.where(col("vec_id") < 5),
+      Similarity.lshTopK(annCorpus(s, dir), emb.where(col("vec_id") < 5),
           "vec_id", "embedding", 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
@@ -976,7 +989,7 @@ object SparkEntry {
     // its own cell, so exact-top-5 recovery is structural, not lucky.
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val corpus = annCorpus(emb)
+      val corpus = annCorpus(s, dir)
       val cents = ivfCache.getOrElseUpdate(s, dir)(
         Similarity.trainIvfCentroids(corpus, "vec_id", "embedding")) // nlist auto ≈ √n
       Similarity.ivfTopKWith(cents, corpus, emb.where(col("vec_id") < 5),
@@ -1145,6 +1158,14 @@ object SparkEntry {
     * map-side tokenize/shingle — a cheap shuffle of (id, text) rows
     * spreads that across all cores. (At real scale the input has
     * thousands of splits and this repartition would be dropped.) */
+  /** DELIBERATELY NOT persisted, though four scorecard queries
+    * (dedup_exact/minhash/simhash/jaccard_prefix) each re-derive it:
+    * measured A/B at sf0.1, a `.persist()` here made dedup_simhash
+    * ~20% SLOWER warm (6.1–6.9 s vs 5.4 s) — Spark's columnar
+    * in-memory cache decompresses long text strings per consumer scan,
+    * which loses to re-running the (vectorized parquet read + union +
+    * tiny exchange) subtree. Vector corpora cache well (see
+    * `annCorpus`); text corpora don't. */
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.select(col("doc_id"), col("text"))
@@ -1182,14 +1203,24 @@ object SparkEntry {
     * the exact top-5 of each query (its 5 copies, all at cos 1.0,
     * id-order tiebreak) structurally recoverable by both approximate
     * paths, and therefore DuckDB-oracle-checkable. */
-  private def annCorpus(emb: DataFrame): DataFrame = {
-    val q = emb.where(col("vec_id") < 5)
-    val copies = (1 to 5).map(m =>
-      q.select((col("vec_id") + m * 100000L).as("vec_id"),
-        transform(col("embedding"), x => x * lit((1 << m).toFloat)).as("embedding")))
-      .reduce(_ union _)
-    emb.select(col("vec_id"), col("embedding")).union(copies)
-  }
+  private val annCorpusCache = new SessionCache[DataFrame]
+
+  private def annCorpus(s: SparkSession, dir: String): DataFrame =
+    // shared by sim_lsh_topk and sim_ivf_topk (the IVF path reads it
+    // once for training and once per search) — persisted per (session,
+    // dir) so the union+scaling subpipeline runs once. Measured A/B at
+    // sf0.1: float arrays round-trip the columnar cache cheaply
+    // (sim_lsh 0.7 s vs 0.8–1.3 s uncached), the opposite of the text
+    // corpus (see plantedDocs).
+    annCorpusCache.getOrElseUpdate(s, dir) {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 5)
+      val copies = (1 to 5).map(m =>
+        q.select((col("vec_id") + m * 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit((1 << m).toFloat)).as("embedding")))
+        .reduce(_ union _)
+      emb.select(col("vec_id"), col("embedding")).union(copies).persist()
+    }
 
   // ─────────────────────────────────────────────────────────────────────
   // DuckDB oracle twins. Conventions: identical aliases, identical
@@ -1233,6 +1264,33 @@ object SparkEntry {
       |  FROM scored)
       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM ranked
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Operator-only twins for `graft.Bench`: the scorecard queries whose
+    * `queries` entry executes an EXACT VERIFICATION ANCHOR alongside the
+    * operator (the price of making an approximate operator
+    * hash-checkable), re-expressed as just the operator subtree. Bench
+    * times these separately and reports `op_total_sec` next to the
+    * headline total, so the per-operator regression signal isn't
+    * conflated with anchor cost (the r5→r6 warm regression was mostly
+    * anchors). NOT part of the correctness contract — no oracle; the
+    * anchored `queries` entries remain the verified form.
+    *
+    * Only two entries carry in-query Spark-side anchors:
+    * dedup_simhash (exact-dup self-join + full ngramJaccard\@0.9 on top
+    * of the simhash pipeline) and q_approx_distinct (exact
+    * countDistinct next to the HLL estimate). The other scorecard
+    * queries' anchors live in the DuckDB oracle, costing Spark
+    * nothing. */
+  def operatorTwins: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(Dedup.simhash(plantedDocs(s, dir), "doc_id", "text"))
+        .where(col("hamming") <= 3)),
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+        .orderBy("l_returnflag")))
 
   def oracleSql: Map[String, String] = Map(
     "lake_point" ->
@@ -1653,12 +1711,20 @@ object SparkEntry {
 
     // exact distinct counts hash-checked; the HLL estimate's relative
     // error is asserted via booleans the oracle expects TRUE.
+    // the error-bound booleans are COMPUTED on both sides — Spark checks
+    // ITS HyperLogLog estimate against its exact counts, DuckDB checks
+    // its own HLL against its own exact counts. The estimates differ
+    // (different sketches); the 5% bound both must clear is the
+    // portable claim, so the hash verifies a real assertion about an
+    // estimate on each engine instead of pinning a literal TRUE.
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS exact_parts,
         |  COUNT(DISTINCT l_suppkey) AS exact_supps,
-        |  TRUE AS parts_err_lt_5pct,
-        |  TRUE AS supps_err_lt_5pct
+        |  abs(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+        |    / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) < 0.05 AS parts_err_lt_5pct,
+        |  abs(approx_count_distinct(l_suppkey) - COUNT(DISTINCT l_suppkey))
+        |    / CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) < 0.05 AS supps_err_lt_5pct
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_percentiles" ->
@@ -1773,6 +1839,36 @@ object SparkEntry {
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same all-pairs recomputation as dedup_minhash's, at the prefix
+    // query's t=0.9 — the prefix filter is exact, so its verified
+    // output must equal the exhaustive J>=0.9 pair set
+    "dedup_jaccard_prefix" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents),
+         |toks AS (
+         |  SELECT doc_id, $normToks AS tk FROM pd),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+         |FROM common
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // the two anchors of the simhash scorecard, recomputed exactly:

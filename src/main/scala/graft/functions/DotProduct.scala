@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
 /** Native codegen'd dot product over two `array<float>` columns, double
   * accumulation — the normalization-free sibling of [[CosineSimilarity]].
   *
-  * Exists for the LSH sign tests: a hyperplane side decision needs only
+  * Born for the LSH sign tests: a hyperplane side decision needs only
   * `sign(h·v)`, and `sign(cos(h,v)) == sign(h·v)` (norms are positive) —
   * but the cosine form recomputes `|v|` once PER PLANE, so a banded
   * bucketer doing bands×r sign tests per row pays bands×r redundant
   * norm loops. This expression is the same fused primitive loop with
   * the two norm accumulators deleted: ~half the FLOPs per sign test.
+  * (The banded bucketer has since fused the loop AND the hyperplane
+  * generation into [[HyperplaneBandBucket]] — this remains the
+  * general-purpose kernel for explicit vector×vector dots.)
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -20,6 +20,14 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * only exist once the (lazy) DataFrame actually executes, so they are
   * filled in asynchronously by a QueryExecutionListener and are `None`
   * until the first execution completes.
+  *
+  * MID-COMPACTION SENTINEL: during the `.cbak` swap window the engine
+  * scans the live dir unpruned, and no honest file count exists — the
+  * cached stats count the renamed-away files, and the live set is
+  * changing under the in-flight swap. `filesTotal`/`filesScanned` are
+  * both **-1** for such a query (prune counters are meaningless when
+  * pruning was bypassed); consumers aggregating prune ratios must
+  * filter the sentinel out.
   */
 final case class QueryTelemetry(
     nValues: Int,
@@ -122,7 +130,10 @@ class Lakeshack(spark: SparkSession, stats: DataFrame, dataSchema: Option[Struct
         Lakeshack.log.warn("lakeshack.query: .cbak marker present (compaction in " +
           "flight or crashed) — scanning live files unpruned for this query")
         val pruneSec = (System.nanoTime() - t0) / 1e9
-        val telemetry = QueryTelemetry(values.size, filesTotal, filesTotal, 0,
+        // -1 sentinel (see QueryTelemetry): the stale stats count the
+        // renamed-away files and the live set is mid-swap — reporting
+        // either would match neither what was scanned nor what exists
+        val telemetry = QueryTelemetry(values.size, -1L, -1L, 0,
           pruneSec, nRecords = None, elapsedSec = None)
         lastTelemetry = Some(telemetry)
         var reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))

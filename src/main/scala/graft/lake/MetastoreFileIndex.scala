@@ -50,6 +50,17 @@ class MetastoreFileIndex(
   @volatile private var intervals: Map[String, Map[String, (Literal, Literal)]] =
     MetastoreFileIndex.intervalMap(statsSource())
 
+  /** Hadoop conf resolved ONCE at construction (the building thread has
+    * a session in hand) — the compaction probe must not call
+    * `SparkSession.active` at listFiles time: planning can run on a
+    * user thread with no active session set, where the lookup throws
+    * (or grabs the wrong session) and the GUARD itself becomes a
+    * query-planning failure mode. */
+  private val hadoopConf =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   override def rootPaths: Seq[Path] = base.rootPaths
   override def inputFiles: Array[String] = base.inputFiles
   override def refresh(): Unit = {
@@ -79,7 +90,7 @@ class MetastoreFileIndex(
     // dominant (seconds-wide, stats-refresh) window; the
     // planning-to-execution instant keeps the documented retry /
     // tolerateCorrupt contract (Compactor.scala, READER visibility).
-    if (MetastoreFileIndex.underCompaction(base.rootPaths)) {
+    if (MetastoreFileIndex.underCompaction(base.rootPaths, hadoopConf)) {
       MetastoreFileIndex.log.warn(
         "metastore prune: .cbak marker present (compaction in flight or crashed) — " +
           "re-listing live files; zone-map pruning disabled for this query")
@@ -164,10 +175,9 @@ object MetastoreFileIndex {
     * naming). One driver-side existence probe per root per planning
     * call (no I/O beyond a namenode/inode stat), so the steady-state
     * cost of the guard is negligible. */
-  private def underCompaction(roots: Seq[Path]): Boolean = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+  private def underCompaction(roots: Seq[Path],
+                              conf: org.apache.hadoop.conf.Configuration): Boolean =
     roots.exists(r => Compactor.underCompaction(r.getFileSystem(conf), r))
-  }
 
   /** A DataFrame over `dataPath` whose every scan consults the stats
     * table for file skipping. Register it as a temp view and `spark.sql`

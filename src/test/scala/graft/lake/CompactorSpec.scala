@@ -103,8 +103,9 @@ class CompactorSpec extends SparkSpec {
     val shack = Lakeshack.fromStats(spark, data, stats, "id")
     assert(shack.queryOne(42L).count() === 1,
       "Lakeshack.query must survive the swap window")
-    assert(shack.lastTelemetry.exists(t => t.filesScanned === t.filesTotal),
-      "mid-window telemetry reports the unpruned scan")
+    assert(shack.lastTelemetry.exists(t => t.filesScanned === -1L && t.filesTotal === -1L),
+      "mid-window telemetry reports the -1 sentinel: pruning was bypassed and " +
+        "neither the stale stats count nor the mid-swap live count is honest")
 
     // finish the compaction: stats re-harvested, marker dropped — and
     // after refresh() the interval map prunes over the NEW files again
