@@ -100,39 +100,46 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleSize: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val r = numHashes / bands
-    val toks = TextAnalysis.tokensCol(col(textCol))
-    val sh = shingles(toks, shingleSize)
 
-    // Shape matters enormously here; two rejected forms, both measured:
+    // Shape matters enormously here; the evolution, every step measured:
     //  - explode k hashes to (doc, slot, h) ROWS (k·|shingles| rows
     //    through the shuffle machinery): 12.6s at sf0.1;
     //  - per-doc array aggregate() lambdas: higher-order functions are
     //    interpreted (CodegenFallback), 15s — and any expression that
     //    references a projected alias k times gets it INLINED k times by
-    //    CollapseProject, silently re-running tokenize+shingle per slot.
-    // This form explodes shingles ONCE to (doc, h8) rows, then the k
-    // slot hashes are k codegen'd scalar columns re-hashing the 8-byte
-    // base hash with seed i (cheaper than k string hashes; the classic
-    // h1 + i·h2 form overflows ANSI arithmetic), collapsed by ONE
-    // 64-aggregate groupBy whose map-side partials shrink the exchange
-    // to one 64-long row per doc: ~1.6s at sf0.1.
+    //    CollapseProject, silently re-running tokenize+shingle per slot;
+    //  - explode shingles ONCE, k codegen'd slot-rehash columns (seeded
+    //    off the 8-byte base hash — the classic h1 + i·h2 form overflows
+    //    ANSI arithmetic), ONE 64-aggregate groupBy with map-side
+    //    partials: ~1.6s at sf0.1 — correct, but still an EXCHANGE of a
+    //    64-long signature row per doc plus aggregate-buffer updates
+    //    per shingle;
+    //  - NOW: the signature is a pure per-doc function of its shingle
+    //    set, so the fused native expression (graft.functions
+    //    .MinHashBandBuckets) folds base-hash → slot-mins → band-hashes
+    //    in one primitive loop, bit-identical slot by slot
+    //    (spec-pinned). The signature stage is a NARROW map; the only
+    //    exchange left is the (band, bucket) groupBy that IS the LSH
+    //    blocking step.
     // tokens are projected ONCE as an attribute before shingling:
     // `shingles()` references its token input ~4 times, and handing it
     // the raw split() expression re-runs the regex per reference
     // (CollapseProject keeps the two projections apart precisely
     // because the alias is expensive and multiply-referenced).
-    val exploded = df
+    // NO size() pre-filter: the expression maps an empty shingle array
+    // to an empty bucket array, and posexplode of empty drops the doc —
+    // exactly the old explode semantics — while keeping the `_shs`
+    // alias SINGLY-referenced (a second reference, e.g. a size()
+    // filter, makes CollapseProject inline tokenize+shingle once per
+    // reference: the measured 3× regression of the first fused form).
+    val buckets = df
       .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
-      .select(col("doc"), explode(shingles(col("toks"), shingleSize)).as("shingle"))
-      .select(col("doc"), xxhash64(col("shingle")).as("h"))
-    val slotMins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("h"))).as(s"mh$i"))
-    val sig = exploded.groupBy("doc").agg(slotMins.head, slotMins.tail: _*)
-    val bandHashes = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)
-    }
-    val buckets = sig.select(col("doc"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+      .select(col("doc"), shingles(col("toks"), shingleSize).as("_shs"))
+      .select(col("doc"),
+        posexplode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.MinHashBandBuckets(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("_shs")),
+            numHashes, bands))).as(Seq("band", "bucket")))
 
     candidatePairsFromBuckets(buckets, Seq("band", "bucket"), "doc", maxBucket)
   }
@@ -213,22 +220,29 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // Bit b of the fingerprint is set iff more token hashes have bit b
-    // set than clear (sum of ±1 contributions > 0 ⟺ 2·|set| > |tokens|).
-    // Same shape rationale as minhashCandidates: explode tokens once,
-    // 64 codegen'd bit-extract columns, one 65-aggregate groupBy — the
-    // bit counters travel as columns (not rows) and partial aggregation
-    // collapses them map-side.
-    val toks = TextAnalysis.tokensCol(col(textCol))
-    val exploded = df
-      .select(col(idCol).as("doc"), explode(toks).as("t"))
-      .select(col("doc"), xxhash64(col("t")).as("h"))
-    val aggs = count(lit(1)).as("n") +:
-      (0 until 64).map(b => sum(shiftright(col("h"), b).bitwiseAND(1L).cast("int")).as(s"c$b"))
-    val counted = exploded.groupBy("doc").agg(aggs.head, aggs.tail: _*)
-    val fp = (0 until 64).map { b =>
-      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(0L)
-    }.reduce(_ bitwiseOR _)
-    counted.select(col("doc"), fp.as("simhash"))
+    // set than clear (sum of ±1 contributions > 0 ⟺ 2·|set| > |tokens|),
+    // computed by the fused native expression (graft.functions
+    // .SimHash64) in one pass over the token array: a pure NARROW map —
+    // no explode, no aggregate, ZERO exchanges at any corpus size. The
+    // superseded aggregate form (explode tokens, 65-aggregate groupBy —
+    // itself the measured winner over row-exploded hashes) was correct
+    // and partial-aggregated, but still shuffled a 65-column row per
+    // doc and paid 64 aggregate-buffer updates per token; the fused
+    // loop is bit-identical (spec-pinned) and turns the fingerprint
+    // stage into scan-speed work. Docs with no tokens are dropped,
+    // matching the aggregate form's explode semantics.
+    // the size() filter is a SECOND reference to the token alias, so
+    // CollapseProject runs the tokenizer twice per doc — measured at
+    // parity with the old aggregate form at sf0.1 (the chunk-blocking
+    // stage dominates), and a narrow re-tokenize beats re-introducing
+    // an exchange; the fingerprint itself is evaluated once
+    df.select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
+      .where(size(col("_tk")) > 0)
+      .select(col("doc"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.SimHash64(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("_tk"))))
+          .as("simhash"))
   }
 
   /** Near-dup pairs from simhash fingerprints with chunk blocking
