@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     assert(!r.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("ngram jaccard length filter keeps the exact J = t boundary pair") {
+    import spark.implicits._
+    // A: 11 tokens → 9 shingles; B: A + one token → 10 shingles sharing
+    // all 9 of A's. J = 9/(9+10−9) = 0.9 EXACTLY, and min/max = 9/10 is
+    // the length bound's own tight case — the pre-exchange size filter
+    // must keep it (a naive `min >= t·max` in doubles drops it:
+    // 0.9 × 10.0 > 9.0). C is half A's length — killed by the filter,
+    // and legitimately absent from the output.
+    val a = (1 to 11).map(i => s"t$i").mkString(" ")
+    val b = (1 to 12).map(i => s"t$i").mkString(" ")
+    val c = (1 to 6).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val r = Dedup.ngramJaccard(df, "doc_id", "text", n = 3, threshold = 0.9,
+        maxShingleDf = 100)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(3)).toMap
+    assert(r.keySet === Set((1L, 2L)), s"expected exactly the boundary pair, got ${r.keySet}")
+    assert(r((1L, 2L)) === 0.9)
+  }
+
   test("embedding near-dup: brute force and LSH agree on planted dups") {
     import spark.implicits._
     val emb = Seq(
