@@ -177,14 +177,32 @@ object Dedup {
     * order-insensitive, so sorted and unsorted set arrays both work. */
   private def verifiedJaccardOnSets(sets: DataFrame, pairs: DataFrame,
                                     threshold: Double): DataFrame =
-    // merge hints: the pair side's post-aggregate size estimate is
+    // MELT-JOIN-REGROUP: each (distinct) pair explodes to two (pair,
+    // role, doc) rows, joined ONCE against the sets table, then folded
+    // back per pair. The earlier two-join form referenced `sets` twice
+    // and Spark does not reuse the exchange across the differently-
+    // keyed instances (verified: 0 ReusedExchange in the executed
+    // plan), so the expensive tokenize+shingle corpus derivation AND
+    // its sort ran TWICE; this shape derives and sorts it once by
+    // construction. The regroup exchange carries the same
+    // one-array-per-pair-side volume the second join's shuffle already
+    // carried, so nothing new moves.
+    //
+    // merge hint: the pair side's post-aggregate size estimate is
     // garbage (Catalyst would happily decide to broadcast a pair table
     // that is huge at scale — the measured 10× failure mode in
     // ngramJaccard's old join form) and the sets side grows with the
-    // corpus, so sort-merge is the only strategy safe on both sides
+    // corpus, so sort-merge is the only strategy safe on both sides.
+    // Inner-join semantics preserved: a pair with a set-less side loses
+    // that role row, its folded set is null, and the null jaccard fails
+    // the threshold — dropped, exactly as the two inner joins did.
     pairs.select("doc_a", "doc_b")
-      .join(sets.select(col("_vid").as("doc_a"), col("_shs").as("_sa")).hint("merge"), Seq("doc_a"))
-      .join(sets.select(col("_vid").as("doc_b"), col("_shs").as("_sb")).hint("merge"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        posexplode(array(col("doc_a"), col("doc_b"))).as(Seq("_role", "_d")))
+      .join(sets.select(col("_vid").as("_d"), col("_shs")).hint("merge"), Seq("_d"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(when(col("_role") === 0, col("_shs"))).as("_sa"),
+        max(when(col("_role") === 1, col("_shs"))).as("_sb"))
       .withColumn("n_common", size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("_sa")) + size(col("_sb")) - col("n_common")))
