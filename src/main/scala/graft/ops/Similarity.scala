@@ -409,6 +409,133 @@ object Similarity {
         asc = false), 1, nprobe),
       s => s.getField("i"))
 
+  /** Centroid count above which CORPUS cell assignment goes two-level
+    * (coarse quantizer): the broadcast table removes the plan-size
+    * ceiling, but flat argmax still scores nlist centroids PER CORPUS
+    * ROW — at the 65,536-cell cap that is 65,536 × dim multiplies per
+    * vector, ~128× more than the two-level ~2·√nlist. Queries keep the
+    * FLAT exact probe ranking: the query side is small by contract, and
+    * flat probes preserve the planted-copy recovery theorem the oracle
+    * checks. Training also stays flat (the coarse layer would have to
+    * be re-derived every Lloyd iteration); cap training cost with
+    * `sampleFraction`, not hierarchy. */
+  private[ops] val TwoLevelCentroidCap = 8192
+
+  /** Coarse layer for two-level assignment: k-means over the centroid
+    * MATRIX itself — nc ≈ √nlist groups — run on the driver, where the
+    * matrix already lives (it was collected to build the index; no new
+    * scalability surface). Returns the coarse centroids (unit-norm)
+    * and, per coarse group, the ORIGINAL indices of its fine centroids.
+    * Deterministic: init spreads evenly over the index range; empty
+    * groups are dropped from the output (their children array would be
+    * empty — an argmax over nothing). */
+  private[ops] def coarseLayer(centroids: Array[Array[Double]], nc: Int,
+                               iters: Int = 3): (Array[Array[Double]], Array[Array[Int]]) = {
+    val n = centroids.length
+    val dim = centroids.head.length
+    def norm(v: Array[Double]): Array[Double] = {
+      val m = math.sqrt(v.map(x => x * x).sum)
+      if (m == 0.0) v else v.map(_ / m)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < dim) { dot += a(d) * b(d); na += a(d) * a(d); nb += b(d) * b(d); d += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    var coarse = Array.tabulate(nc)(c => norm(centroids((c.toLong * n / nc).toInt).clone()))
+    val assign = new Array[Int](n)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestS = Double.NegativeInfinity; var c = 0
+        while (c < nc) {
+          val s = cos(coarse(c), centroids(i))
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(nc)(new Array[Double](dim))
+      val counts = new Array[Int](nc)
+      var j = 0
+      while (j < n) {
+        val cn = norm(centroids(j)); val c = assign(j)
+        var d = 0
+        while (d < dim) { sums(c)(d) += cn(d); d += 1 }
+        counts(c) += 1; j += 1
+      }
+      coarse = Array.tabulate(nc)(c => if (counts(c) == 0) coarse(c) else norm(sums(c)))
+    }
+    val kept = (0 until nc).filter(c => assign.contains(c))
+    (kept.map(coarse).toArray,
+      kept.map(c => (0 until n).filter(assign(_) == c).toArray).toArray)
+  }
+
+  /** Adds a `cell` column — the IVF cell of `vecCol` — choosing the
+    * assignment strategy by centroid count:
+    *  - ≤ literalCap: plan-literal argmax (fastest; plan grows with
+    *    nlist — see [[argmaxCos]]);
+    *  - ≤ [[TwoLevelCentroidCap]]: FLAT argmax over a broadcast
+    *    centroid table (plan O(1) in nlist; per-row cost O(nlist));
+    *  - above: TWO-LEVEL — nearest coarse group (≈√nlist cosines) then
+    *    argmax within that group's fine cells, ~2·√nlist per row
+    *    instead of nlist (~128× less at the 65,536-cell cap). Coarse
+    *    assignment is scale-invariant like everything else here, so
+    *    exact-direction copies still share their source's cell; the
+    *    hierarchy only perturbs which (equally approximate) cell a
+    *    BOUNDARY vector lands in — IVF semantics, not a new
+    *    approximation class. Assignment quality vs flat argmax is
+    *    spec-pinned. */
+  private[ops] def assignedCells(df: DataFrame, vecCol: String,
+                                 centroids: Array[Array[Double]],
+                                 literalCap: Int = LiteralCentroidCap): DataFrame =
+    if (centroids.length <= literalCap)
+      df.withColumn("cell", argmaxCos(centroids, col(vecCol)))
+    else if (centroids.length <= TwoLevelCentroidCap) {
+      val cents = broadcast(centroidArrayDf(df.sparkSession, centroids))
+      df.crossJoin(cents)
+        .withColumn("cell", argmaxCosArr(col("_cents"), col(vecCol))).drop("_cents")
+    } else {
+      val (coarse, children) = coarseLayer(centroids,
+        math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt))
+      val cents = broadcast(twoLevelArrayDf(df.sparkSession, centroids, coarse, children))
+      df.crossJoin(cents)
+        .withColumn("cell", argmaxCosArr(
+          element_at(col("_fine"), argmaxCosArr(col("_coarse"), col(vecCol)) + 1),
+          col(vecCol)))
+        .drop("_coarse", "_fine", "_cents")
+    }
+
+  /** One-row broadcast table for the two-level path: `_coarse` holds
+    * the coarse centroids with their GROUP POSITION as `i`, `_fine`
+    * holds each group's fine centroids with their ORIGINAL cell index,
+    * `_cents` keeps the flat matrix for the query side's exact probe
+    * ranking. */
+  private def twoLevelArrayDf(spark: org.apache.spark.sql.SparkSession,
+                              centroids: Array[Array[Double]],
+                              coarse: Array[Array[Double]],
+                              children: Array[Array[Int]]): DataFrame = {
+    def cstruct(i: Int, v: Array[Double]) = Row(i, v.map(_.toFloat).toSeq)
+    val sType = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("v", org.apache.spark.sql.types.ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val schema = StructType(Seq(
+      StructField("_coarse", org.apache.spark.sql.types.ArrayType(sType, containsNull = false),
+        nullable = false),
+      StructField("_fine",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(sType, containsNull = false),
+          containsNull = false), nullable = false),
+      StructField("_cents", org.apache.spark.sql.types.ArrayType(sType, containsNull = false),
+        nullable = false)))
+    val row = Row(
+      coarse.zipWithIndex.map { case (v, c) => cstruct(c, v) }.toSeq,
+      children.map(_.map(i => cstruct(i, centroids(i))).toSeq).toSeq,
+      centroids.zipWithIndex.map { case (v, i) => cstruct(i, v) }.toSeq)
+    spark.createDataFrame(java.util.Arrays.asList(row), schema)
+  }
+
   /** IVF-Flat approximate top-k: corpus vectors are partitioned into
     * `nlist` Voronoi cells of the trained centroids; each query scores
     * only the cells of its `nprobe` nearest centroids. Expected per-
@@ -464,20 +591,18 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val qRaw = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val (c, q) =
-      if (centroids.length <= literalCap) (
-        cRaw.withColumn("cell", argmaxCos(centroids, col("c_vec"))),
-        qRaw.withColumn("cell", explode(topProbes(centroids, col("q_vec"), np))))
+    val c = assignedCells(cRaw, "c_vec", centroids, literalCap)
+    val q =
+      if (centroids.length <= literalCap)
+        qRaw.withColumn("cell", explode(topProbes(centroids, col("q_vec"), np)))
       else {
-        // scale path: the matrix rides a single-row broadcast cross
-        // join instead of the plan — O(1) plan size in nlist, no
-        // `Broadcasting large task binary` growth, same cells
+        // queries keep the FLAT exact probe ranking at every nlist —
+        // the query side is small by contract, and flat probing
+        // preserves the planted-copy recovery theorem the oracle checks
         val cents = broadcast(centroidArrayDf(corpus.sparkSession, centroids))
-        (cRaw.crossJoin(cents)
-          .withColumn("cell", argmaxCosArr(col("_cents"), col("c_vec"))).drop("_cents"),
-          qRaw.crossJoin(cents)
-            .withColumn("cell", explode(topProbesArr(col("_cents"), col("q_vec"), np)))
-            .drop("_cents"))
+        qRaw.crossJoin(cents)
+          .withColumn("cell", explode(topProbesArr(col("_cents"), col("q_vec"), np)))
+          .drop("_cents")
       }
     val scored = broadcast(q).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))

@@ -344,6 +344,51 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf, "all-cells IVF at nlist=4096 must equal exact top-k")
   }
 
+  test("two-level assignment: valid partition, near-flat quality, copies stay with sources") {
+    // 9,000 clustered centroids (> TwoLevelCentroidCap = 8,192) — the
+    // deep-scale tier where flat per-row argmax would cost nlist
+    // cosines and the hierarchy costs ~2·√nlist
+    val rng = new scala.util.Random(5)
+    val bases = Array.fill(100)(Array.fill(8)(rng.nextGaussian()))
+    val cents = Array.tabulate(9000) { i =>
+      val b = bases(i % 100)
+      val v = b.map(x => x + rng.nextGaussian() * 0.05)
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // coarseLayer returns a PARTITION of 0..n-1
+    val (coarse, children) = Similarity.coarseLayer(cents, 95)
+    assert(coarse.length === children.length)
+    assert(children.flatten.sorted.toSeq === (0 until 9000))
+    // assignment quality: the hierarchically-chosen cell's centroid must
+    // be nearly as cosine-close as the flat argmax's for almost every
+    // corpus vector (the hierarchy may only perturb boundary vectors)
+    import spark.implicits._
+    val corpusDf = (0 until 200).map { i =>
+      val b = bases(i % 100)
+      (i.toLong, b.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val hier = Similarity.assignedCells(corpusDf, "embedding", cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = corpusDf.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(c: Array[Double], v: Array[Float]): Double = {
+      val dot = c.zip(v).map { case (x, y) => x * y.toDouble }.sum
+      val nv = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      dot / nv // centroids are unit-norm
+    }
+    val ok = vecs.count { case (id, v) =>
+      val flatBest = cents.map(cos(_, v)).max
+      cos(cents(hier(id)), v) >= flatBest - 0.02
+    }
+    assert(ok >= 190, s"only $ok/200 vectors within 0.02 cosine of their flat-argmax cell")
+    // exact-direction copies (power-of-2 scaling) share their source's
+    // cell through BOTH levels — scale-invariant cosine at each level
+    val scaled = corpusDf.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+    val hierScaled = Similarity.assignedCells(scaled, "embedding", cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hierScaled === hier)
+  }
+
   test("sign buckets are deterministic and stable across invocations") {
     val b1 = Similarity.signBuckets(corpus, "embedding", 8, 4, 42L)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
