@@ -71,6 +71,24 @@ class FusedFingerprintSpec extends SparkSpec {
     assert(fused === agg)
   }
 
+  test("fused fingerprint stages are narrow: no exchange before the blocking groupBy") {
+    // the zero-exchange claim is a PLAN property — pin it, don't argue
+    // it: simhash must plan with NO shuffle at all, and the minhash
+    // candidate pipeline's only shuffles are the (band, bucket)
+    // blocking groupBy + its pair-distinct (both AFTER the signature)
+    val sim = Dedup.simhash(docs, "doc_id", "text")
+    val simPlan = sim.queryExecution.executedPlan.toString
+    assert(!simPlan.contains("Exchange"),
+      s"simhash must be a narrow map, plan was:\n$simPlan")
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
+    cand.count() // materialize so AQE settles the final plan
+    val candPlan = cand.queryExecution.executedPlan.toString
+    val exchanges = "(?m)^.*Exchange hashpartitioning\\(([a-zA-Z_]+)".r
+      .findAllMatchIn(candPlan).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("band", "doc_a", "doc")),
+      s"unexpected exchange keys $exchanges — a signature-stage shuffle crept back in")
+  }
+
   test("MinHashBandBuckets validates its knobs and input type") {
     assertThrows[IllegalArgumentException](
       MinHashBandBuckets(GraftColumnBridge.expression(lit(1L)), 63, 16))
