@@ -66,13 +66,104 @@ object Dedup {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_md5")
 
+  /** STREAMING near-duplicate candidates — the banded-MinHash pipeline
+    * re-expressed over an unbounded stream with BOUNDED per-bucket
+    * state. Each arriving document's k-slot signature is computed by
+    * the fused narrow [[graft.functions.MinHashSignature]] (streaming-
+    * safe: no aggregate, no shuffle), banded with the SAME seed
+    * chaining as the batch `minhashCandidates`, and compared inside its
+    * (band, bucket) group against a registry of at most `maxBucket`
+    * prior signatures (FIFO eviction — the streaming twin of the batch
+    * skew cap, trading recall on degenerate buckets for bounded work
+    * AND bounded bytes: 8·k per doc, ~512 B at k=64).
+    *
+    * Output: one row per (band, candidate pair) with `est_jaccard`, the
+    * matching-slot fraction — the standard unbiased J estimator,
+    * stderr ≈ √(J(1−J)/k) ≈ 0.06 at k=64. Exact verification needs the
+    * full shingle sets (unbounded state on a stream); the production
+    * recipe is stream-candidates → batch `verifiedJaccard` over the
+    * lake, so false positives die downstream, never false negatives
+    * beyond the S-curve + eviction. A pair agreeing in several bands
+    * emits once per band (dedupe downstream — more bands IS the
+    * confidence signal; an in-stream distinct would mean unbounded
+    * pair-state, the exact thing this operator avoids).
+    *
+    * `stateTtl` (e.g. "30 minutes") arms a processing-time timeout that
+    * drops idle bucket registries — without it, bucket KEYS accrue for
+    * the life of the query (per-key bytes stay capped), the same growth
+    * class as un-watermarked dropDuplicates. `idCol` must be integral
+    * (cast to long — the registry is typed state). */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
+                    shingleSize: Int = 3, maxBucket: Int = 1000,
+                    stateTtl: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val sigDf = docs
+      .select(col(idCol).cast("long").as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+      .select(col("doc"), shingles(col("toks"), shingleSize).as("_shs"))
+      .select(col("doc"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.MinHashSignature(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("_shs")), numHashes))
+          .as("sig"))
+    // banding in a typed flatMap: same XXH64 fold as MinHashBandBuckets
+    // (hashInt(b, 42) seed, hashLong over the band's r slot-mins); a
+    // shingle-less doc has an empty signature and emits nothing — the
+    // streaming twin of the batch posexplode-of-empty drop, and no
+    // size() filter re-references the expensive alias
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val banded = sigDf.as[(Long, Array[Long])].flatMap { case (doc, sig) =>
+      if (sig.isEmpty) Iterator.empty
+      else (0 until bands).iterator.map { b =>
+        var acc = XXH64.hashInt(b, 42L)
+        var j = 0
+        while (j < r) { acc = XXH64.hashLong(sig(b * r + j), acc); j += 1 }
+        (b, acc, doc, sig)
+      }
+    }
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .groupByKey { case (b, bucket, _, _) => (b, bucket) }
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Array[Long])],
+         state: GroupState[List[(Long, Array[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var reg = state.getOption.getOrElse(Nil) // newest first
+            val out = List.newBuilder[(Long, Long, Int, Double)]
+            // doc order within the batch: deterministic replay
+            rows.toSeq.sortBy(_._3).foreach { case (band, _, doc, sig) =>
+              if (!reg.exists(_._1 == doc)) {
+                reg.foreach { case (old, osig) =>
+                  var m = 0; var i = 0
+                  while (i < sig.length) { if (sig(i) == osig(i)) m += 1; i += 1 }
+                  val est = m.toDouble / sig.length
+                  if (est >= threshold)
+                    out += ((math.min(doc, old), math.max(doc, old), band, est))
+                }
+                reg = ((doc, sig) :: reg).take(maxBucket)
+              }
+            }
+            state.update(reg)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+      .toDF("doc_a", "doc_b", "band", "est_jaccard")
+  }
+
   /** MinHash signature matrix + LSH banding: near-dup candidate pairs.
     *
-    * Pipeline: tokens → n-token shingles → per-shingle base hashes
-    * (h1, h2 = xxhash64 with two seeds) → slot i's hash is h1 + i·h2
-    * (the standard double-hashing family, so k minhash slots cost two
-    * real hashes per shingle, not k) → per-doc slot minima = signature →
-    * b band hashes over r-slot slices → explode only the b band rows →
+    * Pipeline: tokens → n-token shingles → the fused native expression
+    * (graft.functions.MinHashBandBuckets) folds per-shingle base hash →
+    * k slot minima (the signature) → b band hashes in one codegen'd
+    * pass per document → explode only the b band rows →
     * groupBy(band, bucket) → pairs within bucket.
     *
     * Jaccard(J) collision probability per band is J^r; with b bands the
@@ -80,18 +171,17 @@ object Dedup {
     * threshold near J≈0.5.
     *
     * Empty documents (no tokens after normalization — empty text, pure
-    * punctuation) produce no shingles and are excluded from near-dup
-    * candidates by construction (the explode drops them; same for
-    * `simhash`). Route them through `exactByHash`, which groups them
-    * (md5 of the empty normalization) — near-dup semantics on contentless
-    * documents are meaningless anyway.
+    * punctuation) produce no shingles, an empty bucket array, and no
+    * exploded rows — excluded from near-dup candidates by construction
+    * (same for `simhash`). Route them through `exactByHash`, which
+    * groups them (md5 of the empty normalization) — near-dup semantics
+    * on contentless documents are meaningless anyway.
     *
-    * Scale notes: the whole signature computation is array higher-order
-    * functions inside whole-stage codegen — NO shuffle and no row
-    * blow-up until the b-rows-per-doc band explode (the earlier
-    * explode-k-hashes form shuffled |shingles|·k rows per doc through a
-    * groupBy; this form shuffles exactly b). Documents never move, only
-    * (band, bucket, id) triples. `maxBucket` caps degenerate buckets
+    * Scale notes: the signature stage is a NARROW map (zero exchanges —
+    * spec-pinned as a plan property) and no row blow-up happens until
+    * the b-rows-per-doc band explode. Documents never move, only
+    * (band, bucket, id) triples; the only shuffle is the blocking
+    * groupBy that IS the LSH step. `maxBucket` caps degenerate buckets
     * (boilerplate text) so one hot key can't produce a quadratic
     * reducer; capped buckets are dropped, trading recall for bounded
     * work, the standard production compromise.
