@@ -37,4 +37,35 @@ object Packing {
       .withColumn("tokens_before", coalesce(sum(tokenCol).over(w), lit(0L)))
       .withColumn("seq_id", floor(col("tokens_before") / budget))
   }
+
+  /** Deterministic shard assignment: `(shard_id, shard_pos)` for a
+    * fixed shard count — the global-shuffle-then-write primitive of a
+    * training-data run. Hashing the key spreads any source/time
+    * clustering in the input uniformly across shards, and ordering
+    * WITHIN the shard by the same hash decorrelates neighbors (two
+    * docs adjacent in a shard file come from unrelated corpus
+    * positions) — the "shuffled dataset" property training loaders
+    * assume, without an RNG: re-running the pipeline reproduces every
+    * shard byte-for-byte, and a doc's placement depends only on its
+    * own key and `nShards`.
+    *
+    * Scale shape: the one exchange (partition by shard_id for the
+    * row_number window) IS the write partitioning — downstream,
+    * `.repartition(nShards, col("shard_id"))` + partitioned write
+    * reuses it, so placement costs one shuffle of (key, hash) pairs
+    * total. `shard_pos` is dense and 0-based: it is the record's
+    * offset in its shard file, which loaders use to seek and resume.
+    * Working column `_h` and outputs `shard_id`/`shard_pos` must be
+    * free.
+    */
+  def assignShards(docs: DataFrame, keyCol: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    TextAnalysis.requireFree(docs, "_h", "shard_id", "shard_pos")
+    val w = Window.partitionBy(col("shard_id")).orderBy(col("_h"), keyCol)
+    docs
+      .withColumn("_h", Sampling.knuthHash(keyCol))
+      .withColumn("shard_id", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w) - 1)
+      .drop("_h")
+  }
 }

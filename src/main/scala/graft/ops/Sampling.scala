@@ -39,11 +39,89 @@ object Sampling {
     */
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.where(knuthHash(keyCol) < lit((fraction * Mod).toLong))
+  }
+
+  /** The overflow-free multiplicative hash as a reusable column: the
+    * shared "deterministic shuffle" key every sampler here draws from
+    * (see `hashSample` for the overflow analysis). Bit-identical to
+    * `(key * 2654435761) % 4294967296` for keys in [0, 2^32). */
+  def knuthHash(keyCol: Column): Column = {
     val k = pmod(keyCol, lit(Mod)) // [0, 2^32), negatives folded
     val hi = shiftright(k, 16) * lit(KnuthA)          // < 2^48
     val lo = k.bitwiseAND(lit(0xFFFFL)) * lit(KnuthA) // < 2^48
-    val hash = pmod(pmod(hi, lit(Mod)) * lit(65536L) + lo, lit(Mod))
-    df.where(hash < lit((fraction * Mod).toLong))
+    pmod(pmod(hi, lit(Mod)) * lit(65536L) + lo, lit(Mod))
+  }
+
+  /** Domain-mixture sampling: per-domain Bernoulli fractions under ONE
+    * deterministic hash — the "resample the corpus to a target domain
+    * mix" primitive (upweight curated sources, downsample crawl data).
+    * Same membership guarantees as `hashSample`, and additionally
+    * monotone in the weights: raising a domain's fraction only ADDS
+    * documents (the kept set at w is a subset of the kept set at w' ≥
+    * w), so mixture iterations reuse everything already downstream.
+    *
+    * Still a narrow filter — the weights become a literal CASE chain, no
+    * join, no shuffle, full pushdown compatibility. A mixture spec is
+    * human-authored config (tens of domains, not millions), which is
+    * why a broadcast-join variant would be over-engineering; if a
+    * generated million-domain spec ever appears, swap the chain for a
+    * broadcast join against a (domain, fraction) table.
+    *
+    * Unlisted domains get `defaultFraction` (default: dropped) — an
+    * explicit mixture should not silently pass a new crawl source at
+    * full weight.
+    */
+  def mixtureSample(df: DataFrame, keyCol: Column, domainCol: Column,
+                    weights: Map[String, Double],
+                    defaultFraction: Double = 0.0): DataFrame = {
+    (weights.values ++ Iterator(defaultFraction)).foreach(w =>
+      require(w >= 0.0 && w <= 1.0, s"fractions must be in [0,1], got $w"))
+    val threshold = weights.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultFraction * Mod).toLong)) { case (acc, (dom, w)) =>
+        when(domainCol === lit(dom), lit((w * Mod).toLong)).otherwise(acc)
+      }
+    df.where(knuthHash(keyCol) < threshold)
+  }
+
+  /** Token-budget sampling: per-domain, draw documents in deterministic
+    * hash order until the domain's token budget is exhausted — the form
+    * mixture specs actually take for LLM training ("20 B tokens of
+    * code, 5 B of forums"), where a FRACTION of an unknown-sized corpus
+    * is the wrong contract. The kept set is the maximal PREFIX of the
+    * domain's hash order whose token sum stays ≤ budget: the budget is
+    * a ceiling, never overshot, and the draw stops at the first
+    * document that would cross it. Later, smaller documents are NOT
+    * back-filled — that greedy knapsack variant is inherently
+    * sequential (each admit depends on every prior skip), unexpressible
+    * as one window and much harder to audit; the prefix rule wastes at
+    * most one document's worth of budget per domain.
+    *
+    * One shuffle, keyed by the domain — the cumulative sum runs inside
+    * each domain partition, never globally (the same
+    * no-global-ordering rule as [[Packing.packSequences]]). Skew note:
+    * a domain 100× larger than the rest makes one hot partition; if
+    * that bites, pre-filter with `hashSample(df, key, ~2×budget/corpus
+    * tokens)` to shrink the sort input — membership stays deterministic
+    * because both draws use the same hash order.
+    *
+    * Working columns `_h`, `_cum` must be free.
+    */
+  def tokenBudgetSample(df: DataFrame, keyCol: Column, tokenCol: Column,
+                        domainCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long = 0L): DataFrame = {
+    (budgets.values ++ Iterator(defaultBudget)).foreach(b =>
+      require(b >= 0L, s"budgets must be non-negative, got $b"))
+    TextAnalysis.requireFree(df, "_h", "_cum")
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (dom, b)) => when(col(domainCol) === lit(dom), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(domainCol).orderBy(col("_h"), keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_h", knuthHash(keyCol))
+      .withColumn("_cum", sum(tokenCol).over(w))
+      .where(col("_cum") <= budget)
+      .drop("_h", "_cum")
   }
 
   /** Fixed-size-per-stratum sampling: the first `k` rows of each stratum

@@ -70,4 +70,35 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Packing.packSequences(docs((1L, "s", 1L)), col("n_tok"), 0L, "source", "doc_id"))
   }
+
+  test("assignShards: positions are dense, 0-based, and hash-ordered per shard") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    val out = Packing.assignShards(df, col("doc_id"), nShards = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    assert(out.length === 1000)
+    assert(out.map(_._2).toSet === (0 until 7).toSet, "all shards populated")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0 until rows.length),
+        s"shard $shard positions must be dense 0-based offsets")
+    }
+  }
+
+  test("assignShards: placement is deterministic and layout-independent") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    def place(d: org.apache.spark.sql.DataFrame) =
+      Packing.assignShards(d, col("doc_id"), 4).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    val a = place(df.coalesce(1))
+    val b = place(df.repartition(11, col("source")))
+    assert(a === b, "a doc's (shard, pos) depends only on its key")
+    // source clustering in the input must NOT survive into shards: each
+    // shard draws from all sources (the decorrelation property)
+    val bySrc = Packing.assignShards(df, col("doc_id"), 4)
+      .groupBy("shard_id").agg(countDistinct("source").as("n")).collect()
+      .map(_.getLong(1))
+    assert(bySrc.forall(_ === 5L), "every shard mixes every source")
+    intercept[IllegalArgumentException](Packing.assignShards(df, col("doc_id"), 0))
+  }
 }

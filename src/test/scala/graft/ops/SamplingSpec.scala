@@ -75,4 +75,75 @@ class SamplingSpec extends SparkSpec {
     val s = Sampling.stratifiedSample(tiny, Seq("lang"), Seq(col("id")), 5)
     assert(s.count() === 3)
   }
+
+  test("mixtureSample applies per-domain fractions under one hash") {
+    val df = corpus(8000) // 4 langs x 2000
+    val m = Sampling.mixtureSample(df, col("id"), col("lang"),
+      Map("lang0" -> 1.0, "lang1" -> 0.5, "lang2" -> 0.0), defaultFraction = 0.1)
+    val byLang = m.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("lang0") === 2000L, "fraction 1.0 keeps the whole domain")
+    assert(!byLang.contains("lang2"), "fraction 0.0 drops the whole domain")
+    assert(math.abs(byLang("lang1") - 1000L) < 120, s"~50% expected, got ${byLang.get("lang1")}")
+    assert(math.abs(byLang("lang3") - 200L) < 60,
+      s"unlisted domain at the 10% default, got ${byLang.get("lang3")}")
+  }
+
+  test("mixtureSample agrees with hashSample domain-by-domain") {
+    // one hash everywhere: the mixture restricted to a domain IS the
+    // plain Bernoulli sample of that domain at the domain's fraction
+    val df = corpus(4000)
+    val mixed = Sampling.mixtureSample(df, col("id"), col("lang"), Map("lang1" -> 0.3))
+      .collect().map(_.getLong(0)).toSet
+    val direct = Sampling.hashSample(df.where(col("lang") === "lang1"), col("id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(mixed === direct)
+  }
+
+  test("mixtureSample is monotone in the weights") {
+    val df = corpus(4000)
+    val low = Sampling.mixtureSample(df, col("id"), col("lang"),
+      Map("lang0" -> 0.2, "lang1" -> 0.1), defaultFraction = 0.05)
+      .collect().map(_.getLong(0)).toSet
+    val high = Sampling.mixtureSample(df, col("id"), col("lang"),
+      Map("lang0" -> 0.4, "lang1" -> 0.3), defaultFraction = 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high), "raising weights may only ADD documents")
+    intercept[IllegalArgumentException](
+      Sampling.mixtureSample(df, col("id"), col("lang"), Map("lang0" -> 1.5)))
+  }
+
+  private def tokenCorpus(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"lang${i % 4}", 10L + i % 90)).toDF("id", "lang", "toks")
+  }
+
+  test("tokenBudgetSample never exceeds a domain's budget") {
+    val df = tokenCorpus(2000)
+    val out = Sampling.tokenBudgetSample(df, col("id"), col("toks"), "lang",
+      Map("lang0" -> 5000L, "lang1" -> 1000L), defaultBudget = 100L)
+    val spent = out.groupBy("lang").agg(sum("toks").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spent("lang0") <= 5000L && spent("lang0") > 4000L,
+      s"budget is a ceiling approached from below, spent ${spent.get("lang0")}")
+    assert(spent("lang1") <= 1000L)
+    assert(spent.getOrElse("lang2", 0L) <= 100L)
+  }
+
+  test("tokenBudgetSample membership is the prefix of the hash order") {
+    // drop the budget: the smaller draw must be a prefix (subset) of the
+    // larger one — the same audit property as nested fractions
+    val df = tokenCorpus(2000)
+    def ids(b: Long) = Sampling.tokenBudgetSample(df, col("id"), col("toks"), "lang",
+      Map.empty, defaultBudget = b).collect().map(_.getLong(0)).toSet
+    val small = ids(2000L); val big = ids(8000L)
+    assert(small.subsetOf(big))
+    // and layout independence, as for every sampler here
+    val spread = Sampling.tokenBudgetSample(df.repartition(13, col("toks")),
+      col("id"), col("toks"), "lang", Map.empty, defaultBudget = 8000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(spread === big)
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudgetSample(df, col("id"), col("toks"), "lang", Map("a" -> -1L)))
+  }
 }
