@@ -677,6 +677,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Semantic dedup: embedding near-dup pairs blocked by LEARNED
+    * k-means cells instead of random hyperplanes — the SemDeDup recipe
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, compare
+    * only within a cluster, keep one representative per near-dup group
+    * (compose with [[clusters]] for the keeper step, exactly as with
+    * the other pair generators).
+    *
+    * vs [[embeddingNearDup]]'s banded LSH: LSH buckets are data-
+    * oblivious — recall at a given cosine is a theorem, but ~L·n rows
+    * flow through the exchange (one per table). A learned cell
+    * partition sends each vector through ONCE, and cells track the
+    * corpus's actual density (tight clusters of paraphrases/translated
+    * boilerplate land together even at cosines well below an LSH
+    * band's reach). The trade is recall at cell BOUNDARIES: a pair
+    * straddling two cells is never compared — within-cell-only is the
+    * documented SemDeDup semantics, not a defect. Pick LSH when the
+    * target is a provable cosine threshold; cells when the target is
+    * "collapse each semantic cluster to a representative".
+    *
+    * Scale shape: training sees a seeded `sampleFraction` (the 100 TB
+    * knob, see [[Similarity.trainIvfCentroids]]); assignment is one
+    * narrow pass (literal/broadcast/two-level by nlist, see
+    * [[Similarity.assignedCells]]); candidate volume is Σ n_c² over
+    * cells, bounded by `maxCell` (an over-full cell — a degenerate
+    * near-constant-embedding corpus — is dropped with the same
+    * documented skew trade as every bucket cap here). Vectors join
+    * back only for surviving candidate pairs. Pass pre-trained
+    * `centroids` to share one index between dedup and ANN search (the
+    * persisted-index lifecycle in Similarity applies unchanged).
+    */
+  def semanticNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nlist: Int = 0, iters: Int = 3,
+                      seed: Long = 42L, maxCell: Int = 10000,
+                      centroids: Array[Array[Double]] = null,
+                      sampleFraction: Double = 1.0): DataFrame = {
+    val cents = Option(centroids).getOrElse {
+      if (emb.isEmpty) return emb.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a", emb.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("id_b", emb.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
+      Similarity.trainIvfCentroids(emb, idCol, vecCol, nlist, iters, seed, sampleFraction)
+    }
+    val assigned = Similarity.assignedCells(
+        emb.select(col(idCol).as("doc"), col(vecCol)), vecCol, cents)
+      .select(col("cell"), col("doc"))
+    val cand = candidatePairsFromBuckets(assigned, Seq("cell"), "doc", maxCell)
+    val vecs = emb.select(col(idCol), col(vecCol))
+    cand.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      .join(vecs.toDF("id_a", "v_a"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "v_b"), Seq("id_b"))
+      .withColumn("cos", Similarity.cosineCol(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Connected components over near-dup PAIRS → one canonical document
     * per duplicate cluster. Pair generation (minhash/simhash/jaccard/
     * embedding) answers "which pairs look alike"; an actual dedup

@@ -165,6 +165,50 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9 floor (|bf|=${bf.size}, |lsh|=${lsh.size})")
   }
 
+  test("semantic dedup recovers clustered near-dups; pairs are a subset of exact truth") {
+    import spark.implicits._
+    // same clustered-corpus shape as the LSH recall test: learned cells
+    // should isolate each Gaussian cluster, so within-cell comparison
+    // recovers (nearly) all intra-cluster pairs — quantitative recall
+    // floor, plus the structural subset property
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0 until 30).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 8).map { m =>
+        ((c * 8 + m).toLong, center.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val bf = Dedup.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.9, bruteForce = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticNearDup(emb, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(bf), "cell-blocked pairs must be a subset of exact truth")
+    val recall = sem.size.toDouble / bf.size
+    assert(recall >= 0.8, s"semantic recall $recall below 0.8 floor " +
+      s"(|bf|=${bf.size}, |sem|=${sem.size}) — cells stopped tracking the clusters")
+  }
+
+  test("semantic dedup: pre-trained centroids are honored; empty corpus yields empty pairs") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.04f)), // near-dups, cell +x
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // hand centroids: +x and +y — assignment is deterministic, no training
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val pairs = Dedup.semanticNearDup(emb, "vec_id", "embedding",
+        threshold = 0.9, centroids = cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // an over-full cell is dropped by the skew cap, like every bucket here
+    val capped = Dedup.semanticNearDup(emb, "vec_id", "embedding",
+      threshold = 0.9, centroids = cents, maxCell = 1)
+    assert(capped.count() === 0)
+    val empty = emb.where(col("vec_id") < 0)
+    assert(Dedup.semanticNearDup(empty, "vec_id", "embedding", 0.9).count() === 0)
+  }
+
   test("prefix-filtered jaccard equals the inverted-index form at every threshold") {
     // prefix filtering is an EXACT algorithm — the theorem says the
     // smallest common shingle lands in both prefixes; any divergence
