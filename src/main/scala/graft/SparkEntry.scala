@@ -97,6 +97,26 @@ object SparkEntry {
         expectedItemsPerFile = 16384L).cache())
     }
 
+  /** q_bucket_join's co-bucketed orders/lineitem pair, written once per
+    * (session, dir) — the bucketed layout is an ingest-time investment
+    * queried many times, like the z-order and Bloom caches above. Table
+    * names carry the dir tag for the same reason the views do. */
+  private val bucketedPairCache = new SessionCache[(String, String)]
+
+  private def bucketedPair(s: SparkSession, dir: String): (String, String) = {
+    import graft.lake.Bucketing
+    bucketedPairCache.getOrElseUpdate(s, dir) {
+      val tag = dirTag(dir)
+      val base = s"/tmp/graft_bucket_$tag"
+      val ot = s"orders_bkt_$tag"; val lt = s"lineitem_bkt_$tag"
+      Bucketing.writeBucketed(t(s, dir, "orders"), ot, s"$base/orders",
+        "o_orderkey", numBuckets = 8)
+      Bucketing.writeBucketed(t(s, dir, "lineitem"), lt, s"$base/lineitem",
+        "l_orderkey", numBuckets = 8)
+      (ot, lt)
+    }
+  }
+
   private def mergedLineitemView(s: SparkSession, dir: String): String =
     mergeViewCache.getOrElseUpdate(s, dir) {
       val san = dirTag(dir)
@@ -655,6 +675,19 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // co-bucketed join: semantically the plain inner join (oracle-
+    // checked), physically exchange-free — both tables were hash-
+    // bucketed by orderkey at write time, so the sort-merge join reads
+    // co-located buckets with no shuffle (BucketingSpec pins the plan)
+    "q_bucket_join" -> ((s, dir) => {
+      val (ot, lt) = bucketedPair(s, dir)
+      graft.lake.Bucketing.colocatedJoin(s, ot, lt, "o_orderkey", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsumDisc(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
@@ -955,6 +988,18 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup blocking (learned k-means cells) over the same planted
+    // corpus: a planted copy is the IDENTICAL vector, so source and
+    // copy share every cell argmax BY CONSTRUCTION and the within-cell
+    // pair set at 0.9 must equal the exact all-pairs recomputation —
+    // the cell-boundary recall trade is structurally invisible here,
+    // which is what makes the full hash check sound
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticNearDup(plantedEmbeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.9)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")),
+
     // ───── similarity search (north_star ★)
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1103,6 +1148,36 @@ object SparkEntry {
           Seq(pmod(col("doc_id") * Sampling.KnuthA, lit(4294967296L)), col("doc_id")), 25)
         .select(col("doc_id"), col("lang"))
         .orderBy("lang", "doc_id")),
+
+    // domain-mixture resample: explicit per-source fractions, unlisted
+    // sources at the 5% default — one deterministic hash, no shuffle
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(t(s, dir, "documents"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1),
+          defaultFraction = 0.05)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    // per-domain token budgets drawn in hash order (the "N tokens of
+    // source X" mixture contract; prefix-of-hash-order membership)
+    "text_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(
+          t(s, dir, "documents")
+            .withColumn("n_bpe_est", ceil(col("n_chars").cast("double") / 4).cast("long")),
+          col("doc_id"), col("n_bpe_est"), "source",
+          Map("src0" -> 2000L, "src1" -> 800L), defaultBudget = 300L)
+        .select(col("doc_id"), col("source"), col("n_bpe_est"))
+        .orderBy("doc_id")),
+
+    // deterministic global shuffle → (shard, offset): the training-set
+    // writer's placement map, reproducible byte-for-byte
+    "text_shard_assign" -> ((s, dir) =>
+      Packing.assignShards(t(s, dir, "documents").select("doc_id", "source"),
+          col("doc_id"), nShards = 7)
+        .select(col("doc_id"), col("source"), col("shard_id").cast("long").as("shard_id"),
+          col("shard_pos").cast("long").as("shard_pos"))
+        .orderBy("doc_id")),
 
     "text_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(
@@ -1648,6 +1723,12 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "q_bucket_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS "1-URGENT",
@@ -2009,6 +2090,25 @@ object SparkEntry {
         |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM scored
         |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
+    // identical exact anchor as dedup_embedding_lsh: on the planted
+    // corpus the k-means-cell blocking must also recover the full
+    // all-pairs answer (copies are identical vectors — same cell)
+    "dedup_semantic" ->
+      """WITH pe AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+        |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM scored
+        |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -2191,6 +2291,37 @@ object SparkEntry {
         |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE rn <= 25 ORDER BY lang, doc_id""".stripMargin,
+
+    // thresholds are ⌊fraction · 2^32⌋, matching the Scala side's toLong
+    "sample_mixture" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |  CASE source WHEN 'src0' THEN 4294967296
+        |    WHEN 'src1' THEN 2147483648 WHEN 'src2' THEN 1073741824
+        |    WHEN 'src3' THEN 429496729 ELSE 214748364 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS n_bpe_est,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_bpe_est,
+        |    SUM(n_bpe_est) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, n_bpe_est FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 2000
+        |  WHEN 'src1' THEN 800 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_shard_assign" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    (doc_id * 2654435761) % 4294967296 AS hh
+        |  FROM documents)
+        |SELECT doc_id, source, hh % 7 AS shard_id,
+        |  ROW_NUMBER() OVER (PARTITION BY hh % 7 ORDER BY hh, doc_id) - 1 AS shard_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
