@@ -84,6 +84,39 @@ object Sampling {
     df.where(knuthHash(keyCol) < threshold)
   }
 
+  /** Deterministic train/val/test split: consecutive named RANGES of
+    * the same hash space every sampler here draws from. Each key lands
+    * in exactly one split (the last range is the unconditional
+    * remainder, so fp boundary rounding can never leave a key
+    * unlabeled), membership has the usual guarantees (re-derivable,
+    * layout-independent, stable as the corpus grows), and because the
+    * ranges tile the SAME hash line as `hashSample`, the 'train' split
+    * at fraction f IS `hashSample(df, key, f)` — one consistent notion
+    * of "the first f of the corpus" across the whole toolkit.
+    *
+    * Splits are ordered (a Seq, not a Map): the boundaries are
+    * cumulative, so reordering renames rows. Growing one split shrinks
+    * only its right neighbors — train/val boundaries hold while a test
+    * share is re-cut. A narrow projection; no shuffle.
+    */
+  def splitAssign(df: DataFrame, keyCol: Column,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    splits.foreach { case (n, f) =>
+      require(f > 0.0 && f <= 1.0, s"fraction for '$n' out of (0,1]: $f") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1 (a partition, not a sample), got $total")
+    TextAnalysis.requireFree(df, "split")
+    val h = knuthHash(keyCol)
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val label = splits.zip(bounds).dropRight(1).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), bound), acc) =>
+        when(h < lit((bound * Mod).toLong), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Token-budget sampling: per-domain, draw documents in deterministic
     * hash order until the domain's token budget is exhausted — the form
     * mixture specs actually take for LLM training ("20 B tokens of

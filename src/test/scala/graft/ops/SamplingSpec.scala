@@ -113,6 +113,32 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureSample(df, col("id"), col("lang"), Map("lang0" -> 1.5)))
   }
 
+  test("splitAssign partitions the corpus; train agrees with hashSample") {
+    val df = corpus(10000)
+    val out = Sampling.splitAssign(df, col("id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size === 10000, "every key labeled exactly once")
+    val counts = byId.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 9000) < 200, s"~90% train, got ${counts.get("train")}")
+    assert(counts.keySet === Set("train", "val", "test"))
+    // same hash line: train@0.9 IS hashSample@0.9
+    val hs = Sampling.hashSample(df, col("id"), 0.9).collect().map(_.getLong(0)).toSet
+    assert(byId.filter(_._2 == "train").keySet === hs)
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(df, col("id"), Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
+  test("splitAssign: growing a split shrinks only its right neighbors") {
+    val df = corpus(5000)
+    def label(tr: Double, va: Double) = Sampling.splitAssign(df, col("id"),
+      Seq("train" -> tr, "val" -> va, "test" -> (1.0 - tr - va)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a = label(0.8, 0.1); val b = label(0.9, 0.05)
+    // nothing ever moves INTO an earlier split's complement: train only grows
+    assert(a.filter(_._2 == "train").keySet.subsetOf(b.filter(_._2 == "train").keySet))
+  }
+
   private def tokenCorpus(n: Int) = {
     import spark.implicits._
     (0 until n).map(i => (i.toLong, s"lang${i % 4}", 10L + i % 90)).toDF("id", "lang", "toks")
