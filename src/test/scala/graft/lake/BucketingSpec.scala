@@ -56,6 +56,27 @@ class BucketingSpec extends SparkSpec {
     assert(bucketed.nonEmpty && bucketed === plain)
   }
 
+  test("point lookups on the bucket column scan one bucket, not eight") {
+    // the layout's second dividend: an equality predicate on the bucket
+    // column prunes the scan to the key's own bucket file — the same
+    // hash that co-locates the join routes the lookup
+    // autoBucketedScan disables the bucketed layout for plans with no
+    // exchange to save — which also forfeits bucket pruning, so a
+    // lookup-heavy workload should pin it off (as here) or route point
+    // lookups through the metastore path instead
+    val (_, lt) = tables
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val one = spark.table(lt).where(col("l_orderkey") === 42L)
+      one.count()
+      val plan = one.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"expected a single-bucket scan, plan was:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("colocatedJoin refuses unbucketed and mismatched layouts") {
     val (ot, lt) = tables
     spark.read.parquet(s"$sfDir/orders.parquet")
