@@ -38,7 +38,11 @@ object Bench {
     "lake_point", "q3_topk", "q_skew_join", "text_tfidf",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_lsh", "dedup_clusters", "text_decontaminate",
-    "sim_lsh_topk", "sim_ivf_topk")
+    "sim_lsh_topk", "sim_ivf_topk",
+    // round-7 additions: the bucketed write+join, cell-blocked semantic
+    // dedup, and the shard-placement window — the three new ops whose
+    // scale slope is worth watching (the samplers are narrow filters)
+    "q_bucket_join", "dedup_semantic", "text_shard_assign")
 
   private val copies = 10
   private val orderOff = 10000000L

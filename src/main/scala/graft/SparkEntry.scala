@@ -68,6 +68,12 @@ object SparkEntry {
     * times. */
   private val ivfCache = new SessionCache[Array[Array[Double]]]
 
+  /** dedup_semantic's trained cell centroids, per (session, dir) — an
+    * index is trained once and queried many times (ivfCache's
+    * contract; a separate cache because the planted dedup corpus is
+    * not annCorpus). */
+  private val semCentroidCache = new SessionCache[Array[Array[Double]]]
+
   /** lake_zorder's clustered rewrite + pruned view, once per (session,
     * dir): a z-ordered table is written at ingest and queried many
     * times — rebuilding it per query would bench the writer, not the
@@ -993,12 +999,17 @@ object SparkEntry {
     // copy share every cell argmax BY CONSTRUCTION and the within-cell
     // pair set at 0.9 must equal the exact all-pairs recomputation —
     // the cell-boundary recall trade is structurally invisible here,
-    // which is what makes the full hash check sound
-    "dedup_semantic" -> ((s, dir) =>
+    // which is what makes the full hash check sound. Centroids cached
+    // per (session, dir) like sim_ivf_topk's: trained once, queried
+    // many times.
+    "dedup_semantic" -> ((s, dir) => {
+      val cents = semCentroidCache.getOrElseUpdate(s, dir)(
+        Similarity.trainIvfCentroids(plantedEmbeddings(s, dir), "vec_id", "embedding"))
       Dedup.semanticNearDup(plantedEmbeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.9)
+          threshold = 0.9, centroids = cents)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
 
     // ───── similarity search (north_star ★)
     "sim_bruteforce_topk" -> ((s, dir) => {
@@ -1169,6 +1180,34 @@ object SparkEntry {
           Map("src0" -> 2000L, "src1" -> 800L), defaultBudget = 300L)
         .select(col("doc_id"), col("source"), col("n_bpe_est"))
         .orderBy("doc_id")),
+
+    // named hash ranges tiling one hash line: train/val/test as a
+    // PARTITION (every doc exactly one label, train = hashSample(0.9))
+    "sample_split" -> ((s, dir) =>
+      Sampling.splitAssign(t(s, dir, "documents").select("doc_id", "source"),
+          col("doc_id"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .orderBy("doc_id")),
+
+    // the capstone composition: mixture → token budget → shard
+    // placement in ONE plan (each stage hash-verified alone above;
+    // this entry verifies they compose — shared hash, no column
+    // collisions, one documents scan)
+    "pipeline_assemble" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_bpe_est", ceil(col("n_chars").cast("double") / 4).cast("long"))
+      val mixed = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
+        Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.6), defaultFraction = 0.3)
+      val budgeted = Sampling.tokenBudgetSample(mixed, col("doc_id"),
+        col("n_bpe_est"), "source",
+        Map("src0" -> 1500L, "src1" -> 900L), defaultBudget = 400L)
+      Packing.assignShards(
+          budgeted.select(col("doc_id"), col("source"), col("n_bpe_est")),
+          col("doc_id"), nShards = 4)
+        .select(col("doc_id"), col("source"), col("n_bpe_est"),
+          col("shard_id").cast("long").as("shard_id"),
+          col("shard_pos").cast("long").as("shard_pos"))
+        .orderBy("doc_id")
+    }),
 
     // deterministic global shuffle → (shard, offset): the training-set
     // writer's placement map, reproducible byte-for-byte
@@ -2314,6 +2353,32 @@ object SparkEntry {
         |WHERE cum <= CASE source WHEN 'src0' THEN 2000
         |  WHEN 'src1' THEN 800 ELSE 300 END
         |ORDER BY doc_id""".stripMargin,
+
+    // boundaries are cumulative ⌊Σf · 2^32⌋: 0.9 → 3865470566, 0.95 →
+    // 4080218931; the last range is the unconditional remainder
+    "sample_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_assemble" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS n_bpe_est,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |mixed AS (SELECT * FROM d WHERE h <
+        |    CASE source WHEN 'src0' THEN 4294967296 WHEN 'src1' THEN 3435973836
+        |      WHEN 'src2' THEN 2576980377 ELSE 1288490188 END),
+        |budgeted AS (SELECT doc_id, source, n_bpe_est, h FROM (
+        |    SELECT *, SUM(n_bpe_est) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mixed)
+        |  WHERE cum <= CASE source WHEN 'src0' THEN 1500
+        |    WHEN 'src1' THEN 900 ELSE 400 END)
+        |SELECT doc_id, source, n_bpe_est, h % 4 AS shard_id,
+        |  ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) - 1 AS shard_pos
+        |FROM budgeted ORDER BY doc_id""".stripMargin,
 
     "text_shard_assign" ->
       """WITH h AS (SELECT doc_id, source,
