@@ -1181,6 +1181,27 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_bpe_est"))
         .orderBy("doc_id")),
 
+    // per-ROW weighted Bernoulli: keep probability rides a quality-ish
+    // column (length-capped), not a per-domain constant
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(
+          t(s, dir, "documents")
+            .withColumn("w", least(lit(1.0), col("n_chars").cast("double") / 400.0)),
+          col("doc_id"), col("w"))
+        .select(col("doc_id"), col("source"), round(col("w"), 6).as("w"))
+        .orderBy("doc_id")),
+
+    // repeat-factor upsampling: src0 at 2.5 epochs, src1 at 1.25,
+    // the rest downsampled to 0.75 — copies tagged and deterministic
+    "sample_upsample" -> ((s, dir) =>
+      Sampling.upsample(
+          t(s, dir, "documents").select("doc_id", "source")
+            .withColumn("w", when(col("source") === "src0", 2.5)
+              .when(col("source") === "src1", 1.25).otherwise(0.75)),
+          col("doc_id"), col("w"))
+        .select(col("doc_id"), col("source"), col("copy").cast("long").as("copy"))
+        .orderBy("doc_id", "copy")),
+
     // named hash ranges tiling one hash line: train/val/test as a
     // PARTITION (every doc exactly one label, train = hashSample(0.9))
     "sample_split" -> ((s, dir) =>
@@ -2353,6 +2374,30 @@ object SparkEntry {
         |WHERE cum <= CASE source WHEN 'src0' THEN 2000
         |  WHEN 'src1' THEN 800 ELSE 300 END
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    least(1.0, CAST(n_chars AS DOUBLE) / 400.0) AS w,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT doc_id, source, round(w, 6) AS w FROM d
+        |WHERE h < CAST(floor(w * 4294967296) AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_upsample" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+        |      ELSE 0.75 END AS DOUBLE) AS w,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(floor(w) AS BIGINT) +
+        |      CASE WHEN h < CAST(floor((w - floor(w)) * 4294967296) AS BIGINT)
+        |        THEN 1 ELSE 0 END AS reps
+        |  FROM d)
+        |SELECT doc_id, source,
+        |  unnest(generate_series(0, reps - 1)) AS copy
+        |FROM r ORDER BY doc_id, copy""".stripMargin,
 
     // boundaries are cumulative ⌊Σf · 2^32⌋: 0.9 → 3865470566, 0.95 →
     // 4080218931; the last range is the unconditional remainder

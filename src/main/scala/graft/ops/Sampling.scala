@@ -84,6 +84,50 @@ object Sampling {
     df.where(knuthHash(keyCol) < threshold)
   }
 
+  /** Per-ROW weighted Bernoulli: keep a row iff its key's hash falls
+    * under ⌊w·2^32⌋, where the weight is a COLUMN — quality-weighted
+    * downsampling ("keep high-quality docs with probability ∝ score"),
+    * the per-document generalization of `mixtureSample`'s per-domain
+    * constant. Same determinism contract; the threshold arithmetic is
+    * plain IEEE double multiply + floor, so an ANSI oracle reproduces
+    * membership bit-for-bit (no transcendental functions — an
+    * exp/log-keyed weighted draw would diverge between engines in the
+    * last ulp and flip boundary rows).
+    *
+    * Weight semantics at the edges are the natural limits: w ≤ 0 never
+    * keeps, w ≥ 1 always keeps (no clamp, no error — the weight is
+    * data, and a scoring model emitting 1.3 means "certainly keep").
+    * Still a narrow filter; no shuffle.
+    */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column): DataFrame =
+    df.where(knuthHash(keyCol) <
+      floor(weightCol.cast("double") * lit(Mod.toDouble)).cast("long"))
+
+  /** Repeat-factor UPsampling: emit ⌊w⌋ copies of each row, plus one
+    * more with probability frac(w), tagged `copy` ∈ [0, reps) — the
+    * "epochs per domain" half of a mixing spec (w = 2.5 ⟹ this row
+    * appears 2 or 3 times, 2.5 in expectation, deterministically
+    * chosen by its own key). Downsampling (w < 1) falls out as the
+    * 0-or-1-copy case and agrees with `weightedSample` membership.
+    *
+    * The expansion is a narrow `explode(sequence(...))` — rows never
+    * shuffle, output size is Σ reps. Compose BEFORE `assignShards` so
+    * the copies of a document land in different shards (the copy index
+    * is part of nothing — shard placement hashes the key column the
+    * caller passes, so pass a (key, copy) combination there).
+    * Working column `_reps` and output `copy` must be free.
+    */
+  def upsample(df: DataFrame, keyCol: Column, weightCol: Column): DataFrame = {
+    TextAnalysis.requireFree(df, "_reps", "copy")
+    val w = weightCol.cast("double")
+    val extra = when(knuthHash(keyCol) <
+      floor((w - floor(w)) * lit(Mod.toDouble)).cast("long"), 1).otherwise(0)
+    df.withColumn("_reps", (floor(w).cast("long") + extra).cast("int"))
+      .where(col("_reps") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("_reps") - 1)))
+      .drop("_reps")
+  }
+
   /** Deterministic train/val/test split: consecutive named RANGES of
     * the same hash space every sampler here draws from. Each key lands
     * in exactly one split (the last range is the unconditional

@@ -113,6 +113,49 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixtureSample(df, col("id"), col("lang"), Map("lang0" -> 1.5)))
   }
 
+  test("weightedSample: per-row probabilities, natural edge semantics") {
+    import spark.implicits._
+    val df = (0L until 8000L).map(i =>
+      (i, if (i % 4 == 0) 0.0 else if (i % 4 == 1) 0.5 else if (i % 4 == 2) 1.0 else 1.7))
+      .toDF("id", "w")
+    val kept = Sampling.weightedSample(df, col("id"), col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.exists(_ % 4 == 0), "w = 0 never keeps")
+    assert((0L until 8000L).filter(i => i % 4 == 2 || i % 4 == 3).forall(kept),
+      "w >= 1 always keeps")
+    val half = kept.count(_ % 4 == 1)
+    assert(math.abs(half - 1000) < 120, s"~50% of the w=0.5 stratum, got $half")
+    // constant weight w agrees with hashSample(f = w): one hash line
+    val viaHash = Sampling.hashSample(df.where(col("id") % 4 === 1), col("id"), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_ % 4 == 1) === viaHash)
+  }
+
+  test("upsample: floor copies plus deterministic fractional extra") {
+    import spark.implicits._
+    val df = (0L until 6000L).map(i => (i, 2.5)).toDF("id", "w")
+    val out = Sampling.upsample(df, col("id"), col("w")).collect()
+      .map(r => r.getLong(0) -> r.getInt(2))
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byId.size === 6000, "every row appears (floor(2.5) >= 1)")
+    assert(byId.values.forall(c => c == (0 until c.size) && (c.size == 2 || c.size == 3)),
+      "copies are dense 0-based, 2 or 3 of them")
+    val mean = out.length.toDouble / 6000
+    assert(math.abs(mean - 2.5) < 0.05, s"expected ~2.5 copies/row, got $mean")
+    // w < 1 downsamples and agrees with weightedSample membership
+    val sub = (0L until 4000L).map(i => (i, 0.3)).toDF("id", "w")
+    val up = Sampling.upsample(sub, col("id"), col("w"))
+      .collect().map(_.getLong(0)).toSet
+    val ws = Sampling.weightedSample(sub, col("id"), col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(up === ws)
+    // and determinism: same inputs, same expansion
+    val again = Sampling.upsample(df, col("id"), col("w")).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(again === byId)
+  }
+
   test("splitAssign partitions the corpus; train agrees with hashSample") {
     val df = corpus(10000)
     val out = Sampling.splitAssign(df, col("id"),
