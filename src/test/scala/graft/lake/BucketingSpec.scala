@@ -77,6 +77,18 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("aggregation on the bucket key also runs exchange-free") {
+    // the layout's third dividend: groupBy on the bucket column already
+    // has the required distribution, so partial+final aggregation fuses
+    // with no shuffle between them
+    val (_, lt) = tables
+    val agg = spark.table(lt).groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    agg.count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle, plan was:\n$plan")
+  }
+
   test("colocatedJoin refuses unbucketed and mismatched layouts") {
     val (ot, lt) = tables
     spark.read.parquet(s"$sfDir/orders.parquet")
