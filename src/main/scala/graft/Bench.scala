@@ -239,7 +239,7 @@ object Bench {
 
     // ── operator-vs-anchor split ──
     // the scorecard queries above time operator + exact-verification
-    // anchor together (the price of 88-for-88 hash checking); the twins
+    // anchor together (the price of the all-queries hash gate); the twins
     // time just the operator, so `op_total_sec` is the number a user's
     // pipeline would pay and the per-operator regression signal
     def runTwins(): (Map[String, Double], Map[String, String]) = {
@@ -260,9 +260,11 @@ object Bench {
     val (opWarm, twinErrs) = runTwins()
     val errors = coldErrs ++ warmErrs ++ twinColdErrs ++ twinErrs
     // headline total with each anchored query's time replaced by its
-    // operator-only twin's — queries without a twin carry no anchor
-    val opTotal = warm.values.sum -
-      opWarm.keys.flatMap(warm.get).sum + opWarm.values.sum
+    // operator-only twin's — queries without a twin carry no anchor.
+    // Computed per-entry (not keys-set arithmetic: a Set[Double] of
+    // times would collapse equal values, and a twin whose anchored
+    // query failed warm must not be added on top of nothing)
+    val opTotal = warm.map { case (k, v) => opWarm.getOrElse(k, v) }.sum
 
     // ── scaled section ──
     // cache key includes the base dir's name: a run against sf0.01 must

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types._
   */
 class MetastoreFileIndex(
     base: FileIndex,
-    statsSource: () => DataFrame) extends FileIndex {
+    statsSource: () => DataFrame,
+    conf: Option[org.apache.hadoop.conf.Configuration] = None) extends FileIndex {
 
   def this(base: FileIndex, stats: DataFrame) = this(base, () => stats)
 
@@ -55,11 +56,17 @@ class MetastoreFileIndex(
     * `SparkSession.active` at listFiles time: planning can run on a
     * user thread with no active session set, where the lookup throws
     * (or grabs the wrong session) and the GUARD itself becomes a
-    * query-planning failure mode. */
-  private val hadoopConf =
+    * query-planning failure mode. A caller constructing the index with
+    * neither a conf argument nor any session fails HERE, loudly — a
+    * blank fallback Configuration would silently drop the session's
+    * filesystem settings (credentials, fs.defaultFS) and surface as an
+    * inscrutable probe failure at first listFiles instead. */
+  private val hadoopConf = conf.orElse(
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      .map(_.sparkContext.hadoopConfiguration))
+    .getOrElse(throw new IllegalStateException(
+      "MetastoreFileIndex needs a Hadoop conf: construct it with one, or on a " +
+        "thread with an active/default SparkSession"))
 
   override def rootPaths: Seq[Path] = base.rootPaths
   override def inputFiles: Array[String] = base.inputFiles
@@ -221,7 +228,8 @@ object MetastoreFileIndex {
       else new InMemoryFileIndex(spark, Seq(new Path(dataPath)),
         Map("recursiveFileLookup" -> "true"), Some(schema),
         FileStatusCache.getOrCreate(spark), None, None)
-    val idx = new MetastoreFileIndex(base, statsSource)
+    val idx = new MetastoreFileIndex(base, statsSource,
+      Some(spark.sparkContext.hadoopConfiguration))
     // hive-style layouts: partition columns come from the directory
     // structure, not the file footers — declaring them in dataSchema
     // would read them (as nulls) from files where they don't exist

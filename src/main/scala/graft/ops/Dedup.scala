@@ -712,15 +712,21 @@ object Dedup {
                       seed: Long = 42L, maxCell: Int = 10000,
                       centroids: Array[Array[Double]] = null,
                       sampleFraction: Double = 1.0): DataFrame = {
-    val cents = Option(centroids).getOrElse {
-      if (emb.isEmpty) return emb.sparkSession.createDataFrame(
+    // method-level branching, not a return inside getOrElse's by-name
+    // block (that compiles to NonLocalReturnControl, which a future
+    // try/catch(Throwable) or lambda refactor would silently swallow).
+    // The isEmpty probe runs only on the untrained path, where it is
+    // the cheap (limit-1) prefix of the training that follows.
+    if (centroids == null && emb.isEmpty)
+      return emb.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id_a", emb.schema(idCol).dataType),
           org.apache.spark.sql.types.StructField("id_b", emb.schema(idCol).dataType),
           org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType))))
-      Similarity.trainIvfCentroids(emb, idCol, vecCol, nlist, iters, seed, sampleFraction)
-    }
+    val cents =
+      if (centroids != null) centroids
+      else Similarity.trainIvfCentroids(emb, idCol, vecCol, nlist, iters, seed, sampleFraction)
     val assigned = Similarity.assignedCells(
         emb.select(col(idCol).as("doc"), col(vecCol)), vecCol, cents)
       .select(col("cell"), col("doc"))

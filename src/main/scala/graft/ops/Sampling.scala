@@ -121,10 +121,13 @@ object Sampling {
     TextAnalysis.requireFree(df, "_reps", "copy")
     val w = weightCol.cast("double")
     val extra = when(knuthHash(keyCol) <
-      floor((w - floor(w)) * lit(Mod.toDouble)).cast("long"), 1).otherwise(0)
-    df.withColumn("_reps", (floor(w).cast("long") + extra).cast("int"))
+      floor((w - floor(w)) * lit(Mod.toDouble)).cast("long"), 1L).otherwise(0L)
+    // _reps stays LONG end to end: an int cast would wrap a corrupt
+    // giant weight negative and silently DROP the row; as a long, an
+    // absurd weight fails loudly in sequence()'s array-length check
+    df.withColumn("_reps", floor(w).cast("long") + extra)
       .where(col("_reps") > 0)
-      .withColumn("copy", explode(sequence(lit(0), col("_reps") - 1)))
+      .withColumn("copy", explode(sequence(lit(0L), col("_reps") - 1L)))
       .drop("_reps")
   }
 

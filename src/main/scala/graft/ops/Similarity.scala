@@ -503,14 +503,15 @@ object Similarity {
         .withColumn("cell", argmaxCosArr(
           element_at(col("_fine"), argmaxCosArr(col("_coarse"), col(vecCol)) + 1),
           col(vecCol)))
-        .drop("_coarse", "_fine", "_cents")
+        .drop("_coarse", "_fine")
     }
 
   /** One-row broadcast table for the two-level path: `_coarse` holds
     * the coarse centroids with their GROUP POSITION as `i`, `_fine`
-    * holds each group's fine centroids with their ORIGINAL cell index,
-    * `_cents` keeps the flat matrix for the query side's exact probe
-    * ranking. */
+    * holds each group's fine centroids with their ORIGINAL cell index.
+    * (The query side's exact probe ranking broadcasts its own flat
+    * `centroidArrayDf` — duplicating the flat matrix here would ship
+    * a third centroid copy per task for no reader.) */
   private def twoLevelArrayDf(spark: org.apache.spark.sql.SparkSession,
                               centroids: Array[Array[Double]],
                               coarse: Array[Array[Double]],
@@ -526,13 +527,10 @@ object Similarity {
       StructField("_fine",
         org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.ArrayType(sType, containsNull = false),
-          containsNull = false), nullable = false),
-      StructField("_cents", org.apache.spark.sql.types.ArrayType(sType, containsNull = false),
-        nullable = false)))
+          containsNull = false), nullable = false)))
     val row = Row(
       coarse.zipWithIndex.map { case (v, c) => cstruct(c, v) }.toSeq,
-      children.map(_.map(i => cstruct(i, centroids(i))).toSeq).toSeq,
-      centroids.zipWithIndex.map { case (v, i) => cstruct(i, v) }.toSeq)
+      children.map(_.map(i => cstruct(i, centroids(i))).toSeq).toSeq)
     spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 

@@ -135,7 +135,7 @@ class SamplingSpec extends SparkSpec {
     import spark.implicits._
     val df = (0L until 6000L).map(i => (i, 2.5)).toDF("id", "w")
     val out = Sampling.upsample(df, col("id"), col("w")).collect()
-      .map(r => r.getLong(0) -> r.getInt(2))
+      .map(r => r.getLong(0) -> r.getLong(2))
     val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
     assert(byId.size === 6000, "every row appears (floor(2.5) >= 1)")
     assert(byId.values.forall(c => c == (0 until c.size) && (c.size == 2 || c.size == 3)),
@@ -151,7 +151,7 @@ class SamplingSpec extends SparkSpec {
     assert(up === ws)
     // and determinism: same inputs, same expansion
     val again = Sampling.upsample(df, col("id"), col("w")).collect()
-      .map(r => r.getLong(0) -> r.getInt(2)).groupBy(_._1)
+      .map(r => r.getLong(0) -> r.getLong(2)).groupBy(_._1)
       .view.mapValues(_.map(_._2).sorted.toSeq).toMap
     assert(again === byId)
   }
