@@ -68,4 +68,28 @@ object Packing {
       .withColumn("shard_pos", row_number().over(w) - 1)
       .drop("_h")
   }
+
+  /** Materialize [[assignShards]]' placement as shard FILES: one
+    * `shard_id=K` directory per shard, rows inside each file in
+    * `shard_pos` order — the layout training loaders stream directly.
+    * This is where "the placement exchange IS the write partitioning"
+    * cashes out: `repartition(nShards, shard_id)` re-uses the window's
+    * own distribution (AQE reuses the exchange; no second shuffle of
+    * the data), `sortWithinPartitions` is a local sort, and each task
+    * writes exactly its own shard — so the whole global shuffle costs
+    * ONE exchange of the rows, total. Byte-for-byte reproducible like
+    * everything keyed off the hash: re-running the pipeline regenerates
+    * identical shard files, which is what makes resumable/auditable
+    * training runs possible.
+    *
+    * At 100 TB: `nShards` is the training file count (pick size-
+    * targeted, e.g. corpus / 1 GB); one task per shard bounds writer
+    * memory at shard size, and the parquet `partitionBy` dirs mean a
+    * loader seeks its shard by path, never by scan. */
+  def writeShards(docs: DataFrame, keyCol: Column, nShards: Int,
+                  path: String): Unit =
+    assignShards(docs, keyCol, nShards)
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions("shard_id", "shard_pos")
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
 }

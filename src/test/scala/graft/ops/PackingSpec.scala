@@ -101,4 +101,27 @@ class PackingSpec extends SparkSpec {
     assert(bySrc.forall(_ === 5L), "every shard mixes every source")
     intercept[IllegalArgumentException](Packing.assignShards(df, col("doc_id"), 0))
   }
+
+  test("writeShards materializes one in-order file per shard") {
+    import spark.implicits._
+    val df = (0L until 600L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = tmpDir("graft_shards")
+    Packing.writeShards(df, col("doc_id"), nShards = 5, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard_id="))
+    assert(dirs.map(_.getName).sorted.toSeq === (0 until 5).map(i => s"shard_id=$i"),
+      "one partition directory per shard")
+    assert(dirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "exactly one file per shard (one task wrote its own shard)")
+    val expected = Packing.assignShards(df, col("doc_id"), 5).collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    dirs.foreach { d =>
+      val shard = d.getName.stripPrefix("shard_id=").toInt
+      // file order (no sort on read) must BE the shard_pos order
+      val inFile = spark.read.parquet(d.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(inFile === expected(shard),
+        s"shard $shard file order must equal the placement order")
+    }
+  }
 }
