@@ -702,8 +702,13 @@ object Dedup {
     * [[Similarity.assignedCells]]); candidate volume is Σ n_c² over
     * cells, bounded by `maxCell` (an over-full cell — a degenerate
     * near-constant-embedding corpus — is dropped with the same
-    * documented skew trade as every bucket cap here). Vectors join
-    * back only for surviving candidate pairs. Pass pre-trained
+    * documented skew trade as every bucket cap here). NLIST IS THE
+    * VOLUME KNOB: the `nlist = 0` default auto-sizes √n cells, which
+    * optimizes ANN probe cost but makes in-cell pair volume n²/nlist =
+    * n^1.5; for dedup at large n pass `nlist ≈ n / targetCellSize`
+    * instead — fixed-size cells make the pair volume n·cellSize,
+    * LINEAR, at the cost of finer (slightly recall-lossier) cells.
+    * Vectors join back only for surviving candidate pairs. Pass pre-trained
     * `centroids` to share one index between dedup and ANN search (the
     * persisted-index lifecycle in Similarity applies unchanged).
     */
