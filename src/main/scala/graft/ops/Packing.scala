@@ -57,11 +57,20 @@ object Packing {
     * offset in its shard file, which loaders use to seek and resume.
     * Working column `_h` and outputs `shard_id`/`shard_pos` must be
     * free.
+    *
+    * `inShardOrder` overrides the hash order WITHIN a shard (shard
+    * membership stays hash-determined either way): pass a quality
+    * score for curriculum-ordered shards — loaders that stream a file
+    * front-to-back then see easy/clean documents first. The override
+    * is appended with (hash, key) as the final tie-breaks, so the
+    * order — and the written file — stays fully deterministic.
     */
-  def assignShards(docs: DataFrame, keyCol: Column, nShards: Int): DataFrame = {
+  def assignShards(docs: DataFrame, keyCol: Column, nShards: Int,
+                   inShardOrder: Seq[Column] = Nil): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     TextAnalysis.requireFree(docs, "_h", "shard_id", "shard_pos")
-    val w = Window.partitionBy(col("shard_id")).orderBy(col("_h"), keyCol)
+    val w = Window.partitionBy(col("shard_id"))
+      .orderBy(inShardOrder ++ Seq(col("_h"), keyCol): _*)
     docs
       .withColumn("_h", Sampling.knuthHash(keyCol))
       .withColumn("shard_id", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
@@ -87,8 +96,8 @@ object Packing {
     * memory at shard size, and the parquet `partitionBy` dirs mean a
     * loader seeks its shard by path, never by scan. */
   def writeShards(docs: DataFrame, keyCol: Column, nShards: Int,
-                  path: String): Unit =
-    assignShards(docs, keyCol, nShards)
+                  path: String, inShardOrder: Seq[Column] = Nil): Unit =
+    assignShards(docs, keyCol, nShards, inShardOrder)
       .repartition(nShards, col("shard_id"))
       .sortWithinPartitions("shard_id", "shard_pos")
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)

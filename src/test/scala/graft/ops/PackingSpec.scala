@@ -102,6 +102,24 @@ class PackingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Packing.assignShards(df, col("doc_id"), 0))
   }
 
+  test("assignShards: curriculum override orders within shards, never across") {
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, (i % 7).toDouble)).toDF("doc_id", "quality")
+    val cur = Packing.assignShards(df, col("doc_id"), 4,
+      inShardOrder = Seq(col("quality").desc)).collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getDouble(1), r.getLong(0)))
+    // membership identical to the default order (hash decides shards)
+    val plain = Packing.assignShards(df, col("doc_id"), 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cur.map(x => x._4 -> x._1).toMap === plain)
+    // inside each shard, positions walk quality non-increasing
+    cur.groupBy(_._1).foreach { case (shard, rows) =>
+      val qualities = rows.sortBy(_._2).map(_._3).toSeq
+      assert(qualities === qualities.sorted.reverse,
+        s"shard $shard must stream best-quality-first")
+    }
+  }
+
   test("writeShards materializes one in-order file per shard") {
     import spark.implicits._
     val df = (0L until 600L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
