@@ -103,6 +103,34 @@ object SparkEntry {
         expectedItemsPerFile = 16384L).cache())
     }
 
+  /** The planted corpus's derived dedup anchors, ONE pass + persist per
+    * (session, dir): per doc, the normalized-content md5 (exact-dup
+    * anchor) and the sorted distinct 64-bit shingle-hash set (every
+    * exact-Jaccard stage). Three scorecard queries (dedup_minhash's
+    * verification, dedup_simhash's two anchors, dedup_jaccard_prefix)
+    * consume the SAME frame through the `Dedup.*OnSets` variants instead
+    * of re-running tokenize+shingle per anchor — the derivation is the
+    * measured hot loop of these pipelines (the r7 bench regression on
+    * dedup_simhash was exactly this re-computation). md5 strings and
+    * long arrays round-trip the columnar cache cheaply — the OPPOSITE of
+    * the raw text corpus, which is deliberately NOT persisted (see
+    * `plantedDocs`). The build references the token alias twice
+    * (md5 + shingles ⟹ CollapseProject inlines the tokenizer per
+    * reference), a one-time 2× tokenize paid once instead of the ~4
+    * full derivations the queries ran before. */
+  private val plantedSetsCache = new SessionCache[DataFrame]
+
+  private def plantedShingleSets(s: SparkSession, dir: String): DataFrame =
+    plantedSetsCache.getOrElseUpdate(s, dir) {
+      plantedDocs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("_tk"))
+        .select(col("doc_id"),
+          md5(array_join(col("_tk"), " ")).as("content_md5"),
+          array_sort(array_distinct(
+            transform(Dedup.shingles(col("_tk"), 3), sh => xxhash64(sh)))).as("sh_set"))
+        .persist()
+    }
+
   /** q_bucket_join's co-bucketed orders/lineitem pair, written once per
     * (session, dir) — the bucketed layout is an ingest-time investment
     * queried many times, like the z-order and Bloom caches above. Table
@@ -875,9 +903,16 @@ object SparkEntry {
     // fixture with a >1000-doc boilerplate cluster would trip the
     // maxBucket skew cap and drop its candidates — and the resulting
     // hash mismatch is the check correctly flagging degraded recall.
+    // candidate stage from text (the fused signature expression folds
+    // raw shingle STRINGS); verification from the shared persisted
+    // shingle-set frame — same output as minhashNearDup, one less
+    // tokenize+shingle corpus pass
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDup(plantedDocs(s, dir), "doc_id", "text", threshold = 0.5,
-          numHashes = 64, bands = 32)
+      Dedup.verifiedJaccardOnSets(
+          plantedShingleSets(s, dir).select("doc_id", "sh_set"),
+          Dedup.minhashCandidates(plantedDocs(s, dir), "doc_id", "text",
+            numHashes = 64, bands = 32),
+          threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
@@ -894,14 +929,14 @@ object SparkEntry {
     // are correlated, not nested, so 100% would be wrong to assert).
     "dedup_simhash" -> ((s, dir) => {
       val planted = plantedDocs(s, dir)
+      val sets = plantedShingleSets(s, dir)
       // merge hint: cand is a pair table behind aggregates — its size
       // estimate is garbage, and at 10× bench scale Catalyst broadcast
       // it (1.3 GiB of task results > maxResultSize). Pair tables are
       // never broadcastable at scale; pin the semi-joins to sort-merge.
       val cand = Dedup.simhashCandidates(Dedup.simhash(planted, "doc_id", "text"))
         .hint("merge")
-      val norm = planted.select(col("doc_id"),
-        md5(array_join(TextAnalysis.tokensCol(col("text")), " ")).as("_m"))
+      val norm = sets.select(col("doc_id"), col("content_md5").as("_m"))
       val dups = norm.as("a")
         .join(norm.as("b"), col("a._m") === col("b._m") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -912,8 +947,10 @@ object SparkEntry {
       // here and the full-set verification pass it adds is. Keep
       // ngramJaccardPrefix for dup-dense corpora (its scaladoc carries
       // the trade); the df-guard semantics here mirror the oracle's CTE.
-      val hi = Dedup.ngramJaccard(planted, "doc_id", "text",
-          n = 3, threshold = 0.9, maxShingleDf = 2000)
+      // Both anchors read the shared persisted frame — the anchors'
+      // shingle derivation cost the r7 bench flagged is paid once.
+      val hi = Dedup.ngramJaccardOnSets(sets.select("doc_id", "sh_set"),
+          threshold = 0.9, maxShingleDf = 2000)
         .select("doc_a", "doc_b")
       dups.agg(count(lit(1)).as("n_exact_dups"))
         .crossJoin(dups.join(cand.where(col("hamming") === 0), Seq("doc_a", "doc_b"), "left_semi")
@@ -943,8 +980,8 @@ object SparkEntry {
     // hash-checks the prefix candidate generation AND the verify
     // arithmetic end-to-end.
     "dedup_jaccard_prefix" -> ((s, dir) =>
-      Dedup.ngramJaccardPrefix(plantedDocs(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.9)
+      Dedup.ngramJaccardPrefixOnSets(
+          plantedShingleSets(s, dir).select("doc_id", "sh_set"), threshold = 0.9)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
@@ -1293,14 +1330,17 @@ object SparkEntry {
     * map-side tokenize/shingle — a cheap shuffle of (id, text) rows
     * spreads that across all cores. (At real scale the input has
     * thousands of splits and this repartition would be dropped.) */
-  /** DELIBERATELY NOT persisted, though four scorecard queries
-    * (dedup_exact/minhash/simhash/jaccard_prefix) each re-derive it:
-    * measured A/B at sf0.1, a `.persist()` here made dedup_simhash
-    * ~20% SLOWER warm (6.1–6.9 s vs 5.4 s) — Spark's columnar
-    * in-memory cache decompresses long text strings per consumer scan,
-    * which loses to re-running the (vectorized parquet read + union +
-    * tiny exchange) subtree. Vector corpora cache well (see
-    * `annCorpus`); text corpora don't. */
+  /** DELIBERATELY NOT persisted: measured A/B at sf0.1, a `.persist()`
+    * here made dedup_simhash ~20% SLOWER warm (6.1–6.9 s vs 5.4 s) —
+    * Spark's columnar in-memory cache decompresses long text strings
+    * per consumer scan, which loses to re-running the (vectorized
+    * parquet read + union + tiny exchange) subtree. Vector corpora
+    * cache well (see `annCorpus`); text corpora don't. What IS shared
+    * across the dedup scorecard queries is the DERIVED md5/shingle-set
+    * frame (`plantedShingleSets` — md5s and long arrays, which cache
+    * cheaply); the remaining re-derivations of this raw frame feed
+    * narrow fused-expression passes (simhash/minhash signatures) that
+    * need the text itself. */
   private def plantedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     d.select(col("doc_id"), col("text"))

@@ -234,6 +234,24 @@ object Dedup {
     candidatePairsFromBuckets(buckets, Seq("band", "bucket"), "doc", maxBucket)
   }
 
+  /** The canonical per-doc shingle-hash SET frame every exact-Jaccard
+    * stage here consumes: one row per doc, `(doc, sh_set)` where
+    * `sh_set` is the SORTED distinct 64-bit shingle hashes (sorted so
+    * the same frame serves prefix filtering, whose theorem needs a
+    * global order; sortedness costs O(s log s) per doc next to the
+    * tokenize+shingle pass that dominates). Deriving this is THE
+    * measured hot loop of the exact-Jaccard pipelines — callers running
+    * several of them over one corpus should build it once, `persist()`
+    * it (long arrays round-trip Spark's columnar cache cheaply, the
+    * opposite of text — see the embedding-corpus note), and hand it to
+    * the `...OnSets` variants below. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = df
+    .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
+    .select(col("doc"),
+      array_sort(array_distinct(transform(shingles(col("_tk"), n), s => xxhash64(s))))
+        .as("sh_set"))
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verification half of the standard two-phase near-dup pipeline
     * (LSH blocking proposes, exact Jaccard disposes). Output schema
@@ -249,24 +267,22 @@ object Dedup {
     * enforces that. */
   def verifiedJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
                       textCol: String, n: Int = 3,
-                      threshold: Double = 0.5): DataFrame = {
-    // tokens projected once as an attribute (CollapseProject would
-    // otherwise inline the tokenizer per reference — see minhash note)
-    val sets = df
-      .select(col(idCol).as("_vid"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
-      .select(col("_vid"),
-        array_distinct(transform(shingles(col("_tk"), n), s => xxhash64(s))).as("_shs"))
-    verifiedJaccardOnSets(sets, pairs, threshold)
-  }
+                      threshold: Double = 0.5): DataFrame =
+    verifiedJaccardOnSets(shingleSets(df, idCol, textCol, n), pairs, threshold)
 
-  /** Verification core over PRECOMPUTED (_vid, _shs) shingle-hash sets —
-    * shared by `verifiedJaccard` (which derives the sets from text) and
-    * `ngramJaccardPrefix` (which already built them for its prefixes;
-    * re-deriving would add a redundant tokenize+shingle corpus pass,
-    * the measured hot loop of these pipelines). `array_intersect` is
-    * order-insensitive, so sorted and unsorted set arrays both work. */
-  private def verifiedJaccardOnSets(sets: DataFrame, pairs: DataFrame,
-                                    threshold: Double): DataFrame =
+  /** Verification core over PRECOMPUTED shingle-hash sets (first column
+    * id, second the set array — [[shingleSets]]' shape) — shared by
+    * `verifiedJaccard` (which derives the sets from text),
+    * `ngramJaccardPrefix` (which already built them for its prefixes),
+    * and callers amortizing ONE persisted set frame across several
+    * pipelines (re-deriving per pipeline would repeat the
+    * tokenize+shingle corpus pass, the measured hot loop — the r7 bench
+    * regression on the anchored dedup queries was exactly that).
+    * `array_intersect` is order-insensitive, so sorted and unsorted set
+    * arrays both work. */
+  def verifiedJaccardOnSets(sets0: DataFrame, pairs: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sets = sets0.toDF("_vid", "_shs")
     // MELT-JOIN-REGROUP: each (distinct) pair explodes to two (pair,
     // role, doc) rows, joined ONCE against the sets table, then folded
     // back per pair. The earlier two-join form referenced `sets` twice
@@ -298,6 +314,7 @@ object Dedup {
         (size(col("_sa")) + size(col("_sb")) - col("n_common")))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
 
   /** MinHash-blocked near-dup pairs WITH exact verification — the
     * complete production pipeline: banded-LSH candidates (sublinear,
@@ -415,6 +432,34 @@ object Dedup {
       .select(col("doc"), xxhash64(col("shingle")).as("sh"))
     val withN = docShingles.withColumn("n_sh",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc")))
+    jaccardFromIndex(withN, threshold, maxShingleDf)
+  }
+
+  /** [[ngramJaccard]] over a PRECOMPUTED shingle-set frame (first column
+    * id, second the distinct-hash set array — [[shingleSets]]' shape):
+    * identical output and the same inverted-index/no-join plan; the
+    * tokenize+shingle derivation — the measured hot loop — is skipped.
+    * Built for callers amortizing one persisted set frame across
+    * several exact-Jaccard pipelines. `n_sh` is `size(set)` here
+    * (identical to the window count the text form uses, barring 64-bit
+    * hash collisions — the same ~1e-7 birthday argument as the hashing
+    * itself); the set column is referenced twice (size + explode),
+    * which is free on a materialized frame but would re-run a derived
+    * one's expression per reference — hand this a persisted frame, or
+    * use [[ngramJaccard]]. */
+  def ngramJaccardOnSets(sets0: DataFrame, threshold: Double = 0.5,
+                         maxShingleDf: Int = 100): DataFrame = {
+    val sets = sets0.toDF("doc", "sh_set")
+    jaccardFromIndex(
+      sets.select(col("doc"), size(col("sh_set")).cast("long").as("n_sh"),
+        explode(col("sh_set")).as("sh")),
+      threshold, maxShingleDf)
+  }
+
+  /** Inverted-index Jaccard core over (doc, sh, n_sh) rows — the shared
+    * tail of [[ngramJaccard]] and [[ngramJaccardOnSets]]. */
+  private def jaccardFromIndex(withN: DataFrame, threshold: Double,
+                               maxShingleDf: Int): DataFrame = {
     // inverted index: one row per shingle with its (deduped, doc-sorted)
     // doc list; pair generation happens INSIDE the array, so there is no
     // self-join, and the df cutoff (skew guard / recall knob) is a
@@ -493,13 +538,18 @@ object Dedup {
     * prefix shrink dominates everything else. */
   def ngramJaccardPrefix(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.5,
-                         maxShingleDf: Int = 10000): DataFrame = {
+                         maxShingleDf: Int = 10000): DataFrame =
+    ngramJaccardPrefixOnSets(shingleSets(df, idCol, textCol, n), threshold, maxShingleDf)
+
+  /** [[ngramJaccardPrefix]] over a PRECOMPUTED shingle-set frame
+    * ([[shingleSets]]' shape; the set arrays MUST be sorted ascending —
+    * the prefix theorem needs the global hash order, and `shingleSets`
+    * already sorts). Same amortize-one-persisted-frame rationale as
+    * [[ngramJaccardOnSets]]. */
+  def ngramJaccardPrefixOnSets(sets0: DataFrame, threshold: Double = 0.5,
+                               maxShingleDf: Int = 10000): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold out of (0, 1]")
-    val sets = df
-      .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
-      .select(col("doc"),
-        array_sort(array_distinct(transform(shingles(col("_tk"), n), s => xxhash64(s))))
-          .as("_shs"))
+    val sets = sets0.toDF("doc", "_shs")
     // +1e-9 before the floor: the bound must be the MATHEMATICAL
     // ⌊(1−t)·n⌋, but (1.0−0.9)·10 is 0.9999999999999998 in doubles —
     // truncating one short exactly when (1−t)·n is an integer, i.e. at

@@ -177,31 +177,72 @@ object Sampling {
     * as one window and much harder to audit; the prefix rule wastes at
     * most one document's worth of budget per domain.
     *
-    * One shuffle, keyed by the domain — the cumulative sum runs inside
-    * each domain partition, never globally (the same
-    * no-global-ordering rule as [[Packing.packSequences]]). Skew note:
-    * a domain 100× larger than the rest makes one hot partition; if
-    * that bites, pre-filter with `hashSample(df, key, ~2×budget/corpus
-    * tokens)` to shrink the sort input — membership stays deterministic
-    * because both draws use the same hash order.
+    * SKEW-SAFE TWO-PHASE DRAW: a naive per-domain cumulative window is
+    * one partition per domain — a domain that is 80% of a 100 TB corpus
+    * would serialize through a single task. Instead the domain's hash
+    * line [0, 2^32) is cut into `subRanges` consecutive sub-ranges
+    * (`_r = _h div width` — ranges tile the SAME hash order, so
+    * concatenating them in `_r` order IS the global order and
+    * membership stays bit-identical to the one-window form):
+    * phase 1 aggregates per-(domain, range) token totals — a map-side
+    * partial aggregation whose exchange carries O(domains · subRanges)
+    * rows — and turns them into per-range exclusive prefix OFFSETS with
+    * a window over that tiny frame; phase 2 broadcasts the offsets
+    * back, runs the cumulative sum WITHIN each (domain, range)
+    * partition — the hot domain now spreads across `subRanges` tasks —
+    * and keeps a row iff offset + within-range cumulative ≤ budget.
+    * Long arithmetic throughout, so the split-then-add decomposition is
+    * exactly the single window's running sum at every row. The corpus
+    * is scanned twice (totals pass + window pass), both narrow; the
+    * offsets frame must be broadcast-sized (domains · subRanges rows —
+    * the operator's design envelope, same class as the mixture CASE
+    * chain).
     *
-    * Working columns `_h`, `_cum` must be free.
+    * `subRanges` = 0 (default) uses the session's shuffle parallelism;
+    * 1 degenerates to the single-window draw.
+    *
+    * Working columns `_h`, `_cum`, `_r`, `_off` must be free.
     */
   def tokenBudgetSample(df: DataFrame, keyCol: Column, tokenCol: Column,
                         domainCol: String, budgets: Map[String, Long],
-                        defaultBudget: Long = 0L): DataFrame = {
+                        defaultBudget: Long = 0L, subRanges: Int = 0): DataFrame = {
     (budgets.values ++ Iterator(defaultBudget)).foreach(b =>
       require(b >= 0L, s"budgets must be non-negative, got $b"))
-    TextAnalysis.requireFree(df, "_h", "_cum")
+    require(subRanges >= 0, s"subRanges must be >= 0, got $subRanges")
+    TextAnalysis.requireFree(df, "_h", "_cum", "_r", "_off")
     val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
       case (acc, (dom, b)) => when(col(domainCol) === lit(dom), lit(b)).otherwise(acc)
     }
-    val w = Window.partitionBy(domainCol).orderBy(col("_h"), keyCol)
+    val ranges =
+      if (subRanges > 0) subRanges
+      else scala.util.Try(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(64)
+    // ceil width keeps _r < ranges for every _h in [0, 2^32); DIV is
+    // exact integer division (a double floor could round at range
+    // boundaries when width is not a power of two)
+    val width = (Mod + ranges - 1) / ranges
+    val withH = df.withColumn("_h", knuthHash(keyCol))
+      .withColumn("_r", expr(s"_h DIV ${width}L"))
+    // phase 1: per-(domain, range) totals → exclusive prefix offsets.
+    // The offsets join below is NULL-SAFE on the domain: a null domain
+    // is a legitimate group (it draws defaultBudget, exactly as the
+    // window form partitioned it), and a plain equi-join would silently
+    // drop those rows.
+    val offs = withH.groupBy(col(domainCol).as("_dom"), col("_r").as("_r2"))
+      .agg(sum(tokenCol).as("_rt"))
+      .withColumn("_off", coalesce(
+        sum(col("_rt")).over(Window.partitionBy("_dom").orderBy("_r2")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_dom"), col("_r2"), col("_off"))
+    // phase 2: within-range cumulative + broadcast offsets
+    val w = Window.partitionBy(col(domainCol), col("_r")).orderBy(col("_h"), keyCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_h", knuthHash(keyCol))
-      .withColumn("_cum", sum(tokenCol).over(w))
+    withH
+      .join(broadcast(offs),
+        col(domainCol) <=> col("_dom") && col("_r") === col("_r2"))
+      .withColumn("_cum", col("_off") + sum(tokenCol).over(w))
       .where(col("_cum") <= budget)
-      .drop("_h", "_cum")
+      .drop("_h", "_r", "_dom", "_r2", "_off", "_cum")
   }
 
   /** Fixed-size-per-stratum sampling: the first `k` rows of each stratum

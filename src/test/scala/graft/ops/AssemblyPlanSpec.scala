@@ -4,10 +4,12 @@ import graft.{SparkEntry, SparkSpec}
 
 /** Pins the PLANS.md shuffle claims for the training-set assembly
   * surface: the stateless samplers are exchange-FREE narrow filters,
-  * and the capstone composition pays exactly its two keyed windows
-  * (domain, shard) — nothing else. A regression that sneaks a join or
-  * a global sort into a sampler fails here as a plan diff, not as a
-  * 100 TB incident. */
+  * and the capstone composition shuffles on exactly two key families —
+  * the domain (the budget draw's (domain, sub-range) window plus its
+  * O(domains·subRanges)-row totals aggregate, both hashed domain-first)
+  * and the shard placement — nothing else. A regression that sneaks a
+  * join or a global sort into a sampler fails here as a plan diff, not
+  * as a 100 TB incident. */
 class AssemblyPlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -30,8 +32,12 @@ class AssemblyPlanSpec extends SparkSpec {
   }
 
   test("pipeline_assemble shuffles exactly on its two window keys") {
+    // "_dom" is the budget draw's per-(domain, sub-range) totals
+    // aggregate — an exchange of O(domains·subRanges) partially-
+    // aggregated rows, not corpus data (the price of the skew-safe
+    // two-phase draw; the full-data exchanges remain the two windows)
     val keys = exchanges("pipeline_assemble").toSet -- Set("doc_id")
-    assert(keys === Set("source", "shard_id"),
-      s"expected only the domain-budget and shard-placement exchanges, got $keys")
+    assert(keys === Set("source", "shard_id", "_dom"),
+      s"expected the domain-budget, budget-offsets, and shard-placement exchanges, got $keys")
   }
 }

@@ -215,4 +215,35 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.tokenBudgetSample(df, col("id"), col("toks"), "lang", Map("a" -> -1L)))
   }
+
+  test("tokenBudgetSample spreads a dominant domain across sub-range tasks") {
+    import spark.implicits._
+    // one domain owns the whole corpus — the single-window form would
+    // serialize it through one task
+    val df = (0 until 5000).map(i => (i.toLong, "hot", 10L)).toDF("id", "lang", "toks")
+    val out = Sampling.tokenBudgetSample(df, col("id"), col("toks"), "lang",
+      Map("hot" -> 20000L), subRanges = 8)
+    out.count() // materialize so AQE settles the final plan
+    val plan = out.queryExecution.executedPlan.toString
+    // the cumulative window is keyed (domain, sub-range), so the hot
+    // domain's sort+sum runs as 8 independent groups, not one
+    assert("hashpartitioning\\(lang#\\d+, _r#\\d+".r.findFirstIn(plan).isDefined,
+      s"expected a (domain, _r) window exchange, plan was:\n$plan")
+    // membership is bit-identical to the degenerate one-range draw
+    // (ranges tile the same hash line in order)
+    val one = Sampling.tokenBudgetSample(df, col("id"), col("toks"), "lang",
+      Map("hot" -> 20000L), subRanges = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.collect().map(_.getLong(0)).toSet === one)
+  }
+
+  test("tokenBudgetSample keeps null-domain rows under the default budget") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String], 10L), (2L, Some("a"), 10L))
+      .toDF("id", "lang", "toks")
+    val out = Sampling.tokenBudgetSample(df, col("id"), col("toks"), "lang",
+      Map("a" -> 100L), defaultBudget = 100L, subRanges = 4)
+    // a plain equi-join on the domain would drop the null-domain row
+    assert(out.count() === 2)
+  }
 }
