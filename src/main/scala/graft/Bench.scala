@@ -67,14 +67,14 @@ object Bench {
       val st = it.next()
       n += 1; bytes += st.getLen; mtime = math.max(mtime, st.getModificationTime)
     }
-    s"v3:$n:$bytes:$mtime" // v3: per-copy rotation perturbation (see scaleUp)
+    s"$n:$bytes:$mtime"
   }
 
   private def scaleUp(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val doneFile = new org.apache.hadoop.fs.Path(s"$outDir/_DONE")
-    val fp = fingerprint(fs, srcDir)
+    val fp = "v3:" + fingerprint(fs, srcDir) // v3: per-copy rotation perturbation
     if (fs.exists(doneFile)) {
       val in = fs.open(doneFile)
       val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -140,20 +140,51 @@ object Bench {
   private val scale100Queries = Seq("q_skew_join", "sim_lsh_topk", "dedup_embedding_lsh")
   private val copies100 = 100
 
+  /** Round-8 extension: the dedup family's steepest sf1 queries get a
+    * 100× point too (dedup_simhash 14.1 s, dedup_minhash 11.9 s,
+    * dedup_semantic 7.8 s at sf1 — none previously measured past 10×).
+    * `dedup_semantic_linear` (SparkEntry.scaleProbes) runs SemDeDup at
+    * the documented linear-law knob nlist = n/cellSize, so the
+    * "fixed-size cells make pair volume linear" claim carries a
+    * measured slope, not an argument. These run ONE timed pass, not
+    * cold+warm: they are compute-bound (shingle/hash/band pipelines,
+    * not scans), their codegen classes are already JIT-warmed by the
+    * sf1 section that runs the same plans, and a second pass would
+    * double several minutes of probe for noise reduction the compute
+    * path doesn't need. */
+  private val scale100Dedup = Seq("dedup_simhash", "dedup_minhash", "dedup_semantic_linear")
+
+  /** Per-copy affine substitution cipher over the lowercase alphabet:
+    * letter j → (j·a + b) mod 26 with a coprime to 26 — a PERMUTATION,
+    * distinct for each (a, b), giving 312 mutually-distinct copies
+    * (the 10× letter rotation wraps at 10). Copy 0 is the identity
+    * (a=1, b=0): the base corpus rides verbatim. Ciphered copies keep
+    * within-copy dup structure exactly (the cipher is a deterministic
+    * text→text bijection applied uniformly) while almost every token —
+    * hence every shingle — differs across copies, so no cross-copy
+    * near-dup pair explosion (same rationale as the 10× rotation). */
+  private def affineAlphabet(i: Int): String = {
+    val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    val a = as((i / 26) % as.length)
+    val b = i % 26
+    (0 until 26).map(j => ('a' + ((j * a + b) % 26)).toChar).mkString
+  }
+
   /** Synthesize the ~sf10-equivalent corpus (100 key-shifted copies of
-    * the bench dir) — ONLY the three tables `scale100Queries` read.
+    * the bench dir) — ONLY the tables the 100× probes read.
     * The 10× perturbations wrap past 10 copies, so embeddings get a
     * per-copy deterministic SIGN-FLIP pattern instead (component d of
     * copy i flips iff xxhash64(i, d) is odd): f_d² = 1, so every
     * within-copy dot product and norm — and therefore the planted-twin
     * near-dup structure the queries measure — is preserved EXACTLY,
     * while cross-copy cosines are sign-agreement noise ≈ 0 at any copy
-    * count. Key tables need only shifts. */
+    * count; documents get the per-copy [[affineAlphabet]] cipher
+    * (valid to 312 copies). Key tables need only shifts. */
   private def scaleUp100(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val doneFile = new org.apache.hadoop.fs.Path(s"$outDir/_DONE")
-    val fp = fingerprint(fs, srcDir)
+    val fp = "v4:" + fingerprint(fs, srcDir) // v4: documents table added to the 100x corpus
     if (fs.exists(doneFile)) {
       val in = fs.open(doneFile)
       val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -178,6 +209,10 @@ object Bench {
           transform(col("embedding"), (x, idx) =>
             when(pmod(xxhash64(lit(i), idx), lit(2)) === 0, x).otherwise(-x))))
       .write.parquet(s"$outDir/embeddings.parquet")
+    replicate(src("documents"), Map("doc_id" -> docOff),
+        (d, i) => if (i == 0) d else d.withColumn("text",
+          translate(col("text"), "abcdefghijklmnopqrstuvwxyz", affineAlphabet(i))))
+      .write.parquet(s"$outDir/documents.parquet")
     val out = fs.create(doneFile)
     try out.write(fp.getBytes("UTF-8")) finally out.close()
   }
@@ -217,14 +252,17 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
 
-    /** (times of successful queries, first-line error per failed query) */
+    /** (times of successful queries, first-line error per failed query).
+      * Names resolve through `queries` first, then `scaleProbes` (the
+      * bench-only operator configurations). */
     def run(names: Seq[String], dir: String): (Map[String, Double], Map[String, String]) = {
       val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
       names.foreach { name =>
+        val fn = SparkEntry.queries.getOrElse(name, SparkEntry.scaleProbes(name))
         val t0 = System.nanoTime()
         try {
-          SparkEntry.queries(name)(spark, dir).count()
+          fn(spark, dir).count()
           times(name) = (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
@@ -321,8 +359,12 @@ object Bench {
         scaleUp100(spark, sfDir, sf10Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
         val (_, e10cold) = run(scale100Queries, sf10Dir)
-        val (sf10Times, e10) = run(scale100Queries, sf10Dir)
-        sf10Errors = e10cold ++ e10
+        val (sf10Warm, e10) = run(scale100Queries, sf10Dir)
+        // dedup family: single timed pass (see scale100Dedup — compute-
+        // bound, JIT-warmed by the sf1 section's identical plans)
+        val (sf10Ded, e10d) = run(scale100Dedup, sf10Dir)
+        val sf10Times = sf10Warm ++ sf10Ded
+        sf10Errors = e10cold ++ e10 ++ e10d
         val qs = sf10Times.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
         val errJson =
@@ -364,10 +406,10 @@ object Bench {
     // full 10 ms precision goes to the committed BENCH_FULL.json; the
     // stdout line prefers the full form, degrades per-query values to
     // 0.1 s precision if that overflows the driver's 2000-char stdout
-    // tail, and past that stops carrying the per-query map at all: a
-    // compact summary line (total, cold, per-section sums, first errors)
-    // plus a `path` to the on-disk full JSON. A clipped JSON line parses
-    // as NOTHING — a summary + pointer always parses.
+    // tail, and past that switches to the slowest-prefix summary form
+    // (see summaryLine) — still self-contained per query where it
+    // matters, plus a `path` to the on-disk full JSON. A clipped JSON
+    // line parses as NOTHING — a summary + pointer always parses.
     val fullLine = render(sec2)
     // persist beside the repo: BENCH_LOCAL.json is the gitignored
     // scratch copy; BENCH_FULL.json is COMMITTED each round — the
@@ -376,6 +418,16 @@ object Bench {
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (fullLine + "\n").getBytes("UTF-8"))
       catch { case _: java.io.IOException => () } // best-effort; stdout line is the contract
+    // The full per-query map stopped fitting the driver's 2000-char
+    // stdout tail near ~90 queries — the query NAMES alone are ~1.3k
+    // chars, so no precision trick brings it back. The degraded form
+    // stays SELF-CONTAINED the way a regression-grader actually reads
+    // it: as many of the SLOWEST queries as fit ride inline
+    // ("queries_slowest", a strict prefix of the descending-time
+    // order — the entries where regressions live), the remainder is
+    // aggregated ("rest_n"/"rest_sec", each member bounded above by
+    // the smallest inline time), and the committed BENCH_FULL.json
+    // carries the complete map. value ≈ Σ queries_slowest + rest_sec.
     def summaryLine: String = {
       val errJ =
         if (errors.isEmpty && sf1Errors.isEmpty && sf10Errors.isEmpty) ""
@@ -383,11 +435,27 @@ object Bench {
           .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
           .mkString("\"errors\":{", ",", "}") +
           s""","n_errors":${errors.size + sf1Errors.size + sf10Errors.size}"""
-      def form(scalePart: String) =
-        s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${warm.size},""" +
-          s""""cold_total_sec":${sec2(coldTotal)},"op_total_sec":${sec3(opTotal)},""" +
-          s""""sf":"$sfDir"$scalePart$errJ,""" +
-          s""""queries":"see path","path":"BENCH_FULL.json"}"""
+      def form(scalePart: String): String = {
+        val fixed =
+          s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${warm.size},""" +
+            s""""cold_total_sec":${sec2(coldTotal)},"op_total_sec":${sec3(opTotal)},""" +
+            s""""sf":"$sfDir"$scalePart$errJ,"path":"BENCH_FULL.json""""
+        val sorted = warm.toSeq.sortBy { case (k, v) => (-v, k) }
+        val budget = 1845 - fixed.length // room for the wrapper + rest fields
+        val entries = List.newBuilder[String]
+        var used = 0; var taken = 0; var full = false
+        sorted.foreach { case (k, v) =>
+          val e = s"${jsonStr(k)}:${sec2(v)}"
+          // strict prefix: stop at the first non-fitting entry so the
+          // inline set is exactly "the N slowest", not "whichever fit"
+          if (!full && used + e.length + 1 <= budget) {
+            entries += e; used += e.length + 1; taken += 1
+          } else full = true
+        }
+        val rest = sorted.drop(taken)
+        fixed + s""","queries_slowest":{${entries.result().mkString(",")}},""" +
+          s""""rest_n":${rest.size},"rest_sec":${sec2(rest.map(_._2).sum)}}"""
+      }
       // the scale-probe per-query maps are themselves unbounded as the
       // probe sets grow — degrade them to totals rather than let the
       // "always parses" line become the thing that clips

@@ -1267,6 +1267,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the epochs→shards composition (Sampling.upsample's documented
+    // contract, Sampling.scala: shard by a (key, copy) COMBINATION so a
+    // document's epochs land in different shards): upsample at
+    // fractional per-source weights, then place each (doc, copy) by
+    // hashing doc_id·4 + copy (reps ≤ ⌈max w⌉ = 3 < 4, so the combined
+    // key is collision-free and stays far under the 2^32 hash-fold
+    // domain). Verifies the two samplers compose under ONE hash line —
+    // the oracle reproduces the copy draw AND the placement bit-for-bit
+    "pipeline_epochs" -> ((s, dir) => {
+      val up = Sampling.upsample(
+        t(s, dir, "documents").select("doc_id", "source")
+          .withColumn("w", when(col("source") === "src0", 2.5)
+            .when(col("source") === "src1", 1.25).otherwise(0.75)),
+        col("doc_id"), col("w"))
+      Packing.assignShards(
+          up.select(col("doc_id"), col("source"), col("copy")),
+          col("doc_id") * 4 + col("copy"), nShards = 5)
+        .select(col("doc_id"), col("source"), col("copy").cast("long").as("copy"),
+          col("shard_id").cast("long").as("shard_id"),
+          col("shard_pos").cast("long").as("shard_pos"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // deterministic global shuffle → (shard, offset): the training-set
     // writer's placement map, reproducible byte-for-byte
     "text_shard_assign" -> ((s, dir) =>
@@ -1466,6 +1489,27 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
           approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
         .orderBy("l_returnflag")))
+
+  /** Bench-only scale probes (no oracle, not in `queries`): operator
+    * configurations whose 100 TB scaling law differs from the scorecard
+    * entry's and needs its own measured point.
+    *
+    * `dedup_semantic_linear` is semanticNearDup at the LINEAR-law knob
+    * its scaladoc documents (Dedup.scala): nlist = n / cellSize instead
+    * of the auto-√n default, making in-cell pair volume n·cellSize
+    * instead of n^1.5 — the configuration a 100 TB dedup run would use.
+    * cellSize = 100; training samples ~max(2·nlist·cellSize/n, 50k/n)
+    * of the corpus (the trainIvfCentroids 100 TB knob — quality needs a
+    * representative sample, not the corpus). */
+  def scaleProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic_linear" -> ((s, dir) => {
+      val emb = plantedEmbeddings(s, dir)
+      val n = math.max(1L, emb.count())
+      val nlist = math.max(16L, n / 100L).toInt
+      Dedup.semanticNearDup(emb, "vec_id", "embedding", threshold = 0.9,
+        nlist = nlist,
+        sampleFraction = math.min(1.0, math.max(2.0 * nlist, 5e4) / n))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "lake_point" ->
@@ -2380,6 +2424,15 @@ object SparkEntry {
         |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_urls
         |FROM urls GROUP BY 1 ORDER BY domain""".stripMargin,
 
+    // KEY-DOMAIN CONTRACT of every sampler oracle below: the plain
+    // `(key * 2654435761) % 4294967296` assumes keys < 2^32 — above
+    // that the Scala side folds the key mod 2^32 FIRST (overflow-free,
+    // see Sampling.knuthHash), while the SQL multiply would overflow
+    // BIGINT around key ≈ 3.47e9 (DuckDB errors; engines with wrapping
+    // semantics would silently diverge). doc_id/vec_id stay far below
+    // 2^32 at every test SF, so the twins are bit-identical here; a
+    // >2^32 key corpus needs the folded form mirrored in SQL:
+    // ((key % 4294967296) * 2654435761) % 4294967296 in HUGEINT.
     "sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE (doc_id * 2654435761) % 4294967296 < 429496729
@@ -2464,6 +2517,30 @@ object SparkEntry {
         |SELECT doc_id, source, n_bpe_est, h % 4 AS shard_id,
         |  ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) - 1 AS shard_pos
         |FROM budgeted ORDER BY doc_id""".stripMargin,
+
+    // the copy draw is sample_upsample's; placement hashes the combined
+    // key doc_id·4 + copy (< 2^32 here — see the key-domain contract
+    // above, the product stays overflow-free in BIGINT)
+    "pipeline_epochs" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+        |      ELSE 0.75 END AS DOUBLE) AS w,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |    CAST(floor(w) AS BIGINT) +
+        |      CASE WHEN h < CAST(floor((w - floor(w)) * 4294967296) AS BIGINT)
+        |        THEN 1 ELSE 0 END AS reps
+        |  FROM d),
+        |c AS (SELECT doc_id, source,
+        |    unnest(generate_series(0, reps - 1)) AS copy FROM r),
+        |k AS (SELECT doc_id, source, copy,
+        |    ((doc_id * 4 + copy) * 2654435761) % 4294967296 AS kh
+        |  FROM c)
+        |SELECT doc_id, source, copy, kh % 5 AS shard_id,
+        |  ROW_NUMBER() OVER (PARTITION BY kh % 5
+        |    ORDER BY kh, doc_id * 4 + copy) - 1 AS shard_pos
+        |FROM k ORDER BY doc_id, copy""".stripMargin,
 
     "text_shard_assign" ->
       """WITH h AS (SELECT doc_id, source,

@@ -79,8 +79,12 @@ object Bucketing {
     require(n.head == n.last,
       s"bucket counts differ (${n.head} vs ${n.last}) — Spark would shuffle the " +
         "smaller-bucketed side; rewrite one table so the layouts agree")
-    import org.apache.spark.sql.functions.col
-    spark.table(leftTable).hint("merge")
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+    // dataframe-qualified key refs, not col(...): the common layout
+    // buckets both tables on the SAME column name (user_id = user_id),
+    // where unqualified names are an ambiguous-attribute
+    // AnalysisException
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.hint("merge").join(r, l(leftKey) === r(rightKey))
   }
 }

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** [[nearDupStream]]'s default idle-bucket TTL. A conservative 30
+    * minutes: long enough that bursts of near-dups (mirror crawls,
+    * re-posts) still land in a live bucket, short enough that bucket
+    * keys — the one state dimension `maxBucket` cannot cap — are
+    * dropped instead of accruing for the life of the query. Spec-pinned
+    * as DEFINED: unbounded state requires an explicit `stateTtl =
+    * None`. */
+  val DefaultStreamStateTtl: Option[String] = Some("30 minutes")
+
   /** Rolling n-token shingles from a token array (contiguous n-grams,
     * space-joined). Used by MinHash and Jaccard so both agree. */
   def shingles(tokens: Column, n: Int): Column = {
@@ -88,15 +97,28 @@ object Dedup {
     * confidence signal; an in-stream distinct would mean unbounded
     * pair-state, the exact thing this operator avoids).
     *
-    * `stateTtl` (e.g. "30 minutes") arms a processing-time timeout that
-    * drops idle bucket registries — without it, bucket KEYS accrue for
-    * the life of the query (per-key bytes stay capped), the same growth
-    * class as un-watermarked dropDuplicates. `idCol` must be integral
-    * (cast to long — the registry is typed state). */
+    * `stateTtl` arms a processing-time timeout that drops idle bucket
+    * registries — without one, bucket KEYS accrue for the life of the
+    * query (per-key bytes stay capped), the same growth class as
+    * un-watermarked dropDuplicates. It DEFAULTS ON
+    * ([[DefaultStreamStateTtl]], 30 minutes): unbounded state must be
+    * an explicit opt-in (`stateTtl = None`, for a finite replay or a
+    * corpus small enough to hold whole), never the silent consequence
+    * of omitting a parameter. The TTL trades recall exactly like the
+    * bucket cap does: a near-dup arriving more than the TTL after its
+    * bucket went idle is missed — tune to the dup-arrival horizon, as
+    * with watermarks. Operational note: processing-time timers make the
+    * engine request a wake-up batch after EVERY batch
+    * (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so under the
+    * default unthrottled trigger an idle stream runs continuous no-data
+    * micro-batches to fire evictions promptly — set a trigger interval
+    * (or disable `spark.sql.streaming.noDataMicroBatches.enabled`, which
+    * defers evictions to the next data batch) to throttle. `idCol` must
+    * be integral (cast to long — the registry is typed state). */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.5, numHashes: Int = 64, bands: Int = 16,
                     shingleSize: Int = 3, maxBucket: Int = 1000,
-                    stateTtl: Option[String] = None): DataFrame = {
+                    stateTtl: Option[String] = DefaultStreamStateTtl): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
     val spark = docs.sparkSession

@@ -66,30 +66,57 @@ object Packing {
     * order — and the written file — stays fully deterministic.
     */
   def assignShards(docs: DataFrame, keyCol: Column, nShards: Int,
-                   inShardOrder: Seq[Column] = Nil): DataFrame = {
+                   inShardOrder: Seq[Column] = Nil): DataFrame =
+    placed(docs, keyCol, nShards, inShardOrder, identity)
+
+  /** Shared placement pipeline: compute `shard_id`, let `pre` pick the
+    * physical distribution (identity = the window's own exchange at the
+    * session's shuffle parallelism; [[shardedForWrite]] = an explicit
+    * `repartition(nShards, shard_id)` the window then REUSES), then the
+    * `shard_pos` window. The window needs only clustering by shard_id,
+    * which any hash partitioning on it satisfies — so `pre`'s exchange,
+    * when present, is the ONLY one. */
+  private def placed(docs: DataFrame, keyCol: Column, nShards: Int,
+                     inShardOrder: Seq[Column],
+                     pre: DataFrame => DataFrame): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     TextAnalysis.requireFree(docs, "_h", "shard_id", "shard_pos")
     val w = Window.partitionBy(col("shard_id"))
       .orderBy(inShardOrder ++ Seq(col("_h"), keyCol): _*)
-    docs
+    pre(docs
       .withColumn("_h", Sampling.knuthHash(keyCol))
-      .withColumn("shard_id", pmod(col("_h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("shard_id", pmod(col("_h"), lit(nShards.toLong)).cast("int")))
       .withColumn("shard_pos", row_number().over(w) - 1)
       .drop("_h")
   }
 
-  /** Materialize [[assignShards]]' placement as shard FILES: one
-    * `shard_id=K` directory per shard, rows inside each file in
-    * `shard_pos` order — the layout training loaders stream directly.
-    * This is where "the placement exchange IS the write partitioning"
-    * cashes out: `repartition(nShards, shard_id)` re-uses the window's
-    * own distribution (AQE reuses the exchange; no second shuffle of
-    * the data), `sortWithinPartitions` is a local sort, and each task
-    * writes exactly its own shard — so the whole global shuffle costs
-    * ONE exchange of the rows, total. Byte-for-byte reproducible like
-    * everything keyed off the hash: re-running the pipeline regenerates
-    * identical shard files, which is what makes resumable/auditable
-    * training runs possible.
+  /** [[writeShards]]' pre-write frame: identical rows to
+    * [[assignShards]], physically distributed as ONE exchange into
+    * exactly `nShards` hash partitions of `shard_id` — the window's
+    * clustering requirement is satisfied by the explicit repartition,
+    * so no second shuffle follows (spec-pinned), and each partition IS
+    * one shard's file-to-be. Exposed separately so the one-exchange
+    * plan property is testable without a filesystem round-trip; prefer
+    * [[assignShards]] for further processing (its window exchange keeps
+    * the session's full parallelism instead of collapsing to
+    * `nShards` partitions). */
+  def shardedForWrite(docs: DataFrame, keyCol: Column, nShards: Int,
+                      inShardOrder: Seq[Column] = Nil): DataFrame =
+    placed(docs, keyCol, nShards, inShardOrder,
+      _.repartition(nShards, col("shard_id")))
+
+  /** Materialize the placement as shard FILES: one `shard_id=K`
+    * directory per shard, rows inside each file in `shard_pos` order —
+    * the layout training loaders stream directly. This is where "the
+    * placement exchange IS the write partitioning" cashes out:
+    * [[shardedForWrite]] repartitions into `nShards` hash partitions of
+    * shard_id BEFORE the window, the window reuses that clustering
+    * (no exchange of its own — spec-pinned), `sortWithinPartitions` is
+    * a local sort, and each task writes exactly its own shard — so the
+    * whole global shuffle costs ONE exchange of the rows, total.
+    * Byte-for-byte reproducible like everything keyed off the hash:
+    * re-running the pipeline regenerates identical shard files, which
+    * is what makes resumable/auditable training runs possible.
     *
     * At 100 TB: `nShards` is the training file count (pick size-
     * targeted, e.g. corpus / 1 GB); one task per shard bounds writer
@@ -97,8 +124,7 @@ object Packing {
     * loader seeks its shard by path, never by scan. */
   def writeShards(docs: DataFrame, keyCol: Column, nShards: Int,
                   path: String, inShardOrder: Seq[Column] = Nil): Unit =
-    assignShards(docs, keyCol, nShards, inShardOrder)
-      .repartition(nShards, col("shard_id"))
+    shardedForWrite(docs, keyCol, nShards, inShardOrder)
       .sortWithinPartitions("shard_id", "shard_pos")
       .write.mode("overwrite").partitionBy("shard_id").parquet(path)
 }

@@ -444,7 +444,7 @@ object Similarity {
     }
     var coarse = Array.tabulate(nc)(c => norm(centroids((c.toLong * n / nc).toInt).clone()))
     val assign = new Array[Int](n)
-    for (_ <- 0 until iters) {
+    def assignAll(): Unit = {
       var i = 0
       while (i < n) {
         var best = 0; var bestS = Double.NegativeInfinity; var c = 0
@@ -455,6 +455,9 @@ object Similarity {
         }
         assign(i) = best; i += 1
       }
+    }
+    for (_ <- 0 until iters) {
+      assignAll()
       val sums = Array.fill(nc)(new Array[Double](dim))
       val counts = new Array[Int](nc)
       var j = 0
@@ -466,6 +469,11 @@ object Similarity {
       }
       coarse = Array.tabulate(nc)(c => if (counts(c) == 0) coarse(c) else norm(sums(c)))
     }
+    // one extra assignment against the FINAL centroids: the loop's last
+    // update moved them after its assignment, so without this pass a
+    // fine centroid could be grouped under a coarse centroid it is no
+    // longer nearest to (mild two-level assignment-quality loss)
+    assignAll()
     val kept = (0 until nc).filter(c => assign.contains(c))
     (kept.map(coarse).toArray,
       kept.map(c => (0 until n).filter(assign(_) == c).toArray).toArray)

@@ -89,6 +89,75 @@ class BucketingSpec extends SparkSpec {
       s"bucket-key aggregation must not shuffle, plan was:\n$plan")
   }
 
+  test("colocatedJoin resolves when both sides bucket the SAME column name") {
+    // the common production layout: both tables bucketed on user_id-
+    // style identical names. An unqualified col(key) === col(key) is an
+    // ambiguous-attribute AnalysisException — the join must qualify the
+    // keys per side (and stay exchange-free)
+    val base = tmpDir("graft_bucketing_same")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("orderkey"), col("l_extendedprice"))
+    Bucketing.writeBucketed(o, "bspec_same_o", s"$base/orders", "orderkey", 4)
+    Bucketing.writeBucketed(l, "bspec_same_l", s"$base/lineitem", "orderkey", 4)
+    val joined = Bucketing.colocatedJoin(spark, "bspec_same_o", "bspec_same_l",
+      "orderkey", "orderkey")
+    val n = joined.count()
+    val expected = spark.read.parquet(s"$sfDir/orders.parquet")
+      .join(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(n === expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"same-name co-bucketed join must stay exchange-free, plan was:\n$plan")
+  }
+
+  test("bucketing composes with zone-map pruning on ONE table") {
+    // the claim in Bucketing's scaladoc: "bucket by join key, sort by
+    // prune column; the two compose". Recipe: range-partition the input
+    // by the prune column FIRST (each writer task then holds a narrow
+    // prune range), bucket by the join key — every (range-task, bucket)
+    // file gets a narrow prune-column [min,max] the metastore can
+    // prune, while the bucket layout keeps key joins exchange-free.
+    // Both dividends are pinned HERE on the same files.
+    val base = tmpDir("graft_bucketing_zm")
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+      .repartitionByRange(4, col("l_partkey"))
+    Bucketing.writeBucketed(l, "bspec_zm_lineitem", s"$base/lineitem",
+      "l_orderkey", 4, sortCols = Seq("l_partkey"))
+
+    // dividend 1: the key join against a co-bucketed partner is
+    // exchange-free (the range pre-partitioning changed file COUNT, not
+    // the bucket spec)
+    val (ot, _) = tables
+    val joined = Bucketing.colocatedJoin(spark, ot, "bspec_zm_lineitem",
+      "o_orderkey", "l_orderkey")
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+      s"range-partitioned bucketed table must still join exchange-free:\n$plan")
+
+    // dividend 2: a metastore over the SAME files prunes by l_partkey.
+    // 4 range stripes × 4 buckets = 16 files; a point value lives in
+    // one stripe, so at most 4 files (its stripe's buckets) survive.
+    val stats = Metastore.build(spark, s"$base/lineitem", "l_partkey")
+    val shack = new Lakeshack(spark, stats)
+    val probe = spark.read.parquet(s"$base/lineitem")
+      .agg(min("l_partkey")).collect()(0).getLong(0)
+    val got = shack.query(values = Seq(probe)).collect()
+    val expected = spark.read.parquet(s"$base/lineitem")
+      .where(col("l_partkey") === probe).count()
+    assert(got.length.toLong === expected && expected > 0)
+    val tel = shack.lastTelemetry.get
+    assert(tel.filesTotal >= 8,
+      s"range×bucket write should produce many files, got ${tel.filesTotal}")
+    assert(tel.filesScanned * 2 <= tel.filesTotal,
+      s"zone maps must prune the off-stripe bucket files: scanned " +
+        s"${tel.filesScanned} of ${tel.filesTotal}")
+  }
+
   test("colocatedJoin refuses unbucketed and mismatched layouts") {
     val (ot, lt) = tables
     spark.read.parquet(s"$sfDir/orders.parquet")

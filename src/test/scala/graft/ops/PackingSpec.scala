@@ -120,6 +120,39 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("shardedForWrite: identical placement to assignShards, ONE exchange total") {
+    import spark.implicits._
+    val df = (0L until 800L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val forWrite = Packing.shardedForWrite(df, col("doc_id"), nShards = 6)
+    // same rows as the reference placement — the physical distribution
+    // is the only difference
+    val a = forWrite.collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    val b = Packing.assignShards(df, col("doc_id"), 6).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(a === b, "write-path distribution must not change placement")
+    // the claim writeShards' doc makes: the explicit repartition IS the
+    // window's clustering, so the whole placement+write costs one
+    // exchange of the rows — a second one here would double-shuffle
+    // 100 TB on every training-set materialization
+    // AQE's toString prints the final plan AND the initial plan — count
+    // exchanges only in the final section or one shuffle reads as two
+    val plan = forWrite.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"shardedForWrite must shuffle exactly once, plan was:\n$plan")
+    // and the partitioning is the write layout: every shard lives whole
+    // in one partition (hash(shard_id) % n may co-locate two shards in
+    // one task — fine, partitionBy still splits them into their own
+    // dirs — but a shard SPLIT across tasks would break the
+    // one-file-per-shard write)
+    val parts = forWrite.select("shard_id")
+      .rdd.mapPartitionsWithIndex { (pid: Int, it: Iterator[org.apache.spark.sql.Row]) =>
+        it.map(_.getInt(0)).toSet.iterator.map((s: Int) => (s, pid))
+      }.collect()
+    assert(parts.groupBy(_._1).values.forall(_.length == 1),
+      s"each shard must live in exactly one partition, got ${parts.toSeq.sorted}")
+  }
+
   test("writeShards materializes one in-order file per shard") {
     import spark.implicits._
     val df = (0L until 600L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
