@@ -42,7 +42,11 @@ object Bench {
     // round-7 additions: the bucketed write+join, cell-blocked semantic
     // dedup, and the shard-placement window — the three new ops whose
     // scale slope is worth watching (the samplers are narrow filters)
-    "q_bucket_join", "dedup_semantic", "text_shard_assign")
+    "q_bucket_join", "dedup_semantic", "text_shard_assign",
+    // round-8: the linear-law SemDeDup knob (nlist = n/cellSize) needs
+    // TWO scale points for a measured slope at fixed cell size — this
+    // is the sf1 one, the 100× probe below is the other
+    "dedup_semantic_linear")
 
   private val copies = 10
   private val orderOff = 10000000L
@@ -152,7 +156,8 @@ object Bench {
     * sf1 section that runs the same plans, and a second pass would
     * double several minutes of probe for noise reduction the compute
     * path doesn't need. */
-  private val scale100Dedup = Seq("dedup_simhash", "dedup_minhash", "dedup_semantic_linear")
+  private val scale100Dedup = Seq(
+    "dedup_simhash", "dedup_simhash_op", "dedup_minhash", "dedup_semantic_linear")
 
   /** Per-copy affine substitution cipher over the lowercase alphabet:
     * letter j → (j·a + b) mod 26 with a coprime to 26 — a PERMUTATION,

@@ -1509,7 +1509,12 @@ object SparkEntry {
       Dedup.semanticNearDup(emb, "vec_id", "embedding", threshold = 0.9,
         nlist = nlist,
         sampleFraction = math.min(1.0, math.max(2.0 * nlist, 5e4) / n))
-    }))
+    }),
+    // the simhash OPERATOR alone (the scorecard query's subtree minus
+    // its two exact anchors — identical to operatorTwins' entry): at
+    // 100× the anchors dominate the scorecard time ~60:1, so the
+    // operator's own scale slope needs its own probe name
+    "dedup_simhash_op" -> ((s, dir) => operatorTwins("dedup_simhash")(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "lake_point" ->

@@ -114,7 +114,9 @@ object Sampling {
     * shuffle, output size is Σ reps. Compose BEFORE `assignShards` so
     * the copies of a document land in different shards (the copy index
     * is part of nothing — shard placement hashes the key column the
-    * caller passes, so pass a (key, copy) combination there).
+    * caller passes, so pass a (key, copy) combination there; the
+    * composition is oracle-verified end-to-end by SparkEntry's
+    * `pipeline_epochs` query, which places copies by key·4 + copy).
     * Working column `_reps` and output `copy` must be free.
     */
   def upsample(df: DataFrame, keyCol: Column, weightCol: Column): DataFrame = {

@@ -389,6 +389,32 @@ class SimilaritySpec extends SparkSpec {
     assert(hierScaled === hier)
   }
 
+  test("coarseLayer groups children under their nearest RETURNED centroid") {
+    // the final Lloyd update moves the coarse centroids after the last
+    // assignment; without a closing re-assignment pass a fine centroid
+    // could be grouped under a coarse centroid it is no longer nearest
+    // to. Pin the invariant: every child is at least as close to its
+    // own group's returned centroid as to any other returned centroid.
+    val rng = new scala.util.Random(11)
+    val cents = Array.fill(500) {
+      val v = Array.fill(8)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val (coarse, children) = Similarity.coarseLayer(cents, 20)
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    children.zipWithIndex.foreach { case (kids, g) =>
+      kids.foreach { c =>
+        val own = cos(coarse(g), cents(c))
+        val best = coarse.map(cos(_, cents(c))).max
+        assert(own >= best - 1e-12,
+          s"fine centroid $c sits in group $g (cos $own) but a nearer " +
+            s"returned centroid exists (cos $best)")
+      }
+    }
+  }
+
   test("sign buckets are deterministic and stable across invocations") {
     val b1 = Similarity.signBuckets(corpus, "embedding", 8, 4, 42L)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
