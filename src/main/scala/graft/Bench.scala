@@ -168,7 +168,7 @@ object Bench {
     * text→text bijection applied uniformly) while almost every token —
     * hence every shingle — differs across copies, so no cross-copy
     * near-dup pair explosion (same rationale as the 10× rotation). */
-  private def affineAlphabet(i: Int): String = {
+  private[graft] def affineAlphabet(i: Int): String = {
     val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     val a = as((i / 26) % as.length)
     val b = i % 26

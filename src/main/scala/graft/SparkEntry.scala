@@ -74,6 +74,11 @@ object SparkEntry {
     * not annCorpus). */
   private val semCentroidCache = new SessionCache[Array[Array[Double]]]
 
+  /** dedup_semantic_fixedcell's centroids (nlist = n/cellSize, the
+    * linear-law knob) — separate cache because the cell count differs
+    * from semCentroidCache's auto-√n index over the same corpus. */
+  private val semLinCentroidCache = new SessionCache[Array[Array[Double]]]
+
   /** lake_zorder's clustered rewrite + pruned view, once per (session,
     * dir): a z-ordered table is written at ingest and queried many
     * times — rebuilding it per query would bench the writer, not the
@@ -1043,6 +1048,28 @@ object SparkEntry {
       val cents = semCentroidCache.getOrElseUpdate(s, dir)(
         Similarity.trainIvfCentroids(plantedEmbeddings(s, dir), "vec_id", "embedding"))
       Dedup.semanticNearDup(plantedEmbeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.9, centroids = cents)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the linear-law SemDeDup CONFIGURATION (nlist = n/cellSize — the
+    // 100 TB volume knob in semanticNearDup's scaladoc) must change
+    // candidate VOLUME, never answers: planted copies are identical
+    // vectors, so they share their argmax cell at ANY cell count, and
+    // this corpus has no organic ≥0.9 pairs for finer cell boundaries
+    // to lose (dedup_semantic's same structural argument) — so the
+    // exact all-pairs oracle applies verbatim and the hash check pins
+    // the knob end-to-end (bench measures its slope as
+    // dedup_semantic_linear; this entry verifies its correctness)
+    "dedup_semantic_fixedcell" -> ((s, dir) => {
+      val emb = plantedEmbeddings(s, dir)
+      val cents = semLinCentroidCache.getOrElseUpdate(s, dir) {
+        val n = math.max(1L, emb.count())
+        Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+          nlist = math.max(16L, n / 50L).toInt)
+      }
+      Dedup.semanticNearDup(emb, "vec_id", "embedding",
           threshold = 0.9, centroids = cents)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("id_a", "id_b")
@@ -2243,6 +2270,24 @@ object SparkEntry {
     // corpus the k-means-cell blocking must also recover the full
     // all-pairs answer (copies are identical vectors — same cell)
     "dedup_semantic" ->
+      """WITH pe AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+        |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM scored
+        |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // identical to dedup_semantic's oracle: the cell-count knob must
+    // not change the answer on this corpus (see the query's comment)
+    "dedup_semantic_fixedcell" ->
       """WITH pe AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
