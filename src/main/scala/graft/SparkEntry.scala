@@ -1018,6 +1018,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("canonical").as("canonical_id"))
         .orderBy("doc_id")),
 
+    // keeper SELECTION policy over the same clusters: keep the LONGEST
+    // document of each near-dup cluster (ties → min id) instead of the
+    // min-id default — the production "keep the best copy" step. The
+    // oracle recomputes components with the same recursive CTE and
+    // picks winners with the same (n_chars DESC, doc_id) window.
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          Dedup.ngramJaccard(
+            t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+            "doc_id", "text", n = 3, threshold = 0.12, maxShingleDf = 1000)
+            .select("doc_a", "doc_b"),
+          "doc_id", order = Seq(col("n_chars").desc))
+        .select(col("doc_id"), col("canonical").as("canonical_id"), col("keep"))
+        .orderBy("doc_id")),
+
     // exact-pairs form (ANSI-expressible → DuckDB hash oracle); the LSH
     // bucketed form below is the scale path, hash-checked against the
     // same exact recomputation (its verified output must match).
@@ -2229,6 +2245,44 @@ object SparkEntry {
          |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
          |SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS canonical_id
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+
+    // same recursive-CTE components as dedup_clusters, then the keeper
+    // window: longest doc (n_chars DESC) wins, min id breaks ties;
+    // unpaired docs are their own canonical and keeper
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $normToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |    JOIN sizes sa ON sa.doc_id = doc_a
+         |    JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+         |comp AS (SELECT doc, CAST(MIN(r) AS BIGINT) AS canonical FROM reach GROUP BY doc)
+         |SELECT d.doc_id,
+         |  COALESCE(c.canonical, d.doc_id) AS canonical_id,
+         |  (ROW_NUMBER() OVER (PARTITION BY COALESCE(c.canonical, d.doc_id)
+         |     ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+         |FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH pe AS (

@@ -946,6 +946,48 @@ object Dedup {
         org.apache.spark.sql.types.StructField("canonical", idType))))
   }
 
+  /** One KEEPER per duplicate cluster by an explicit preference order —
+    * the production form of "dedup keeps the best copy" (longest text,
+    * highest quality score, newest crawl), generalizing [[clusters]]'
+    * min-id canonical from a deterministic default to a policy.
+    *
+    * Input: the corpus `docs` and near-dup `pairs` from ANY generator
+    * here (minhash-verified, jaccard, simhash-confirmed, embedding,
+    * semantic). Output: every docs row plus `canonical` (the cluster
+    * label — the component MIN id, so cluster identity is stable no
+    * matter the preference order) and `keep` (true for the cluster's
+    * winner under `order`, ties broken by ascending id — fully
+    * deterministic). Documents in no pair are their own cluster and
+    * keepers. Downstream: `.where(col("keep"))` is the deduplicated
+    * corpus; the non-keepers carry their `canonical` for provenance
+    * (which surviving document replaced them).
+    *
+    * Scale shape: [[clusters]]' scale-adaptive closure over (id, id)
+    * pairs, one broadcast-or-shuffle join of the (paired-ids-only)
+    * labels back to the corpus, and one window keyed by `canonical` —
+    * the window exchange carries the corpus ONCE; duplicate clusters
+    * are small and many, so no skewed reducer (a pathological
+    * million-doc cluster would have been capped upstream by the pair
+    * generator's bucket guards).
+    *
+    * Working/output columns `canonical` and `keep` must be free in
+    * `docs`.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
+               order: Seq[Column], aCol: String = "doc_a",
+               bCol: String = "doc_b"): DataFrame = {
+    TextAnalysis.requireFree(docs, "canonical", "keep")
+    val cl = clusters(pairs, aCol, bCol).withColumnRenamed("id", "_kb_id")
+    val withCanon = docs
+      .join(cl, col(idCol) === col("_kb_id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col(idCol)))
+      .drop("_kb_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical"))
+      .orderBy(order :+ col(idCol).asc: _*)
+    withCanon.withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Pairs of ids sharing a bucket key, with a skew cap: buckets larger
     * than `maxBucket` are dropped entirely (documented recall trade).
     *

@@ -323,6 +323,35 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap === expect)
   }
 
+  test("keepBest: preference order picks the winner; singletons keep themselves") {
+    import spark.implicits._
+    // cluster {1,2,3} via a chain (no direct 1-3 pair), cluster {10,11},
+    // singletons 20 and 21
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = Seq(
+      (1L, 50L), (2L, 90L), (3L, 70L), // longest is doc 2, not min-id 1
+      (10L, 40L), (11L, 40L),          // tie → min id 10 wins
+      (20L, 5L), (21L, 99L)            // unpaired: each its own keeper
+    ).toDF("doc_id", "n_chars")
+    val got = Dedup.keepBest(docs, pairs, "doc_id", Seq(col("n_chars").desc))
+      .select("doc_id", "canonical", "keep").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      10L -> ((10L, true)), 11L -> ((10L, false)),
+      20L -> ((20L, true)), 21L -> ((21L, true))))
+    // cluster identity (canonical) must NOT depend on the preference
+    // order — only keeper choice does
+    val byMin = Dedup.keepBest(docs, pairs, "doc_id", Seq(col("n_chars").asc))
+      .select("doc_id", "canonical").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byMin === got.map { case (k, (c, _)) => k -> c })
+    // exactly one keeper per cluster, always
+    val keepersPerCluster = got.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._2) }
+    assert(keepersPerCluster.values.forall(_ == 1), s"got $keepersPerCluster")
+  }
+
   test("clusters: empty pair set yields an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
