@@ -1342,6 +1342,16 @@ object SparkEntry {
           col("shard_pos").cast("long").as("shard_pos"))
         .orderBy("doc_id")),
 
+    // fixed-token-window chunking with overlap — the long-document
+    // complement of packing (split to context-sized windows; partial
+    // tail kept, token-less docs produce no chunks)
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"), col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")),
+
     "text_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(
           t(s, dir, "documents")
@@ -2653,6 +2663,21 @@ object SparkEntry {
         |SELECT doc_id, source, hh % 7 AS shard_id,
         |  ROW_NUMBER() OVER (PARTITION BY hh % 7 ORDER BY hh, doc_id) - 1 AS shard_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // step = 64 − 8 = 56; window count = ceil(max(0, n−64)/56) + 1,
+    // via integer // so exact multiples don't round a tail window
+    // in or out; DuckDB list slices are 1-based inclusive and clamp
+    // at the list end like Spark's slice()
+    "text_chunk" ->
+      s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
+         |nz AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0),
+         |wins AS (SELECT doc_id, tk,
+         |    unnest(generate_series(0, (greatest(n - 64, 0) + 55) // 56)) AS chunk_idx
+         |  FROM nz)
+         |SELECT doc_id, chunk_idx,
+         |  array_to_string(tk[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ') AS chunk_text,
+         |  CAST(len(tk[chunk_idx * 56 + 1 : chunk_idx * 56 + 64]) AS BIGINT) AS n_chunk_tokens
+         |FROM wins ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,

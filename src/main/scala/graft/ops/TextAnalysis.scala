@@ -36,6 +36,60 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "zu", "den", "ist", "von", "mit", "nicht"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "qui"))
 
+  /** Fixed-token-window CHUNKING with overlap: split each document into
+    * `chunkTokens`-token windows whose starts step by
+    * `chunkTokens − overlap` — the standard preprocessing for context-
+    * bounded consumers (embedding models, long-doc training) and the
+    * complement of [[Packing.packSequences]], which GROUPS short docs
+    * where this SPLITS long ones. Output: one row per chunk with
+    * `chunk_idx` (0-based), `chunk_text` (space-joined canonical
+    * tokens — normalized like every fingerprint here, so chunk dedup
+    * composes with the dedup family unchanged), and `n_chunk_tokens`.
+    *
+    * Windows: starts 0, s, 2s, … (s = chunkTokens − overlap),
+    * continuing only while the PREVIOUS window stopped short of the
+    * document's end — so the final window is PARTIAL rather than
+    * dropped (training must not silently lose a document's tail), and
+    * a window fully contained in its predecessor never arises (window
+    * count = ⌈max(0, n − chunkTokens)/s⌉ + 1; every token is covered).
+    * Token-less documents (empty text, pure
+    * punctuation) produce no chunks — same contract as the shingle
+    * pipelines; route them through quality filtering, not chunking.
+    * A document's chunking is a pure function of its own text — no
+    * shuffle, no state: ONE narrow map + explode, Σ output rows ≈
+    * n_tokens/(s) per doc, and every derived row keeps `idCol` so
+    * provenance survives.
+    *
+    * `overlap` must be < chunkTokens (a step of 0 would loop forever
+    * at 100 TB exactly like it would at 100 rows — refused here).
+    * Output columns `chunk_idx`/`chunk_text`/`n_chunk_tokens` and
+    * working column `_ck_toks` must be free.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap (chunkTokens=$chunkTokens)")
+    requireFree(docs, "_ck_toks", "chunk_idx", "chunk_text", "n_chunk_tokens")
+    val step = chunkTokens - overlap
+    // last window index = ceil(max(0, n − chunkTokens)/step), computed
+    // in integer arithmetic (DIV) — a double divide could round at
+    // exact multiples and emit a contained (or missing) tail window
+    val lastIdx = expr(
+      s"(greatest(size(_ck_toks) - $chunkTokens, 0) + $step - 1) DIV $step")
+    docs
+      .withColumn("_ck_toks", tokensCol(col(textCol)))
+      .where(size(col("_ck_toks")) > 0)
+      .select(col(idCol), col("_ck_toks"),
+        posexplode(transform(
+          sequence(lit(0), lastIdx),
+          i => slice(col("_ck_toks"), i * step + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "_ck_win")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("_ck_win"), " ").as("chunk_text"),
+        size(col("_ck_win")).as("n_chunk_tokens"))
+  }
+
   /** Quality scoring: cheap per-document signals used to filter training
     * corpora (length, token stats, punctuation/stopword ratios). Pure
     * narrow map — at 100 TB this is one scan, no shuffle.

@@ -136,6 +136,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Array(("a.example.org", 2L, 3L)))
   }
 
+  test("chunk: window starts, partial tail, overlap, and coverage") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, ten)).toDF("doc_id", "text")
+    // chunk 4, no overlap: starts 0,4,8 → sizes 4,4,2 (tail kept)
+    val plain = TextAnalysis.chunk(docs, "doc_id", "text", 4).orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(plain === Array(
+      (0, "t1 t2 t3 t4", 4), (1, "t5 t6 t7 t8", 4), (2, "t9 t10", 2)))
+    // chunk 4, overlap 1 (step 3): starts 0,3,6 — consecutive windows
+    // share one token, every token covered, NO contained tail window
+    val lap = TextAnalysis.chunk(docs, "doc_id", "text", 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(lap === Array(
+      (0, "t1 t2 t3 t4"), (1, "t4 t5 t6 t7"), (2, "t7 t8 t9 t10")))
+    // exactly-chunk-sized and shorter docs: ONE window each, even with
+    // overlap (no redundant contained tail)
+    val short = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val one = TextAnalysis.chunk(short, "doc_id", "text", 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+    assert(one.toSet === Set((1L, 0, 4), (2L, 0, 2)))
+  }
+
+  test("chunk: token-less docs vanish; bad overlap refused; provenance kept") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world again"), (2L, ""), (3L, "!!! ???"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSet === Set((1L, 0, "hello world"), (1L, 1, "again")))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunk(docs, "doc_id", "text", 4, overlap = 4))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunk(docs, "doc_id", "text", 0))
+    val bad = Seq((1L, "x", 1)).toDF("doc_id", "text", "chunk_idx")
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunk(bad, "doc_id", "text", 4))
+  }
+
   test("working-column name collisions are refused, not clobbered") {
     import spark.implicits._
     val bad = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_toks")
