@@ -1091,6 +1091,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // LEAKAGE-SAFE train/val/test: split by the dedup CLUSTER label,
+    // not the doc id — a held-out document's near-duplicates land in
+    // the same split by construction (prevention up front, where
+    // text_decontaminate is the after-the-fact audit). Composition of
+    // withCanonical ∘ splitAssign under the toolkit's one hash line;
+    // the oracle re-derives components recursively and applies the
+    // same split thresholds to the canonical.
+    "pipeline_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(
+          docs.repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "doc_id", "text", n = 3, threshold = 0.12, maxShingleDf = 1000)
+        .select("doc_a", "doc_b")
+      Sampling.splitAssign(
+          Dedup.withCanonical(docs.select("doc_id"), pairs, "doc_id"),
+          col("canonical"), Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("canonical").as("canonical_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // ───── similarity search (north_star ★)
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2255,6 +2275,45 @@ object SparkEntry {
          |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc)
          |SELECT doc AS doc_id, CAST(MIN(r) AS BIGINT) AS canonical_id
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+
+    // same recursive-CTE components as dedup_clusters, then the
+    // sample_split thresholds applied to the CANONICAL (0.9 →
+    // 3865470566, 0.95 → 4080218931; last range unconditional)
+    "pipeline_safe_split" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, $normToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM common
+         |    JOIN sizes sa ON sa.doc_id = doc_a
+         |    JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.doc),
+         |comp AS (SELECT doc, CAST(MIN(r) AS BIGINT) AS canonical FROM reach GROUP BY doc)
+         |SELECT d.doc_id,
+         |  COALESCE(c.canonical, d.doc_id) AS canonical_id,
+         |  CASE WHEN (COALESCE(c.canonical, d.doc_id) * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+         |       WHEN (COALESCE(c.canonical, d.doc_id) * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // same recursive-CTE components as dedup_clusters, then the keeper
     // window: longest doc (n_chars DESC) wins, min id breaks ties;

@@ -976,16 +976,33 @@ object Dedup {
   def keepBest(docs: DataFrame, pairs: DataFrame, idCol: String,
                order: Seq[Column], aCol: String = "doc_a",
                bCol: String = "doc_b"): DataFrame = {
-    TextAnalysis.requireFree(docs, "canonical", "keep")
-    val cl = clusters(pairs, aCol, bCol).withColumnRenamed("id", "_kb_id")
-    val withCanon = docs
-      .join(cl, col(idCol) === col("_kb_id"), "left")
-      .withColumn("canonical", coalesce(col("canonical"), col(idCol)))
-      .drop("_kb_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("canonical"))
       .orderBy(order :+ col(idCol).asc: _*)
-    withCanon.withColumn("keep", row_number().over(w) === 1)
+    withCanonical(docs, pairs, idCol, aCol, bCol)
+      .withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** Attach each document's duplicate-cluster label: `canonical` = the
+    * component min id from [[clusters]] over `pairs`, the document's
+    * own id when it appears in no pair. The shared first step of every
+    * cluster-level policy — keeper selection ([[keepBest]]), and
+    * LEAKAGE-SAFE train/test splitting (feed `canonical`, not the doc
+    * id, to `Sampling.splitAssign`: near-duplicates of a held-out
+    * document then land in the same split BY CONSTRUCTION, instead of
+    * contaminating train — prevention up front, where
+    * [[contamination]] is the after-the-fact audit). One labels join
+    * back to the corpus; labels exist only for paired ids, so the join
+    * side is the (small) duplicate population, broadcast-eligible.
+    * Output column `canonical` must be free in `docs`. */
+  def withCanonical(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    TextAnalysis.requireFree(docs, "canonical", "keep")
+    val cl = clusters(pairs, aCol, bCol).withColumnRenamed("id", "_kb_id")
+    docs
+      .join(cl, col(idCol) === col("_kb_id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col(idCol)))
+      .drop("_kb_id")
   }
 
   /** Pairs of ids sharing a bucket key, with a skew cap: buckets larger

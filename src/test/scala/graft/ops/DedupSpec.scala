@@ -352,6 +352,35 @@ class DedupSpec extends SparkSpec {
     assert(keepersPerCluster.values.forall(_ == 1), s"got $keepersPerCluster")
   }
 
+  test("withCanonical + splitAssign: near-dup clusters never straddle splits") {
+    import spark.implicits._
+    // the leakage-safe-eval composition: splitting on the CLUSTER label
+    // puts every member of a duplicate cluster in the same split, so a
+    // held-out doc's near-dups cannot leak into train
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (100L until 400L)).toDF("doc_id")
+    val labeled = Sampling.splitAssign(
+        Dedup.withCanonical(docs, pairs, "doc_id"),
+        col("canonical"), Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+      .select("doc_id", "canonical", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every cluster is wholly inside one split
+    labeled.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $canon straddles splits: ${members.toSeq}")
+    }
+    // and the corpus still actually splits (all three labels used)
+    assert(labeled.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"))
+    // a doc's split under the cluster key equals hashing its CANONICAL:
+    // singletons match the plain doc-id split exactly
+    val plain = Sampling.splitAssign(docs, col("doc_id"),
+        Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    labeled.filter(x => x._1 == x._2).foreach { case (id, _, s) =>
+      assert(plain(id) === s, s"singleton $id: cluster-keyed split must equal doc-keyed")
+    }
+  }
+
   test("clusters: empty pair set yields an empty labeling") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
