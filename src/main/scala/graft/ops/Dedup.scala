@@ -244,16 +244,30 @@ object Dedup {
     // alias SINGLY-referenced (a second reference, e.g. a size()
     // filter, makes CollapseProject inline tokenize+shingle once per
     // reference: the measured 3× regression of the first fused form).
-    val buckets = df
-      .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+    candidatePairsFromBuckets(
+      minhashBuckets(df, idCol, textCol, numHashes, bands, shingleSize),
+      Seq("band", "bucket"), "doc", maxBucket)
+  }
+
+  /** The LSH posting stage of [[minhashCandidates]] alone: one
+    * `(doc, band, bucket)` row per (document, band) — the blocking key
+    * a doc hashes to in each band, before any grouping. Split out so
+    * [[IncrementalDedup]] can PERSIST these postings as the index an
+    * incoming batch probes (same fused signature expression, so a
+    * stored posting and a freshly computed one for identical text are
+    * bit-identical — the property incremental candidate generation
+    * rests on). Narrow map, zero exchanges, like the fused form above. */
+  private[ops] def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                                  numHashes: Int, bands: Int,
+                                  shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    df.select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
       .select(col("doc"), shingles(col("toks"), shingleSize).as("_shs"))
       .select(col("doc"),
         posexplode(org.apache.spark.sql.GraftColumnBridge.column(
           graft.functions.MinHashBandBuckets(
             org.apache.spark.sql.GraftColumnBridge.expression(col("_shs")),
             numHashes, bands))).as(Seq("band", "bucket")))
-
-    candidatePairsFromBuckets(buckets, Seq("band", "bucket"), "doc", maxBucket)
   }
 
   /** The canonical per-doc shingle-hash SET frame every exact-Jaccard
