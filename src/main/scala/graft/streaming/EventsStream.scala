@@ -24,37 +24,60 @@ case class OpenSession(startMs: Long, endMs: Long, n: Long)
   * DataFrame (oracle-checkable) and a streaming query (watermark + window,
   * tested via the memory sink).
   *
-  * Note on nanos: the driver testdata stores `ts` as Parquet
-  * TIMESTAMP(NANOS), which Spark's reader only admits as LongType via
-  * `spark.sql.legacy.parquet.nanosAsLong`; we truncate to microseconds —
-  * identical to DuckDB's CAST(ts AS TIMESTAMP) semantics.
+  * Note on `ts` representation: the driver testdata has stored `ts` as
+  * Parquet TIMESTAMP(NANOS) (readable only as LongType via
+  * `spark.sql.legacy.parquet.nanosAsLong`) in some generations and as
+  * TIMESTAMP(MICROS) (naive → TIMESTAMP_NTZ, or UTC-adjusted →
+  * TIMESTAMP) in others. The reference survives exactly this class of
+  * representation drift with its safe-schema/cast-back machinery
+  * (lakeshack/lakeshack.py:352-363,414-456); here the equivalent is
+  * `normalizeTs`, which branches on the LOADED dtype rather than
+  * assuming one physical type.
   */
 object EventsStream {
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (see nanosAsLong)
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Converts whatever representation the parquet carried for `ts` into
+    * the requested timestamp type (`"timestamp_ntz"` or `"timestamp"`):
+    * nanos-as-long is integrally truncated to micros (DuckDB CAST
+    * semantics), native timestamp columns are cast directly. Wall-clock
+    * values agree across the branches under the engine-wide
+    * spark.sql.session.timeZone=UTC this library pins. */
+  def normalizeTs(df: DataFrame, target: String): DataFrame =
+    df.schema("ts").dataType match {
+      // `ts div 1000` is integral division on the long nanos — `ts / 1000`
+      // would go through DOUBLE, whose 53-bit mantissa cannot represent
+      // ~1.7e18 and rounds the last microsecond.
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(target))
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts", col("ts").cast(target))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — expected nanos-as-long, " +
+          "TIMESTAMP_NTZ, or TIMESTAMP (testdata schema drift?)")
+    }
 
-  /** Loads events with `ts` as TIMESTAMP_NTZ (micros, truncated from
-    * nanos exactly like DuckDB's CAST(ts AS TIMESTAMP)). NTZ end-to-end
+  /** Loads events with `ts` as TIMESTAMP_NTZ (micros). NTZ end-to-end
     * keeps wall-clock semantics identical to the naive oracle values.
     *
     * SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong` on the
     * session and leaves it set — the flag is consulted both at schema
     * inference and at execution, so restoring it between the two would
-    * corrupt this very read. Sessions using this loader opt into
-    * nanos-as-long for all TIMESTAMP(NANOS) parquet columns. */
+    * corrupt a TIMESTAMP(NANOS)-generation read. It is inert for
+    * micros-generation data. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000` is integral division on the long nanos — `ts / 1000`
-    // would go through DOUBLE, whose 53-bit mantissa cannot represent
-    // ~1.7e18 and rounds the last microsecond.
-    spark.read.parquet(path)
-      .withColumn("ts", microsFromNanos.cast("timestamp_ntz"))
+    normalizeTs(spark.read.parquet(path), "timestamp_ntz")
+  }
+
+  /** Streaming source over the events directory with `ts` normalized to
+    * TimestampType (watermarks require TIMESTAMP, not NTZ). The schema
+    * is inferred from the parquet footers ALREADY in the directory (a
+    * driver-side footer read, not a data scan) so the source adapts to
+    * whichever `ts` representation this testdata generation uses. */
+  def eventsStreamSource(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    normalizeTs(spark.readStream.schema(schema).parquet(dir), "timestamp")
   }
 
   /** The hourly aggregates, shared by the batch and streaming twins so
@@ -63,10 +86,6 @@ object EventsStream {
   private def hourlyAggs: Seq[org.apache.spark.sql.Column] = Seq(
     count(lit(1)).as("n_events"),
     sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-
-  /** `ts div 1000`: integral nanos→micros conversion shared by both
-    * read paths (double division would round the last microsecond). */
-  private def microsFromNanos = timestamp_micros(expr("ts div 1000"))
 
   /** Tumbling-window aggregation, batch form. Deterministic (no floats
     * ungrounded: value sums decimal-cast) so it hash-matches a DuckDB
@@ -82,15 +101,13 @@ object EventsStream {
     * shuffle is the same hash exchange as the batch plan.
     */
   def hourlyByTypeStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // TimestampType, not the NTZ readEvents produces: Spark requires the
     // watermark column to be TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_
     // TYPE otherwise). Window labels are therefore session-tz wall
     // clocks; they match the batch twin's NTZ labels only under the
     // engine-wide spark.sql.session.timeZone=UTC this library pins
     // (build.sbt, Verify, Bench) — asserted by EventsStreamSpec.
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", microsFromNanos)
+    eventsStreamSource(spark, dir)
       .withWatermark("ts", "30 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(hourlyAggs.head, hourlyAggs.tail: _*)

@@ -47,10 +47,8 @@ class EventsStreamSpec extends SparkSpec {
   }
 
   test("stream-stream interval join equals the batch interval join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // TimestampType (not NTZ): both watermark columns must be event-time
-    val src = spark.readStream.schema(EventsStream.eventsSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = EventsStream.eventsStreamSource(spark, eventsDir)
     val joined = EventsStream.intervalJoinStream(
       src.where(col("event_type") === "view"),
       src.where(col("event_type") === "click"))
@@ -72,10 +70,9 @@ class EventsStreamSpec extends SparkSpec {
 
   test("stream-static enrichment equals the batch join") {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // a static user dimension: tier derived deterministically
     val dim = (0L to 100L).map(u => (u, s"tier${u % 3}")).toDF("user_id", "tier")
-    val src = spark.readStream.schema(EventsStream.eventsSchema).parquet(eventsDir)
+    val src = EventsStream.eventsStreamSource(spark, eventsDir)
       .select("event_id", "user_id", "event_type")
     val q = EventsStream.enrichStream(src, dim, "user_id").writeStream
       .format("memory").queryName("enrich_test")
