@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.lake.{BloomIndex, Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex}
 import graft.functions.GeometricMean
-import graft.ops.{AsofJoin, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, IncrementalDedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventsStream
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per operator
@@ -932,9 +932,32 @@ object SparkEntry {
     // not a false alarm); (b) J>=0.9 near-dup pairs — an
     // empirical recall floor (measured 93% here; hamming<=3 and Jaccard
     // are correlated, not nested, so 100% would be wrong to assert).
+    // Scale honesty: the two anchors are EXACT recomputations, so their
+    // cost is the corpus's, not the operator's — at the 100× probe the
+    // anchors were 97% of the 271 s wall clock while the op alone ran
+    // 7.4 s. Above `anchorBudgetDocs` planted docs the anchors therefore
+    // run on a deterministic MIN-SHINGLE stratum (keep a doc iff
+    // xxhash64(min shingle) ≡ 0 mod m): by the minhash property a
+    // J≥0.9 pair shares its min shingle with prob ≥ 0.9, so pairs
+    // co-sample at rate ≈ J/m (vs 1/m² under independent doc
+    // sampling), and exact dups (identical sh_set ⟹ identical min)
+    // ALWAYS co-sample — the hamming-0 theorem anchor is unweakened.
+    // The J≥0.9 recall estimate becomes conditioned on min-shingle
+    // agreement (a mild bias toward higher-J pairs — acceptable for a
+    // floor assertion that was already an estimate). m = 1 at every
+    // oracle/bench scale up to 10× (sf0.01 ≈ 1k planted, sf0.1 ≈ 10k,
+    // 10× ≈ 100k), so the DuckDB hash check and bench continuity are
+    // byte-identical; only the 100× probe (~1M planted) stratifies.
     "dedup_simhash" -> ((s, dir) => {
       val planted = plantedDocs(s, dir)
-      val sets = plantedShingleSets(s, dir)
+      val anchorBudgetDocs = 100000L
+      // footer-metadata count — no data scan
+      val nPlanted = 2L * s.read.parquet(s"$dir/documents.parquet").count()
+      val m = math.max(1L, nPlanted / anchorBudgetDocs)
+      val setsFull = plantedShingleSets(s, dir)
+      val sets = if (m == 1L) setsFull
+        else setsFull.where(
+          pmod(xxhash64(array_min(col("sh_set"))), lit(m)) === 0)
       // merge hint: cand is a pair table behind aggregates — its size
       // estimate is garbage, and at 10× bench scale Catalyst broadcast
       // it (1.3 GiB of task results > maxResultSize). Pair tables are
@@ -1033,6 +1056,31 @@ object SparkEntry {
           "doc_id", order = Seq(col("n_chars").desc))
         .select(col("doc_id"), col("canonical").as("canonical_id"), col("keep"))
         .orderBy("doc_id")),
+
+    // incremental ingest against a PERSISTED LSH index: the planted
+    // corpus is split deterministically — docs whose base id ≡ 0 mod 3
+    // are the incoming batch, the rest the already-accepted corpus the
+    // index is built from. One row per batch doc with the greedy
+    // min-id-keeper verdict. The oracle recomputes the exact J≥0.5
+    // pair set all-pairs (same CTE as dedup_minhash's) and applies the
+    // same match rule in SQL, so the whole disk round-trip —
+    // build → postings scan → broadcast probe → sets fetch → verify —
+    // is hash-checked. Equality is probabilistic in the banding with
+    // the same b=32/r=2 bound as dedup_minhash (candidate-miss ≈1e-4
+    // at the J=0.5 boundary). Index rebuilt per call (overwrite) —
+    // idempotent, and the build is two narrow maps over the accepted
+    // split.
+    "dedup_incremental" -> ((s, dir) => {
+      val planted = plantedDocs(s, dir)
+      val baseMod = pmod(pmod(col("doc_id"), lit(100000L)), lit(3))
+      val accepted = planted.where(baseMod =!= 0)
+      val batch = planted.where(baseMod === 0)
+      val idx = s"/tmp/graft_incr_${dirTag(dir)}"
+      IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+        numHashes = 64, bands = 32)
+      IncrementalDedup.ingest(batch, "doc_id", "text", idx, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
 
     // exact-pairs form (ANSI-expressible → DuckDB hash oracle); the LSH
     // bucketed form below is the scale path, hash-checked against the
@@ -2352,6 +2400,47 @@ object SparkEntry {
          |     ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
          |FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // exact all-pairs recomputation of the incremental ingest verdicts:
+    // the J>=0.5 pair set (same CTE as dedup_minhash's) restricted to
+    // the batch split, with the same greedy rule — a batch doc is
+    // matched by any accepted-split partner or any smaller-id batch
+    // partner.
+    "dedup_incremental" ->
+      s"""WITH pd AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id, text FROM documents),
+         |toks AS (
+         |  SELECT doc_id, $normToks AS tk FROM pd),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(tk) >= 3 THEN array_to_string(tk[i:i+2], ' ')
+         |           ELSE array_to_string(tk, ' ') END AS shingle
+         |    FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(tk) - 1, CASE WHEN len(tk) > 0 THEN 2 ELSE 1 END))) AS i))
+         |  WHERE shingle <> ''),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_a, doc_b FROM common
+         |    JOIN sizes sa ON sa.doc_id = doc_a
+         |    JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5),
+         |rel AS (
+         |  SELECT doc_a AS d, doc_b AS m FROM scored
+         |  UNION ALL SELECT doc_b AS d, doc_a AS m FROM scored),
+         |batch AS (SELECT doc_id FROM pd WHERE (doc_id % 100000) % 3 = 0),
+         |m AS (
+         |  SELECT b.doc_id, r.m FROM batch b JOIN rel r ON r.d = b.doc_id
+         |  WHERE ((r.m % 100000) % 3 <> 0) OR (r.m < b.doc_id))
+         |SELECT b.doc_id, COUNT(m.m) = 0 AS kept, COUNT(m.m) AS n_matches,
+         |  MIN(m.m) AS min_match_id
+         |FROM batch b LEFT JOIN m ON m.doc_id = b.doc_id
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "dedup_embedding" ->
       """WITH pe AS (

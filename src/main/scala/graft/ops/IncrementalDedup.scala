@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental near-duplicate detection against a PERSISTED MinHash-LSH
+  * index — the 100 TB shape for a growing corpus: dedup each incoming
+  * batch against everything already accepted WITHOUT re-fingerprinting
+  * (or re-shuffling) the accepted corpus.
+  *
+  * The reference deduplicates only within what it scans per query
+  * (lakeshack has no dedup surface at all — SURVEY §2.2 ★); a training
+  * -data pipeline ingesting continuously needs the incremental form:
+  * index once, probe per batch, append what survives.
+  *
+  * On-disk layout under `indexPath`:
+  *   - `postings/` — `(doc, band, bucket)`, one row per (document,
+  *     band): the LSH blocking keys, produced by the SAME fused native
+  *     signature expression as the batch pipeline
+  *     ([[graft.functions.MinHashBandBuckets]]), so a stored posting
+  *     and a freshly computed one for identical text are bit-identical
+  *     — the property incremental candidate generation rests on.
+  *   - `sets/` — `(doc, sh_set)`: the distinct shingle-hash set per
+  *     document, for exact verification of proposed pairs.
+  *   - `_meta` — the signature parameters; [[ingest]] ADOPTS them
+  *     rather than taking its own (probing with a mismatched band
+  *     layout would silently find nothing).
+  *
+  * Scale shape of a probe (index n docs, batch m docs, m ≪ n):
+  *   - the batch's postings and shingle sets are narrow maps over the
+  *     batch only — the accepted corpus is NEVER re-fingerprinted;
+  *   - the index postings are scanned ONCE and reduced to the batch's
+  *     (band, bucket) keys by a broadcast semi-join — no shuffle of
+  *     the index, no sort; candidate old-docs' shingle sets are
+  *     fetched the same way (broadcast semi-join on candidate ids);
+  *   - per-bucket work is capped by `maxBucket` on the COMBINED
+  *     (index + batch) bucket population — same bound, and therefore
+  *     the same recall contract, as the batch pipeline's;
+  *   - verification cost is O(surviving candidate pairs · doc length).
+  *   Each batch therefore costs one index-postings scan + one
+  *   sets-fetch scan + batch-sized narrow work. For micro-batches,
+  *   amortize the scans by grouping batches; for a lakehouse-resident
+  *   index, the postings scan prunes further if `postings/` is written
+  *   through [[graft.lake.ClusteredWriter]] on `bucket`.
+  */
+object IncrementalDedup {
+
+  private case class Meta(numHashes: Int, bands: Int, shingleSize: Int)
+
+  private def metaPath(indexPath: String) = s"$indexPath/_meta"
+
+  private def writeMeta(spark: SparkSession, indexPath: String, m: Meta): Unit = {
+    import spark.implicits._
+    Seq((m.numHashes, m.bands, m.shingleSize))
+      .toDF("num_hashes", "bands", "shingle_size")
+      .coalesce(1).write.mode("overwrite").json(metaPath(indexPath))
+  }
+
+  private def readMeta(spark: SparkSession, indexPath: String): Meta = {
+    val r = spark.read.json(metaPath(indexPath)).head()
+    Meta(r.getAs[Long]("num_hashes").toInt, r.getAs[Long]("bands").toInt,
+      r.getAs[Long]("shingle_size").toInt)
+  }
+
+  /** Builds (or replaces) the index at `indexPath` from an accepted
+    * corpus. Both writes are narrow maps over `df` — no shuffle. */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+                 indexPath: String, numHashes: Int = 64, bands: Int = 32,
+                 shingleSize: Int = 3): Unit = {
+    Dedup.minhashBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
+      .write.mode("overwrite").parquet(s"$indexPath/postings")
+    Dedup.shingleSets(df, idCol, textCol, shingleSize)
+      .write.mode("overwrite").parquet(s"$indexPath/sets")
+    writeMeta(df.sparkSession, indexPath, Meta(numHashes, bands, shingleSize))
+  }
+
+  /** Probes `batch` against the index and returns one row PER BATCH DOC:
+    * `(doc_id, kept, n_matches, min_match_id)` where a match is a
+    * verified J ≥ `threshold` pair with (a) any indexed doc, or (b) a
+    * SMALLER-ID batch doc — the same greedy min-id-keeper policy as
+    * [[Dedup.exact]], deterministic and oracle-recomputable. (For
+    * transitive-cluster semantics, feed the pair list from
+    * [[ingestPairs]] to [[Dedup.clusters]] instead.)
+    *
+    * When `appendKept` is set, the kept docs' postings and shingle sets
+    * are appended to the index, so the next batch dedups against them
+    * too — the steady-state ingest loop. */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+             indexPath: String, threshold: Double = 0.5,
+             maxBucket: Int = 1000, appendKept: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, indexPath)
+    val ids = batch.select(col(idCol).as("doc")).distinct()
+
+    val pairs = ingestPairs(batch, idCol, textCol, indexPath, threshold, maxBucket)
+    // a batch doc d is matched by pair (doc_a=d, doc_b=old) — cross
+    // pairs are oriented new→old — or by within pair (doc_a=a, doc_b=d)
+    // with a < d (candidatePairsFromBuckets emits doc_a < doc_b)
+    val matches = pairs.where(col("is_cross"))
+      .select(col("doc_a").as("doc"), col("doc_b").as("m"))
+      .unionByName(pairs.where(!col("is_cross"))
+        .select(col("doc_b").as("doc"), col("doc_a").as("m")))
+    val out = ids
+      .join(matches, Seq("doc"), "left")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(col("m")).as("n_matches"), min(col("m")).as("min_match_id"))
+      .select(col("doc_id"), (col("n_matches") === 0).as("kept"),
+        col("n_matches"), col("min_match_id"))
+      // LINEAGE SEVERED (eager localCheckpoint) before any append: the
+      // verdicts' plan READS the index the append below writes. Left
+      // lazy, a caller collecting after appendKept would re-probe an
+      // index already holding this batch's own postings and every kept
+      // doc would match itself — and a plain persist() is NOT enough:
+      // the append triggers CacheManager.recacheByPath on the index
+      // path, which RECOMPUTES any cached plan referencing it. One
+      // (verdict) row per batch doc — cheap to pin.
+      .localCheckpoint()
+
+    if (appendKept) {
+      val kept = batch.join(
+        out.where(col("kept")).select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+      // persist the kept set: the two appends below would otherwise
+      // re-run the whole probe (out depends on the index being read)
+      val keptP = kept.persist()
+      try {
+        Dedup.minhashBuckets(keptP, idCol, textCol,
+            meta.numHashes, meta.bands, meta.shingleSize)
+          .write.mode("append").parquet(s"$indexPath/postings")
+        Dedup.shingleSets(keptP, idCol, textCol, meta.shingleSize)
+          .write.mode("append").parquet(s"$indexPath/sets")
+      } finally keptP.unpersist()
+    }
+    out
+  }
+
+  /** The verified near-dup PAIRS a batch generates against index ∪
+    * batch: `(doc_a, doc_b, n_common, jaccard, is_cross)` — cross pairs
+    * oriented (new, old), within-batch pairs (a, b) with a < b. Shared
+    * by [[ingest]]; exposed for callers wanting cluster semantics. */
+  def ingestPairs(batch: DataFrame, idCol: String, textCol: String,
+                  indexPath: String, threshold: Double = 0.5,
+                  maxBucket: Int = 1000): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, indexPath)
+
+    val batchPost = Dedup.minhashBuckets(batch, idCol, textCol,
+      meta.numHashes, meta.bands, meta.shingleSize).persist()
+    try {
+      val batchKeys = batchPost.select("band", "bucket").distinct()
+      // index postings: ONE scan, reduced to the batch's keys by a
+      // broadcast semi-join (the batch side is the small one by
+      // contract) — the index is never shuffled or sorted
+      val probed = spark.read.parquet(s"$indexPath/postings")
+        .join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
+        .persist()
+      try {
+        // combined-population bucket cap — same bound as the batch
+        // pipeline applies to a bucket of the unioned corpus, so the
+        // recall contract (and its tripwire: a capped bucket DROPS
+        // candidates, visibly degrading the verified pair set) is
+        // unchanged by incrementality
+        val okKeys = probed.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("_ni"))
+          .join(batchPost.groupBy("band", "bucket").agg(count(lit(1)).as("_nb")),
+            Seq("band", "bucket"))
+          .where(col("_ni") + col("_nb") <= maxBucket)
+          .select("band", "bucket")
+        val cross = probed
+          .join(broadcast(okKeys), Seq("band", "bucket"), "left_semi")
+          .select(col("band"), col("bucket"), col("doc").as("_old"))
+          .join(broadcast(batchPost.select(col("band"), col("bucket"), col("doc").as("_new"))),
+            Seq("band", "bucket"))
+          .select(col("_new").as("doc_a"), col("_old").as("doc_b"))
+          .distinct()
+        val within = Dedup.candidatePairsFromBuckets(
+          batchPost, Seq("band", "bucket"), "doc", maxBucket)
+
+        val batchSets = Dedup.shingleSets(batch, idCol, textCol, meta.shingleSize)
+        // only the candidate old-docs' sets are fetched: one sets scan,
+        // broadcast semi-join on the (batch-bounded) candidate id list
+        val oldSets = spark.read.parquet(s"$indexPath/sets")
+          .join(broadcast(cross.select(col("doc_b").as("doc")).distinct()),
+            Seq("doc"), "left_semi")
+        val sets = batchSets.unionByName(oldSets)
+
+        Dedup.verifiedJaccardOnSets(sets, cross.unionByName(within), threshold)
+          // restore the orientation flag the verifier drops: a pair is
+          // cross iff its doc_b is not a batch doc (ids are disjoint)
+          .join(broadcast(batch.select(col(idCol).as("_bid")).distinct()),
+            col("doc_b") === col("_bid"), "left")
+          .withColumn("is_cross", col("_bid").isNull)
+          .drop("_bid")
+      } finally probed.unpersist()
+    } finally batchPost.unpersist()
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The incremental probe must agree with the batch pipeline run on the
+  * unioned corpus — the defining property of the index: incrementality
+  * changes WHEN fingerprints are computed, never WHAT pairs verify. */
+class IncrementalDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // small corpus with planted structure: exact dups, a near-dup pair,
+  // and unrelated filler (ids chosen so splits are non-trivial)
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and often"), // near dup of 1/2
+    (4L, "completely different content about spark catalyst optimizer rules"),
+    (5L, "yet another unrelated document mentioning lakehouse metadata pruning"),
+    (6L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (7L, "structured streaming watermarks bound state for session windows"),
+    (8L, "completely different content about spark catalyst optimizer rules two") // near dup of 4
+  ).toDF("doc_id", "text")
+
+  private def freshIndex(tag: String): String = tmpDir(s"incr_idx_$tag")
+
+  test("ingest verdicts equal the batch pipeline on the unioned corpus") {
+    val accepted = docs.where(col("doc_id") <= 5)
+    val batch = docs.where(col("doc_id") > 5)
+    val idx = freshIndex("parity")
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+      numHashes = 64, bands = 32)
+
+    val got = IncrementalDedup.ingest(batch, "doc_id", "text", idx, threshold = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+
+    // batch pipeline on the union, restricted to batch-involved pairs
+    val allPairs = Dedup.minhashNearDup(docs, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchIds = Set(6L, 7L, 8L)
+    def matches(d: Long): Set[Long] = allPairs.collect {
+      case (a, b) if b == d && (!batchIds(a) || a < d) => a
+      case (a, b) if a == d && (!batchIds(b) || b < d) => b
+    }
+    val expected = batchIds.toSeq.sorted.map(d => (d, matches(d).isEmpty, matches(d).size.toLong))
+    assert(got === expected)
+    // the planted structure must actually exercise both match kinds:
+    // 6 matches accepted docs 1/2 (cross), 8 matches accepted 4 (cross), 7 kept
+    assert(got.map(x => (x._1, x._2)) === Seq((6L, false), (7L, true), (8L, false)))
+  }
+
+  test("ingestPairs orients cross pairs (new, old) and flags them") {
+    val accepted = docs.where(col("doc_id") <= 5)
+    val batch = docs.where(col("doc_id") > 5)
+    val idx = freshIndex("orient")
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+      numHashes = 64, bands = 32)
+    val pairs = IncrementalDedup.ingestPairs(batch, "doc_id", "text", idx,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4))).toSet
+    // every cross pair: doc_a in batch, doc_b in accepted
+    val batchIds = Set(6L, 7L, 8L)
+    pairs.foreach { case (a, b, isCross) =>
+      if (isCross) assert(batchIds(a) && !batchIds(b), s"cross pair ($a,$b) misoriented")
+      else assert(batchIds(a) && batchIds(b), s"within pair ($a,$b) has a non-batch doc")
+    }
+    assert(pairs.exists(_._3), "fixture must produce at least one cross pair")
+  }
+
+  test("appendKept: the next batch dedups against previously kept docs") {
+    val accepted = docs.where(col("doc_id") <= 5)
+    val idx = freshIndex("append")
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+      numHashes = 64, bands = 32)
+    // batch 1: doc 7 is novel → kept and appended; 6 is a dup → dropped
+    val b1 = docs.where(col("doc_id") === 6 || col("doc_id") === 7)
+    val r1 = IncrementalDedup.ingest(b1, "doc_id", "text", idx,
+        threshold = 0.5, appendKept = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(r1 === Map(6L -> false, 7L -> true))
+    // batch 2: an exact dup of doc 7 must now be caught by the index
+    val b2 = Seq(
+      (20L, "structured streaming watermarks bound state for session windows"),
+      (21L, "entirely novel text about z order clustering and bloom filters")
+    ).toDF("doc_id", "text")
+    val r2 = IncrementalDedup.ingest(b2, "doc_id", "text", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), Option(r.get(3)))).toSeq.sortBy(_._1)
+    assert(r2 === Seq((20L, false, Some(7L)), (21L, true, None)))
+    // and the DROPPED doc 6 was NOT appended: a dup of 6's content still
+    // matches only the original accepted copies (1, 2), not 6
+    val b3 = Seq((30L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val p3 = IncrementalDedup.ingestPairs(b3, "doc_id", "text", idx, threshold = 0.5)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    // 1, 2 exact dups; 3 a J≈0.82 near-dup — all legitimately matched
+    assert(p3 === Set(1L, 2L, 3L), s"index must hold 1,2,3 but not the dropped 6: $p3")
+  }
+
+  test("ingest adopts the index's stored signature parameters") {
+    val accepted = docs.where(col("doc_id") <= 5)
+    val idx = freshIndex("meta")
+    // non-default parameters at build time
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+      numHashes = 32, bands = 16, shingleSize = 2)
+    // probe still finds the exact dup — possible only if the probe used
+    // the stored (32, 16, 2), since postings under (64, 32, 3) share no
+    // band layout with the stored ones
+    val b = Seq((40L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val r = IncrementalDedup.ingest(b, "doc_id", "text", idx, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getBoolean(1))).toMap
+    assert(r === Map(40L -> false))
+  }
+
+  test("maxBucket caps combined index+batch bucket population") {
+    // 30 identical accepted docs + 1 identical batch doc: every bucket
+    // holding them has combined population 31 > maxBucket=30 → all
+    // candidates dropped → the batch doc is (degenerately) kept. The
+    // tripwire contract: capping is visible, not silent wrongness.
+    val boiler = "identical boilerplate text repeated across every single document here"
+    val accepted = (1L to 30L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val idx = freshIndex("cap")
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+      numHashes = 64, bands = 32)
+    val b = Seq((100L, boiler)).toDF("doc_id", "text")
+    val capped = IncrementalDedup.ingest(b, "doc_id", "text", idx,
+        threshold = 0.5, maxBucket = 30)
+      .collect().map(x => (x.getLong(0), x.getBoolean(1))).toMap
+    assert(capped === Map(100L -> true))
+    val uncapped = IncrementalDedup.ingest(b, "doc_id", "text", idx,
+        threshold = 0.5, maxBucket = 1000)
+      .collect().map(x => (x.getLong(0), x.getBoolean(1))).toMap
+    assert(uncapped === Map(100L -> false))
+  }
+}
