@@ -239,6 +239,38 @@ object SparkEntry {
     "lake_stats" -> ((s, dir) =>
       globalStats(Metastore.build(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))),
 
+    // stats-soundness audit over a 24-file clustered layout: footer
+    // stats with the two bound-holding rows deterministically NARROWED
+    // (the file carrying the global l_orderkey max loses 1 off its
+    // stored max; the global-min file gains 1 on its stored min) must
+    // audit as exactly 2 under_covering (file, l_orderkey) entries —
+    // the unsound class pruning would silently drop rows under — while
+    // all 24 l_shipdate entries stay `exact`, which doubles as the
+    // cross-builder pin: footer-harvested bounds equal the scan
+    // recomputation bound-for-bound, timestamps included. Layout
+    // independence: counts depend only on nFiles (pinned at 24), never
+    // on where the range partitioner puts the boundaries.
+    "lake_audit" -> ((s, dir) => {
+      val path = s"/tmp/graft_audit_${dirTag(dir)}/lineitem"
+      ClusteredWriter.write(t(s, dir, "lineitem"), path, "l_orderkey", nFiles = 24)
+      val stats = Metastore.buildFromFooters(s, path, "l_orderkey", Seq("l_shipdate"))
+      val w = Window.partitionBy()
+      val tampered = stats
+        .withColumn("_gmax", max(col("l_orderkey_max")).over(w))
+        .withColumn("_gmin", min(col("l_orderkey_min")).over(w))
+        .withColumn("l_orderkey_max",
+          when(col("l_orderkey_max") === col("_gmax"), col("l_orderkey_max") - 1)
+            .otherwise(col("l_orderkey_max")))
+        .withColumn("l_orderkey_min",
+          when(col("l_orderkey_min") === col("_gmin"), col("l_orderkey_min") + 1)
+            .otherwise(col("l_orderkey_min")))
+        .drop("_gmax", "_gmin")
+      Metastore.auditStats(s, path, tampered)
+        .groupBy(col("column").as("col_name"), col("verdict"))
+        .agg(count(lit(1)).as("n_files"))
+        .orderBy("col_name", "verdict")
+    }),
+
     "lake_stats_footer" -> ((s, dir) =>
       globalStats(Metastore.buildFromFooters(s, s"$dir/lineitem.parquet", "l_orderkey", Seq("l_shipdate")))),
 
@@ -1685,6 +1717,16 @@ object SparkEntry {
       """SELECT min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,
         |       min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max
         |FROM lineitem""".stripMargin,
+
+    // layout-independent by construction (see the query comment): two
+    // deterministically narrowed bound-holders are unsound, everything
+    // else exact — constants given nFiles=24
+    "lake_audit" ->
+      """SELECT col_name, verdict, CAST(n_files AS BIGINT) AS n_files FROM (VALUES
+        |  ('l_orderkey', 'exact', 22),
+        |  ('l_orderkey', 'under_covering', 2),
+        |  ('l_shipdate', 'exact', 24)) AS t(col_name, verdict, n_files)
+        |ORDER BY col_name, verdict""".stripMargin,
 
     "lake_stats_footer" ->
       """SELECT min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,

@@ -358,6 +358,72 @@ object Metastore {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Stats-soundness audit: cross-checks a stored stats table (from
+    * EITHER builder) against a fresh scan recomputation, one verdict per
+    * (file, column):
+    *
+    *   - `exact`          stored bounds equal the scanned bounds — the
+    *                      healthy state for both builders;
+    *   - `over_covering`  stored interval strictly contains the data's —
+    *                      SOUND (never prunes a matching file), merely
+    *                      weaker pruning;
+    *   - `under_covering` stored interval MISSES data the file holds —
+    *                      UNSOUND: a query for the missed value prunes
+    *                      the file and silently drops rows. The audit
+    *                      exists to catch exactly this;
+    *   - `no_bounds`      stored bounds NULL while the file has values
+    *                      (e.g. schema-evolution stats built before the
+    *                      column existed) — sound, never pruned on it;
+    *   - `missing_stats`  file present in the table but absent from the
+    *                      stats — sound (unknown files are never
+    *                      pruned), weaker pruning;
+    *   - `orphan_stats`   stats row for a file the scan no longer sees —
+    *                      stale entry (deleted/compacted file), prune
+    *                      lists carry dead paths.
+    *
+    * Cost: one full data scan (the recomputation) + a stats-sized join —
+    * this is the MAINTENANCE op a lake runs after incidents or on a
+    * sampled-file schedule, not per query. At 100 TB, pass a
+    * subdirectory (partition) as `dataPath` to audit incrementally; the
+    * join side is 1 row/file either way. Scan-side soundness guard
+    * applies (partially-read files simply drop out → `orphan_stats`,
+    * surfacing them rather than trusting a partial recomputation).
+    */
+  def auditStats(spark: SparkSession, dataPath: String, stats: DataFrame): DataFrame = {
+    val cols = stats.schema.fieldNames.toSeq
+      .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+    require(cols.nonEmpty, s"not a stats table: ${stats.schema.simpleString}")
+    val actual = build(spark, dataPath, cols.head, cols.tail)
+    val stored = cols.foldLeft(stats.select(col("filepath") +:
+        cols.flatMap(c => Seq(col(c + "_min"), col(c + "_max"))): _*)) {
+      (df, c) => df.withColumnRenamed(c + "_min", c + "_smin")
+        .withColumnRenamed(c + "_max", c + "_smax")
+    }.withColumn("_in_stored", lit(true))
+    val joined = stored.join(
+      actual.withColumn("_in_actual", lit(true)), Seq("filepath"), "full_outer")
+    // ONE pass: per-column verdicts ride an exploded struct array — a
+    // union of per-column selects would re-execute the scan per column
+    val entries = array(cols.map { c =>
+      val (smin, smax) = (col(c + "_smin"), col(c + "_smax"))
+      val (amin, amax) = (col(c + "_min"), col(c + "_max"))
+      val verdict = when(col("_in_stored").isNull, lit("missing_stats"))
+        .when(col("_in_actual").isNull, lit("orphan_stats"))
+        .when(smin.isNull || smax.isNull,
+          when(amin.isNull, lit("exact")).otherwise(lit("no_bounds")))
+        .when(amin.isNull, lit("over_covering")) // bounds stored, file has only nulls
+        .when(smin > amin || smax < amax, lit("under_covering"))
+        .when(smin === amin && smax === amax, lit("exact"))
+        .otherwise(lit("over_covering"))
+      struct(lit(c).as("column"), verdict.as("verdict"),
+        smin.cast("string").as("stored_min"), smax.cast("string").as("stored_max"),
+        amin.cast("string").as("actual_min"), amax.cast("string").as("actual_max"))
+    }: _*)
+    joined.select(col("filepath"), explode(entries).as("e"))
+      .select(col("filepath"), col("e.column").as("column"), col("e.verdict").as("verdict"),
+        col("e.stored_min").as("stored_min"), col("e.stored_max").as("stored_max"),
+        col("e.actual_min").as("actual_min"), col("e.actual_max").as("actual_max"))
+  }
+
   /** Idempotent upsert: keep only stats rows whose filepath is not already
     * present (reference O12 — literally a left anti join,
     * metastore.py:245-260), then append.
