@@ -583,6 +583,25 @@ object Similarity {
   /** [[ivfTopKWith]] with the literal/broadcast switchover exposed —
     * `literalCap = 0` forces the broadcast-centroid path at any nlist
     * (the spec pins both paths to identical rows). */
+  /** Each query row exploded to its top-`nprobe` probe cells: one
+    * `(…, cell)` row per (query, probed cell). Shared by the in-memory
+    * IVF search and the disk-resident [[VectorIndex]] so both probe
+    * IDENTICAL cells. Queries keep the FLAT exact probe ranking at
+    * every nlist — the query side is small by contract, and flat
+    * probing preserves the planted-copy recovery theorem the oracle
+    * checks. */
+  private[ops] def probedQueries(q: DataFrame, vecCol: String,
+                                 centroids: Array[Array[Double]], nprobe: Int,
+                                 literalCap: Int = LiteralCentroidCap): DataFrame =
+    if (centroids.length <= literalCap)
+      q.withColumn("cell", explode(topProbes(centroids, col(vecCol), nprobe)))
+    else {
+      val cents = broadcast(centroidArrayDf(q.sparkSession, centroids))
+      q.crossJoin(cents)
+        .withColumn("cell", explode(topProbesArr(col("_cents"), col(vecCol), nprobe)))
+        .drop("_cents")
+    }
+
   private[ops] def ivfTopKWithCap(centroids: Array[Array[Double]],
                                   corpus: DataFrame, queries: DataFrame, idCol: String,
                                   vecCol: String, k: Int, nprobe: Int,
@@ -598,18 +617,7 @@ object Similarity {
     val qRaw = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = assignedCells(cRaw, "c_vec", centroids, literalCap)
-    val q =
-      if (centroids.length <= literalCap)
-        qRaw.withColumn("cell", explode(topProbes(centroids, col("q_vec"), np)))
-      else {
-        // queries keep the FLAT exact probe ranking at every nlist —
-        // the query side is small by contract, and flat probing
-        // preserves the planted-copy recovery theorem the oracle checks
-        val cents = broadcast(centroidArrayDf(corpus.sparkSession, centroids))
-        qRaw.crossJoin(cents)
-          .withColumn("cell", explode(topProbesArr(col("_cents"), col("q_vec"), np)))
-          .drop("_cents")
-      }
+    val q = probedQueries(qRaw, "q_vec", centroids, np, literalCap)
     val scored = broadcast(q).join(c, Seq("cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Disk-resident IVF vector index: the corpus is stored PARTITIONED BY
+  * CELL, so an ANN query batch physically reads only its probed cells'
+  * directories — Hive-style partition pruning turns the candidate fetch
+  * from a full corpus scan into `nprobe/nlist` of the bytes. This is
+  * the missing half of [[Similarity]]'s train-once contract at 100 TB:
+  * `saveIvfIndex` persists the CENTROIDS, but every `ivfTopKWith` query
+  * still re-assigns (and therefore re-scans) the whole corpus; here
+  * assignment happens ONCE at build/append time and is materialized in
+  * the layout itself.
+  *
+  * Layout under `path`:
+  *   - `centroids/` — the trained matrix ([[Similarity.saveIvfIndex]]'s
+  *     atomic-swap format, crash recovery included);
+  *   - `vectors/cell=<c>/` — `(id, vec)` parquet, one directory per
+  *     IVF cell.
+  *
+  * Scale shape:
+  *   - [[build]]: one training pass + one assignment pass (narrow map —
+  *     broadcast centroids past 2,048 cells, two-level past 8,192, see
+  *     `assignedCells`) + one partitioned write whose only exchange is
+  *     the `repartition("cell")` that makes one file per populated cell
+  *     instead of nFiles × nCells fragments;
+  *   - [[append]]: assignment + partitioned append of the BATCH only —
+  *     the resident corpus is never touched (same contract as
+  *     [[IncrementalDedup]]): ingest cost is proportional to the batch;
+  *   - [[topK]]: probe cells per query (flat exact ranking, query side
+  *     small by contract), then ONE partition-pruned read of the union
+  *     of probed cells — the `cell IN (...)` literal filter prunes at
+  *     PLANNING time (spec-pinned via `FileSourceScanExec.numFiles`),
+  *     no directory outside the probe set is even listed into tasks.
+  *     The probed-cell union is collected to the driver: bounded by
+  *     min(nlist, |queries|·nprobe) ints — never corpus-sized;
+  *   - [[drift]]: per-cell occupancy from parquet FOOTER row counts
+  *     (no data scan) — the retrain signal: appends assign to FROZEN
+  *     centroids, so a drifting stream skews occupancy until probing
+  *     degrades; re-[[build]] when the report says so.
+  */
+object VectorIndex {
+
+  /** Builds (or replaces) the index, training centroids from the corpus.
+    * Returns the trained matrix (callers chain into [[Similarity.ivfTopKWith]]
+    * for in-memory probing of the same cells). */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+            nlist: Int = 0, iters: Int = 3, seed: Long = 42L,
+            sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    val cents = Similarity.trainIvfCentroids(corpus, idCol, vecCol,
+      nlist, iters, seed, sampleFraction)
+    buildWith(cents, corpus, idCol, vecCol, path)
+    cents
+  }
+
+  /** Builds the index from an ALREADY-trained matrix (a deployment
+    * trains on a schedule, then lays out many tables with one matrix). */
+  def buildWith(cents: Array[Array[Double]], corpus: DataFrame,
+                idCol: String, vecCol: String, path: String): Unit = {
+    val spark = corpus.sparkSession
+    Similarity.saveIvfIndex(spark, s"$path/centroids", cents)
+    assigned(corpus, idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** Appends a batch under the index's FROZEN centroids — the resident
+    * corpus is not read, moved, or re-assigned. Watch [[drift]] for the
+    * retrain signal. */
+  def append(batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val cents = Similarity.loadIvfIndex(batch.sparkSession, s"$path/centroids")
+    assigned(batch, idCol, vecCol, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  // one file per (write, populated cell): without the repartition every
+  // input task writes a fragment into every cell it saw — nTasks×nCells
+  // files, the classic partitioned-write explosion
+  private def assigned(df: DataFrame, idCol: String, vecCol: String,
+                       cents: Array[Array[Double]]): DataFrame =
+    Similarity.assignedCells(
+        df.where(col(vecCol).isNotNull)
+          .select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "vec", cents)
+      .repartition(col("cell"))
+
+  /** ANN top-k against the disk-resident index. Identical cell
+    * assignment, probe ranking, scoring, and tie-breaks as
+    * [[Similarity.ivfTopKWith]] (shared helpers), so the two forms
+    * return the same rows — spec-pinned; only WHERE the candidates are
+    * read differs: a partition-pruned scan of the probed cells. */
+  def topK(spark: SparkSession, queries: DataFrame, idCol: String,
+           vecCol: String, path: String, k: Int, nprobe: Int = 0): DataFrame = {
+    val cents = Similarity.loadIvfIndex(spark, s"$path/centroids")
+    val np = if (nprobe > 0) nprobe else Similarity.autoNprobe(cents.length)
+    val qRaw = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val q = Similarity.probedQueries(qRaw, "q_vec", cents, np)
+    // bounded driver round-trip: ≤ min(nlist, |queries|·nprobe) ints
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probedCells: _*)) // partition-pruned at planning
+      .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("c_vec"))
+    val scored = broadcast(q).join(cand, Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosineCol(col("q_vec"), col("c_vec")))
+      .select("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Per-cell occupancy report + imbalance summary, from footer row
+    * counts only: `(cell, n_vectors, share, imbalance)` where imbalance
+    * = n_vectors / mean-occupancy. Empty cells (never assigned or
+    * drained) are absent from the layout and so from the report —
+    * their count is nlist − rows. A max imbalance drifting past ~4–8×
+    * (or a large empty-cell count) says the frozen centroids no longer
+    * fit the appended distribution: re-[[build]]. */
+  def drift(spark: SparkSession, path: String): DataFrame = {
+    val nlist = Similarity.loadIvfIndex(spark, s"$path/centroids").length
+    val w = Window.partitionBy()
+    // count() over the partitioned read is footer-metadata only — Spark
+    // answers per-file counts from parquet row counts, no column reads
+    spark.read.parquet(s"$path/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .withColumn("share", col("n_vectors") / sum("n_vectors").over(w))
+      .withColumn("imbalance",
+        col("n_vectors").cast("double") * lit(nlist) / sum("n_vectors").over(w))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+/** The disk-resident IVF index must (1) return exactly what the
+  * in-memory IVF search returns — same helpers, different candidate
+  * source — (2) physically prune unprobed cell directories, and
+  * (3) absorb appends without touching the resident corpus. */
+class VectorIndexSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 8
+  /** 4 well-separated axis clusters × 25 vectors, ids encode cluster. */
+  private def corpus: DataFrame = {
+    val rows = for (c <- 0 until 4; i <- 0 until 25) yield {
+      val v = Array.fill(dim)(0.02f * ((c * 31 + i * 7) % 5))
+      v(c) = 10f + i * 0.01f
+      (c * 1000L + i, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def queries: DataFrame = {
+    val rows = (0 until 4).map { c =>
+      val v = Array.fill(dim)(0.01f); v(c) = 5f
+      (9000L + c, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("disk topK equals the in-memory ivfTopKWith, row for row") {
+    val path = tmpDir("vecidx_parity")
+    val cents = VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    val disk = VectorIndex.topK(spark, queries, "vec_id", "embedding", path, k = 3)
+    val mem = Similarity.ivfTopKWith(cents, corpus, queries, "vec_id", "embedding", k = 3)
+    assert(disk.exceptAll(mem).count() === 0 && mem.exceptAll(disk).count() === 0)
+    assert(disk.count() === 12, "4 queries x k=3")
+  }
+
+  test("probe scan physically prunes unprobed cell directories") {
+    val path = tmpDir("vecidx_prune")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    val all = spark.read.parquet(s"$path/vectors").inputFiles.length
+    assert(all >= 4, s"expected >=1 file per populated cell, got $all")
+    // one query, nprobe=1 → exactly one cell directory may be read
+    val one = queries.limit(1)
+    val q = VectorIndex.topK(spark, one, "vec_id", "embedding", path, k = 3, nprobe = 1)
+    q.collect()
+    // AQE wraps materialized stages — recurse through the wrappers or
+    // the scan nodes (and their metrics) are invisible to collect
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case st: QueryStageExec => scans(st.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val filesRead = scans(q.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    assert(filesRead < all, s"scan must prune: read $filesRead of $all files")
+    assert(filesRead === all / 4L, s"nprobe=1 of 4 cells: read $filesRead of $all")
+  }
+
+  test("append lands in the right cells and is immediately searchable") {
+    val path = tmpDir("vecidx_append")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    // the appended vector is EXACTLY 2x the query → cos precisely 1.0,
+    // strictly above every resident vector's (distinct directions)
+    val nv = { val v = Array.fill(dim)(0.022f); v(2) = 10f; v }
+    VectorIndex.append(Seq((7777L, nv.toSeq)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    val q = { val v = Array.fill(dim)(0.011f); v(2) = 5f;
+      Seq((9102L, v.toSeq)).toDF("vec_id", "embedding") }
+    val top = VectorIndex.topK(spark, q, "vec_id", "embedding", path, k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top === 7777L, "the appended near-identical vector must rank first")
+  }
+
+  test("drift reports per-cell occupancy and imbalance from the layout") {
+    val path = tmpDir("vecidx_drift")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    val d0 = VectorIndex.drift(spark, path).collect()
+    assert(d0.map(_.getAs[Long]("n_vectors")).sum === 100L)
+    // balanced build: every imbalance ≈ 1
+    assert(d0.forall(r => math.abs(r.getAs[Double]("imbalance") - 1.0) < 1e-9))
+    // skew one cell with 100 appended near-axis-0 vectors
+    val batch = (0 until 100).map { i =>
+      val v = Array.fill(dim)(0.01f); v(0) = 8f + i * 0.001f
+      (20000L + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    VectorIndex.append(batch, "vec_id", "embedding", path)
+    val d1 = VectorIndex.drift(spark, path).collect()
+    assert(d1.map(_.getAs[Long]("n_vectors")).sum === 200L)
+    val maxImb = d1.map(_.getAs[Double]("imbalance")).max
+    assert(maxImb > 2.0, s"skewed appends must raise max imbalance, got $maxImb")
+  }
+}
