@@ -1262,6 +1262,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // embedding-space decontamination (semantic twin of
+    // text_decontaminate): every 17th vector plays the benchmark; each
+    // bench vector must surface its training source (cos 1.0 self-pair)
+    // plus any genuine semantic near-dup. Exact (no LSH), so the DuckDB
+    // all-pairs recomputation is a hash oracle, not a scorecard.
+    "sim_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.embeddingContamination(emb,
+          emb.where(pmod(col("vec_id"), lit(17)) === 0),
+          "vec_id", "embedding", threshold = 0.9)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("train_id", "bench_id")
+    }),
+
     // ───── text analysis (north_star ★)
     "text_quality" -> ((s, dir) =>
       TextAnalysis.quality(t(s, dir, "documents"))
@@ -2611,6 +2625,18 @@ object SparkEntry {
     "sim_lsh_topk" -> annTopKOracle,
     "sim_ivf_topk" -> annTopKOracle,
     "sim_indexed_topk" -> annTopKOracle,
+
+    "sim_decontaminate" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, v FROM e WHERE vec_id % 17 = 0)
+        |SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+        |  round(list_dot_product(t.v, b.v)
+        |    / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e t JOIN b ON list_dot_product(t.v, b.v)
+        |    / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+        |ORDER BY train_id, bench_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH base AS (

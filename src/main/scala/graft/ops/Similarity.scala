@@ -697,6 +697,38 @@ object Similarity {
     byCell.map(_._2)
   }
 
+  /** Embedding-space decontamination — the semantic twin of
+    * [[Dedup.contamination]] (n-gram): flags every training vector
+    * whose cosine against ANY benchmark vector reaches `threshold`, as
+    * `(train_id, bench_id, cos)` pairs. Paraphrased or translated eval
+    * leakage survives n-gram decontamination but not an embedding
+    * match — production pipelines run BOTH.
+    *
+    * Scale shape (the same contract as the text twin): the benchmark
+    * side is eval-suite-sized by definition, so it travels ONCE as a
+    * single collected struct array inside a broadcast row; the training
+    * corpus is scanned in one NARROW pass (per-row higher-order filter
+    * over the bench array — the same codegen'd CosineSimilarity kernel
+    * per element as `argmaxCosArr`) and never shuffles; rows without a
+    * match emit nothing (explode of an empty array). Exact — no LSH
+    * recall caveat — at O(|train| · |bench| · dim) multiplies, which at
+    * |bench| ≈ 10⁴ is a constant factor on the scan, not a join. */
+  def embeddingContamination(train: DataFrame, bench: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double): DataFrame = {
+    val b = bench.where(col(vecCol).isNotNull)
+      .agg(collect_list(struct(col(idCol).as("bid"), col(vecCol).as("bv"))).as("_bs"))
+    train.where(col(vecCol).isNotNull)
+      .crossJoin(broadcast(b))
+      .select(col(idCol).as("train_id"),
+        explode(filter(
+          transform(col("_bs"), s =>
+            struct(s.getField("bid").as("bench_id"),
+              cosineCol(s.getField("bv"), col(vecCol)).as("cos"))),
+          s => s.getField("cos") >= threshold)).as("m"))
+      .select(col("train_id"), col("m.bench_id").as("bench_id"), col("m.cos").as("cos"))
+  }
+
   /** LSH approximate top-k: BANDED multi-table search — L independent
     * bands of r private hyperplanes each (same `bandedSignBuckets` as
     * `Dedup.embeddingNearDup`); candidates are the union over bands of

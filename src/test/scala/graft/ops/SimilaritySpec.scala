@@ -415,6 +415,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embeddingContamination flags exactly the brute-force pairs, zero shuffle") {
+    val bench = corpus.where(col("vec_id") % 10 === 0)
+    val got = Similarity.embeddingContamination(corpus, bench,
+      "vec_id", "embedding", threshold = 0.8)
+    // brute-force recomputation: every (train, bench) pair above t
+    val expected = corpus.select(col("vec_id").as("train_id"), col("embedding").as("tv"))
+      .crossJoin(bench.select(col("vec_id").as("bench_id"), col("embedding").as("bv")))
+      .withColumn("cos", Similarity.cosineCol(col("tv"), col("bv")))
+      .where(col("cos") >= 0.8)
+      .select("train_id", "bench_id", "cos")
+    assert(got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0)
+    // self-pairs guarantee at least |bench| matches
+    assert(got.count() >= 10)
+    // the train side must not shuffle: the executed plan has NO
+    // shuffle exchange anywhere (broadcast exchanges are fine)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Exchange rangepartitioning"),
+      s"embeddingContamination must be shuffle-free:\n$plan")
+  }
+
   test("sign buckets are deterministic and stable across invocations") {
     val b1 = Similarity.signBuckets(corpus, "embedding", 8, 4, 42L)
       .select("vec_id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
