@@ -46,7 +46,12 @@ object Bench {
     // round-8: the linear-law SemDeDup knob (nlist = n/cellSize) needs
     // TWO scale points for a measured slope at fixed cell size — this
     // is the sf1 one, the 100× probe below is the other
-    "dedup_semantic_linear")
+    "dedup_semantic_linear",
+    // round-9: the two disk-resident index probes — incremental LSH
+    // ingest (batch grows 10×, index 10×: the broadcast-semi-join
+    // probe must stay near-linear) and the cell-partition-pruned ANN
+    // read (probed bytes should grow with the corpus, not the layout)
+    "dedup_incremental", "sim_indexed_topk")
 
   private val copies = 10
   private val orderOff = 10000000L
