@@ -118,7 +118,14 @@ object IncrementalDedup {
 
     if (appendKept) {
       val kept = batch.join(
-        out.where(col("kept")).select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+          out.where(col("kept")).select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+        // idempotent append: a doc whose id the index already holds (a
+        // REPLAYED micro-batch — the driver died between the append and
+        // the streaming commit) is not appended twice. One sets-scan
+        // anti-join per batch, the same order of work as the probe's own
+        // sets fetch.
+        .join(spark.read.parquet(s"$indexPath/sets").select(col("doc").as(idCol)),
+          Seq(idCol), "left_anti")
       // persist the kept set: the two appends below would otherwise
       // re-run the whole probe (out depends on the index being read)
       val keptP = kept.persist()
@@ -132,6 +139,41 @@ object IncrementalDedup {
     }
     out
   }
+
+  /** Continuous corpus ingest: each micro-batch is deduped against the
+    * index (and itself), its verdicts land under
+    * `indexPath/verdicts/batch_<id>/`, and its kept docs' postings+sets
+    * are appended — the steady-state loop of [[ingest]] as a
+    * Structured Streaming job.
+    *
+    * Replay safety (driver died between the append and the streaming
+    * commit): verdicts are IDEMPOTENT — the self-pair guard in
+    * [[ingestPairs]] keeps a replayed doc from matching its own
+    * just-appended postings, kept/dropped therefore re-derive
+    * identically, and the verdict dir is overwritten per batch id —
+    * and the append skips ids the index already holds, so nothing
+    * duplicates. State lives entirely in the on-disk index: unlike
+    * [[Dedup.nearDupStream]] (in-memory state store, TTL-bounded
+    * horizon), this form dedups against the FULL accepted history at
+    * one postings scan per batch. */
+  def ingestStream(stream: DataFrame, idCol: String, textCol: String,
+                   indexPath: String, checkpoint: String,
+                   threshold: Double = 0.5, maxBucket: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty)
+            ingest(b, idCol, textCol, indexPath, threshold, maxBucket,
+                appendKept = true)
+              .write.mode("overwrite")
+              .parquet(s"$indexPath/verdicts/batch_$batchId")
+        } finally b.unpersist()
+        ()
+      }
+      .start()
 
   /** The verified near-dup PAIRS a batch generates against index ∪
     * batch: `(doc_a, doc_b, n_common, jaccard, is_cross)` — cross pairs
@@ -170,6 +212,10 @@ object IncrementalDedup {
           .select(col("band"), col("bucket"), col("doc").as("_old"))
           .join(broadcast(batchPost.select(col("band"), col("bucket"), col("doc").as("_new"))),
             Seq("band", "bucket"))
+          // self-pair guard: ids are disjoint by contract, EXCEPT when a
+          // replayed micro-batch probes an index already holding its own
+          // postings ([[ingestStream]]) — a doc must never match itself
+          .where(col("_new") =!= col("_old"))
           .select(col("_new").as("doc_a"), col("_old").as("doc_b"))
           .distinct()
         val within = Dedup.candidatePairsFromBuckets(

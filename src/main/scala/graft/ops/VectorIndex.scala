@@ -67,12 +67,42 @@ object VectorIndex {
 
   /** Appends a batch under the index's FROZEN centroids — the resident
     * corpus is not read, moved, or re-assigned. Watch [[drift]] for the
-    * retrain signal. */
+    * retrain signal.
+    *
+    * Idempotent per id: vectors whose ids the index already holds are
+    * skipped, so a REPLAYED micro-batch ([[appendStream]]) appends
+    * nothing twice. The existence check reads ONLY the batch's own
+    * assigned cells (partition-pruned — frozen centroids assign a
+    * replayed vector to the same cell), never the whole layout. */
   def append(batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
-    val cents = Similarity.loadIvfIndex(batch.sparkSession, s"$path/centroids")
-    assigned(batch, idCol, vecCol, cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    val spark = batch.sparkSession
+    val cents = Similarity.loadIvfIndex(spark, s"$path/centroids")
+    val a = assigned(batch, idCol, vecCol, cents).persist()
+    try {
+      val cells = a.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+      val resident = spark.read.parquet(s"$path/vectors")
+        .where(col("cell").isin(cells: _*)).select("id")
+      a.join(resident, Seq("id"), "left_anti")
+        .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    } finally a.unpersist()
   }
+
+  /** Continuous vector ingest: [[append]] per micro-batch — the
+    * streaming half of the frozen-centroid contract. Replay-safe via
+    * append's per-id idempotency; run [[drift]] on a schedule and
+    * re-[[build]] when the appended distribution skews the cells. */
+  def appendStream(stream: DataFrame, idCol: String, vecCol: String,
+                   path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try { if (!b.isEmpty) append(b, idCol, vecCol, path) }
+        finally b.unpersist()
+        ()
+      }
+      .start()
 
   // one file per (write, populated cell): without the repartition every
   // input task writes a fragment into every cell it saw — nTasks×nCells

@@ -80,6 +80,42 @@ class VectorIndexSpec extends SparkSpec {
     assert(top === 7777L, "the appended near-identical vector must rank first")
   }
 
+  test("replayed append is idempotent per id (partition-pruned existence check)") {
+    val path = tmpDir("vecidx_replay")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    val nv = { val v = Array.fill(dim)(0.022f); v(2) = 10f; v }
+    val batch = Seq((7777L, nv.toSeq)).toDF("vec_id", "embedding")
+    VectorIndex.append(batch, "vec_id", "embedding", path)
+    val n1 = spark.read.parquet(s"$path/vectors").count()
+    // the driver died before the streaming commit: same batch again
+    VectorIndex.append(batch, "vec_id", "embedding", path)
+    assert(spark.read.parquet(s"$path/vectors").count() === n1,
+      "replayed append must not duplicate vectors")
+  }
+
+  test("appendStream ingests micro-batches into the cell layout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmpDir("vecidx_stream")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = VectorIndex.appendStream(
+      stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, checkpoint = tmpDir("vecidx_stream_ckpt"))
+    try {
+      val nv = { val v = Array.fill(dim)(0.022f); v(2) = 10f; v.toSeq }
+      stream.addData((7777L, nv)); q.processAllAvailable()
+      val nv2 = { val v = Array.fill(dim)(0.02f); v(1) = 9f; v.toSeq }
+      stream.addData((7778L, nv2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$path/vectors").count() === 102L)
+    val qv = { val v = Array.fill(dim)(0.011f); v(2) = 5f;
+      Seq((9102L, v.toSeq)).toDF("vec_id", "embedding") }
+    val top = VectorIndex.topK(spark, qv, "vec_id", "embedding", path, k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top === 7777L, "streamed vector must be searchable")
+  }
+
   test("drift reports per-cell occupancy and imbalance from the layout") {
     val path = tmpDir("vecidx_drift")
     VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
