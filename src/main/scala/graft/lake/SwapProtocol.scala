@@ -9,9 +9,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * back. One implementation so a future fix to the crash protocol
   * cannot silently miss one of the two users; suffixes stay
   * caller-chosen so their staging dirs never collide on one table.
+  * (private[graft]: `ops.IncrementalDedup.compact` swaps its index
+  * tables through the same protocol.)
   */
-private[lake] final class SwapProtocol(fs: FileSystem, live: Path,
-                                       tmpSuffix: String, bakSuffix: String) {
+private[graft] final class SwapProtocol(fs: FileSystem, live: Path,
+                                        tmpSuffix: String, bakSuffix: String) {
   val tmp = new Path(live.getParent, live.getName + tmpSuffix)
   val bak = new Path(live.getParent, live.getName + bakSuffix)
 

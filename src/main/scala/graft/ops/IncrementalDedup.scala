@@ -175,6 +175,53 @@ object IncrementalDedup {
       }
       .start()
 
+  /** Compacts the index's postings and sets tables into `filesPerTable`
+    * files each — every appended micro-batch adds its own small files,
+    * and a year of batches makes the per-probe postings scan pay an
+    * open-file tax far above the bytes. Each table is fully rewritten
+    * to a staging dir and swapped in by [[graft.lake.SwapProtocol]]'s
+    * two-rename commit (crash between the renames → `recover()` on the
+    * next compact restores the previous table; probes read whichever
+    * complete table is live). Single-maintainer contract, like the
+    * parquet stats store. */
+  def compact(spark: SparkSession, indexPath: String,
+              filesPerTable: Int = 8): Unit = {
+    import org.apache.hadoop.fs.Path
+    Seq("postings", "sets").foreach { table =>
+      val live = new Path(s"$indexPath/$table")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val swap = new graft.lake.SwapProtocol(fs, live, ".compact_tmp", ".compact_bak")
+      swap.recover()
+      swap.dropBak()
+      swap.clearTmp()
+      spark.read.parquet(live.toString)
+        .repartition(filesPerTable)
+        .write.parquet(swap.tmp.toString)
+      swap.commit()
+      swap.dropBak()
+    }
+  }
+
+  /** One-row health summary of the index, postings-scan cost only:
+    * `(n_docs, n_postings, n_buckets, max_bucket, avg_bucket,
+    * n_files_postings)`. `max_bucket` approaching the probe-time cap
+    * means boilerplate content is about to cost recall (capped buckets
+    * drop candidates — the documented tripwire); `n_files_postings`
+    * growing into the thousands says [[compact]]. The monitoring
+    * counterpart of [[VectorIndex.drift]]. */
+  def indexStats(spark: SparkSession, indexPath: String): DataFrame = {
+    val postings = spark.read.parquet(s"$indexPath/postings")
+    val nFiles = postings.inputFiles.length.toLong
+    val sets = spark.read.parquet(s"$indexPath/sets")
+    postings.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n")).as("n_postings"), count(lit(1)).as("n_buckets"),
+        max(col("_n")).as("max_bucket"),
+        (sum(col("_n")) / count(lit(1))).as("avg_bucket"))
+      .crossJoin(sets.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("n_postings"), col("n_buckets"),
+        col("max_bucket"), col("avg_bucket"), lit(nFiles).as("n_files_postings"))
+  }
+
   /** The verified near-dup PAIRS a batch generates against index ∪
     * batch: `(doc_a, doc_b, n_common, jaccard, is_cross)` — cross pairs
     * oriented (new, old), within-batch pairs (a, b) with a < b. Shared
