@@ -79,6 +79,10 @@ object SparkEntry {
     * many times, like the bucketed join tables. */
   private val vecIndexCache = new SessionCache[String]
 
+  /** Disk-resident incremental-dedup index path, built once per
+    * (session, dir) — same ingest-time-investment contract. */
+  private val incrIndexCache = new SessionCache[String]
+
   /** dedup_semantic_fixedcell's centroids (nlist = n/cellSize, the
     * linear-law knob) — separate cache because the cell count differs
     * from semCentroidCache's auto-√n index over the same corpus. */
@@ -1104,17 +1108,20 @@ object SparkEntry {
     // build → postings scan → broadcast probe → sets fetch → verify —
     // is hash-checked. Equality is probabilistic in the banding with
     // the same b=32/r=2 bound as dedup_minhash (candidate-miss ≈1e-4
-    // at the J=0.5 boundary). Index rebuilt per call (overwrite) —
-    // idempotent, and the build is two narrow maps over the accepted
-    // split.
+    // at the J=0.5 boundary). The index is built ONCE per (session,
+    // dir) — an index is an ingest-time investment probed many times,
+    // so the warm bench number measures the steady-state probe, not a
+    // rebuild; appendKept stays off, so repeated probes are identical.
     "dedup_incremental" -> ((s, dir) => {
       val planted = plantedDocs(s, dir)
       val baseMod = pmod(pmod(col("doc_id"), lit(100000L)), lit(3))
-      val accepted = planted.where(baseMod =!= 0)
       val batch = planted.where(baseMod === 0)
-      val idx = s"/tmp/graft_incr_${dirTag(dir)}"
-      IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
-        numHashes = 64, bands = 32)
+      val idx = incrIndexCache.getOrElseUpdate(s, dir) {
+        val p = s"/tmp/graft_incr_${dirTag(dir)}"
+        IncrementalDedup.buildIndex(planted.where(baseMod =!= 0), "doc_id", "text",
+          p, numHashes = 64, bands = 32)
+        p
+      }
       IncrementalDedup.ingest(batch, "doc_id", "text", idx, threshold = 0.5)
         .orderBy("doc_id")
     }),

@@ -142,6 +142,29 @@ object VectorIndex {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Compacts the vector layout to one file per populated cell — every
+    * appended micro-batch leaves a file in each cell it touched, and a
+    * year of appends makes the partition-pruned probe pay per-file open
+    * cost far above the bytes. The whole `vectors/` tree is rewritten
+    * (same repartition-by-cell shape as [[buildWith]]) and swapped in
+    * by the lake's two-rename protocol: probes read whichever complete
+    * layout is live; a crash between the renames is rolled back by the
+    * next compact's `recover()`. Single-maintainer contract. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$path/vectors")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new graft.lake.SwapProtocol(fs, live, ".compact_tmp", ".compact_bak")
+    swap.recover()
+    swap.dropBak()
+    swap.clearTmp()
+    spark.read.parquet(live.toString)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(swap.tmp.toString)
+    swap.commit()
+    swap.dropBak()
+  }
+
   /** Per-cell occupancy report + imbalance summary, from footer row
     * counts only: `(cell, n_vectors, share, imbalance)` where imbalance
     * = n_vectors / mean-occupancy. Empty cells (never assigned or

@@ -116,6 +116,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(top === 7777L, "streamed vector must be searchable")
   }
 
+  test("compact collapses append fragments to one file per cell, probes unchanged") {
+    val path = tmpDir("vecidx_compact")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    // three appends, each leaving its own file in the touched cell
+    for (i <- 0 until 3) {
+      val v = Array.fill(dim)(0.01f); v(1) = 7f + i
+      VectorIndex.append(Seq((30000L + i, v.toSeq)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path)
+    }
+    val before = VectorIndex.topK(spark, queries, "vec_id", "embedding", path, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val filesBefore = spark.read.parquet(s"$path/vectors").inputFiles.length
+    assert(filesBefore > 4, s"appends must have fragmented the layout: $filesBefore")
+    VectorIndex.compact(spark, path)
+    assert(spark.read.parquet(s"$path/vectors").inputFiles.length === 4,
+      "one file per populated cell after compact")
+    val after = VectorIndex.topK(spark, queries, "vec_id", "embedding", path, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after === before, "compaction must never change probe results")
+  }
+
   test("drift reports per-cell occupancy and imbalance from the layout") {
     val path = tmpDir("vecidx_drift")
     VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
