@@ -1112,10 +1112,18 @@ object SparkEntry {
     // dir) — an index is an ingest-time investment probed many times,
     // so the warm bench number measures the steady-state probe, not a
     // rebuild; appendKept stays off, so repeated probes are identical.
+    // The batch is CAPPED to the base-copy id range (doc_id < 200000 —
+    // a no-op at oracle scale, where every planted id is below it): the
+    // operator's contract is batch ≪ index, and without the cap the
+    // scaled bench dirs made the batch 1/3 of the whole corpus, turning
+    // the design's small-side broadcasts into corpus-sized ones — the
+    // probe then measured a regime the operator is documented NOT to
+    // serve. With it, the 10× probe is the true scale story: a
+    // fixed-size daily batch against a 10×-grown index.
     "dedup_incremental" -> ((s, dir) => {
       val planted = plantedDocs(s, dir)
       val baseMod = pmod(pmod(col("doc_id"), lit(100000L)), lit(3))
-      val batch = planted.where(baseMod === 0)
+      val batch = planted.where(baseMod === 0 && col("doc_id") < 200000L)
       val idx = incrIndexCache.getOrElseUpdate(s, dir) {
         val p = s"/tmp/graft_incr_${dirTag(dir)}"
         IncrementalDedup.buildIndex(planted.where(baseMod =!= 0), "doc_id", "text",
@@ -2524,7 +2532,7 @@ object SparkEntry {
          |rel AS (
          |  SELECT doc_a AS d, doc_b AS m FROM scored
          |  UNION ALL SELECT doc_b AS d, doc_a AS m FROM scored),
-         |batch AS (SELECT doc_id FROM pd WHERE (doc_id % 100000) % 3 = 0),
+         |batch AS (SELECT doc_id FROM pd WHERE (doc_id % 100000) % 3 = 0 AND doc_id < 200000),
          |m AS (
          |  SELECT b.doc_id, r.m FROM batch b JOIN rel r ON r.d = b.doc_id
          |  WHERE ((r.m % 100000) % 3 <> 0) OR (r.m < b.doc_id))

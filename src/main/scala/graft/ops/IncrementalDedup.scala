@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *     — the property incremental candidate generation rests on.
   *   - `sets/` — `(doc, sh_set)`: the distinct shingle-hash set per
   *     document, for exact verification of proposed pairs.
-  *   - `_meta` — the signature parameters; [[ingest]] ADOPTS them
+  *   - `meta/` — the signature parameters; [[ingest]] ADOPTS them
   *     rather than taking its own (probing with a mismatched band
   *     layout would silently find nothing).
   *
@@ -47,7 +47,11 @@ object IncrementalDedup {
 
   private case class Meta(numHashes: Int, bands: Int, shingleSize: Int)
 
-  private def metaPath(indexPath: String) = s"$indexPath/_meta"
+  // `meta`, not `_meta`: underscore-prefixed paths are hidden to
+  // Spark's file listing (the json read warned `All paths were
+  // ignored` on every probe, working only through the explicit-root
+  // exception)
+  private def metaPath(indexPath: String) = s"$indexPath/meta"
 
   private def writeMeta(spark: SparkSession, indexPath: String, m: Meta): Unit = {
     import spark.implicits._
@@ -232,17 +236,25 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     val meta = readMeta(spark, indexPath)
 
-    val batchPost = Dedup.minhashBuckets(batch, idCol, textCol,
-      meta.numHashes, meta.bands, meta.shingleSize).persist()
-    try {
-      val batchKeys = batchPost.select("band", "bucket").distinct()
-      // index postings: ONE scan, reduced to the batch's keys by a
-      // broadcast semi-join (the batch side is the small one by
-      // contract) — the index is never shuffled or sorted
-      val probed = spark.read.parquet(s"$indexPath/postings")
-        .join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
-        .persist()
-      try {
+    // EAGER localCheckpoint, not persist-with-finally-unpersist: the
+    // returned frame is lazy, so an unpersist on function exit would
+    // fire before any action and every downstream reference (okKeys,
+    // cross, within all read batchPost; okKeys and cross read probed)
+    // would re-execute the upstream from scratch — the persist would
+    // cache nothing. Both frames are batch-scale: postings are b rows
+    // per batch doc, and `probed` is the index reduced to the batch's
+    // keys. Checkpointing `probed` also severs the plan's lineage to
+    // the index files (see `ingest`'s recacheByPath note).
+    val batchPost: DataFrame = Dedup.minhashBuckets(batch, idCol, textCol,
+      meta.numHashes, meta.bands, meta.shingleSize).localCheckpoint()
+    val batchKeys = batchPost.select("band", "bucket").distinct()
+    // index postings: ONE scan, reduced to the batch's keys by a
+    // broadcast semi-join (the batch side is the small one by
+    // contract) — the index is never shuffled or sorted
+    val probed: DataFrame = spark.read.parquet(s"$indexPath/postings")
+      .join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
+      .localCheckpoint()
+    locally {
         // combined-population bucket cap — same bound as the batch
         // pipeline applies to a bucket of the unioned corpus, so the
         // recall contract (and its tripwire: a capped bucket DROPS
@@ -283,7 +295,6 @@ object IncrementalDedup {
             col("doc_b") === col("_bid"), "left")
           .withColumn("is_cross", col("_bid").isNull)
           .drop("_bid")
-      } finally probed.unpersist()
-    } finally batchPost.unpersist()
+    }
   }
 }
