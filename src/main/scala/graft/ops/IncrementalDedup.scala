@@ -229,12 +229,29 @@ object IncrementalDedup {
   /** The verified near-dup PAIRS a batch generates against index ∪
     * batch: `(doc_a, doc_b, n_common, jaccard, is_cross)` — cross pairs
     * oriented (new, old), within-batch pairs (a, b) with a < b. Shared
-    * by [[ingest]]; exposed for callers wanting cluster semantics. */
+    * by [[ingest]]; exposed for callers wanting cluster semantics.
+    *
+    * `broadcastProbe` (default on) pins the batch side of every probe
+    * join to a broadcast — right whenever the batch is genuinely small
+    * (the design regime: batch ≪ index). A LARGE backfill batch (tens
+    * of millions of postings — past
+    * `spark.sql.autoBroadcastJoinThreshold` territory) should pass
+    * `false`: the probe joins then shuffle BOTH sides on (band, bucket)
+    * — the index pays one exchange of its matching postings, which at
+    * that batch size is cheaper than shipping a multi-GB broadcast to
+    * every executor (or dying on the 8 GB broadcast ceiling). Results
+    * are identical either way (spec-pinned); only the join strategy
+    * moves. */
   def ingestPairs(batch: DataFrame, idCol: String, textCol: String,
                   indexPath: String, threshold: Double = 0.5,
-                  maxBucket: Int = 1000): DataFrame = {
+                  maxBucket: Int = 1000,
+                  broadcastProbe: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val meta = readMeta(spark, indexPath)
+    // the batch side of each probe join: pinned broadcast in the small-
+    // batch regime, shuffle hint for backfills
+    def probeSide(df: DataFrame): DataFrame =
+      if (broadcastProbe) broadcast(df) else df.hint("shuffle_hash")
 
     // EAGER localCheckpoint, not persist-with-finally-unpersist: the
     // returned frame is lazy, so an unpersist on function exit would
@@ -252,7 +269,7 @@ object IncrementalDedup {
     // broadcast semi-join (the batch side is the small one by
     // contract) — the index is never shuffled or sorted
     val probed: DataFrame = spark.read.parquet(s"$indexPath/postings")
-      .join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
+      .join(probeSide(batchKeys), Seq("band", "bucket"), "left_semi")
       .localCheckpoint()
     locally {
         // combined-population bucket cap — same bound as the batch
@@ -267,9 +284,9 @@ object IncrementalDedup {
           .where(col("_ni") + col("_nb") <= maxBucket)
           .select("band", "bucket")
         val cross = probed
-          .join(broadcast(okKeys), Seq("band", "bucket"), "left_semi")
+          .join(probeSide(okKeys), Seq("band", "bucket"), "left_semi")
           .select(col("band"), col("bucket"), col("doc").as("_old"))
-          .join(broadcast(batchPost.select(col("band"), col("bucket"), col("doc").as("_new"))),
+          .join(probeSide(batchPost.select(col("band"), col("bucket"), col("doc").as("_new"))),
             Seq("band", "bucket"))
           // self-pair guard: ids are disjoint by contract, EXCEPT when a
           // replayed micro-batch probes an index already holding its own
@@ -284,14 +301,14 @@ object IncrementalDedup {
         // only the candidate old-docs' sets are fetched: one sets scan,
         // broadcast semi-join on the (batch-bounded) candidate id list
         val oldSets = spark.read.parquet(s"$indexPath/sets")
-          .join(broadcast(cross.select(col("doc_b").as("doc")).distinct()),
+          .join(probeSide(cross.select(col("doc_b").as("doc")).distinct()),
             Seq("doc"), "left_semi")
         val sets = batchSets.unionByName(oldSets)
 
         Dedup.verifiedJaccardOnSets(sets, cross.unionByName(within), threshold)
           // restore the orientation flag the verifier drops: a pair is
           // cross iff its doc_b is not a batch doc (ids are disjoint)
-          .join(broadcast(batch.select(col(idCol).as("_bid")).distinct()),
+          .join(probeSide(batch.select(col(idCol).as("_bid")).distinct()),
             col("doc_b") === col("_bid"), "left")
           .withColumn("is_cross", col("_bid").isNull)
           .drop("_bid")

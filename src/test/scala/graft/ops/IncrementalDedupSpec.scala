@@ -166,6 +166,20 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(r === Map(40L -> false))
   }
 
+  test("broadcastProbe=false (backfill regime) returns identical pairs") {
+    val accepted = docs.where(col("doc_id") <= 5)
+    val batch = docs.where(col("doc_id") > 5)
+    val idx = freshIndex("backfill")
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+      numHashes = 64, bands = 32)
+    def pairs(bc: Boolean) = IncrementalDedup.ingestPairs(batch, "doc_id", "text",
+        idx, threshold = 0.5, broadcastProbe = bc)
+      .select("doc_a", "doc_b", "is_cross")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(pairs(false) === pairs(true),
+      "shuffled and broadcast probe strategies must agree exactly")
+  }
+
   test("maxBucket caps combined index+batch bucket population") {
     // 30 identical accepted docs + 1 identical batch doc: every bucket
     // holding them has combined population 31 > maxBucket=30 → all
