@@ -46,6 +46,20 @@ def main(sf_dir, out_dir):
     results = {}
     all_queries = sorted(d for d in os.listdir(out_dir)
                          if os.path.isdir(os.path.join(out_dir, d)))
+    # a query that THREW in Verify has no result dir — only the
+    # <name>._error marker Verify writes; surface it as a failure
+    # instead of letting the query vanish from the report (the round-8
+    # failure mode: 7 broken queries read as "96/96 pass")
+    for f in sorted(os.listdir(out_dir)):
+        if f.endswith("._error"):
+            name = f[:-len("._error")]
+            msg = open(os.path.join(out_dir, f)).read().strip()
+            results[name] = f"QUERY FAILED in Verify: {msg[:200]}"
+    # an oracle entry with neither a result dir nor an error marker
+    # means Verify never attempted it (filter typo, stale oracle map)
+    for name in oracle:
+        if name not in results and name not in all_queries:
+            results[name] = "MISSING: oracle defined but no Verify result"
     for name in all_queries:
         try:
             got = con.execute(
