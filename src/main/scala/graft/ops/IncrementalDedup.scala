@@ -58,7 +58,21 @@ object IncrementalDedup {
     Seq((m.numHashes, m.bands, m.shingleSize))
       .toDF("num_hashes", "bands", "shingle_size")
       .coalesce(1).write.mode("overwrite").json(metaPath(indexPath))
+    // a REBUILD may change the parameters — refresh this session's view
+    // (other sessions re-read on first use; cross-process rebuild during
+    // a live session remains the caller's coordination problem, as with
+    // every parquet-store writer here)
+    metaCache.put((spark, indexPath), m)
   }
+
+  // one json read per (session, index): ingest would otherwise read the
+  // meta twice per batch (itself + ingestPairs). The only in-session
+  // writer is writeMeta, which refreshes the entry on rebuild.
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Meta]()
+
+  private def cachedMeta(spark: SparkSession, indexPath: String): Meta =
+    metaCache.computeIfAbsent((spark, indexPath), _ => readMeta(spark, indexPath))
 
   private def readMeta(spark: SparkSession, indexPath: String): Meta = {
     val r = spark.read.json(metaPath(indexPath)).head()
@@ -93,7 +107,7 @@ object IncrementalDedup {
              indexPath: String, threshold: Double = 0.5,
              maxBucket: Int = 1000, appendKept: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
-    val meta = readMeta(spark, indexPath)
+    val meta = cachedMeta(spark, indexPath)
     val ids = batch.select(col(idCol).as("doc")).distinct()
 
     val pairs = ingestPairs(batch, idCol, textCol, indexPath, threshold, maxBucket)
@@ -247,7 +261,7 @@ object IncrementalDedup {
                   maxBucket: Int = 1000,
                   broadcastProbe: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
-    val meta = readMeta(spark, indexPath)
+    val meta = cachedMeta(spark, indexPath)
     // the batch side of each probe join: pinned broadcast in the small-
     // batch regime, shuffle hint for backfills
     def probeSide(df: DataFrame): DataFrame =
