@@ -51,7 +51,12 @@ object Bench {
     // ingest (batch grows 10×, index 10×: the broadcast-semi-join
     // probe must stay near-linear) and the cell-partition-pruned ANN
     // read (probed bytes should grow with the corpus, not the layout)
-    "dedup_incremental", "sim_indexed_topk")
+    "dedup_incremental", "sim_indexed_topk",
+    // round-9 late additions: substring dedup's wide stage shuffles one
+    // row per token window (the steepest row-multiplier in the dedup
+    // family — Σ tokens, not Σ docs), and PQ's ADC stage scans
+    // corpus × queries pairs — both slopes need a measured 10× point
+    "dedup_substring", "sim_pq_topk")
 
   private val copies = 10
   private val orderOff = 10000000L

@@ -79,6 +79,15 @@ object SparkEntry {
     * many times, like the bucketed join tables. */
   private val vecIndexCache = new SessionCache[String]
 
+  /** PQ codebooks, trained once per (session, dir) like the IVF
+    * centroids — same index-lifecycle contract. */
+  private val pqCache = new SessionCache[Array[Array[Array[Float]]]]
+
+  /** dedup_substring's planted duplicated span (appended to every third
+    * doc by BOTH the Spark query and the DuckDB oracle). */
+  private val substringBoilerplate =
+    "the shared boilerplate footer sentence is appended to every third document in this corpus"
+
   /** Disk-resident incremental-dedup index path, built once per
     * (session, dir) — same ingest-time-investment contract. */
   private val incrIndexCache = new SessionCache[String]
@@ -1054,6 +1063,22 @@ object SparkEntry {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a", "doc_b")),
 
+    // substring-LEVEL duplication (Lee et al. exact-substring dedup,
+    // window-hash form): per-doc profile of 8-token windows occurring
+    // ≥2× corpus-wide, with merged duplicated spans and token coverage.
+    // A boilerplate footer planted on every third doc gives a
+    // controlled duplicated span on top of whatever the corpus shares
+    // naturally; the oracle recomputes windows/spans from the raw
+    // token strings (the Spark side groups 8-byte xxhash64 window
+    // hashes — hash-vs-string equality IS the collision check).
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringDup(
+          t(s, dir, "documents").withColumn("text",
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"), lit(" " + substringBoilerplate)))
+              .otherwise(col("text"))))
+        .orderBy("doc_id")),
+
     // decontamination: benchmark excerpts (200-char prefixes of every
     // 17th doc) checked against the full corpus — each excerpt must
     // surface its source doc (frac ≈ 1.0) plus any near-dup of it
@@ -1273,6 +1298,24 @@ object SparkEntry {
       }
       VectorIndex.topK(s, emb.where(col("vec_id") < 5), "vec_id", "embedding",
           path, 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ two-stage search (ADC shortlist over 8-byte codes + exact
+    // re-rank) — the memory-compression leg of the ANN suite. Same
+    // planted corpus, same theorem in PQ form: power-of-two copies
+    // normalize bit-identically, share their source's code, and tie at
+    // the ADC minimum (rank(), so ties never drop one) — the exact
+    // re-rank then recovers the exact top-5 the oracle derives
+    // exhaustively. Codebooks train once per (session, dir).
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = annCorpus(s, dir)
+      val cb = pqCache.getOrElseUpdate(s, dir)(
+        Similarity.trainPqCodebooks(corpus, "vec_id", "embedding"))
+      Similarity.pqTopKWith(cb, Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
+          corpus, emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -2321,6 +2364,36 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // window/span recomputation from the raw token STRINGS — grouping
+    // by the actual 8-token sequence where Spark groups its xxhash64,
+    // so the hash-match doubles as a collision check
+    "dedup_substring" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' $substringBoilerplate' ELSE text END AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id, $normToks AS tk FROM p),
+         |st AS (SELECT doc_id, len(tk) AS ntok, tk FROM base),
+         |wins AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS w
+         |  FROM st, LATERAL (SELECT unnest(generate_series(1, ntok - 7)) AS i) g
+         |  WHERE ntok >= 8),
+         |dup AS (SELECT w FROM wins GROUP BY w HAVING COUNT(*) >= 2),
+         |fl AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -9) + 8 THEN 1 ELSE 0 END AS ns
+         |  FROM fl),
+         |sp AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM isl),
+         |spa AS (SELECT doc_id, span, MIN(pos) AS s, MAX(pos) AS e, COUNT(*) AS nw FROM sp GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, SUM(nw) AS dupw, COUNT(*) AS nspans, SUM(e - s + 8) AS cov FROM spa GROUP BY 1)
+         |SELECT st.doc_id,
+         |  CAST(ntok AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN ntok >= 8 THEN ntok - 7 ELSE 0 END AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(dupw, 0) AS BIGINT) AS dup_windows,
+         |  CAST(COALESCE(nspans, 0) AS BIGINT) AS dup_spans,
+         |  CAST(COALESCE(cov, 0) AS BIGINT) AS dup_cov_tokens,
+         |  round(CASE WHEN ntok > 0 THEN CAST(COALESCE(cov, 0) AS DOUBLE) / ntok ELSE 0.0 END, 6) AS dup_fraction
+         |FROM st LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // the two anchors of the simhash scorecard, recomputed exactly:
     // identical-content pair count (recall there is a theorem — asserted
     // 100.0) and the J>=0.9 pair count (recall floor asserted TRUE).
@@ -2640,6 +2713,10 @@ object SparkEntry {
     "sim_lsh_topk" -> annTopKOracle,
     "sim_ivf_topk" -> annTopKOracle,
     "sim_indexed_topk" -> annTopKOracle,
+    // PQ shares the theorem: normalized copies share codes, tie at the
+    // ADC minimum, and the exact re-rank reproduces the exhaustive
+    // exact ranking below
+    "sim_pq_topk" -> annTopKOracle,
 
     "sim_decontaminate" ->
       """WITH e AS (SELECT vec_id,

@@ -780,4 +780,234 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
+
+  // ─────────────────────────────────────────────────────────────────────
+  // Product quantization (PQ) — the memory-compression leg of ANN.
+  // LSH and IVF bound how many vectors a query TOUCHES; PQ bounds how
+  // many BYTES each touched vector costs: an m-subspace, ks-entry
+  // codebook turns a dim-float vector into m small codes (64 floats →
+  // 8 bytes at m=8, ks=16 — 32×), so a candidate scan reads codes, not
+  // embeddings. At 100 TB of raw fp32 embeddings the code table is
+  // ~3 TB — the difference between a scan that thrashes and one that
+  // sits in page cache. Search is two-stage: asymmetric-distance
+  // (query vs reconstructed codes) shortlists candidates, then the
+  // shortlist alone is re-ranked against true vectors — the standard
+  // IVFADC refinement split (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search").
+  //
+  // All distances run on L2-NORMALIZED vectors (cosine geometry), in
+  // DOUBLE, as higher-order functions — no UDF. Normalization is also
+  // what makes the planted-copy oracle theorem carry over: a
+  // power-of-two-scaled copy normalizes BIT-IDENTICALLY to its source
+  // (each step — square, sum, sqrt, divide — is exact under 2^m
+  // scaling), so copies share their source's code, and ADC distance to
+  // one's own code is the per-subspace minimum — copies tie at rank 1
+  // of the shortlist by construction.
+  // ─────────────────────────────────────────────────────────────────────
+
+  /** Evaluate `e` ONCE per row and hand its VALUE to `f` as a lambda
+    * variable (a one-element `transform`). Catalyst has no common
+    * subexpression elimination across higher-order-function lambdas:
+    * a Column spliced into a lambda body is re-inlined — and
+    * re-evaluated — at every usage site, so an aggregate-over-the-
+    * vector subexpression used inside an m·ks-iteration HOF multiplies
+    * the tree (and the generated Java, and the runtime) by m·ks.
+    * Binding turns those sites into a cheap lambda-variable read and
+    * keeps one copy of the subtree in the plan. */
+  private def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** L2-normalized DOUBLE copy of a float-array vector column; zero
+    * vectors pass through unscaled (their cosine is defined 0.0
+    * downstream, so their code only needs to be deterministic). The
+    * norm is [[bindOnce]]-bound — one aggregate per row, not one per
+    * element of the output. */
+  private[ops] def normalizedCol(v: Column): Column =
+    bindOnce(sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))) { n =>
+      when(n > 0, transform(v, x => x.cast("double") / n))
+        .otherwise(transform(v, x => x.cast("double")))
+    }
+
+  /** Codebooks as a plan literal: array<array<array<double>>> of
+    * (m, ks, dsub). m·ks·dsub doubles — ~1k lits at the defaults, the
+    * same bake-into-the-plan treatment as the LSH hyperplanes. */
+  private def pqLit(cb: Array[Array[Array[Float]]]): Column =
+    array(cb.map(sub => array(sub.map(e =>
+      array(e.map(x => lit(x.toDouble)): _*)): _*)): _*)
+
+  /** Driver-side Lloyd's iterations over one subspace's points.
+    * Deterministic: evenly-spaced init over the (hash-ordered) sample,
+    * fixed iteration count, empty clusters keep their previous center.
+    * Returns min(ks, n) centers — a degenerate tiny corpus just gets a
+    * smaller codebook. */
+  private def lloyd(points: Array[Array[Double]], ks: Int, iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    val dsub = points.head.length
+    val kEff = math.min(ks, n)
+    var centers = Array.tabulate(kEff)(c => points(((c.toLong * n) / kEff).toInt).clone())
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < kEff) {
+        var d = 0.0; var t = 0
+        while (t < dsub) { val x = p(t) - centers(c)(t); d += x * x; t += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kEff, dsub)(0.0)
+      val cnts = new Array[Long](kEff)
+      points.foreach { p =>
+        val c = nearest(p)
+        var t = 0
+        while (t < dsub) { sums(c)(t) += p(t); t += 1 }
+        cnts(c) += 1
+      }
+      centers = Array.tabulate(kEff)(c =>
+        if (cnts(c) > 0L) sums(c).map(_ / cnts(c)) else centers(c))
+      it += 1
+    }
+    centers
+  }
+
+  /** Train per-subspace PQ codebooks on a deterministic hash-ordered
+    * sample of the corpus (top-`sampleMax` by xxhash64(id, seed) — a
+    * `TakeOrderedAndProject`, not a global sort). The collect is
+    * bounded by sampleMax·dim doubles (~32 MB at the defaults) — PQ
+    * codebooks, like k-means centroids, train on a sample by design;
+    * corpus size never changes the driver footprint. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, ks: Int = 16, iters: Int = 10,
+                       seed: Long = 42L, sampleMax: Int = 65536): Array[Array[Array[Float]]] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ks >= 2, s"ks must be >= 2, got $ks")
+    val rows = corpus.where(col(vecCol).isNotNull)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(sampleMax)
+      .select(col(vecCol)).collect()
+    require(rows.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val sample = rows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim=$dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val normed = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    Array.tabulate(m) { j =>
+      val sub = normed.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      lloyd(sub, ks, iters).map(_.map(_.toFloat))
+    }
+  }
+
+  /** Squared L2 between the j-th dsub-slice of a normalized vector and
+    * one codebook entry. */
+  private def sqDistSlice(vn: Column, j: Column, entry: Column, dsub: Int): Column =
+    aggregate(sequence(lit(1), lit(dsub)), lit(0.0), (acc, t) => {
+      val d = element_at(vn, j * dsub + t) - element_at(entry, t)
+      acc + d * d
+    })
+
+  /** PQ code (array<int>, one entry per subspace) for a vector column:
+    * per subspace, the index of the L2-nearest codebook entry of the
+    * NORMALIZED vector. First-minimum tiebreak via a min-then-locate
+    * pass (two identical expression evaluations compare exactly equal),
+    * avoiding struct accumulators whose field names type-coerce
+    * unpredictably through `when` branches. Narrow, codegen-friendly,
+    * m·ks·dsub multiply-adds per row. */
+  def pqEncodeCol(vecCol: Column, cb: Array[Array[Array[Float]]]): Column = {
+    val dsub = cb(0)(0).length
+    val cbL = pqLit(cb)
+    bindOnce(normalizedCol(vecCol)) { vn =>
+      transform(sequence(lit(0), lit(cb.length - 1)), j => {
+        val entries = element_at(cbL, j + 1)
+        bindOnce(aggregate(entries, lit(Double.MaxValue),
+          (acc, e) => least(acc, sqDistSlice(vn, j, e, dsub)))) { minD =>
+          aggregate(sequence(lit(1), size(entries)), lit(0),
+            (acc, ci) => when(acc === 0 &&
+              sqDistSlice(vn, j, element_at(entries, ci), dsub) === minD, ci)
+              .otherwise(acc)) - 1
+        }
+      })
+    }
+  }
+
+  /** Corpus → (idCol, code) table. At scale this runs ONCE at ingest
+    * (or in [[VectorIndex]]-style layout builds) and is what queries
+    * scan instead of embeddings. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               cb: Array[Array[Array[Float]]]): DataFrame =
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol), pqEncodeCol(col(vecCol), cb).as("code"))
+
+  /** Asymmetric distance (ADC): ‖qn − reconstruct(code)‖² summed over
+    * subspaces, qn the normalized query. Reads only the CODE column of
+    * the corpus side. */
+  private def adcDistCol(qn0: Column, code0: Column, cbL: Column, dsub: Int): Column =
+    // both inputs bound once: even if the optimizer splices the full
+    // encode expression in place of the `code` attribute (projection
+    // collapse through the cross join), it evaluates once per pair —
+    // not once per subspace access inside the aggregate below
+    bindOnce(qn0) { qn =>
+      bindOnce(code0) { code =>
+        aggregate(sequence(lit(0), size(code) - 1), lit(0.0), (acc, j) => {
+          val entry = element_at(element_at(cbL, j + 1), element_at(code, j + 1) + 1)
+          acc + sqDistSlice(qn, j, entry, dsub)
+        })
+      }
+    }
+
+  /** Two-stage PQ search against pre-encoded codes: ADC shortlist of
+    * `candK` per query (RANK, not row_number — an ADC tie never drops
+    * a candidate, which is what makes planted-copy recovery a theorem
+    * rather than a tiebreak accident), then exact cosine re-rank of
+    * the shortlist against true vectors. The code scan is the only
+    * full-corpus pass and it carries (id, m bytes); the true-vector
+    * join touches candK·|queries| rows. Output schema matches the
+    * other top-k paths: (query_id, neighbor_id, rank, cos), self-pairs
+    * excluded. */
+  def pqTopKWith(cb: Array[Array[Array[Float]]], codes: DataFrame,
+                 corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, candK: Int = 32): DataFrame = {
+    require(candK >= k, s"candK=$candK must be >= k=$k")
+    val dsub = cb(0)(0).length
+    val cbL = pqLit(cb)
+    val q = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        normalizedCol(col(vecCol)).as("_qn"))
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"), col("code"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("_qn"))))
+      .withColumn("_adist", adcDistCol(col("_qn"), col("code"), cbL, dsub))
+      .select("query_id", "neighbor_id", "_adist")
+    val wA = Window.partitionBy("query_id").orderBy(col("_adist").asc, col("neighbor_id").asc)
+    val cands = scored.withColumn("_arank", rank().over(wA))
+      .where(col("_arank") <= candK)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val rer = cv.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_vec"))), Seq("query_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Train + encode + search in one call — the small-corpus/spec form.
+    * Steady-state deployments call [[trainPqCodebooks]] on a schedule,
+    * persist codes via [[pqEncode]], and query with [[pqTopKWith]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ks: Int = 16,
+             candK: Int = 32, seed: Long = 42L): DataFrame = {
+    if (corpus.head(1).isEmpty) return emptyTopK(corpus, idCol)
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ks, seed = seed)
+    pqTopKWith(cb, pqEncode(corpus, idCol, vecCol, cb), corpus, queries,
+      idCol, vecCol, k, candK)
+  }
 }

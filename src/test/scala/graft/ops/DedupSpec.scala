@@ -408,4 +408,78 @@ class DedupSpec extends SparkSpec {
       Dedup.clusters(chain, maxIters = 2, localEdgeThreshold = 0L).collect()
     }
   }
+
+  // ───── substring-level (window-hash) duplication
+
+  private def subDup(rows: Seq[(Long, String)], k: Int = 3): Map[Long, (Long, Long, Long, Long, Long, Double)] = {
+    import spark.implicits._
+    Dedup.substringDup(rows.toDF("doc_id", "text"), k = k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+  }
+
+  test("substringDup: cross-document shared span is flagged in both docs") {
+    // docs 1 and 2 share the 4-token run "aa bb cc dd" → with k=3 the
+    // two windows (aa bb cc), (bb cc dd) occur twice each
+    val m = subDup(Seq(
+      (1L, "aa bb cc dd xx yy"),
+      (2L, "pp qq aa bb cc dd"),
+      (3L, "zz ww vv uu tt ss")))
+    // doc1: 6 tokens, 4 windows, dup at pos 0,1 → 1 span covering 0..3 = 4 tokens
+    assert(m(1L) === ((6L, 4L, 2L, 1L, 4L, 0.666667)))
+    // doc2: dup windows at pos 2,3 → span 2..5 = 4 tokens
+    assert(m(2L) === ((6L, 4L, 2L, 1L, 4L, 0.666667)))
+    // doc3: nothing shared
+    assert(m(3L) === ((6L, 4L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("substringDup: within-document repetition counts as duplication") {
+    val m = subDup(Seq((1L, "aa bb cc xx aa bb cc"), (2L, "qq rr ss tt")))
+    // "aa bb cc" occurs twice WITHIN doc 1 → dup windows at pos 0 and 4,
+    // gap 4 > k=3 → two separate spans of 3 tokens each
+    assert(m(1L) === ((7L, 5L, 2L, 2L, 6L, 0.857143)))
+    assert(m(2L)._3 === 0L)
+  }
+
+  test("substringDup: overlapping and adjacent dup windows merge into one span") {
+    // doc 1 and 2 identical → every window duplicated; all windows chain
+    // into ONE span covering the whole doc
+    val m = subDup(Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee ff gg")))
+    assert(m(1L) === ((7L, 5L, 5L, 1L, 7L, 1.0)))
+    assert(m(2L) === m(1L))
+  }
+
+  test("substringDup: docs shorter than k have zero windows, zero fraction") {
+    val m = subDup(Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "")))
+    // identical 2-token docs: NO whole-doc fallback — substring dedup
+    // only sees k-windows (exact dedup covers short-identity)
+    assert(m(1L) === ((2L, 0L, 0L, 0L, 0L, 0.0)))
+    assert(m(3L) === ((0L, 0L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("substringDup: tokenizer normalizes case and punctuation before hashing") {
+    val m = subDup(Seq(
+      (1L, "The Quick,   Brown FOX jumps"),
+      (2L, "the quick brown fox sleeps")))
+    // normalized prefixes share windows (the quick brown), (quick brown fox)
+    assert(m(1L)._3 === 2L && m(2L)._3 === 2L)
+  }
+
+  test("substringDup: minCount raises the duplication bar") {
+    val rows = Seq(
+      (1L, "aa bb cc dd"),
+      (2L, "aa bb cc ee"),
+      (3L, "aa bb cc ff"))
+    import spark.implicits._
+    val df = rows.toDF("doc_id", "text")
+    val at2 = Dedup.substringDup(df, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val at4 = Dedup.substringDup(df, k = 3, minCount = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // "aa bb cc" occurs 3 times: duplicated at minCount=2, not at 4
+    assert(at2.values.forall(_ >= 1L))
+    assert(at4.values.forall(_ === 0L))
+  }
 }

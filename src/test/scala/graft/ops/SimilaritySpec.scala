@@ -444,4 +444,95 @@ class SimilaritySpec extends SparkSpec {
     assert(b1 === b2)
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
+
+  // ───── product quantization
+
+  test("PQ codebooks: deterministic, right shape, train-on-sample bound") {
+    val cb1 = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val cb2 = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    assert(cb1.length === 4)
+    assert(cb1.forall(sub => sub.length === 8 && sub.forall(_.length === 2)))
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    // sampleMax smaller than the corpus still trains (on the sample)
+    val cbS = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8,
+      sampleMax = 32)
+    assert(cbS.length === 4 && cbS.forall(_.length === 8))
+  }
+
+  test("PQ encode: m codes per row, each a valid codebook index") {
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb).collect()
+    assert(codes.length === 100)
+    for (r <- codes) {
+      val c = r.getSeq[Int](1)
+      assert(c.length === 4)
+      assert(c.forall(x => x >= 0 && x < 8), s"code out of range: $c")
+    }
+  }
+
+  test("PQ encode: a power-of-two-scaled copy gets its source's exact code") {
+    import spark.implicits._
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val scaled = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(8.0f)).as("embedding"))
+    val a = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.pqEncode(scaled, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a === b, "normalization must erase exact power-of-two scaling")
+  }
+
+  test("PQ top-k: planted exact copies are recovered as the top ranks") {
+    import spark.implicits._
+    // plant 3 scaled copies of each query direction — exact top-3 by theorem
+    val q = corpus.where(col("vec_id") < 3)
+    val copies = (1 to 3).map(m => q.select((col("vec_id") + m * 1000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit((1 << m).toFloat)).as("embedding")))
+      .reduce(_ union _)
+    val planted = corpus.union(copies)
+    val r = Similarity.pqTopK(planted, q, "vec_id", "embedding", k = 3, m = 4, ks = 8)
+      .collect()
+    assert(r.length === 9)
+    for (row <- r) {
+      val (qid, nid, cos) = (row.getLong(0), row.getLong(1), row.getDouble(3))
+      assert(nid % 1000L === qid, s"rank ${row.getInt(2)} of q$qid is $nid, not a planted copy")
+      assert(math.abs(cos - 1.0) < 1e-9)
+    }
+  }
+
+  test("PQ top-k agrees with brute force on recall@5 >= 0.6 for random queries") {
+    // PQ is lossy; on a random 100-vector corpus the two-stage search
+    // with candK=32 should still capture most true neighbors
+    val q = corpus.where(col("vec_id") >= 97)
+    val exact = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(corpus, q, "vec_id", "embedding", k = 5, m = 4, ks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("PQ top-k: code scan is the only full-corpus side (plan shape)") {
+    val q = corpus.where(col("vec_id") < 2)
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+    val r = Similarity.pqTopKWith(cb, codes, corpus, q, "vec_id", "embedding", 3)
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    // the candidate/query sides ride broadcasts; the corpus code scan
+    // must not be hash- or range-shuffled (the rank window partitions
+    // scored rows by query_id — that exchange carries skinny
+    // (query_id, neighbor_id, _adist) rows, never vectors)
+    assert(plan.contains("BroadcastExchange"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("PQ: zero-norm vectors encode deterministically and never rank") {
+    import spark.implicits._
+    val withZero = corpus.union(
+      Seq((999L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    val q = withZero.where(col("vec_id") < 2)
+    val r = Similarity.pqTopK(withZero, q, "vec_id", "embedding", k = 5, m = 4, ks = 8)
+      .collect()
+    assert(r.forall(_.getLong(1) != 999L), "zero vector must not outrank real neighbors")
+  }
 }
