@@ -55,8 +55,11 @@ object Bench {
     // round-9 late additions: substring dedup's wide stage shuffles one
     // row per token window (the steepest row-multiplier in the dedup
     // family — Σ tokens, not Σ docs), and PQ's ADC stage scans
-    // corpus × queries pairs — both slopes need a measured 10× point
-    "dedup_substring", "sim_pq_topk")
+    // corpus × queries pairs — both slopes need a measured 10× point;
+    // the despan rewrite adds a doc-keyed text join on top of the
+    // substring shuffle, and the disk IVFADC probe's bytes should
+    // scale with probed cells' codes, not the corpus
+    "dedup_substring", "sim_pq_topk", "dedup_despan", "sim_indexed_pq")
 
   private val copies = 10
   private val orderOff = 10000000L

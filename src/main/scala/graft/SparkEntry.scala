@@ -79,6 +79,10 @@ object SparkEntry {
     * many times, like the bucketed join tables. */
   private val vecIndexCache = new SessionCache[String]
 
+  /** IVFADC twin of [[vecIndexCache]]: the cell layout whose rows also
+    * carry PQ codes ([[VectorIndex.buildWithPq]]). */
+  private val vecIndexPqCache = new SessionCache[String]
+
   /** PQ codebooks, trained once per (session, dir) like the IVF
     * centroids — same index-lifecycle contract. */
   private val pqCache = new SessionCache[Array[Array[Array[Float]]]]
@@ -1079,6 +1083,18 @@ object SparkEntry {
               .otherwise(col("text"))))
         .orderBy("doc_id")),
 
+    // the rewrite half: same planted corpus, duplicated spans EXCISED
+    // keeping the corpus-wide first occurrence; the oracle rebuilds the
+    // cleaned text token-by-token from the raw strings, so the
+    // hash-match pins canonical choice, span merge, AND reconstruction
+    "dedup_despan" -> ((s, dir) =>
+      Dedup.removeDupSpans(
+          t(s, dir, "documents").withColumn("text",
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"), lit(" " + substringBoilerplate)))
+              .otherwise(col("text"))))
+        .orderBy("doc_id")),
+
     // decontamination: benchmark excerpts (200-char prefixes of every
     // 17th doc) checked against the full corpus — each excerpt must
     // surface its source doc (frac ≈ 1.0) plus any near-dup of it
@@ -1316,6 +1332,32 @@ object SparkEntry {
         Similarity.trainPqCodebooks(corpus, "vec_id", "embedding"))
       Similarity.pqTopKWith(cb, Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
           corpus, emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
+    // disk-resident IVFADC: the cell-partitioned layout's rows carry PQ
+    // codes, so the candidate stage reads nprobe/nlist of the FILES
+    // (partition pruning) x code/vec of the BYTES (column pruning — the
+    // scan's ReadSchema has no vec column, spec-pinned). The exact
+    // top-5 survives both reductions on the planted corpus: probed
+    // cells contain it (sim_indexed_topk's theorem) and ADC shortlists
+    // over a SUBSET of sim_pq_topk's candidates, so its ranks only
+    // improve — the same exhaustive oracle pins the composition.
+    "sim_indexed_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val path = vecIndexPqCache.getOrElseUpdate(s, dir) {
+        val corpus = annCorpus(s, dir)
+        val cents = ivfCache.getOrElseUpdate(s, dir)(
+          Similarity.trainIvfCentroids(corpus, "vec_id", "embedding"))
+        val cb = pqCache.getOrElseUpdate(s, dir)(
+          Similarity.trainPqCodebooks(corpus, "vec_id", "embedding"))
+        val p = s"/tmp/graft_vecidxpq_${dirTag(dir)}"
+        VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", p)
+        p
+      }
+      VectorIndex.topKPq(s, emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          path, 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")
     }),
@@ -2394,6 +2436,46 @@ object SparkEntry {
          |  round(CASE WHEN ntok > 0 THEN CAST(COALESCE(cov, 0) AS DOUBLE) / ntok ELSE 0.0 END, 6) AS dup_fraction
          |FROM st LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // despan: the oracle picks the canonical occurrence by window
+    // ROW_NUMBER (order doc_id, pos) where Spark partial-aggregates a
+    // struct min — same total order, different mechanism — then
+    // re-derives redundant spans and REBUILDS the cleaned text token
+    // by token from the raw strings
+    "dedup_despan" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' $substringBoilerplate' ELSE text END AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id, $normToks AS tk FROM p),
+         |st AS (SELECT doc_id, len(tk) AS ntok, tk FROM base),
+         |wins AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS w
+         |  FROM st, LATERAL (SELECT unnest(generate_series(1, ntok - 7)) AS i) g
+         |  WHERE ntok >= 8),
+         |occ AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+         |    COUNT(*) OVER (PARTITION BY w) AS c
+         |  FROM wins),
+         |red AS (SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn > 1),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -9) + 8 THEN 1 ELSE 0 END AS ns
+         |  FROM red),
+         |sp AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM isl),
+         |spa AS (SELECT doc_id, span, MIN(pos) AS s, MAX(pos) AS e FROM sp GROUP BY 1, 2),
+         |toksx AS (SELECT doc_id, i - 1 AS tpos, tk[i] AS tok
+         |  FROM st, LATERAL (SELECT unnest(generate_series(1, ntok)) AS i) g
+         |  WHERE ntok > 0),
+         |keep AS (SELECT t.doc_id, t.tpos, t.tok FROM toksx t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spa s
+         |    WHERE s.doc_id = t.doc_id AND t.tpos BETWEEN s.s AND s.e + 7)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         |    COUNT(*) AS nk
+         |  FROM keep GROUP BY 1)
+         |SELECT st.doc_id,
+         |  COALESCE(agg.clean_text, '') AS clean_text,
+         |  CAST(ntok AS BIGINT) AS n_tokens,
+         |  CAST(ntok - COALESCE(nk, 0) AS BIGINT) AS n_removed
+         |FROM st LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // the two anchors of the simhash scorecard, recomputed exactly:
     // identical-content pair count (recall there is a theorem — asserted
     // 100.0) and the J>=0.9 pair count (recall floor asserted TRUE).
@@ -2717,6 +2799,8 @@ object SparkEntry {
     // ADC minimum, and the exact re-rank reproduces the exhaustive
     // exact ranking below
     "sim_pq_topk" -> annTopKOracle,
+    // IVFADC composes the two reductions; the same theorem pins both
+    "sim_indexed_pq" -> annTopKOracle,
 
     "sim_decontaminate" ->
       """WITH e AS (SELECT vec_id,

@@ -1098,6 +1098,83 @@ object Dedup {
           .otherwise(lit(0.0)), 6).as("dup_fraction"))
   }
 
+  /** The REWRITE half of exact-substring dedup: [[substringDup]] finds
+    * duplicated spans; this removes them, keeping the corpus-wide FIRST
+    * occurrence of each duplicated window (canonical = minimum
+    * (doc, position) pair — Lee et al. likewise keep one copy of each
+    * repeated substring rather than deleting whole documents). Every
+    * other occurrence is redundant; a doc's redundant window positions
+    * merge into maximal spans exactly as in [[substringDup]], and the
+    * tokens those spans cover are excised. Output rows (one per input
+    * doc): (idCol, clean_text, n_tokens, n_removed) — `clean_text` is
+    * the surviving tokens space-joined in the NORMALIZED token space of
+    * [[TextAnalysis.tokensCol]] (the space all dedup fingerprints
+    * share; span surgery on raw text would need byte offsets the
+    * tokenizer deliberately discards).
+    *
+    * Scale shape: the canonical-occurrence choice rides the SAME
+    * one-shuffle window-hash aggregation as [[substringDup]] —
+    * `min(struct(doc, pos))` partial-aggregates map-side, so a
+    * boilerplate window occurring in a billion documents never
+    * collocates its occurrences on one reducer (a window/row_number
+    * formulation would). Span merge is per-doc windowing; the excision
+    * itself is a doc-keyed join of interval lists (few per doc, by
+    * construction ≤ windows) back to the token arrays, then one narrow
+    * higher-order filter — text bytes shuffle once (the doc-keyed
+    * join), window hashes once. */
+  def removeDupSpans(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", k: Int = 8,
+                     minCount: Int = 2): DataFrame = {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    TextAnalysis.requireFree(docs, "_toks", "_wins", "_pos", "_wh", "_c",
+      "_canon", "_newspan", "_span", "_s", "_e", "_ivs", "_kept")
+    val toks = col("_toks")
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokensCol(col(textCol)).as("_toks"))
+      .select(col(idCol), toks,
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
+          .otherwise(array().cast("array<bigint>")).as("_wins"))
+    val wins = base.select(col(idCol), posexplode(col("_wins")).as(Seq("_pos", "_wh")))
+    // one wide stage: occurrence count AND first occurrence per window
+    // hash, both partial-aggregating (struct min is field-lexicographic)
+    val canon = wins.groupBy("_wh")
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col(idCol), col("_pos"))).as("_canon"))
+      .where(col("_c") >= minCount)
+      .select(col("_wh"), col("_canon"))
+    val redundant = wins.join(canon, "_wh")
+      .where(!(col(idCol) === col("_canon")(idCol) &&
+        col("_pos") === col("_canon")("_pos")))
+      .select(col(idCol), col("_pos"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_pos"))
+    val intervals = redundant
+      .withColumn("_newspan",
+        when(col("_pos") > coalesce(lag(col("_pos"), 1).over(byPos),
+          lit(-k.toLong - 1L)) + k, lit(1L)).otherwise(lit(0L)))
+      .withColumn("_span", sum(col("_newspan")).over(byPos))
+      .groupBy(col(idCol), col("_span"))
+      .agg(min("_pos").as("_s"), max("_pos").as("_e"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("_s"), col("_e")))).as("_ivs"))
+    base.join(intervals, Seq(idCol), "left")
+      .select(col(idCol), toks,
+        coalesce(col("_ivs"),
+          array().cast("array<struct<_s:long,_e:long>>")).as("_ivs"))
+      // keep token i (0-based) unless some redundant span [s, e+k-1]
+      // covers it; spans per doc are few, so the exists() is cheap
+      .withColumn("_kept", filter(toks, (_, i) =>
+        !exists(col("_ivs"), iv =>
+          i.cast("long") >= iv("_s") && i.cast("long") <= iv("_e") + (k - 1))))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(col("_kept"))).cast("long").as("n_removed"))
+  }
+
   /** Pairs of ids sharing a bucket key, with a skew cap: buckets larger
     * than `maxBucket` are dropped entirely (documented recall trade).
     *

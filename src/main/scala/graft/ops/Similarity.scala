@@ -832,7 +832,7 @@ object Similarity {
   /** Codebooks as a plan literal: array<array<array<double>>> of
     * (m, ks, dsub). m·ks·dsub doubles — ~1k lits at the defaults, the
     * same bake-into-the-plan treatment as the LSH hyperplanes. */
-  private def pqLit(cb: Array[Array[Array[Float]]]): Column =
+  private[ops] def pqLit(cb: Array[Array[Array[Float]]]): Column =
     array(cb.map(sub => array(sub.map(e =>
       array(e.map(x => lit(x.toDouble)): _*)): _*)): _*)
 
@@ -946,7 +946,7 @@ object Similarity {
   /** Asymmetric distance (ADC): ‖qn − reconstruct(code)‖² summed over
     * subspaces, qn the normalized query. Reads only the CODE column of
     * the corpus side. */
-  private def adcDistCol(qn0: Column, code0: Column, cbL: Column, dsub: Int): Column =
+  private[ops] def adcDistCol(qn0: Column, code0: Column, cbL: Column, dsub: Int): Column =
     // both inputs bound once: even if the optimizer splices the full
     // encode expression in place of the `code` attribute (projection
     // collapse through the cross join), it evaluates once per pair —
@@ -1009,5 +1009,53 @@ object Similarity {
     val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ks, seed = seed)
     pqTopKWith(cb, pqEncode(corpus, idCol, vecCol, cb), corpus, queries,
       idCol, vecCol, k, candK)
+  }
+
+  /** Persist trained PQ codebooks (same atomic two-rename swap as
+    * [[saveIvfIndex]]: readers see the old complete matrix or the new
+    * one, never a partial write). One row per subspace — m·ks·dsub
+    * floats, KBs. */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession, path: String,
+                      cb: Array[Array[Array[Float]]]): Unit = {
+    require(cb.nonEmpty, "refusing to persist empty PQ codebooks")
+    val rows = cb.zipWithIndex.map { case (sub, j) =>
+      Row(j, sub.map(_.toSeq).toSeq)
+    }
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".tmp")
+    val old = new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".old")
+    fs.delete(tmp, true)
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("sub", IntegerType, nullable = false),
+          StructField("codebook", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(FloatType, false), false)))))
+      .repartition(1)
+      .write.parquet(tmp.toString)
+    fs.delete(old, true)
+    if (fs.exists(live)) require(fs.rename(live, old), s"could not stage $live aside")
+    require(fs.rename(tmp, live), s"could not commit $tmp to $live")
+    fs.delete(old, true)
+  }
+
+  /** Load persisted PQ codebooks; validates subspaces are exactly
+    * 0..m-1 with uniform entry count and sub-dimension, so a corrupt
+    * index fails here with a usable message. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getInt(0) -> r.getSeq[scala.collection.Seq[Float]](1)
+        .map(_.toArray).toArray)
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"PQ codebook index at $path is empty")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"PQ codebook index at $path has gaps: subs ${rows.map(_._1).mkString(",")}")
+    val cb = rows.map(_._2)
+    val ks = cb.head.length
+    val dsub = cb.head.head.length
+    require(cb.forall(sub => sub.length == ks && sub.forall(_.length == dsub)),
+      s"PQ codebook index at $path is ragged (expected uniform ks=$ks, dsub=$dsub)")
+    cb
   }
 }

@@ -65,9 +65,33 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** Builds the cell layout WITH a PQ code column — the disk form of
+    * IVFADC (Jégou et al.): every row carries (id, vec, code), where
+    * `code` is the m-byte product-quantization code of the vector.
+    * Because parquet is columnar, [[topKPq]]'s ADC candidate stage
+    * reads ONLY (cell, id, code) — the vec bytes stay on disk until
+    * the shortlist re-rank touches candK·|queries| of them. Combined
+    * with cell partition pruning that makes the candidate fetch
+    * nprobe/nlist of the FILES × code/vec of the BYTES — the two
+    * multiplicative reductions a 100 TB embedding store needs.
+    * Codebooks persist beside the centroids (same atomic swap), so
+    * probes and appends share one frozen quantizer. */
+  def buildWithPq(cents: Array[Array[Double]], cb: Array[Array[Array[Float]]],
+                  corpus: DataFrame, idCol: String, vecCol: String,
+                  path: String): Unit = {
+    val spark = corpus.sparkSession
+    Similarity.saveIvfIndex(spark, s"$path/centroids", cents)
+    Similarity.savePqCodebooks(spark, s"$path/codebooks", cb)
+    assigned(corpus, idCol, vecCol, cents)
+      .withColumn("code", Similarity.pqEncodeCol(col("vec"), cb))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Appends a batch under the index's FROZEN centroids — the resident
     * corpus is not read, moved, or re-assigned. Watch [[drift]] for the
-    * retrain signal.
+    * retrain signal. PQ-aware: when the layout carries codebooks
+    * ([[buildWithPq]]), the batch is encoded under the same frozen
+    * quantizer, so appended vectors are ADC-searchable immediately.
     *
     * Idempotent per id: vectors whose ids the index already holds are
     * skipped, so a REPLAYED micro-batch ([[appendStream]]) appends
@@ -77,7 +101,14 @@ object VectorIndex {
   def append(batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = batch.sparkSession
     val cents = Similarity.loadIvfIndex(spark, s"$path/centroids")
-    val a = assigned(batch, idCol, vecCol, cents).persist()
+    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    val hasPq = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(cbPath)
+    val assignedBatch = assigned(batch, idCol, vecCol, cents)
+    val a = (if (hasPq) {
+      val cb = Similarity.loadPqCodebooks(spark, cbPath.toString)
+      assignedBatch.withColumn("code", Similarity.pqEncodeCol(col("vec"), cb))
+    } else assignedBatch).persist()
     try {
       val cells = a.select("cell").distinct().collect().map(_.getInt(0)).toSeq
       val resident = spark.read.parquet(s"$path/vectors")
@@ -138,6 +169,56 @@ object VectorIndex {
       .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** IVFADC top-k against a [[buildWithPq]] layout: the candidate stage
+    * ADC-scores the partition-pruned CODE columns (vec never read —
+    * parquet column pruning), shortlists `candK` per query with rank()
+    * (an ADC tie never drops a candidate), and re-ranks the shortlist
+    * alone against true vectors read from the same pruned cells. Same
+    * output contract as [[topK]]/[[Similarity.pqTopKWith]]:
+    * (query_id, neighbor_id, rank, cos), self-pairs excluded at
+    * re-rank. With candK ≥ the probed-cell population this equals
+    * [[topK]] row for row (spec-pinned) — the shortlist is then
+    * everything, so the only difference is WHAT the candidate scan
+    * read. */
+  def topKPq(spark: SparkSession, queries: DataFrame, idCol: String,
+             vecCol: String, path: String, k: Int, nprobe: Int = 0,
+             candK: Int = 32): DataFrame = {
+    require(candK >= k, s"candK=$candK must be >= k=$k")
+    val cents = Similarity.loadIvfIndex(spark, s"$path/centroids")
+    val cb = Similarity.loadPqCodebooks(spark, s"$path/codebooks")
+    val dsub = cb(0)(0).length
+    val cbL = Similarity.pqLit(cb)
+    val np = if (nprobe > 0) nprobe else Similarity.autoNprobe(cents.length)
+    val qRaw = queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        Similarity.normalizedCol(col(vecCol)).as("_qn"))
+    val q = Similarity.probedQueries(qRaw, "q_vec", cents, np)
+    // bounded driver round-trip: ≤ min(nlist, |queries|·nprobe) ints
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probedCells: _*)) // partition-pruned at planning
+      .select(col("cell"), col("id").as("neighbor_id"), col("code"))
+    val scored = codes
+      .join(broadcast(q.select(col("cell"), col("query_id"), col("_qn"))), Seq("cell"))
+      .withColumn("_adist", Similarity.adcDistCol(col("_qn"), col("code"), cbL, dsub))
+      .select("query_id", "neighbor_id", "_adist")
+    val wA = Window.partitionBy("query_id").orderBy(col("_adist").asc, col("neighbor_id").asc)
+    val cands = scored.withColumn("_arank", rank().over(wA))
+      .where(col("_arank") <= candK)
+      .select("query_id", "neighbor_id")
+    val cv = spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probedCells: _*))
+      .select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
+    val rer = cv.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qRaw.select(col("query_id"), col("q_vec"))), Seq("query_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", Similarity.cosineCol(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    rer.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }

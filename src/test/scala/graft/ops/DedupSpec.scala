@@ -467,6 +467,52 @@ class DedupSpec extends SparkSpec {
     assert(m(1L)._3 === 2L && m(2L)._3 === 2L)
   }
 
+  // ───── span removal (the rewrite half of substring dedup)
+
+  private def despan(rows: Seq[(Long, String)], k: Int = 3): Map[Long, (String, Long, Long)] = {
+    import spark.implicits._
+    Dedup.removeDupSpans(rows.toDF("doc_id", "text"), k = k).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+  }
+
+  test("removeDupSpans: first occurrence kept, later docs lose the shared span") {
+    val m = despan(Seq(
+      (1L, "aa bb cc dd xx yy"),
+      (2L, "pp qq aa bb cc dd"),
+      (3L, "zz ww vv uu tt ss")))
+    // doc1 owns the canonical occurrences (min doc_id) — untouched
+    assert(m(1L) === (("aa bb cc dd xx yy", 6L, 0L)))
+    // doc2's copy of the span (tokens 2..5) is excised
+    assert(m(2L) === (("pp qq", 6L, 4L)))
+    assert(m(3L) === (("zz ww vv uu tt ss", 6L, 0L)))
+  }
+
+  test("removeDupSpans: within-doc repetition keeps the first occurrence") {
+    val m = despan(Seq((1L, "aa bb cc xx aa bb cc")))
+    // second "aa bb cc" (pos 4..6) is the redundant occurrence
+    assert(m(1L) === (("aa bb cc xx", 7L, 3L)))
+  }
+
+  test("removeDupSpans: identical docs — lower id survives intact, higher id is emptied") {
+    val m = despan(Seq(
+      (1L, "aa bb cc dd ee"),
+      (2L, "aa bb cc dd ee")))
+    assert(m(1L) === (("aa bb cc dd ee", 5L, 0L)))
+    assert(m(2L) === (("", 5L, 5L)))
+  }
+
+  test("removeDupSpans: short docs and empty docs pass through") {
+    val m = despan(Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "")))
+    assert(m(1L) === (("aa bb", 2L, 0L)))
+    assert(m(2L) === (("aa bb", 2L, 0L)))
+    assert(m(3L) === (("", 0L, 0L)))
+  }
+
+  test("removeDupSpans: output text is in the normalized token space") {
+    val m = despan(Seq((1L, "The Quick,  Brown FOX")))
+    assert(m(1L)._1 === "the quick brown fox")
+  }
+
   test("substringDup: minCount raises the duplication bar") {
     val rows = Seq(
       (1L, "aa bb cc dd"),

@@ -65,6 +65,80 @@ class VectorIndexSpec extends SparkSpec {
     assert(filesRead === all / 4L, s"nprobe=1 of 4 cells: read $filesRead of $all")
   }
 
+  test("IVFADC topKPq with exhaustive candK equals plain topK row for row") {
+    val path = tmpDir("vecidx_pq_parity")
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
+    // candK >= any probed population => shortlist = everything => the
+    // ADC stage changes WHAT was read, never the answer
+    val adc = VectorIndex.topKPq(spark, queries, "vec_id", "embedding", path,
+      k = 3, candK = 200)
+    val plain = VectorIndex.topK(spark, queries, "vec_id", "embedding", path, k = 3)
+    assert(adc.exceptAll(plain).count() === 0 && plain.exceptAll(adc).count() === 0)
+    assert(adc.count() === 12)
+  }
+
+  test("IVFADC candidate scan reads codes, not vectors (column pruning)") {
+    val path = tmpDir("vecidx_pq_prune")
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
+    val q = VectorIndex.topKPq(spark, queries.limit(1), "vec_id", "embedding",
+      path, k = 3, nprobe = 1, candK = 200)
+    q.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case st: QueryStageExec => scans(st.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val ss = scans(q.queryExecution.executedPlan)
+    val codeScan = ss.filter(_.requiredSchema.fieldNames.contains("code"))
+    assert(codeScan.nonEmpty, "expected an ADC scan over the code column")
+    assert(codeScan.forall(!_.requiredSchema.fieldNames.contains("vec")),
+      s"ADC scan must not read vec: ${codeScan.map(_.requiredSchema.fieldNames.mkString(","))}")
+    // and both stages stay partition-pruned: nprobe=1 of 4 cells
+    val all = spark.read.parquet(s"$path/vectors").inputFiles.length
+    val filesRead = ss.map(_.metrics("numFiles").value).max
+    assert(filesRead <= all / 4L, s"scan must prune: read $filesRead of $all files")
+  }
+
+  test("IVFADC default shortlist still finds the true cluster neighbors") {
+    val path = tmpDir("vecidx_pq_recall")
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
+    val r = VectorIndex.topKPq(spark, queries, "vec_id", "embedding", path, k = 3)
+      .collect()
+    assert(r.length === 12)
+    // every query's neighbors come from its own axis cluster
+    for (row <- r)
+      assert(row.getLong(1) / 1000L === row.getLong(0) - 9000L,
+        s"query ${row.getLong(0)} got cross-cluster neighbor ${row.getLong(1)}")
+  }
+
+  test("append encodes the batch under frozen codebooks (PQ-aware ingest)") {
+    val path = tmpDir("vecidx_pq_append")
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
+    // a fresh vector deep inside cluster 2
+    val v = Array.fill(dim)(0.0f); v(2) = 11f
+    val batch = Seq((7777L, v.toSeq)).toDF("vec_id", "embedding")
+    VectorIndex.append(batch, "vec_id", "embedding", path)
+    // stored row carries a valid code...
+    val stored = spark.read.parquet(s"$path/vectors")
+      .where(col("id") === 7777L).select("code").collect()
+    assert(stored.length === 1)
+    assert(stored.head.getSeq[Int](0).length === 4)
+    // ...and the ADC path surfaces it for a cluster-2 query
+    val q2 = queries.where(col("vec_id") === 9002L)
+    val r = VectorIndex.topKPq(spark, q2, "vec_id", "embedding", path, k = 26)
+      .collect().map(_.getLong(1)).toSet
+    assert(r.contains(7777L), "appended vector must be ADC-searchable")
+  }
+
   test("append lands in the right cells and is immediately searchable") {
     val path = tmpDir("vecidx_append")
     VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
