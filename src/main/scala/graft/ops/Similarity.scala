@@ -993,6 +993,10 @@ object Similarity {
       .join(broadcast(q.select(col("query_id"), col("q_vec"))), Seq("query_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosineCol(col("q_vec"), col("c_vec")))
+      // project the vectors away BEFORE the rank window: its exchange
+      // then carries only (query_id, neighbor_id, cos) — no shuffle in
+      // the whole plan moves an array column (spec-pinned)
+      .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     rer.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

@@ -217,6 +217,9 @@ object VectorIndex {
       .join(broadcast(qRaw.select(col("query_id"), col("q_vec"))), Seq("query_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", Similarity.cosineCol(col("q_vec"), col("c_vec")))
+      // vectors projected away before the rank window (see pqTopKWith):
+      // no shuffle in the plan carries an array column
+      .select("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     rer.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

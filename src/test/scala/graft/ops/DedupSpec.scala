@@ -467,6 +467,49 @@ class DedupSpec extends SparkSpec {
     assert(m(1L)._3 === 2L && m(2L)._3 === 2L)
   }
 
+  private def stringShuffles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+    def hasText(t: DataType): Boolean = t match {
+      case StringType => true
+      case ArrayType(e, _) => hasText(e)
+      case _ => false
+    }
+    def walk(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case st: QueryStageExec => walk(st.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(walk)
+      case other => other.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+      .filter(_.schema.fields.exists(f => hasText(f.dataType)))
+      .map(_.schema.fieldNames.mkString(","))
+  }
+
+  test("substringDup: no shuffle carries text bytes — 8-byte window hashes only") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} aa bb cc dd tok${i % 5} ee ff gg hh ii")).toDF("doc_id", "text")
+    val r = Dedup.substringDup(df)
+    r.collect()
+    val bad = stringShuffles(r)
+    assert(bad.isEmpty, s"substringDup shuffled text: $bad")
+  }
+
+  test("removeDupSpans: text bytes shuffle at most once (the doc-keyed interval join)") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, s"tok${i % 7} aa bb cc dd tok${i % 5} ee ff gg hh ii")).toDF("doc_id", "text")
+    val r = Dedup.removeDupSpans(df)
+    r.collect()
+    // the interval join may BROADCAST the span side (then text never
+    // shuffles at all); the claim is the bound, not the exact count
+    val bad = stringShuffles(r)
+    assert(bad.size <= 1, s"removeDupSpans shuffled text ${bad.size} times: $bad")
+  }
+
   // ───── span removal (the rewrite half of substring dedup)
 
   private def despan(rows: Seq[(Long, String)], k: Int = 3): Map[Long, (String, Long, Long)] = {

@@ -526,6 +526,26 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), s"expected broadcast joins:\n$plan")
   }
 
+  test("PQ top-k: no shuffle carries an array column (vectors/codes ride scans and broadcasts)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val q = corpus.where(col("vec_id") < 2)
+    val r = Similarity.pqTopK(corpus, q, "vec_id", "embedding", k = 3, m = 4, ks = 8)
+    r.collect()
+    def walk(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case st: QueryStageExec => walk(st.plan)
+      case e: ShuffleExchangeExec => e +: e.children.flatMap(walk)
+      case other => other.children.flatMap(walk)
+    }
+    val bad = walk(r.queryExecution.executedPlan)
+      .filter(_.schema.fields.exists(_.dataType.isInstanceOf[ArrayType]))
+      .map(_.schema.fieldNames.mkString(","))
+    assert(bad.isEmpty, s"PQ search shuffled array columns: $bad")
+  }
+
   test("PQ: zero-norm vectors encode deterministically and never rank") {
     import spark.implicits._
     val withZero = corpus.union(

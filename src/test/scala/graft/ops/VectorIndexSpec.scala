@@ -102,6 +102,20 @@ class VectorIndexSpec extends SparkSpec {
     val all = spark.read.parquet(s"$path/vectors").inputFiles.length
     val filesRead = ss.map(_.metrics("numFiles").value).max
     assert(filesRead <= all / 4L, s"scan must prune: read $filesRead of $all files")
+    // and no shuffle moves an array column — vectors and codes ride
+    // the pruned scans and broadcasts only
+    def walkEx(p: SparkPlan): Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => walkEx(a.executedPlan)
+      case st: QueryStageExec => walkEx(st.plan)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e +: e.children.flatMap(walkEx)
+      case other => other.children.flatMap(walkEx)
+    }
+    val badEx = walkEx(q.queryExecution.executedPlan)
+      .filter(_.schema.fields.exists(_.dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      .map(_.schema.fieldNames.mkString(","))
+    assert(badEx.isEmpty, s"IVFADC shuffled array columns: $badEx")
   }
 
   test("IVFADC default shortlist still finds the true cluster neighbors") {
