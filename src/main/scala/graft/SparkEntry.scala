@@ -87,6 +87,11 @@ object SparkEntry {
     * centroids — same index-lifecycle contract. */
   private val pqCache = new SessionCache[Array[Array[Array[Float]]]]
 
+  /** Residual-trained codebooks for the IVFADC layout (codes quantize
+    * normalized(v) − centroid(cell), so they need their own training
+    * run over the residual distribution). */
+  private val pqResCache = new SessionCache[Array[Array[Array[Float]]]]
+
   /** dedup_substring's planted duplicated span (appended to every third
     * doc by BOTH the Spark query and the DuckDB oracle). */
   private val substringBoilerplate =
@@ -1337,21 +1342,25 @@ object SparkEntry {
     }),
 
     // disk-resident IVFADC: the cell-partitioned layout's rows carry PQ
-    // codes, so the candidate stage reads nprobe/nlist of the FILES
-    // (partition pruning) x code/vec of the BYTES (column pruning — the
-    // scan's ReadSchema has no vec column, spec-pinned). The exact
-    // top-5 survives both reductions on the planted corpus: probed
-    // cells contain it (sim_indexed_topk's theorem) and ADC shortlists
-    // over a SUBSET of sim_pq_topk's candidates, so its ranks only
-    // improve — the same exhaustive oracle pins the composition.
+    // codes (RESIDUAL encoding — codes quantize normalized(v) − its
+    // cell centroid, the Jégou et al. formulation), so the candidate
+    // stage reads nprobe/nlist of the FILES (partition pruning) x
+    // code/vec of the BYTES (column pruning — the scan's ReadSchema has
+    // no vec column, spec-pinned). The exact top-5 survives both
+    // reductions on the planted corpus: probed cells contain it
+    // (sim_indexed_topk's theorem), a planted copy shares its source's
+    // cell AND residual bit-identically so it ties at the ADC minimum,
+    // and the shortlist draws from a SUBSET of sim_pq_topk's candidates
+    // so true ranks only improve — the same exhaustive oracle pins the
+    // whole composition.
     "sim_indexed_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val path = vecIndexPqCache.getOrElseUpdate(s, dir) {
         val corpus = annCorpus(s, dir)
         val cents = ivfCache.getOrElseUpdate(s, dir)(
           Similarity.trainIvfCentroids(corpus, "vec_id", "embedding"))
-        val cb = pqCache.getOrElseUpdate(s, dir)(
-          Similarity.trainPqCodebooks(corpus, "vec_id", "embedding"))
+        val cb = pqResCache.getOrElseUpdate(s, dir)(
+          Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding", cents))
         val p = s"/tmp/graft_vecidxpq_${dirTag(dir)}"
         VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", p)
         p

@@ -881,24 +881,67 @@ object Similarity {
     * corpus size never changes the driver footprint. */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                        m: Int = 8, ks: Int = 16, iters: Int = 10,
-                       seed: Long = 42L, sampleMax: Int = 65536): Array[Array[Array[Float]]] = {
-    require(m >= 1, s"m must be >= 1, got $m")
-    require(ks >= 2, s"ks must be >= 2, got $ks")
+                       seed: Long = 42L, sampleMax: Int = 65536): Array[Array[Array[Float]]] =
+    trainPqOnPrepared(samplePqNormalized(corpus, idCol, vecCol, seed, sampleMax),
+      m, ks, iters)
+
+  /** [[trainPqCodebooks]] for RESIDUAL encoding (the Jégou et al.
+    * IVFADC form): codebooks learn the distribution of
+    * `normalized(v) − centroid(cell(v))` instead of the vectors
+    * themselves. Residuals concentrate near the origin regardless of
+    * which cell a vector lives in, so the same ks entries quantize
+    * every cell's local geometry instead of spreading over the whole
+    * sphere — finer effective resolution at equal code size. Cell
+    * assignment here replicates [[assignedCells]]' rule (max cosine,
+    * ties to the larger index) driver-side over the training sample. */
+  def trainPqCodebooksResidual(corpus: DataFrame, idCol: String, vecCol: String,
+                               cents: Array[Array[Double]],
+                               m: Int = 8, ks: Int = 16, iters: Int = 10,
+                               seed: Long = 42L, sampleMax: Int = 65536): Array[Array[Array[Float]]] = {
+    val normed = samplePqNormalized(corpus, idCol, vecCol, seed, sampleMax)
+    val cNorms = cents.map(c => math.sqrt(c.map(x => x * x).sum))
+    def cellOf(v: Array[Double]): Int = {
+      var best = 0; var bs = Double.MinValue
+      var i = 0
+      while (i < cents.length) {
+        var d = 0.0; var t = 0
+        while (t < v.length) { d += v(t) * cents(i)(t); t += 1 }
+        val cos = if (cNorms(i) > 0) d / cNorms(i) else 0.0
+        if (cos >= bs) { bs = cos; best = i } // ties -> larger index, like argmaxCos
+        i += 1
+      }
+      best
+    }
+    val residuals = normed.map { v =>
+      val c = cents(cellOf(v))
+      Array.tabulate(v.length)(t => v(t) - c(t))
+    }
+    trainPqOnPrepared(residuals, m, ks, iters)
+  }
+
+  private def samplePqNormalized(corpus: DataFrame, idCol: String, vecCol: String,
+                                 seed: Long, sampleMax: Int): Array[Array[Double]] = {
     val rows = corpus.where(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
       .limit(sampleMax)
       .select(col(vecCol)).collect()
     require(rows.nonEmpty, "cannot train PQ codebooks on an empty corpus")
-    val sample = rows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    val dim = sample.head.length
-    require(dim % m == 0, s"vector dim=$dim is not divisible by m=$m subspaces")
-    val dsub = dim / m
-    val normed = sample.map { v =>
+    rows.map { r =>
+      val v = r.getSeq[Float](0).toArray.map(_.toDouble)
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n > 0) v.map(_ / n) else v
     }
+  }
+
+  private def trainPqOnPrepared(prepared: Array[Array[Double]], m: Int,
+                                ks: Int, iters: Int): Array[Array[Array[Float]]] = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(ks >= 2, s"ks must be >= 2, got $ks")
+    val dim = prepared.head.length
+    require(dim % m == 0, s"vector dim=$dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
     Array.tabulate(m) { j =>
-      val sub = normed.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val sub = prepared.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
       lloyd(sub, ks, iters).map(_.map(_.toFloat))
     }
   }
@@ -918,10 +961,16 @@ object Similarity {
     * avoiding struct accumulators whose field names type-coerce
     * unpredictably through `when` branches. Narrow, codegen-friendly,
     * m·ks·dsub multiply-adds per row. */
-  def pqEncodeCol(vecCol: Column, cb: Array[Array[Array[Float]]]): Column = {
+  def pqEncodeCol(vecCol: Column, cb: Array[Array[Array[Float]]]): Column =
+    pqEncodePreparedCol(normalizedCol(vecCol), cb)
+
+  /** Encode an already-PREPARED double-array column (normalized vector
+    * for raw PQ; normalized-minus-centroid for residual IVFADC — the
+    * residual must NOT be re-normalized, its magnitude IS the signal). */
+  private[ops] def pqEncodePreparedCol(prepared: Column, cb: Array[Array[Array[Float]]]): Column = {
     val dsub = cb(0)(0).length
     val cbL = pqLit(cb)
-    bindOnce(normalizedCol(vecCol)) { vn =>
+    bindOnce(prepared) { vn =>
       transform(sequence(lit(0), lit(cb.length - 1)), j => {
         val entries = element_at(cbL, j + 1)
         bindOnce(aggregate(entries, lit(Double.MaxValue),
@@ -934,6 +983,10 @@ object Similarity {
       })
     }
   }
+
+  /** `normalized − centroid` (both double arrays), the IVFADC residual. */
+  private[ops] def residualCol(vn: Column, centroid: Column): Column =
+    zip_with(vn, centroid, (x, c) => x - c)
 
   /** Corpus → (idCol, code) table. At scale this runs ONCE at ingest
     * (or in [[VectorIndex]]-style layout builds) and is what queries
@@ -1020,10 +1073,14 @@ object Similarity {
     * one, never a partial write). One row per subspace — m·ks·dsub
     * floats, KBs. */
   def savePqCodebooks(spark: org.apache.spark.sql.SparkSession, path: String,
-                      cb: Array[Array[Array[Float]]]): Unit = {
+                      cb: Array[Array[Array[Float]]],
+                      residual: Boolean = false): Unit = {
     require(cb.nonEmpty, "refusing to persist empty PQ codebooks")
+    // the residual flag rides every row (uniform): a probe MUST prepare
+    // its query the way the codes were encoded, so the layout is
+    // self-describing rather than trusting callers to remember
     val rows = cb.zipWithIndex.map { case (sub, j) =>
-      Row(j, sub.map(_.toSeq).toSeq)
+      Row(j, sub.map(_.toSeq).toSeq, residual)
     }
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1034,7 +1091,9 @@ object Similarity {
         java.util.Arrays.asList(rows: _*),
         StructType(Seq(StructField("sub", IntegerType, nullable = false),
           StructField("codebook", org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.ArrayType(FloatType, false), false)))))
+            org.apache.spark.sql.types.ArrayType(FloatType, false), false)),
+          StructField("residual", org.apache.spark.sql.types.BooleanType,
+            nullable = false))))
       .repartition(1)
       .write.parquet(tmp.toString)
     fs.delete(old, true)
@@ -1043,12 +1102,17 @@ object Similarity {
     fs.delete(old, true)
   }
 
-  /** Load persisted PQ codebooks; validates subspaces are exactly
-    * 0..m-1 with uniform entry count and sub-dimension, so a corrupt
-    * index fails here with a usable message. */
+  /** Load persisted PQ codebooks → (codebooks, residual?). Validates
+    * subspaces are exactly 0..m-1 with uniform entry count and
+    * sub-dimension, so a corrupt index fails here with a usable
+    * message. Layouts written before the residual flag load as
+    * residual = false (the raw encoding they were built with). */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Array[Array[Array[Float]]] = {
-    val rows = spark.read.parquet(path).collect()
+                      path: String): (Array[Array[Array[Float]]], Boolean) = {
+    val df = spark.read.parquet(path)
+    val hasFlag = df.columns.contains("residual")
+    val raw = df.collect()
+    val rows = raw
       .map(r => r.getInt(0) -> r.getSeq[scala.collection.Seq[Float]](1)
         .map(_.toArray).toArray)
       .sortBy(_._1)
@@ -1060,6 +1124,12 @@ object Similarity {
     val dsub = cb.head.head.length
     require(cb.forall(sub => sub.length == ks && sub.forall(_.length == dsub)),
       s"PQ codebook index at $path is ragged (expected uniform ks=$ks, dsub=$dsub)")
-    cb
+    val residual = hasFlag && {
+      val flags = raw.map(_.getAs[Boolean]("residual")).distinct
+      require(flags.length == 1,
+        s"PQ codebook index at $path mixes residual and raw subspaces")
+      flags.head
+    }
+    (cb, residual)
   }
 }

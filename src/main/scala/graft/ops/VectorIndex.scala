@@ -75,17 +75,45 @@ object VectorIndex {
     * nprobe/nlist of the FILES × code/vec of the BYTES — the two
     * multiplicative reductions a 100 TB embedding store needs.
     * Codebooks persist beside the centroids (same atomic swap), so
-    * probes and appends share one frozen quantizer. */
+    * probes and appends share one frozen quantizer.
+    *
+    * `residual = true` (default) stores codes of
+    * `normalized(v) − centroid(cell)` — the Jégou et al. IVFADC form:
+    * residuals concentrate near the origin whatever cell a vector
+    * lives in, so ks entries quantize each cell's local geometry
+    * instead of the whole sphere (train `cb` with
+    * [[Similarity.trainPqCodebooksResidual]] then). The flag is stored
+    * IN the layout; [[topKPq]] and [[append]] read it from there, so a
+    * probe can never prepare queries with the wrong geometry. */
   def buildWithPq(cents: Array[Array[Double]], cb: Array[Array[Array[Float]]],
                   corpus: DataFrame, idCol: String, vecCol: String,
-                  path: String): Unit = {
+                  path: String, residual: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     Similarity.saveIvfIndex(spark, s"$path/centroids", cents)
-    Similarity.savePqCodebooks(spark, s"$path/codebooks", cb)
-    assigned(corpus, idCol, vecCol, cents)
-      .withColumn("code", Similarity.pqEncodeCol(col("vec"), cb))
+    Similarity.savePqCodebooks(spark, s"$path/codebooks", cb, residual)
+    encodeAssigned(assigned(corpus, idCol, vecCol, cents), cb, residual, path)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
+
+  /** Adds the `code` column to assigned (id, vec, cell) rows. Residual
+    * mode subtracts the row's cell centroid first — the centroid table
+    * is the layout's own persisted matrix, broadcast-joined on `cell`,
+    * so the shape is O(1) in nlist (no plan literals). */
+  private def encodeAssigned(a: DataFrame, cb: Array[Array[Array[Float]]],
+                             residual: Boolean, path: String): DataFrame =
+    if (!residual) a.withColumn("code", Similarity.pqEncodeCol(col("vec"), cb))
+    else {
+      val cents = broadcast(
+        a.sparkSession.read.parquet(s"$path/centroids"))
+      a.join(cents, Seq("cell"))
+        .withColumn("code", Similarity.pqEncodePreparedCol(
+          Similarity.residualCol(Similarity.normalizedCol(col("vec")),
+            col("centroid")), cb))
+        .drop("centroid")
+        // partitionBy reads the column order as-is; keep cell last like
+        // the raw path so both layouts are column-identical
+        .select("id", "vec", "code", "cell")
+    }
 
   /** Appends a batch under the index's FROZEN centroids — the resident
     * corpus is not read, moved, or re-assigned. Watch [[drift]] for the
@@ -106,8 +134,8 @@ object VectorIndex {
       .exists(cbPath)
     val assignedBatch = assigned(batch, idCol, vecCol, cents)
     val a = (if (hasPq) {
-      val cb = Similarity.loadPqCodebooks(spark, cbPath.toString)
-      assignedBatch.withColumn("code", Similarity.pqEncodeCol(col("vec"), cb))
+      val (cb, residual) = Similarity.loadPqCodebooks(spark, cbPath.toString)
+      encodeAssigned(assignedBatch, cb, residual, path)
     } else assignedBatch).persist()
     try {
       val cells = a.select("cell").distinct().collect().map(_.getInt(0)).toSeq
@@ -189,7 +217,7 @@ object VectorIndex {
              candK: Int = 32): DataFrame = {
     require(candK >= k, s"candK=$candK must be >= k=$k")
     val cents = Similarity.loadIvfIndex(spark, s"$path/centroids")
-    val cb = Similarity.loadPqCodebooks(spark, s"$path/codebooks")
+    val (cb, residual) = Similarity.loadPqCodebooks(spark, s"$path/codebooks")
     val dsub = cb(0)(0).length
     val cbL = Similarity.pqLit(cb)
     val np = if (nprobe > 0) nprobe else Similarity.autoNprobe(cents.length)
@@ -199,12 +227,22 @@ object VectorIndex {
     val q = Similarity.probedQueries(qRaw, "q_vec", cents, np)
     // bounded driver round-trip: ≤ min(nlist, |queries|·nprobe) ints
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // residual layouts compare the query's PER-CELL residual against
+    // the codes — probedQueries already emits one (query, cell) row per
+    // probe, so the residual rides the same broadcast, joined to the
+    // layout's own centroid table (O(1) in nlist, no plan literals)
+    val qAdc =
+      if (!residual) q.select(col("cell"), col("query_id"), col("_qn").as("_qprep"))
+      else q.select(col("cell"), col("query_id"), col("_qn"))
+        .join(broadcast(spark.read.parquet(s"$path/centroids")), Seq("cell"))
+        .select(col("cell"), col("query_id"),
+          Similarity.residualCol(col("_qn"), col("centroid")).as("_qprep"))
     val codes = spark.read.parquet(s"$path/vectors")
       .where(col("cell").isin(probedCells: _*)) // partition-pruned at planning
       .select(col("cell"), col("id").as("neighbor_id"), col("code"))
     val scored = codes
-      .join(broadcast(q.select(col("cell"), col("query_id"), col("_qn"))), Seq("cell"))
-      .withColumn("_adist", Similarity.adcDistCol(col("_qn"), col("code"), cbL, dsub))
+      .join(broadcast(qAdc), Seq("cell"))
+      .withColumn("_adist", Similarity.adcDistCol(col("_qprep"), col("code"), cbL, dsub))
       .select("query_id", "neighbor_id", "_adist")
     val wA = Window.partitionBy("query_id").orderBy(col("_adist").asc, col("neighbor_id").asc)
     val cands = scored.withColumn("_arank", rank().over(wA))

@@ -546,6 +546,34 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.isEmpty, s"PQ search shuffled array columns: $bad")
   }
 
+  test("PQ codebooks persist atomically with the residual flag") {
+    val path = tmpDir("pq_codebooks") + "/cb"
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    Similarity.savePqCodebooks(spark, path, cb)
+    val (r1, f1) = Similarity.loadPqCodebooks(spark, path)
+    assert(!f1 && r1.map(_.map(_.toSeq).toSeq).toSeq === cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // overwrite with a residual-trained matrix — the swap replaces
+    // atomically and the flag round-trips
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
+    val cbR = Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding",
+      cents, m = 4, ks = 8)
+    Similarity.savePqCodebooks(spark, path, cbR, residual = true)
+    val (r2, f2) = Similarity.loadPqCodebooks(spark, path)
+    assert(f2 && r2.map(_.map(_.toSeq).toSeq).toSeq === cbR.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("residual codebooks differ from raw and train deterministically") {
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
+    val raw = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val res1 = Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding",
+      cents, m = 4, ks = 8)
+    val res2 = Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding",
+      cents, m = 4, ks = 8)
+    assert(res1.map(_.map(_.toSeq).toSeq).toSeq === res2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(res1.map(_.map(_.toSeq).toSeq).toSeq !== raw.map(_.map(_.toSeq).toSeq).toSeq,
+      "residual training must see a different (origin-centered) distribution")
+  }
+
   test("PQ: zero-norm vectors encode deterministically and never rank") {
     import spark.implicits._
     val withZero = corpus.union(

@@ -68,7 +68,8 @@ class VectorIndexSpec extends SparkSpec {
   test("IVFADC topKPq with exhaustive candK equals plain topK row for row") {
     val path = tmpDir("vecidx_pq_parity")
     val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
-    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val cb = Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding", cents,
+      m = 4, ks = 8)
     VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
     // candK >= any probed population => shortlist = everything => the
     // ADC stage changes WHAT was read, never the answer
@@ -82,7 +83,8 @@ class VectorIndexSpec extends SparkSpec {
   test("IVFADC candidate scan reads codes, not vectors (column pruning)") {
     val path = tmpDir("vecidx_pq_prune")
     val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
-    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val cb = Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding", cents,
+      m = 4, ks = 8)
     VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
     val q = VectorIndex.topKPq(spark, queries.limit(1), "vec_id", "embedding",
       path, k = 3, nprobe = 1, candK = 200)
@@ -118,10 +120,27 @@ class VectorIndexSpec extends SparkSpec {
     assert(badEx.isEmpty, s"IVFADC shuffled array columns: $badEx")
   }
 
+  test("raw (residual=false) layout is self-describing and probes correctly") {
+    val path = tmpDir("vecidx_pq_raw")
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
+    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path,
+      residual = false)
+    val (loaded, flag) = Similarity.loadPqCodebooks(spark, s"$path/codebooks")
+    assert(!flag, "raw layout must load with residual = false")
+    assert(loaded.map(_.map(_.toSeq).toSeq).toSeq === cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // the probe reads the flag from the layout, not from the caller
+    val adc = VectorIndex.topKPq(spark, queries, "vec_id", "embedding", path,
+      k = 3, candK = 200)
+    val plain = VectorIndex.topK(spark, queries, "vec_id", "embedding", path, k = 3)
+    assert(adc.exceptAll(plain).count() === 0 && plain.exceptAll(adc).count() === 0)
+  }
+
   test("IVFADC default shortlist still finds the true cluster neighbors") {
     val path = tmpDir("vecidx_pq_recall")
     val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
-    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val cb = Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding", cents,
+      m = 4, ks = 8)
     VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
     val r = VectorIndex.topKPq(spark, queries, "vec_id", "embedding", path, k = 3)
       .collect()
@@ -135,7 +154,8 @@ class VectorIndexSpec extends SparkSpec {
   test("append encodes the batch under frozen codebooks (PQ-aware ingest)") {
     val path = tmpDir("vecidx_pq_append")
     val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
-    val cb = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    val cb = Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding", cents,
+      m = 4, ks = 8)
     VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
     // a fresh vector deep inside cluster 2
     val v = Array.fill(dim)(0.0f); v(2) = 11f
