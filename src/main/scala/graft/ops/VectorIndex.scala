@@ -287,6 +287,34 @@ object VectorIndex {
     swap.dropBak()
   }
 
+  /** Quantization-health twin of [[drift]] for PQ layouts: per-cell
+    * mean/max squared ADC reconstruction error
+    * ‖prepared(v) − reconstruct(code(v))‖² recomputed from the stored
+    * rows (one scan; vec + code + the broadcast centroid table in
+    * residual mode). [[drift]] says the CELLS no longer fit the data;
+    * this says the CODEBOOKS don't: appends under a frozen quantizer
+    * shift the residual distribution, reconstruction error creeps up,
+    * and ADC shortlists admit ever-worse candidates at fixed candK.
+    * Retrain codebooks (and re-encode via [[buildWithPq]]) when a
+    * cell's mean error drifts well past its build-time value. */
+  def pqDrift(spark: SparkSession, path: String): DataFrame = {
+    val (cb, residual) = Similarity.loadPqCodebooks(spark, s"$path/codebooks")
+    val cbL = Similarity.pqLit(cb)
+    val dsub = cb(0)(0).length
+    val rows = spark.read.parquet(s"$path/vectors")
+    val prepared =
+      if (!residual) Similarity.normalizedCol(col("vec"))
+      else Similarity.residualCol(Similarity.normalizedCol(col("vec")), col("centroid"))
+    val base =
+      if (!residual) rows
+      else rows.join(broadcast(spark.read.parquet(s"$path/centroids")), Seq("cell"))
+    base
+      .withColumn("_err", Similarity.adcDistCol(prepared, col("code"), cbL, dsub))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vectors"),
+        avg("_err").as("mean_sq_err"), max("_err").as("max_sq_err"))
+  }
+
   /** Per-cell occupancy report + imbalance summary, from footer row
     * counts only: `(cell, n_vectors, share, imbalance)` where imbalance
     * = n_vectors / mean-occupancy. Empty cells (never assigned or

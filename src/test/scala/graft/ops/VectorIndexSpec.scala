@@ -151,6 +151,32 @@ class VectorIndexSpec extends SparkSpec {
         s"query ${row.getLong(0)} got cross-cluster neighbor ${row.getLong(1)}")
   }
 
+  test("pqDrift reports per-cell reconstruction error from the stored rows") {
+    val path = tmpDir("vecidx_pq_drift")
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
+    val cb = Similarity.trainPqCodebooksResidual(corpus, "vec_id", "embedding", cents,
+      m = 4, ks = 8)
+    VectorIndex.buildWithPq(cents, cb, corpus, "vec_id", "embedding", path)
+    val d = VectorIndex.pqDrift(spark, path).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(d.size === 4, s"one row per populated cell: $d")
+    assert(d.values.map(_._1).sum === 100L)
+    for ((cell, (_, mean, mx)) <- d) {
+      assert(mean >= 0.0 && !mean.isNaN && mx >= mean,
+        s"cell $cell: mean=$mean max=$mx")
+      // residual codebooks trained on this very corpus reconstruct it
+      // tightly — the build-time baseline a drift watcher compares to
+      assert(mean < 0.1, s"cell $cell build-time error unexpectedly large: $mean")
+    }
+    // drift works on raw layouts too (flag read from the layout)
+    val rawPath = tmpDir("vecidx_pq_drift_raw")
+    val cbRaw = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding", m = 4, ks = 8)
+    VectorIndex.buildWithPq(cents, cbRaw, corpus, "vec_id", "embedding", rawPath,
+      residual = false)
+    val dr = VectorIndex.pqDrift(spark, rawPath).collect()
+    assert(dr.length === 4 && dr.forall(r => r.getDouble(2) >= 0.0))
+  }
+
   test("append encodes the batch under frozen codebooks (PQ-aware ingest)") {
     val path = tmpDir("vecidx_pq_append")
     val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding", nlist = 4)
