@@ -1501,6 +1501,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")),
 
+    // temperature mixture: targets ∝ count^0.5 (sqrt — correctly
+    // rounded IEEE, so the oracle rebuilds every per-domain target
+    // bit-for-bit), drawn as each domain's hash-smallest keys
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(t(s, dir, "documents"),
+          col("doc_id"), "source", alpha = 0.5, totalRows = 250L)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
     // per-domain token budgets drawn in hash order (the "N tokens of
     // source X" mixture contract; prefix-of-hash-order membership)
     "text_token_budget" -> ((s, dir) =>
@@ -2997,6 +3006,23 @@ object SparkEntry {
         |    WHEN 'src1' THEN 2147483648 WHEN 'src2' THEN 1073741824
         |    WHEN 'src3' THEN 429496729 ELSE 214748364 END
         |ORDER BY doc_id""".stripMargin,
+
+    // per-domain targets recomputed with sqrt + a lexicographically
+    // ORDERED weight sum (addition order pins the last ulp), then the
+    // same hash-prefix membership as the Spark draw
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+        |s AS (SELECT CAST(SUM(wt ORDER BY source) AS DOUBLE) AS sw FROM w),
+        |t AS (SELECT source, CAST(floor(250 * (wt / (SELECT sw FROM s))) AS BIGINT) AS tgt FROM w),
+        |h AS (SELECT doc_id, lang, source,
+        |    (doc_id * 2654435761) % 4294967296 AS hh FROM documents
+        |  WHERE source IS NOT NULL),
+        |r AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h)
+        |SELECT doc_id, lang, source FROM r JOIN t USING (source)
+        |WHERE rn <= tgt ORDER BY doc_id""".stripMargin,
 
     "text_token_budget" ->
       """WITH d AS (SELECT doc_id, source,

@@ -247,6 +247,56 @@ object Sampling {
       .drop("_h", "_r", "_dom", "_r2", "_off", "_cum")
   }
 
+  /** Temperature-flattened domain mixture (the `count^α` re-weighting
+    * of Gopher/PaLM-style training mixes): domain `d` with `n_d` rows
+    * gets a target of `t_d = ⌊totalRows · n_d^α / Σ n^α⌋` rows, drawn
+    * as its `t_d` hash-smallest keys. `α = 1` is a uniform downsample
+    * (targets ∝ sizes); `α = 0` gives every domain the same target
+    * (capped at its size); between, small domains are progressively
+    * upweighted relative to their share — the standard knob for "don't
+    * let the crawl drown the curated sources" without hand-writing
+    * per-domain weights the way [[mixtureSample]] expects.
+    *
+    * Exactness contract: weights use `sqrt` at α = 0.5 and the plain
+    * count at α ∈ {0, 1} (all correctly-rounded IEEE ops), and Σ n^α
+    * accumulates in lexicographic domain order — so an ANSI oracle
+    * reproduces every `t_d` bit-for-bit. Other α go through `pow`,
+    * whose last-ulp rounding is implementation-defined (may flip a
+    * boundary row vs another engine — fine for production, not for a
+    * hash gate). The floor allocation can leave up to #domains−1 of
+    * `totalRows` unassigned; that remainder is the price of exact
+    * reproducibility (largest-remainder rounding would need a
+    * tie-break policy leaking into every oracle).
+    *
+    * Scale shape: one domain-sized count aggregate collects to the
+    * driver (the operator's design envelope — domains are config-sized,
+    * like the mixture CASE chain), then the draw IS
+    * [[tokenBudgetSample]] with unit tokens, inheriting its skew-safe
+    * two-phase prefix: a dominant domain spreads over `subRanges`
+    * tasks instead of one reducer. Rows with a NULL domain are
+    * dropped (budget 0), like unlisted domains in [[mixtureSample]]. */
+  def temperatureMixture(df: DataFrame, keyCol: Column, domainCol: String,
+                         alpha: Double, totalRows: Long,
+                         subRanges: Int = 0): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(totalRows >= 0L, s"totalRows must be >= 0, got $totalRows")
+    val counts = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    def weight(n: Long): Double =
+      if (alpha == 1.0) n.toDouble
+      else if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 0.0) { if (n > 0) 1.0 else 0.0 }
+      else math.pow(n.toDouble, alpha)
+    val weights = counts.map { case (d, n) => d -> weight(n) }
+    val sumW = weights.foldLeft(0.0)(_ + _._2) // lexicographic order — oracle-replicable
+    val targets = weights.map { case (d, wd) =>
+      d -> (if (sumW > 0.0) math.floor(totalRows.toDouble * (wd / sumW)).toLong else 0L)
+    }.toMap
+    tokenBudgetSample(df, keyCol, lit(1L), domainCol, targets,
+      defaultBudget = 0L, subRanges = subRanges)
+  }
+
   /** Fixed-size-per-stratum sampling: the first `k` rows of each stratum
     * in a caller-chosen deterministic order (pass a hash-of-key ordering
     * for a pseudo-random draw, or a quality score for top-k selection).

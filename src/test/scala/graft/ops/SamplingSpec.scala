@@ -187,6 +187,50 @@ class SamplingSpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, s"lang${i % 4}", 10L + i % 90)).toDF("id", "lang", "toks")
   }
 
+  test("temperatureMixture: alpha=1 is a uniform downsample, alpha=0 equalizes domains") {
+    import spark.implicits._
+    // skewed domains: 600 / 300 / 100
+    val df = ((0 until 600).map(i => (i.toLong, "big")) ++
+      (600 until 900).map(i => (i.toLong, "mid")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))).toDF("id", "source")
+    val at1 = Sampling.temperatureMixture(df, col("id"), "source", 1.0, 500L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets = floor(500 * n_d / 1000)
+    assert(at1 === Map("big" -> 300L, "mid" -> 150L, "small" -> 50L))
+    val at0 = Sampling.temperatureMixture(df, col("id"), "source", 0.0, 240L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal targets: floor(240/3) = 80 each
+    assert(at0 === Map("big" -> 80L, "mid" -> 80L, "small" -> 80L))
+  }
+
+  test("temperatureMixture: alpha=0.5 upweights small domains; targets capped by size") {
+    import spark.implicits._
+    val df = ((0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))).toDF("id", "source")
+    val m = Sampling.temperatureMixture(df, col("id"), "source", 0.5, 400L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weights 30 / 10 -> targets floor(300)/floor(100); small's
+    // SHARE (25%) exceeds its corpus share (10%)
+    assert(m === Map("big" -> 300L, "small" -> 100L))
+    // a target above the domain size keeps the whole domain, no more
+    val all = Sampling.temperatureMixture(df, col("id"), "source", 0.0, 4000L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all === Map("big" -> 900L, "small" -> 100L))
+  }
+
+  test("temperatureMixture: deterministic, and growing the budget only adds rows") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "source")
+    val a = Sampling.temperatureMixture(df, col("id"), "source", 0.5, 300L)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixture(df, col("id"), "source", 0.5, 300L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val bigger = Sampling.temperatureMixture(df, col("id"), "source", 0.5, 600L)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(bigger), "hash-prefix membership must nest in the budget")
+  }
+
   test("tokenBudgetSample never exceeds a domain's budget") {
     val df = tokenCorpus(2000)
     val out = Sampling.tokenBudgetSample(df, col("id"), col("toks"), "lang",
