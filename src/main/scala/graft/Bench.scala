@@ -58,8 +58,11 @@ object Bench {
     // corpus × queries pairs — both slopes need a measured 10× point;
     // the despan rewrite adds a doc-keyed text join on top of the
     // substring shuffle, and the disk IVFADC probe's bytes should
-    // scale with probed cells' codes, not the corpus
-    "dedup_substring", "sim_pq_topk", "dedup_despan", "sim_indexed_pq")
+    // scale with probed cells' codes, not the corpus. The substring
+    // pair run as _force probes: their queries-map forms end in a
+    // row-preserving left join that count() join-eliminates, timing a
+    // bare scan (see SparkEntry.scaleProbes)
+    "dedup_substring_force", "sim_pq_topk", "dedup_despan_force", "sim_indexed_pq")
 
   private val copies = 10
   private val orderOff = 10000000L
@@ -175,7 +178,14 @@ object Bench {
     // flat-cost claim (index-size-insensitive probe) needs its third
     // scale point; the one-time index build is amortized by the
     // per-session cache, so the warm number is the probe alone
-    "dedup_incremental")
+    "dedup_incremental",
+    // round-9: substring dedup is the steepest row multiplier in the
+    // family (one shuffled row per 8-token WINDOW — Σ tokens, ~100×
+    // the doc count), so the wide window-hash stage gets its 100×
+    // point alongside the 10× one (as the _force probe — see
+    // SparkEntry.scaleProbes for why count() under-measures the
+    // queries-map form)
+    "dedup_substring_force")
 
   /** Per-copy affine substitution cipher over the lowercase alphabet:
     * letter j → (j·a + b) mod 26 with a coprime to 26 — a PERMUTATION,

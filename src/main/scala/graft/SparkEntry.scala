@@ -1827,7 +1827,27 @@ object SparkEntry {
     // its two exact anchors — identical to operatorTwins' entry): at
     // 100× the anchors dominate the scorecard time ~60:1, so the
     // operator's own scale slope needs its own probe name
-    "dedup_simhash_op" -> ((s, dir) => operatorTwins("dedup_simhash")(s, dir)))
+    "dedup_simhash_op" -> ((s, dir) => operatorTwins("dedup_simhash")(s, dir)),
+
+    // substringDup/removeDupSpans end in a row-preserving left join
+    // against a per-doc aggregate, and the bench forces queries with
+    // count(): Catalyst (correctly) eliminates the provably
+    // unique-keyed join and column-prunes the ENTIRE window-hash
+    // pipeline, so counting the queries-map entries times a bare
+    // document scan (measured: 0.2 s flat from sf0.1 to 100×). A
+    // global AGGREGATE doesn't help — its row count is statically 1,
+    // and count() collapses that too (measured: same 0.5 s). These
+    // probes group BY a value derived from the computed columns: the
+    // group count is unknowable without computing every row's value,
+    // so count() must execute the full pipeline.
+    "dedup_substring_force" -> ((s, dir) =>
+      queries("dedup_substring")(s, dir)
+        .groupBy(pmod(col("dup_windows") + col("dup_cov_tokens"), lit(16)))
+        .count()),
+    "dedup_despan_force" -> ((s, dir) =>
+      queries("dedup_despan")(s, dir)
+        .groupBy(pmod(col("n_removed") + length(col("clean_text")), lit(16)))
+        .count()))
 
   def oracleSql: Map[String, String] = Map(
     "lake_point" ->

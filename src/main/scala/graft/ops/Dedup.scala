@@ -1051,21 +1051,39 @@ object Dedup {
     * dup_windows, dup_spans, dup_cov_tokens, dup_fraction). Follow
     * with a threshold filter (e.g. `dup_fraction > 0.5`) or feed the
     * spans to a span-removal rewrite. */
+  /** Evaluate `e` once per row, handing its VALUE to `f` as a lambda
+    * variable — Catalyst has no CSE across higher-order-function
+    * lambdas, so a Column spliced into a lambda body re-evaluates at
+    * every usage site. For the window builders below that means the
+    * TOKENIZER (a regex split over the whole document) would run once
+    * per WINDOW instead of once per document — measured 40× on the
+    * sf0.1 corpus (~290 windows/doc) before binding. Same trick as
+    * Similarity's PQ expressions. */
+  private def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** Window-hash column: xxhash64 of each k-token window of the BOUND
+    * token array (empty when the doc is shorter than k). */
+  private def windowHashes(tk: Column, k: Int): Column =
+    when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => xxhash64(array_join(slice(tk, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+
   def substringDup(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", k: Int = 8,
                    minCount: Int = 2): DataFrame = {
     require(k >= 2, s"window length k must be >= 2, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    TextAnalysis.requireFree(docs, "_toks", "_ntok", "_wins", "_nwin",
+    TextAnalysis.requireFree(docs, "_toks", "_ntok", "_wins", "_nwin", "_tw",
       "_pos", "_wh", "_c", "_newspan", "_span", "_s", "_e", "_nw")
-    val toks = col("_toks")
     val base = docs
-      .select(col(idCol), TextAnalysis.tokensCol(col(textCol)).as("_toks"))
-      .select(col(idCol), size(toks).as("_ntok"),
-        when(size(toks) >= k,
-          transform(sequence(lit(0), size(toks) - k),
-            i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
-          .otherwise(array().cast("array<bigint>")).as("_wins"))
+      .select(col(idCol),
+        bindOnce(TextAnalysis.tokensCol(col(textCol))) { tk =>
+          struct(size(tk).as("_ntok"), windowHashes(tk, k).as("_wins"))
+        }.as("_tw"))
+      .select(col(idCol), col("_tw")("_ntok").as("_ntok"),
+        col("_tw")("_wins").as("_wins"))
     val stats = base.select(col(idCol), col("_ntok"), size(col("_wins")).as("_nwin"))
     val wins = base.select(col(idCol), posexplode(col("_wins")).as(Seq("_pos", "_wh")))
     // the one wide stage: count occurrences per 8-byte window hash
@@ -1127,16 +1145,16 @@ object Dedup {
                      minCount: Int = 2): DataFrame = {
     require(k >= 2, s"window length k must be >= 2, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    TextAnalysis.requireFree(docs, "_toks", "_wins", "_pos", "_wh", "_c",
+    TextAnalysis.requireFree(docs, "_toks", "_wins", "_pos", "_wh", "_c", "_tw",
       "_canon", "_newspan", "_span", "_s", "_e", "_ivs", "_kept")
     val toks = col("_toks")
     val base = docs
-      .select(col(idCol), TextAnalysis.tokensCol(col(textCol)).as("_toks"))
-      .select(col(idCol), toks,
-        when(size(toks) >= k,
-          transform(sequence(lit(0), size(toks) - k),
-            i => xxhash64(array_join(slice(toks, i + 1, lit(k)), " "))))
-          .otherwise(array().cast("array<bigint>")).as("_wins"))
+      .select(col(idCol),
+        bindOnce(TextAnalysis.tokensCol(col(textCol))) { tk =>
+          struct(tk.as("_toks"), windowHashes(tk, k).as("_wins"))
+        }.as("_tw"))
+      .select(col(idCol), col("_tw")("_toks").as("_toks"),
+        col("_tw")("_wins").as("_wins"))
     val wins = base.select(col(idCol), posexplode(col("_wins")).as(Seq("_pos", "_wh")))
     // one wide stage: occurrence count AND first occurrence per window
     // hash, both partial-aggregating (struct min is field-lexicographic)
