@@ -253,6 +253,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ONLY=a,b,c — restrict every section to the named
+    // queries/probes: the probe-isolation knob for reconciling a
+    // full-session artifact number against a clean-JVM rerun (a probe
+    // late in the 130-query session inherits that session's page-cache
+    // and heap state; this isolates the operator's own cost). Not set
+    // by the driver — artifacts of record come from unfiltered runs.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(names: Seq[String]): Seq[String] =
+      only.fold(names)(o => names.filter(o.contains))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -304,7 +314,7 @@ object Bench {
       (times.toMap, errors.toMap)
     }
 
-    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val allNames = keep(SparkEntry.queries.keys.toSeq.sorted)
     val (cold, coldErrs) = run(allNames, sfDir) // pays codegen compile + JIT
     val (warm, warmErrs) = run(allNames, sfDir)
 
@@ -316,7 +326,9 @@ object Bench {
     def runTwins(): (Map[String, Double], Map[String, String]) = {
       val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      SparkEntry.operatorTwins.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.operatorTwins.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -350,8 +362,8 @@ object Bench {
         val tGen0 = System.nanoTime()
         scaleUp(spark, sfDir, sf1Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
-        val (sf1Cold, e1) = run(scaleQueries, sf1Dir)
-        val (sf1Warm, e2) = run(scaleQueries, sf1Dir)
+        val (sf1Cold, e1) = run(keep(scaleQueries), sf1Dir)
+        val (sf1Warm, e2) = run(keep(scaleQueries), sf1Dir)
         sf1Errors = e1 ++ e2
         val qs = sf1Warm.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
@@ -391,11 +403,11 @@ object Bench {
         val tGen0 = System.nanoTime()
         scaleUp100(spark, sfDir, sf10Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
-        val (_, e10cold) = run(scale100Queries, sf10Dir)
-        val (sf10Warm, e10) = run(scale100Queries, sf10Dir)
+        val (_, e10cold) = run(keep(scale100Queries), sf10Dir)
+        val (sf10Warm, e10) = run(keep(scale100Queries), sf10Dir)
         // dedup family: single timed pass (see scale100Dedup — compute-
         // bound, JIT-warmed by the sf1 section's identical plans)
-        val (sf10Ded, e10d) = run(scale100Dedup, sf10Dir)
+        val (sf10Ded, e10d) = run(keep(scale100Dedup), sf10Dir)
         val sf10Times = sf10Warm ++ sf10Ded
         sf10Errors = e10cold ++ e10 ++ e10d
         val qs = sf10Times.toSeq.sortBy(_._1)
@@ -444,12 +456,42 @@ object Bench {
     // matters, plus a `path` to the on-disk full JSON. A clipped JSON
     // line parses as NOTHING — a summary + pointer always parses.
     val fullLine = render(sec2)
+    // provenance stamp for the committed artifact: BENCH_FULL,
+    // BENCH_r{N} and PLANS numbers are measured at different times, and
+    // without the probing commit's SHA + wall-clock a stale artifact is
+    // indistinguishable from a regression. File copies only — the
+    // stdout line's 2000-char budget is spoken for.
+    val provenance = {
+      def gitSha(): String = try {
+        val rd = (p: String) => new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8").trim
+        val head = rd(".git/HEAD")
+        if (!head.startsWith("ref: ")) head.take(12)
+        else {
+          val ref = head.drop(5)
+          val loose = java.nio.file.Paths.get(".git/" + ref)
+          if (java.nio.file.Files.exists(loose)) rd(".git/" + ref).take(12)
+          else rd(".git/packed-refs").linesIterator
+            .collectFirst { case l if l.endsWith(" " + ref) => l.split(' ').head.take(12) }
+            .getOrElse("unknown")
+        }
+      } catch { case _: Exception => "unknown" }
+      s""","probe_sha":${jsonStr(gitSha())},"probe_utc":${jsonStr(java.time.Instant.now.toString)}""" +
+        (if (only.nonEmpty) ""","filtered":true""" else "")
+    }
+    val fileLine = fullLine.dropRight(1) + provenance + "}"
     // persist beside the repo: BENCH_LOCAL.json is the gitignored
     // scratch copy; BENCH_FULL.json is COMMITTED each round — the
-    // durable full-detail artifact whatever the stdout line carries
-    for (f <- Seq("BENCH_LOCAL.json", "BENCH_FULL.json"))
+    // durable full-detail artifact whatever the stdout line carries.
+    // A SPARK_GRAFT_ONLY-filtered run lands in BENCH_FILTERED.json
+    // instead: a probe-isolation experiment must never masquerade as
+    // the full artifact of record.
+    val artifacts =
+      if (only.isEmpty) Seq("BENCH_LOCAL.json", "BENCH_FULL.json")
+      else Seq("BENCH_FILTERED.json")
+    for (f <- artifacts)
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),
-        (fullLine + "\n").getBytes("UTF-8"))
+        (fileLine + "\n").getBytes("UTF-8"))
       catch { case _: java.io.IOException => () } // best-effort; stdout line is the contract
     // The full per-query map stopped fitting the driver's 2000-char
     // stdout tail near ~90 queries — the query NAMES alone are ~1.3k

@@ -36,7 +36,17 @@ final case class QueryTelemetry(
     filesSkippedMissing: Long,
     pruneSec: Double,
     nRecords: Option[Long],
-    elapsedSec: Option[Double])
+    elapsedSec: Option[Double],
+    /** Bytes the physical scan selected (Σ `filesSize` over the plan's
+      * parquet scan nodes) — the engine-side analog of the reference's
+      * per-query S3 BytesScanned log line (lakeshack.py:236-243,
+      * 258-263). Like `nRecords`, execution-side: `None` until the
+      * plan first runs. */
+    bytesScanned: Option[Long] = None,
+    /** Files the physical scan actually opened (Σ `numFiles`) — the
+      * executed-plan confirmation of the plan-time `filesScanned`
+      * prune counter. */
+    scanFiles: Option[Long] = None)
 
 /** The retrieval engine: prune files via the Metastore, then scan only the
   * surviving Parquet files with projection + conjunctive predicate
@@ -237,6 +247,37 @@ object Lakeshack {
     df.observe(name, count(lit(1)).as("n_records"))
   }
 
+  /** Sum (filesSize, numFiles) over every parquet scan node of an
+    * executed plan — descending into AQE's adaptively-executed subtree,
+    * which hides its children from the plain TreeNode walk. `None` when
+    * the plan has no file scan at all (e.g. an empty-relation shortcut),
+    * distinguishing "scanned zero bytes" from "nothing to measure". */
+  private def scanTotals(plan: org.apache.spark.sql.execution.SparkPlan)
+      : (Option[Long], Option[Long]) = {
+    var bytes = 0L; var files = 0L; var seen = false
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        // AQE materializes each stage behind a QueryStageExec whose
+        // subtree is NOT in `children` — without this case an adaptive
+        // plan reports no scan at all
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          () // already counted at its original site
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          seen = true
+          s.metrics.get("filesSize").foreach(m => bytes += m.value)
+          s.metrics.get("numFiles").foreach(m => files += m.value)
+        case _ => ()
+      }
+      p.children.foreach(walk)
+    }
+    walk(plan)
+    if (seen) (Some(bytes), Some(files)) else (None, None)
+  }
+
   private def ensureListener(spark: SparkSession): Unit =
     listenerSessions.synchronized {
       if (!listenerSessions.containsKey(spark)) {
@@ -244,12 +285,15 @@ object Lakeshack {
           override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
             qe.observedMetrics.foreach { case (name, row) =>
               Option(pending.remove(name)).foreach { case (owner, t) =>
+                val (bytes, nFiles) = scanTotals(qe.executedPlan)
                 val done = t.copy(nRecords = Some(row.getLong(0)),
-                  elapsedSec = Some(durationNs / 1e9))
+                  elapsedSec = Some(durationNs / 1e9),
+                  bytesScanned = bytes, scanFiles = nFiles)
                 owner.lastTelemetry = Some(done)
                 log.info(f"lakeshack.query complete: n_records=${row.getLong(0)} " +
                   f"elapsed_sec=${durationNs / 1e9}%.3f " +
-                  f"(files_scanned=${t.filesScanned}/${t.filesTotal})")
+                  f"(files_scanned=${t.filesScanned}/${t.filesTotal} " +
+                  f"bytes_scanned=${bytes.getOrElse(-1L)})")
               }
             }
           override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit =

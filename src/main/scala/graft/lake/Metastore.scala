@@ -239,7 +239,8 @@ object Metastore {
     * (metastore.py:385) with cluster task parallelism.
     */
   def buildFromFooters(spark: SparkSession, dataPath: String, clusterColumn: String,
-                       optionalColumns: Seq[String] = Nil): DataFrame = {
+                       optionalColumns: Seq[String] = Nil,
+                       onlyPaths: Seq[String] = Nil): DataFrame = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -258,7 +259,13 @@ object Metastore {
         Seq(StructField(c + "_min", dt), StructField(c + "_max", dt))
       })
 
-    val paths = listParquetFiles(spark, dataPath)
+    // `onlyPaths`: incremental-maintenance callers (an append that just
+    // produced a known set of new files) pass the new files explicitly —
+    // footers of the existing N files are NOT re-read per batch, which is
+    // the difference between O(batch) and O(table) stats upkeep. Schema
+    // inference above still samples the whole table so stat columns and
+    // types agree with a full rebuild.
+    val paths = if (onlyPaths.nonEmpty) onlyPaths else listParquetFiles(spark, dataPath)
     val colsB = spark.sparkContext.broadcast(cols)
     val typesB = spark.sparkContext.broadcast(sparkTypes)
     val confB = spark.sparkContext.broadcast(hadoopConfKVs(spark))

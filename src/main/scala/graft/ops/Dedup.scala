@@ -1019,6 +1019,25 @@ object Dedup {
       .drop("_kb_id")
   }
 
+  /** Evaluate `e` once per row, handing its VALUE to `f` as a lambda
+    * variable — Catalyst has no CSE across higher-order-function
+    * lambdas, so a Column spliced into a lambda body re-evaluates at
+    * every usage site. For the window builders below that means the
+    * TOKENIZER (a regex split over the whole document) would run once
+    * per WINDOW instead of once per document — measured 40× on the
+    * sf0.1 corpus (~290 windows/doc) before binding. Same trick as
+    * Similarity's PQ expressions. */
+  private def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** Window-hash column: xxhash64 of each k-token window of the BOUND
+    * token array (empty when the doc is shorter than k). */
+  private def windowHashes(tk: Column, k: Int): Column =
+    when(size(tk) >= k,
+      transform(sequence(lit(0), size(tk) - k),
+        i => xxhash64(array_join(slice(tk, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Substring-level duplication profile (the exact-substring dedup of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", re-expressed for Spark): every contiguous `k`-token
@@ -1051,25 +1070,6 @@ object Dedup {
     * dup_windows, dup_spans, dup_cov_tokens, dup_fraction). Follow
     * with a threshold filter (e.g. `dup_fraction > 0.5`) or feed the
     * spans to a span-removal rewrite. */
-  /** Evaluate `e` once per row, handing its VALUE to `f` as a lambda
-    * variable — Catalyst has no CSE across higher-order-function
-    * lambdas, so a Column spliced into a lambda body re-evaluates at
-    * every usage site. For the window builders below that means the
-    * TOKENIZER (a regex split over the whole document) would run once
-    * per WINDOW instead of once per document — measured 40× on the
-    * sf0.1 corpus (~290 windows/doc) before binding. Same trick as
-    * Similarity's PQ expressions. */
-  private def bindOnce(e: Column)(f: Column => Column): Column =
-    element_at(transform(array(e), f), 1)
-
-  /** Window-hash column: xxhash64 of each k-token window of the BOUND
-    * token array (empty when the doc is shorter than k). */
-  private def windowHashes(tk: Column, k: Int): Column =
-    when(size(tk) >= k,
-      transform(sequence(lit(0), size(tk) - k),
-        i => xxhash64(array_join(slice(tk, i + 1, lit(k)), " "))))
-      .otherwise(array().cast("array<bigint>"))
-
   def substringDup(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", k: Int = 8,
                    minCount: Int = 2): DataFrame = {

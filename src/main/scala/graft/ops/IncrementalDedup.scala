@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.lake.{ClusteredWriter, Metastore}
+
 /** Incremental near-duplicate detection against a PERSISTED MinHash-LSH
   * index — the 100 TB shape for a growing corpus: dedup each incoming
   * batch against everything already accepted WITHOUT re-fingerprinting
@@ -38,10 +40,16 @@ import org.apache.spark.sql.functions._
   *     the same recall contract, as the batch pipeline's;
   *   - verification cost is O(surviving candidate pairs · doc length).
   *   Each batch therefore costs one index-postings scan + one
-  *   sets-fetch scan + batch-sized narrow work. For micro-batches,
-  *   amortize the scans by grouping batches; for a lakehouse-resident
-  *   index, the postings scan prunes further if `postings/` is written
-  *   through [[graft.lake.ClusteredWriter]] on `bucket`.
+  *   sets-fetch scan + batch-sized narrow work — and both index scans
+  *   are ZONE-MAP-PRUNED: `postings/` is written through
+  *   [[graft.lake.ClusteredWriter]] clustered on `bucket` and `sets/`
+  *   on `doc`, with per-file min/max stats beside each
+  *   (`postings_stats/`, `sets_stats/`), so a probe reads only the
+  *   files whose key range intersects the batch's keys. At steady
+  *   state that turns the per-batch scans from O(index) to
+  *   O(batch · files-per-key). For micro-batches, amortize further by
+  *   grouping batches; run [[compact]] periodically to fold append-era
+  *   files (whole-range coverage) back into tight disjoint ranges.
   */
 object IncrementalDedup {
 
@@ -81,15 +89,102 @@ object IncrementalDedup {
   }
 
   /** Builds (or replaces) the index at `indexPath` from an accepted
-    * corpus. Both writes are narrow maps over `df` — no shuffle. */
+    * corpus.
+    *
+    * Both tables are written CLUSTERED on their probe key —
+    * `postings/` range-partitioned+sorted on `bucket`, `sets/` on `doc`
+    * (via [[graft.lake.ClusteredWriter]]) — and a per-file min/max
+    * zone map for each is harvested from the parquet footers into
+    * `postings_stats/` / `sets_stats/` ([[graft.lake.Metastore]]).
+    * Every probe then prunes its index scan to the files whose key
+    * range intersects the batch's keys (see [[ingestPairs]]): at
+    * steady state (batch ≪ index) the per-batch postings read shrinks
+    * from O(index) to O(batch · files-per-key) — the engine's own
+    * metastore pruning (reference metastore.py:414-481) applied to the
+    * engine's own dedup index. Clustering adds one range exchange at
+    * build time; probes stay may-contain-sound because every pruned
+    * read is re-filtered by the same semi-joins as before.
+    *
+    * `clusterFiles` targets ~128-512 MB per postings file at scale. */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  indexPath: String, numHashes: Int = 64, bands: Int = 32,
-                 shingleSize: Int = 3): Unit = {
-    Dedup.minhashBuckets(df, idCol, textCol, numHashes, bands, shingleSize)
-      .write.mode("overwrite").parquet(s"$indexPath/postings")
-    Dedup.shingleSets(df, idCol, textCol, shingleSize)
-      .write.mode("overwrite").parquet(s"$indexPath/sets")
-    writeMeta(df.sparkSession, indexPath, Meta(numHashes, bands, shingleSize))
+                 shingleSize: Int = 3, clusterFiles: Int = 16): Unit = {
+    val spark = df.sparkSession
+    ClusteredWriter.write(
+      Dedup.minhashBuckets(df, idCol, textCol, numHashes, bands, shingleSize),
+      s"$indexPath/postings", "bucket", clusterFiles)
+    ClusteredWriter.write(
+      Dedup.shingleSets(df, idCol, textCol, shingleSize),
+      s"$indexPath/sets", "doc", clusterFiles)
+    Metastore.buildFromFooters(spark, s"$indexPath/postings", "bucket")
+      .write.mode("overwrite").parquet(statsPath(indexPath, "postings"))
+    Metastore.buildFromFooters(spark, s"$indexPath/sets", "doc")
+      .write.mode("overwrite").parquet(statsPath(indexPath, "sets"))
+    writeMeta(spark, indexPath, Meta(numHashes, bands, shingleSize))
+  }
+
+  private def statsPath(indexPath: String, table: String) = s"$indexPath/${table}_stats"
+
+  /** Per-table telemetry of the LAST pruned index read in this JVM:
+    * `tablePath -> (files read, files on disk)`. The observability
+    * counterpart of [[graft.lake.QueryTelemetry]]'s prune counters,
+    * and what the spec pins the pruning claim on. */
+  val lastPrune =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  /** Probe-side prune list cap: past this many distinct key values the
+    * value-vs-interval broadcast join stops being obviously cheap and a
+    * batch that large touches most files anyway — fall back to the full
+    * scan (the pre-clustering behavior; results identical). */
+  private val MaxPruneValues = 1 << 18
+
+  private def listFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Zone-map-pruned read of an index table: only files whose stored
+    * [min,max] interval on the cluster key intersects `values` are
+    * scanned. May-contain semantics — every caller re-filters by an
+    * exact join, so pruning can only shrink I/O, never change results.
+    *
+    * Soundness under maintenance races: a file on disk but missing
+    * from the stats table (a crash landed between an append and its
+    * stats upsert) is ALWAYS read; a stats row pointing at a deleted
+    * file (a crash inside compact's swap) is ignored because the kept
+    * list is intersected with the live listing. Falls back to the full
+    * scan when the stats table does not exist (an index built before
+    * clustering) or `values` exceeds [[MaxPruneValues]]. */
+  private def prunedRead(spark: SparkSession, tablePath: String,
+                         stats: String, values: Seq[Any]): DataFrame = {
+    val listing = listFiles(spark, tablePath)
+    if (!exists(spark, stats) || values.size > MaxPruneValues) {
+      lastPrune.put(tablePath, (listing.size, listing.size))
+      return spark.read.parquet(tablePath)
+    }
+    val st = Metastore.load(spark, stats)
+    val rows = st.select("filepath").collect().map(_.getString(0))
+    val known = rows.toSet
+    val kept = Metastore.prune(spark, st, values).toSet
+    val files = listing.filter(p => kept.contains(p) || !known.contains(p))
+    lastPrune.put(tablePath, (files.size, listing.size))
+    if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Probes `batch` against the index and returns one row PER BATCH DOC:
@@ -135,28 +230,58 @@ object IncrementalDedup {
       .localCheckpoint()
 
     if (appendKept) {
+      // batch ids, collected once for zone-map pruning of the anti-join's
+      // sets read (bounded by the batch size — the design regime m ≪ n;
+      // past MaxPruneValues prunedRead falls back to the full scan)
+      val batchIds = ids.collect().map(_.get(0)).toSeq
       val kept = batch.join(
           out.where(col("kept")).select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
         // idempotent append: a doc whose id the index already holds (a
         // REPLAYED micro-batch — the driver died between the append and
-        // the streaming commit) is not appended twice. One sets-scan
-        // anti-join per batch, the same order of work as the probe's own
-        // sets fetch.
-        .join(spark.read.parquet(s"$indexPath/sets").select(col("doc").as(idCol)),
+        // the streaming commit) is not appended twice. The anti-join
+        // only needs sets rows whose doc COULD be a batch id, so the
+        // scan is zone-map-pruned to the files whose [doc_min, doc_max]
+        // intersects the batch's ids — dropping a file that can't match
+        // cannot change an anti-join verdict.
+        .join(prunedRead(spark, s"$indexPath/sets", statsPath(indexPath, "sets"),
+            batchIds).select(col("doc").as(idCol)),
           Seq(idCol), "left_anti")
       // persist the kept set: the two appends below would otherwise
       // re-run the whole probe (out depends on the index being read)
       val keptP = kept.persist()
       try {
+        val postingsBefore = listFiles(spark, s"$indexPath/postings").toSet
+        val setsBefore = listFiles(spark, s"$indexPath/sets").toSet
         Dedup.minhashBuckets(keptP, idCol, textCol,
             meta.numHashes, meta.bands, meta.shingleSize)
           .write.mode("append").parquet(s"$indexPath/postings")
         Dedup.shingleSets(keptP, idCol, textCol, meta.shingleSize)
           .write.mode("append").parquet(s"$indexPath/sets")
+        // stats upkeep for the files THIS append produced (footer-only,
+        // O(batch) not O(table)); Metastore.update's left-anti makes a
+        // replayed upsert idempotent. A crash between the append above
+        // and this point leaves the new files unknown to the stats —
+        // prunedRead always reads unknown files, so probes stay sound
+        // until the next append (or compact) catches the stats up.
+        upsertStats(spark, indexPath, "postings", "bucket",
+          listFiles(spark, s"$indexPath/postings").filterNot(postingsBefore))
+        upsertStats(spark, indexPath, "sets", "doc",
+          listFiles(spark, s"$indexPath/sets").filterNot(setsBefore))
       } finally keptP.unpersist()
     }
     out
   }
+
+  /** Footer-harvest `newFiles` and upsert into the table's stats — part
+    * of the append path; skipped when the index predates clustering
+    * (no stats table → probes full-scan, exactly the old behavior). */
+  private def upsertStats(spark: SparkSession, indexPath: String,
+                          table: String, key: String,
+                          newFiles: Seq[String]): Unit =
+    if (newFiles.nonEmpty && exists(spark, statsPath(indexPath, table)))
+      Metastore.update(spark, statsPath(indexPath, table),
+        Metastore.buildFromFooters(spark, s"$indexPath/$table", key,
+          onlyPaths = newFiles))
 
   /** Continuous corpus ingest: each micro-batch is deduped against the
     * index (and itself), its verdicts land under
@@ -205,18 +330,31 @@ object IncrementalDedup {
   def compact(spark: SparkSession, indexPath: String,
               filesPerTable: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
-    Seq("postings", "sets").foreach { table =>
+    Seq("postings" -> "bucket", "sets" -> "doc").foreach { case (table, key) =>
       val live = new Path(s"$indexPath/$table")
       val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val swap = new graft.lake.SwapProtocol(fs, live, ".compact_tmp", ".compact_bak")
       swap.recover()
       swap.dropBak()
       swap.clearTmp()
-      spark.read.parquet(live.toString)
-        .repartition(filesPerTable)
-        .write.parquet(swap.tmp.toString)
+      // clustered rewrite, not a plain repartition: compaction is also
+      // when append-era files (each covering the batch's full key range)
+      // get re-sorted into tight disjoint ranges, restoring probe-time
+      // zone-map pruning to build-time quality
+      ClusteredWriter.write(spark.read.parquet(live.toString),
+        swap.tmp.toString, key, filesPerTable)
       swap.commit()
       swap.dropBak()
+      // stats rebuild AFTER the swap: every pre-compact row is replaced
+      // (all live under the table dir). Crash between commit and here →
+      // stats hold only orphan rows (intersected away by prunedRead's
+      // live-listing filter) and the new files are unknown (always
+      // read), so probes stay sound until the next compact/append.
+      // Creates the stats table if absent — compacting UPGRADES an
+      // index built before clustering to the prunable layout.
+      Metastore.replaceUnderPrefix(spark, statsPath(indexPath, table),
+        live.toString,
+        Metastore.buildFromFooters(spark, live.toString, key))
     }
   }
 
@@ -279,12 +417,27 @@ object IncrementalDedup {
     val batchPost: DataFrame = Dedup.minhashBuckets(batch, idCol, textCol,
       meta.numHashes, meta.bands, meta.shingleSize).localCheckpoint()
     val batchKeys = batchPost.select("band", "bucket").distinct()
-    // index postings: ONE scan, reduced to the batch's keys by a
-    // broadcast semi-join (the batch side is the small one by
-    // contract) — the index is never shuffled or sorted
-    val probed: DataFrame = spark.read.parquet(s"$indexPath/postings")
-      .join(probeSide(batchKeys), Seq("band", "bucket"), "left_semi")
-      .localCheckpoint()
+    // index postings: reduced to the batch's keys by a broadcast
+    // semi-join (the batch side is the small one by contract) — the
+    // index is never shuffled or sorted. The scan itself is zone-map-
+    // pruned to the files whose bucket range intersects the batch's
+    // buckets (postings are bucket-clustered at build/compact time), so
+    // at steady state the "ONE postings scan per batch" reads O(batch)
+    // files, not O(index) — the linear term the clustered layout
+    // removes. Backfill regime (broadcastProbe=false) skips pruning: a
+    // corpus-sized batch touches essentially every bucket range anyway,
+    // and its key list is past any sensible driver collect.
+    val probed: DataFrame = {
+      val postings =
+        if (broadcastProbe)
+          prunedRead(spark, s"$indexPath/postings",
+            statsPath(indexPath, "postings"),
+            batchKeys.select("bucket").distinct().collect().map(_.get(0)).toSeq)
+        else spark.read.parquet(s"$indexPath/postings")
+      postings
+        .join(probeSide(batchKeys), Seq("band", "bucket"), "left_semi")
+        .localCheckpoint()
+    }
     locally {
         // combined-population bucket cap — same bound as the batch
         // pipeline applies to a bucket of the unioned corpus, so the
@@ -297,6 +450,11 @@ object IncrementalDedup {
             Seq("band", "bucket"))
           .where(col("_ni") + col("_nb") <= maxBucket)
           .select("band", "bucket")
+        // eager checkpoint: cross is referenced three times below (the
+        // sets-fetch prune, its semi-join, and the verification union) —
+        // it is batch-bounded candidate pairs, cheap to pin, and pinning
+        // lets the prune collect its candidate ids without re-running
+        // the probe joins per reference
         val cross = probed
           .join(probeSide(okKeys), Seq("band", "bucket"), "left_semi")
           .select(col("band"), col("bucket"), col("doc").as("_old"))
@@ -308,15 +466,24 @@ object IncrementalDedup {
           .where(col("_new") =!= col("_old"))
           .select(col("_new").as("doc_a"), col("_old").as("doc_b"))
           .distinct()
+          .localCheckpoint()
         val within = Dedup.candidatePairsFromBuckets(
           batchPost, Seq("band", "bucket"), "doc", maxBucket)
 
         val batchSets = Dedup.shingleSets(batch, idCol, textCol, meta.shingleSize)
-        // only the candidate old-docs' sets are fetched: one sets scan,
-        // broadcast semi-join on the (batch-bounded) candidate id list
-        val oldSets = spark.read.parquet(s"$indexPath/sets")
-          .join(probeSide(cross.select(col("doc_b").as("doc")).distinct()),
-            Seq("doc"), "left_semi")
+        // only the candidate old-docs' sets are fetched: the sets scan
+        // is zone-map-pruned to files whose doc range intersects the
+        // (batch-bounded, checkpointed-above) candidate id list, then
+        // reduced exactly by the broadcast semi-join — same result, a
+        // candidate-sized read instead of a corpus-sized one. Backfill
+        // regime reads the full table (candidate list is corpus-scale).
+        val candidates = cross.select(col("doc_b").as("doc")).distinct()
+        val setsSrc =
+          if (broadcastProbe)
+            prunedRead(spark, s"$indexPath/sets", statsPath(indexPath, "sets"),
+              candidates.collect().map(_.get(0)).toSeq)
+          else spark.read.parquet(s"$indexPath/sets")
+        val oldSets = setsSrc.join(probeSide(candidates), Seq("doc"), "left_semi")
         val sets = batchSets.unionByName(oldSets)
 
         Dedup.verifiedJaccardOnSets(sets, cross.unionByName(within), threshold)

@@ -1036,7 +1036,13 @@ object Similarity {
       .crossJoin(broadcast(q.select(col("query_id"), col("_qn"))))
       .withColumn("_adist", adcDistCol(col("_qn"), col("code"), cbL, dsub))
       .select("query_id", "neighbor_id", "_adist")
-    val wA = Window.partitionBy("query_id").orderBy(col("_adist").asc, col("neighbor_id").asc)
+    // _adist ALONE — adding an id tiebreak would make the order total,
+    // collapsing rank() into row_number() and silently dropping tied
+    // candidates past the candK cut (the documented tie contract would
+    // then hold only by accident). Ties straddling the cut all survive
+    // (the shortlist may exceed candK by the tie width); the exact
+    // re-rank window below supplies final determinism.
+    val wA = Window.partitionBy("query_id").orderBy(col("_adist").asc)
     val cands = scored.withColumn("_arank", rank().over(wA))
       .where(col("_arank") <= candK)
       .select("query_id", "neighbor_id")
@@ -1068,10 +1074,15 @@ object Similarity {
       idCol, vecCol, k, candK)
   }
 
-  /** Persist trained PQ codebooks (same atomic two-rename swap as
-    * [[saveIvfIndex]]: readers see the old complete matrix or the new
-    * one, never a partial write). One row per subspace — m·ks·dsub
-    * floats, KBs. */
+  /** Persist trained PQ codebooks (same two-rename swap as
+    * [[saveIvfIndex]]: a reader never sees PARTIAL data — it reads the
+    * old complete matrix or the new one). The swap is not seamless:
+    * between rename(live→old) and rename(tmp→live) the live path is
+    * briefly absent, so a concurrent [[loadPqCodebooks]] can fail with
+    * path-not-found (retry), and a crash inside that window leaves the
+    * matrix stranded at `<path>.old` — [[recoverIvfIndex]] is
+    * path-generic and restores a codebook dir exactly as it does the
+    * centroid twin. One row per subspace — m·ks·dsub floats, KBs. */
   def savePqCodebooks(spark: org.apache.spark.sql.SparkSession, path: String,
                       cb: Array[Array[Array[Float]]],
                       residual: Boolean = false): Unit = {

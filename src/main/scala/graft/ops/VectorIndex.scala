@@ -244,7 +244,11 @@ object VectorIndex {
       .join(broadcast(qAdc), Seq("cell"))
       .withColumn("_adist", Similarity.adcDistCol(col("_qprep"), col("code"), cbL, dsub))
       .select("query_id", "neighbor_id", "_adist")
-    val wA = Window.partitionBy("query_id").orderBy(col("_adist").asc, col("neighbor_id").asc)
+    // _adist alone: an id tiebreak would totalize the order and turn
+    // rank() into row_number(), dropping tied candidates past the
+    // candK cut (see pqTopKWith — the tie contract the planted-copy
+    // oracle rests on); the exact re-rank supplies final determinism
+    val wA = Window.partitionBy("query_id").orderBy(col("_adist").asc)
     val cands = scored.withColumn("_arank", rank().over(wA))
       .where(col("_arank") <= candK)
       .select("query_id", "neighbor_id")

@@ -33,7 +33,7 @@ class TestdataCanarySpec extends SparkSpec {
       s"expected events.ts MISSING, got:\n${drifts.mkString("\n")}")
   }
 
-  test("all three accepted ts representations normalize to the same wall clock") {
+  test("all accepted ts representations (incl. INT96) normalize to the same wall clock") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val us = 1704067200123456L // 2024-01-01T00:00:00.123456Z
@@ -42,7 +42,25 @@ class TestdataCanarySpec extends SparkSpec {
       .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
     val asTz = Seq(Tuple1(us)).toDF("us")
       .select(timestamp_micros(col("us")).as("ts"))
-    val got = Seq(asLong, asNtz, asTz).map { df =>
+    // INT96 — the legacy Impala/Hive physical representation, still in
+    // the wild and a plausible future testdata-generator output. Spark
+    // can only produce it through an actual parquet round-trip
+    // (outputTimestampType=INT96); it loads back as TimestampType, so
+    // the canary proves normalizeTs absorbs the FILE, not just the
+    // in-memory dtype.
+    val asInt96 = {
+      val d = tmpDir("canary_int96")
+      val prev = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      try asTz.write.mode("overwrite").parquet(d)
+      finally prev.fold(spark.conf.unset("spark.sql.parquet.outputTimestampType"))(
+        spark.conf.set("spark.sql.parquet.outputTimestampType", _))
+      val back = spark.read.parquet(d)
+      assert(back.schema("ts").dataType === TimestampType,
+        "INT96 parquet must load as TimestampType")
+      back
+    }
+    val got = Seq(asLong, asNtz, asTz, asInt96).map { df =>
       val out = graft.streaming.EventsStream.normalizeTs(df, "timestamp_ntz")
       assert(out.schema("ts").dataType === TimestampNTZType)
       out.select(col("ts").cast("string")).as[String].head()

@@ -201,6 +201,32 @@ class LakeshackSpec extends SparkSpec {
     assert(t.elapsedSec.exists(_ >= 0.0))
   }
 
+  test("byte-level scan telemetry: pruned query scans fewer bytes than unpruned") {
+    // fresh instance per query so async completions can't cross-clobber
+    def bytesFor(values: Seq[Any]): (Long, Long, QueryTelemetry) = {
+      val own = Lakeshack(spark, dir, "id", Seq("timestamp"))
+      own.query(values).count()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var t = own.lastTelemetry.get
+      while (t.bytesScanned.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50); t = own.lastTelemetry.get
+      }
+      (t.bytesScanned.getOrElse(fail(s"no bytesScanned in $t")),
+        t.scanFiles.getOrElse(fail(s"no scanFiles in $t")), t)
+    }
+    val allIds = spark.read.parquet(dir).select("id").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (bPoint, fPoint, tPoint) = bytesFor(Seq(id0))
+    val (bAll, fAll, _) = bytesFor(allIds)
+    assert(bPoint > 0L, "a pruned point query must still report non-zero bytes")
+    assert(bPoint < bAll,
+      s"point query must scan fewer bytes than the full-domain control ($bPoint vs $bAll)")
+    // the executed plan's file count confirms the plan-time prune counter
+    assert(fPoint === tPoint.filesScanned,
+      s"physical numFiles $fPoint != prune counter ${tPoint.filesScanned}")
+    assert(fPoint < fAll)
+  }
+
   test("empty prune result reports zero-row telemetry immediately") {
     val before = shack.query(Seq("zz_no_such_id"))
     assert(before.count() === 0)

@@ -180,6 +180,81 @@ class IncrementalDedupSpec extends SparkSpec {
       "shuffled and broadcast probe strategies must agree exactly")
   }
 
+  test("clustered index: probes zone-map-prune the sets scan, results unchanged") {
+    // 200 accepted docs with ids 1..200 — doc-clustered sets split the
+    // id range into 8 disjoint files. A batch matching ONLY low-id docs
+    // must fetch candidate sets from a strict subset of those files.
+    val filler = (1L to 196L).map(i =>
+      (i + 4, s"filler document number $i with entirely unique content token$i about topic${i % 17}"))
+    val accepted = ((1L to 4L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again")) ++ filler)
+      .toDF("doc_id", "text")
+    val idx = freshIndex("prune")
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+      numHashes = 64, bands = 32, clusterFiles = 8)
+    assert(spark.read.parquet(s"$idx/sets_stats").count() >= 8L,
+      "build must harvest one stats row per sets file")
+
+    val batch = Seq((500L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    def pairs() = IncrementalDedup.ingestPairs(batch, "doc_id", "text", idx,
+        threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = pairs()
+    val (setsRead, setsTotal) = IncrementalDedup.lastPrune.get(s"$idx/sets")
+    assert(setsTotal >= 8, s"sets table must have >=8 files, saw $setsTotal")
+    assert(setsRead < setsTotal,
+      s"candidate ids 1..4 must prune the sets scan ($setsRead of $setsTotal read)")
+    assert(pruned === (1L to 4L).map((500L, _)).toSet)
+
+    // deleting the stats tables falls back to the full scan (an index
+    // built before clustering) — results must be identical
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/sets_stats"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/postings_stats"), true)
+    assert(pairs() === pruned, "stats-less fallback must return identical pairs")
+    val (fullRead, fullTotal) = IncrementalDedup.lastPrune.get(s"$idx/sets")
+    assert(fullRead === fullTotal, "without stats every file is read")
+
+    // compact UPGRADES the stats-less index back to the prunable layout
+    IncrementalDedup.compact(spark, idx, filesPerTable = 8)
+    assert(pairs() === pruned, "compacted index must return identical pairs")
+    val (compRead, compTotal) = IncrementalDedup.lastPrune.get(s"$idx/sets")
+    assert(compRead < compTotal,
+      s"compact must restore sets pruning ($compRead of $compTotal read)")
+  }
+
+  test("appended files are covered by stats and pruned probes stay sound") {
+    val accepted = (1L to 100L).map(i =>
+      (i, s"accepted base document $i unique content marker$i theme${i % 11}"))
+      .toDF("doc_id", "text")
+    val idx = freshIndex("appendstats")
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx,
+      numHashes = 64, bands = 32, clusterFiles = 4)
+    val stats0 = spark.read.parquet(s"$idx/sets_stats").count()
+    // kept batch appends postings+sets AND their stats rows
+    val b1 = Seq((200L, "wholly new content about clustered index stats upkeep"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingest(b1, "doc_id", "text", idx, threshold = 0.5,
+      appendKept = true)
+    val stats1 = spark.read.parquet(s"$idx/sets_stats").count()
+    assert(stats1 > stats0, "append must upsert stats rows for its new files")
+    // every on-disk file is known to the stats table (no unknown files
+    // left behind), and a probe for the appended doc still matches it
+    // canonicalize both via hadoop Path (file:///x vs file:/x)
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toString
+    val known = spark.read.parquet(s"$idx/sets_stats")
+      .select("filepath").collect().map(r => norm(r.getString(0))).toSet
+    val listed = spark.read.parquet(s"$idx/sets").inputFiles.map(norm).toSet
+    assert(listed.subsetOf(known), s"unknown sets files: ${listed -- known}")
+    val b2 = Seq((300L, "wholly new content about clustered index stats upkeep"))
+      .toDF("doc_id", "text")
+    val r = IncrementalDedup.ingest(b2, "doc_id", "text", idx, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getBoolean(1))).toMap
+    assert(r === Map(300L -> false), "probe must find the doc accepted by append")
+  }
+
   test("maxBucket caps combined index+batch bucket population") {
     // 30 identical accepted docs + 1 identical batch doc: every bucket
     // holding them has combined population 31 > maxBucket=30 → all
