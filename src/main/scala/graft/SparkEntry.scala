@@ -1244,6 +1244,36 @@ object SparkEntry {
     // withCanonical ∘ splitAssign under the toolkit's one hash line;
     // the oracle re-derives components recursively and applies the
     // same split thresholds to the canonical.
+    // END-TO-END curation REWRITE pipeline (the composability pin for
+    // the rewrite family, as pipeline_assemble is for sampling):
+    // substring-despan → token-count quality gate on the CLEANED text →
+    // exact-content canonicalization of the cleaned text → leakage-safe
+    // split keyed on the canonical. ONE documents scan feeds the whole
+    // plan; the canonicalization window partitions on md5(clean_text),
+    // so its exchange carries a 32-char digest, never the rewritten
+    // text. The oracle rebuilds every stage from raw token strings, so
+    // the hash check pins span removal, the gate arithmetic, canonical
+    // choice AND the split hash in one verdict — the shape a real
+    // curation run composes before training.
+    "pipeline_clean" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" " + substringBoilerplate)))
+          .otherwise(col("text")))
+      val gated = Dedup.removeDupSpans(planted)
+        .where(col("n_tokens") - col("n_removed") >= 20)
+        .select(col("doc_id"),
+          (col("n_tokens") - col("n_removed")).as("clean_tokens"),
+          md5(col("clean_text")).as("_ck"))
+      val canon = gated
+        .withColumn("canonical_id", min(col("doc_id")).over(Window.partitionBy(col("_ck"))))
+        .drop("_ck")
+      Sampling.splitAssign(canon, col("canonical_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("clean_tokens"), col("canonical_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccard(
@@ -2619,6 +2649,53 @@ object SparkEntry {
     // same recursive-CTE components as dedup_clusters, then the
     // sample_split thresholds applied to the CANONICAL (0.9 →
     // 3865470566, 0.95 → 4080218931; last range unconditional)
+    // despan CTE chain (as dedup_despan), then gate/canonical/split —
+    // the split hash constants are splitAssign's knuth multiplier at
+    // 0.9/0.95 · 2^32, identical to pipeline_safe_split's
+    "pipeline_clean" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN text || ' $substringBoilerplate' ELSE text END AS text
+         |  FROM documents),
+         |base AS (SELECT doc_id, $normToks AS tk FROM p),
+         |st AS (SELECT doc_id, len(tk) AS ntok, tk FROM base),
+         |wins AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(tk, i, i + 7), ' ') AS w
+         |  FROM st, LATERAL (SELECT unnest(generate_series(1, ntok - 7)) AS i) g
+         |  WHERE ntok >= 8),
+         |occ AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+         |    COUNT(*) OVER (PARTITION BY w) AS c
+         |  FROM wins),
+         |red AS (SELECT doc_id, pos FROM occ WHERE c >= 2 AND rn > 1),
+         |isl AS (SELECT doc_id, pos,
+         |    CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -9) + 8 THEN 1 ELSE 0 END AS ns
+         |  FROM red),
+         |sp AS (SELECT doc_id, pos, SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS span FROM isl),
+         |spa AS (SELECT doc_id, span, MIN(pos) AS s, MAX(pos) AS e FROM sp GROUP BY 1, 2),
+         |toksx AS (SELECT doc_id, i - 1 AS tpos, tk[i] AS tok
+         |  FROM st, LATERAL (SELECT unnest(generate_series(1, ntok)) AS i) g
+         |  WHERE ntok > 0),
+         |keep AS (SELECT t.doc_id, t.tpos, t.tok FROM toksx t
+         |  WHERE NOT EXISTS (SELECT 1 FROM spa s
+         |    WHERE s.doc_id = t.doc_id AND t.tpos BETWEEN s.s AND s.e + 7)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         |    COUNT(*) AS nk
+         |  FROM keep GROUP BY 1),
+         |gated AS (
+         |  SELECT st.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+         |    COALESCE(nk, 0) AS nk
+         |  FROM st LEFT JOIN agg USING (doc_id)
+         |  WHERE COALESCE(nk, 0) >= 20),
+         |canon AS (
+         |  SELECT doc_id, nk,
+         |    MIN(doc_id) OVER (PARTITION BY clean_text) AS canonical_id
+         |  FROM gated)
+         |SELECT doc_id, CAST(nk AS BIGINT) AS clean_tokens, canonical_id,
+         |  CASE WHEN (canonical_id * 2654435761) % 4294967296 < 3865470566 THEN 'train'
+         |       WHEN (canonical_id * 2654435761) % 4294967296 < 4080218931 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM canon ORDER BY doc_id""".stripMargin,
+
     "pipeline_safe_split" ->
       s"""WITH RECURSIVE toks AS (
          |  SELECT doc_id, $normToks AS tk FROM documents),
