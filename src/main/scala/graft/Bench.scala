@@ -52,6 +52,10 @@ object Bench {
     // probe must stay near-linear) and the cell-partition-pruned ANN
     // read (probed bytes should grow with the corpus, not the layout)
     "dedup_incremental", "sim_indexed_topk",
+    // round-10: the backfill-regime strategy (shuffle-probe, uncapped
+    // batch) gets its own measured point — the spec pins result parity
+    // with the broadcast strategy, this pins its price
+    "dedup_incremental_backfill",
     // round-9 late additions: substring dedup's wide stage shuffles one
     // row per token window (the steepest row-multiplier in the dedup
     // family — Σ tokens, not Σ docs), and PQ's ADC stage scans
@@ -157,7 +161,15 @@ object Bench {
   /** 100× probe: the queries whose 10× slope was steepest in round 6
     * (dedup_embedding_lsh 7.7×, sim_lsh_topk 5.2×, q_skew_join 5.2×) —
     * the ones whose next scale step most needs measuring, not arguing. */
-  private val scale100Queries = Seq("q_skew_join", "sim_lsh_topk", "dedup_embedding_lsh")
+  private val scale100Queries = Seq("q_skew_join", "sim_lsh_topk", "dedup_embedding_lsh",
+    // round-10: dedup_incremental moved here from the single-pass dedup
+    // list — its first call against a dir BUILDS the 100× index (the
+    // per-session cache can only amortize a build someone already
+    // paid), so the single-pass number silently measured build + probe:
+    // the r9 "40.1 s linear term" was mostly the one-time ingest
+    // investment. The cold pass now pays the build; the warm number is
+    // the steady-state probe the flat-cost claim is actually about.
+    "dedup_incremental")
   private val copies100 = 100
 
   /** Round-8 extension: the dedup family's steepest sf1 queries get a
@@ -174,11 +186,6 @@ object Bench {
     * path doesn't need. */
   private val scale100Dedup = Seq(
     "dedup_simhash", "dedup_simhash_op", "dedup_minhash", "dedup_semantic_linear",
-    // round-9: the fixed-size-batch probe against a 100× index — the
-    // flat-cost claim (index-size-insensitive probe) needs its third
-    // scale point; the one-time index build is amortized by the
-    // per-session cache, so the warm number is the probe alone
-    "dedup_incremental",
     // round-9: substring dedup is the steepest row multiplier in the
     // family (one shuffled row per 8-token WINDOW — Σ tokens, ~100×
     // the doc count), so the wide window-hash stage gets its 100×
@@ -350,6 +357,17 @@ object Bench {
     val opTotal = warm.map { case (k, v) => opWarm.getOrElse(k, v) }.sum
 
     // ── scaled section ──
+    // Session hygiene before each scale section: by this point ~260
+    // query executions have died in the 8 GB driver heap, and their
+    // unreferenced localCheckpoint blocks / broadcasts are reclaimed by
+    // ContextCleaner only after a GC notices them. Measured (round-10
+    // reconciliation, PLANS.md): the identical sf10 probes read
+    // 10.5/10.8/32.2 s in a fresh JVM vs 40/65/105 s late in the full
+    // session — most of the gap is dead-session heap pressure, not
+    // operator cost. An explicit GC (never clearCache — that would
+    // silently unpersist the LIVE engine caches and re-measure stats
+    // harvests as query time) narrows it honestly.
+    def sessionHygiene(): Unit = { System.gc(); Thread.sleep(500); System.gc() }
     // cache key includes the base dir's name: a run against sf0.01 must
     // not hand its scaled data to a later run against sf0.1
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
@@ -359,6 +377,7 @@ object Bench {
     var sf1Errors = Map.empty[String, String]
     if (!sys.env.contains("SPARK_GRAFT_NO_SF1")) {
       try {
+        sessionHygiene()
         val tGen0 = System.nanoTime()
         scaleUp(spark, sfDir, sf1Dir)
         val genSec = (System.nanoTime() - tGen0) / 1e9
@@ -398,6 +417,7 @@ object Bench {
     var sf10Errors = Map.empty[String, String]
     if (!sys.env.contains("SPARK_GRAFT_NO_SF1") && !sys.env.contains("SPARK_GRAFT_NO_SF10")) {
       try {
+        sessionHygiene()
         val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
           s"/tmp/graft_scale${copies100}_${new java.io.File(sfDir).getName}")
         val tGen0 = System.nanoTime()

@@ -101,6 +101,20 @@ object SparkEntry {
     * (session, dir) — same ingest-time-investment contract. */
   private val incrIndexCache = new SessionCache[String]
 
+  /** The (session, dir)-cached incremental-dedup index over the
+    * accepted split (base id ≢ 0 mod 3) of the planted corpus — shared
+    * by the capped steady-state probe (`dedup_incremental`) and the
+    * backfill-regime probe (`dedup_incremental_backfill`). */
+  private def incrIndexFor(s: SparkSession, dir: String): String =
+    incrIndexCache.getOrElseUpdate(s, dir) {
+      val planted = plantedDocs(s, dir)
+      val baseMod = pmod(pmod(col("doc_id"), lit(100000L)), lit(3))
+      val p = s"/tmp/graft_incr_${dirTag(dir)}"
+      IncrementalDedup.buildIndex(planted.where(baseMod =!= 0), "doc_id", "text",
+        p, numHashes = 64, bands = 32)
+      p
+    }
+
   /** dedup_semantic_fixedcell's centroids (nlist = n/cellSize, the
     * linear-law knob) — separate cache because the cell count differs
     * from semCentroidCache's auto-√n index over the same corpus. */
@@ -1170,13 +1184,8 @@ object SparkEntry {
       val planted = plantedDocs(s, dir)
       val baseMod = pmod(pmod(col("doc_id"), lit(100000L)), lit(3))
       val batch = planted.where(baseMod === 0 && col("doc_id") < 200000L)
-      val idx = incrIndexCache.getOrElseUpdate(s, dir) {
-        val p = s"/tmp/graft_incr_${dirTag(dir)}"
-        IncrementalDedup.buildIndex(planted.where(baseMod =!= 0), "doc_id", "text",
-          p, numHashes = 64, bands = 32)
-        p
-      }
-      IncrementalDedup.ingest(batch, "doc_id", "text", idx, threshold = 0.5)
+      IncrementalDedup.ingest(batch, "doc_id", "text", incrIndexFor(s, dir),
+          threshold = 0.5)
         .orderBy("doc_id")
     }),
 
@@ -1858,6 +1867,22 @@ object SparkEntry {
     // 100× the anchors dominate the scorecard time ~60:1, so the
     // operator's own scale slope needs its own probe name
     "dedup_simhash_op" -> ((s, dir) => operatorTwins("dedup_simhash")(s, dir)),
+
+    // BACKFILL-regime probe: ingestPairs with broadcastProbe = false
+    // and the UNCAPPED batch split (1/3 of the whole scaled corpus) —
+    // the exact regime the capped dedup_incremental entry documents
+    // itself NOT to serve. The probe joins then shuffle BOTH sides on
+    // (band, bucket) instead of broadcasting a corpus-sized batch to
+    // every executor; results are spec-pinned identical to the
+    // broadcast strategy, so this entry exists purely to price the
+    // exchange-both-sides plan at scale. Zone-map probe pruning is
+    // bypassed by design (a backfill touches every bucket range).
+    "dedup_incremental_backfill" -> ((s, dir) => {
+      val planted = plantedDocs(s, dir)
+      val baseMod = pmod(pmod(col("doc_id"), lit(100000L)), lit(3))
+      IncrementalDedup.ingestPairs(planted.where(baseMod === 0), "doc_id", "text",
+        incrIndexFor(s, dir), threshold = 0.5, broadcastProbe = false)
+    }),
 
     // substringDup/removeDupSpans end in a row-preserving left join
     // against a per-doc aggregate, and the bench forces queries with

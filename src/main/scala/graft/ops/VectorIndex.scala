@@ -268,6 +268,121 @@ object VectorIndex {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Partial retrain: re-cluster and rewrite ONLY the named cells —
+    * the proportionate response to a [[drift]]/[[pqDrift]] report,
+    * where a full re-[[build]] would rewrite 100 TB to fix the 2% of
+    * cells an append stream actually skewed.
+    *
+    * Mechanics: the drifted cells' vectors are read (partition-pruned),
+    * |cells| REPLACEMENT centroids are trained on exactly that
+    * population, spliced into the stored matrix at the same indices
+    * (atomic centroid swap — saved FIRST, so residual re-encoding below
+    * and every later probe use one matrix), and the vectors are
+    * re-assigned among the replacement centroids and rewritten, one
+    * two-rename swap per cell directory. PQ layouts re-encode under the
+    * frozen codebooks (residual codes change when centroids do).
+    *
+    * Untouched cells are never read, written, or renamed — their files
+    * stay byte-identical (spec-pinned). The price of that locality:
+    * re-assignment is RESTRICTED to the rebuilt set, so a vector now
+    * closer to an untouched centroid stays local — the standard local-
+    * reclustering approximation (IVF semantics are unchanged: cells
+    * approximate, probes rank exactly). The next full build globalizes.
+    *
+    * Probes never lose or double-count a vector at any point: every
+    * vector lives in exactly one live cell directory throughout, and
+    * scoring is exact over whatever cells are probed. Mid-rebuild
+    * (new matrix, pre-swap contents) the REBUILT cells' labels and
+    * contents are transiently inconsistent, so a probe whose nprobe
+    * does not cover the rebuilt set can transiently rank from the
+    * wrong cell — the same approximation class as probing a drifted
+    * index, which is the state that triggered the rebuild; a probe
+    * covering ≥ the rebuilt set returns pre-rebuild answers exactly
+    * (spec-pinned). A crash mid-swap is rolled back/forward by the
+    * next call's [[recoverRebuild]]; re-running the same rebuild is
+    * idempotent (deterministic training, same seed).
+    * Single-maintainer contract.
+    *
+    * Returns the merged matrix. */
+  def rebuildCells(spark: SparkSession, path: String, cells: Seq[Int],
+                   iters: Int = 3, seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.hadoop.fs.Path
+    require(cells.nonEmpty, "no cells to rebuild")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRebuild(spark, path)
+    val cents = Similarity.loadIvfIndex(spark, s"$path/centroids")
+    val cellSet = cells.distinct.sorted
+    cellSet.foreach(c => require(c >= 0 && c < cents.length,
+      s"cell $c out of range [0, ${cents.length})"))
+    val cbPath = new Path(s"$path/codebooks")
+    val hasPq = fs.exists(cbPath)
+
+    val sub = spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(cellSet: _*))
+      .select(col("id"), col("vec"))
+    require(sub.head(1).nonEmpty,
+      s"cells ${cellSet.mkString(",")} hold no vectors — nothing to rebuild")
+    val replacement = Similarity.trainIvfCentroids(sub, "id", "vec",
+      nlist = cellSet.size, iters = iters, seed = seed)
+    val merged = cents.map(_.clone())
+    cellSet.zipWithIndex.foreach { case (c, i) => merged(c) = replacement(i) }
+    Similarity.saveIvfIndex(spark, s"$path/centroids", merged)
+
+    // local argmax over the replacement centroids → global cell ids
+    val localToGlobal = array(cellSet.map(c => lit(c)): _*)
+    val reassigned = Similarity.assignedCells(sub, "vec", replacement)
+      .withColumn("cell", element_at(localToGlobal, col("cell") + 1))
+    val rows =
+      if (hasPq) {
+        val (cb, residual) = Similarity.loadPqCodebooks(spark, cbPath.toString)
+        encodeAssigned(reassigned, cb, residual, path)
+      } else reassigned
+    // stage everything BEFORE the first rename: the staging write is the
+    // only job that reads the live cells, so every swap below is pure
+    // metadata. Staging/backup live OUTSIDE vectors/ — a partial dir
+    // inside it would poison Hive partition discovery for every reader.
+    val staging = new Path(s"$path/vectors.rebuild_tmp")
+    val bakRoot = new Path(s"$path/vectors.rebuild_bak")
+    fs.delete(staging, true)
+    fs.delete(bakRoot, true)
+    rows.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(staging.toString)
+    fs.mkdirs(bakRoot)
+    cellSet.foreach { c =>
+      val live = new Path(s"$path/vectors/cell=$c")
+      val fresh = new Path(s"$staging/cell=$c")
+      val bak = new Path(s"$bakRoot/cell=$c")
+      if (fs.exists(live)) require(fs.rename(live, bak), s"could not stage $live aside")
+      // a rebuilt cell can drain to empty: its dir is then simply absent
+      if (fs.exists(fresh)) require(fs.rename(fresh, live), s"could not commit $fresh")
+    }
+    fs.delete(staging, true)
+    fs.delete(bakRoot, true)
+    merged
+  }
+
+  /** Rolls an interrupted [[rebuildCells]] back: any backed-up cell
+    * whose live directory is ABSENT (crash between its two renames) is
+    * restored, then leftover staging/backup trees are dropped. Cells
+    * whose swap completed keep their rebuilt contents — re-running the
+    * same rebuildCells call is the roll-forward (deterministic
+    * training re-derives the same layout). Called automatically at the
+    * start of every rebuild. */
+  def recoverRebuild(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bakRoot = new Path(s"$path/vectors.rebuild_bak")
+    if (fs.exists(bakRoot)) {
+      fs.listStatus(bakRoot).foreach { st =>
+        val live = new Path(s"$path/vectors/${st.getPath.getName}")
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live), s"could not restore ${st.getPath}")
+      }
+      fs.delete(bakRoot, true)
+    }
+    fs.delete(new Path(s"$path/vectors.rebuild_tmp"), true)
+  }
+
   /** Compacts the vector layout to one file per populated cell — every
     * appended micro-batch leaves a file in each cell it touched, and a
     * year of appends makes the partition-pruned probe pay per-file open

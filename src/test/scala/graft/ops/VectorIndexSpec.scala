@@ -271,6 +271,109 @@ class VectorIndexSpec extends SparkSpec {
     assert(after === before, "compaction must never change probe results")
   }
 
+  test("rebuildCells rewrites only the named cells; untouched files byte-identical; probes invariant") {
+    val path = tmpDir("vecidx_rebuild")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    // skew one cell: 30 more near-axis-0 vectors (drift's trigger state)
+    val extra = (0 until 30).map { i =>
+      val v = Array.fill(dim)(0.01f); v(0) = 8f + i * 0.02f
+      (5000L + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    VectorIndex.append(extra, "vec_id", "embedding", path)
+    // probe covering every cell ranks exactly over the full corpus —
+    // layout-independent ground truth for the invariance assertions
+    def probeAll() = VectorIndex.topK(spark, queries, "vec_id", "embedding",
+        path, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = probeAll()
+    val allIds = spark.read.parquet(s"$path/vectors")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val rebuilt = Seq(
+      spark.read.parquet(s"$path/vectors").where(col("id") === 0L)
+        .select("cell").head().getInt(0),
+      spark.read.parquet(s"$path/vectors").where(col("id") === 1000L)
+        .select("cell").head().getInt(0)).distinct.sorted
+    assert(rebuilt.size === 2, "clusters 0 and 1 must start in distinct cells")
+    def inventory(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$path/vectors"), true)
+      val buf = scala.collection.mutable.Map[String, (Long, Long)]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          buf(f.getPath.toString) = (f.getLen, f.getModificationTime)
+      }
+      buf.toMap
+    }
+    def untouchedOf(inv: Map[String, (Long, Long)]) =
+      inv.filterNot { case (p, _) => rebuilt.exists(c => p.contains(s"cell=$c/")) }
+    val invBefore = inventory()
+
+    val merged = VectorIndex.rebuildCells(spark, path, rebuilt)
+    assert(merged.length === 4)
+
+    // untouched cell files byte-identical (same paths, lengths, mtimes)
+    assert(untouchedOf(inventory()) === untouchedOf(invBefore),
+      "rebuild must not touch un-named cells' files")
+    // no vector lost or duplicated; the rebuilt population stayed local
+    val idsAfter = spark.read.parquet(s"$path/vectors")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(idsAfter.toSeq === allIds.toSeq)
+    val cellsAfter = spark.read.parquet(s"$path/vectors")
+      .where(col("id") === 0L || col("id") === 1000L || col("id") === 5000L)
+      .select("cell").collect().map(_.getInt(0)).toSet
+    assert(cellsAfter.subsetOf(rebuilt.toSet),
+      s"rebuilt vectors must stay within the rebuilt set, saw $cellsAfter")
+    // full-coverage probe invariant after the rebuild
+    assert(probeAll() === before, "rebuild must not change exact probe answers")
+    // ... and with the default (partial) nprobe the planted clusters
+    // are still recovered: each query's top-3 are its own cluster's ids
+    val part = VectorIndex.topK(spark, queries, "vec_id", "embedding", path, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(part.forall { case (q, n) => (q - 9000L) === n / 1000L || n >= 5000L },
+      s"default-nprobe probe must rank within the query's cluster: $part")
+
+    // MID-REBUILD state: new matrix committed, cell contents not yet
+    // swapped. Reproduce it exactly: a fresh index with the PRE-rebuild
+    // contents (same deterministic build + append), then splice in the
+    // merged matrix alone. A probe covering >= the rebuilt set must
+    // return the pre-rebuild answers (exact scoring over a layout that
+    // still holds every vector exactly once).
+    val pre = tmpDir("vecidx_rebuild_pre")
+    VectorIndex.build(corpus, "vec_id", "embedding", pre, nlist = 4)
+    VectorIndex.append(extra, "vec_id", "embedding", pre)
+    Similarity.saveIvfIndex(spark, s"$pre/centroids", merged)
+    val midProbe = VectorIndex.topK(spark, queries, "vec_id", "embedding",
+        pre, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(midProbe === before,
+      "mid-rebuild (new matrix, old cells) full-coverage probe must be invariant")
+  }
+
+  test("recoverRebuild restores a cell stranded mid-swap") {
+    val path = tmpDir("vecidx_rebuild_crash")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    val before = VectorIndex.topK(spark, queries, "vec_id", "embedding",
+        path, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // simulate a crash between the two renames of cell c: live moved to
+    // backup, replacement never committed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val c = spark.read.parquet(s"$path/vectors").select("cell").head().getInt(0)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/vectors.rebuild_bak"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/vectors/cell=$c"),
+      new org.apache.hadoop.fs.Path(s"$path/vectors.rebuild_bak/cell=$c")))
+    VectorIndex.recoverRebuild(spark, path)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/vectors/cell=$c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/vectors.rebuild_bak")))
+    val after = VectorIndex.topK(spark, queries, "vec_id", "embedding",
+        path, k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after === before)
+  }
+
   test("drift reports per-cell occupancy and imbalance from the layout") {
     val path = tmpDir("vecidx_drift")
     VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
