@@ -497,6 +497,7 @@ object Bench {
         }
       } catch { case _: Exception => "unknown" }
       s""","probe_sha":${jsonStr(gitSha())},"probe_utc":${jsonStr(java.time.Instant.now.toString)}""" +
+        s""","probe_cpus":$cpus""" +
         (if (only.nonEmpty) ""","filtered":true""" else "")
     }
     val fileLine = fullLine.dropRight(1) + provenance + "}"

@@ -115,6 +115,25 @@ object SparkEntry {
       p
     }
 
+  /** Disk-resident IVF index over the ACCEPTED split of the planted
+    * embedding corpus, for the incremental semantic dedup query. The
+    * split is chosen so the planted identical-twin structure exercises
+    * BOTH match kinds: base ids ≡ 0 (mod 3) are batch while their
+    * +100000 twins are accepted (cross matches through the index), and
+    * ids ≡ 1 put base AND twin in the batch (smaller-id within
+    * matches); ids ≡ 2 are index-only filler. */
+  private val semIncrIndexCache = new SessionCache[String]
+  private def semIncrBaseMod = pmod(pmod(col("vec_id"), lit(100000L)), lit(3))
+  private def semIncrIndexFor(s: SparkSession, dir: String): String =
+    semIncrIndexCache.getOrElseUpdate(s, dir) {
+      val planted = plantedEmbeddings(s, dir)
+      val accepted = planted.where(
+        (semIncrBaseMod === 0 && col("vec_id") >= 100000L) || semIncrBaseMod === 2)
+      val p = s"/tmp/graft_semincr_${dirTag(dir)}"
+      VectorIndex.build(accepted, "vec_id", "embedding", p)
+      p
+    }
+
   /** dedup_semantic_fixedcell's centroids (nlist = n/cellSize, the
     * linear-law knob) — separate cache because the cell count differs
     * from semCentroidCache's auto-√n index over the same corpus. */
@@ -1186,6 +1205,27 @@ object SparkEntry {
       val batch = planted.where(baseMod === 0 && col("doc_id") < 200000L)
       IncrementalDedup.ingest(batch, "doc_id", "text", incrIndexFor(s, dir),
           threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // incremental SEMANTIC dedup against the disk-resident IVF index
+    // (VectorIndex.ingestDedup — the embedding-space twin of
+    // dedup_incremental): the accepted split is laid out by cell, each
+    // batch vector probes its cells and matches residents (or
+    // smaller-id batch vectors) at cos >= 0.9 under the greedy min-id
+    // rule. The oracle recomputes the exact all-pairs cosine graph and
+    // applies the same rule in SQL — equality is a THEOREM on this
+    // corpus, not banding luck: the only >= 0.9 pairs are identical
+    // planted twins, which share their argmax cell under any centroids,
+    // so nprobe >= 1 finds every match (dedup_semantic's structural
+    // argument, now for the incremental form). Index built once per
+    // (session, dir); appendKept off so repeated probes are identical.
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val planted = plantedEmbeddings(s, dir)
+      val batch = planted.where(
+        (semIncrBaseMod === 0 && col("vec_id") < 100000L) || semIncrBaseMod === 1)
+      VectorIndex.ingestDedup(batch, "vec_id", "embedding",
+          semIncrIndexFor(s, dir), threshold = 0.9)
         .orderBy("doc_id")
     }),
 
@@ -2851,6 +2891,39 @@ object SparkEntry {
         |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos_raw, 6) AS cos FROM scored
         |WHERE cos_raw >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // exact all-pairs cosine graph + the same greedy batch/accepted
+    // rule as dedup_incremental's oracle, in embedding space: a batch
+    // vector is matched by any non-batch partner or any smaller-id
+    // batch partner at cos >= 0.9
+    "dedup_semantic_incremental" ->
+      """WITH pe AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+        |  FROM pe a JOIN pe b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM scored WHERE c >= 0.9),
+        |rel AS (
+        |  SELECT id_a AS d, id_b AS m FROM pairs
+        |  UNION ALL SELECT id_b AS d, id_a AS m FROM pairs),
+        |batch AS (
+        |  SELECT vec_id FROM pe
+        |  WHERE ((vec_id % 100000) % 3 = 0 AND vec_id < 100000)
+        |     OR (vec_id % 100000) % 3 = 1),
+        |m AS (
+        |  SELECT b.vec_id, r.m FROM batch b JOIN rel r ON r.d = b.vec_id
+        |  WHERE r.m NOT IN (SELECT vec_id FROM batch) OR r.m < b.vec_id)
+        |SELECT b.vec_id AS doc_id, COUNT(m.m) = 0 AS kept,
+        |  COUNT(m.m) AS n_matches, MIN(m.m) AS min_match_id
+        |FROM batch b LEFT JOIN m ON m.vec_id = b.vec_id
+        |GROUP BY b.vec_id ORDER BY doc_id""".stripMargin,
 
     // uncapped twin of dedup_embedding: the banded-LSH path must emit
     // the SAME verified pair set as the exact quadratic recomputation

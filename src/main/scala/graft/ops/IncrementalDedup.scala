@@ -138,25 +138,53 @@ object IncrementalDedup {
     * scan (the pre-clustering behavior; results identical). */
   private val MaxPruneValues = 1 << 18
 
-  private def listFiles(spark: SparkSession, dir: String): Seq[String] = {
+  private def listFiles(spark: SparkSession, dir: String): Seq[String] =
+    listEntries(spark, dir).map(_._1)
+
+  private def listEntries(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
     else {
       val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f.getPath.toString
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          buf += ((f.getPath.toString, f.getLen))
       }
       buf.toSeq
     }
   }
 
+  /** Below this many TABLE bytes a probe skips pruning and scans the
+    * whole table: the prune decision's fixed cost (a candidate-id
+    * collect, an eager checkpoint of the candidate pairs, a values
+    * sort) must stay well under the scan it would skip, and a few-MB
+    * toy index is one task wave either way — the first clustered cut
+    * paid ~2.5 s of decision machinery per probe at sf0.1 to prune a
+    * 4 MB table. At 100 TB the sets table is GBs-to-TBs and the
+    * threshold is irrelevant. Package-visible as the test seam (specs
+    * pin pruning on deliberately tiny tables) and an ops tuning knob.
+    * Default 128 MB ≈ one well-sized lake file: below that the whole
+    * table is a single scan task's worth of bytes. */
+  private[ops] var minPruneBytes: Long = 128L << 20
+
   /** Zone-map-pruned read of an index table: only files whose stored
     * [min,max] interval on the cluster key intersects `values` are
     * scanned. May-contain semantics — every caller re-filters by an
     * exact join, so pruning can only shrink I/O, never change results.
+    *
+    * The prune decision is DRIVER-SIDE MATH, not a Spark job: the
+    * stats rows (one per file) are collected once per (session, stats
+    * path) into a fingerprint-invalidated cache, and each probe does a
+    * binary search of its sorted values against each file's interval —
+    * O(F log V) on the driver. The first clustered-probe cut ran the
+    * decision as a stats-scan + broadcast join: ~3 extra Spark jobs
+    * per ingest, which REGRESSED the toy-scale scorecard (5.4 → 8.2 s
+    * at sf0.1) for machinery whose entire job is to cost less than the
+    * scan it skips. `values` is by-name so callers don't even pay
+    * their collect when the stats table is absent.
     *
     * Soundness under maintenance races: a file on disk but missing
     * from the stats table (a crash landed between an append and its
@@ -166,20 +194,86 @@ object IncrementalDedup {
     * scan when the stats table does not exist (an index built before
     * clustering) or `values` exceeds [[MaxPruneValues]]. */
   private def prunedRead(spark: SparkSession, tablePath: String,
-                         stats: String, values: Seq[Any]): DataFrame = {
-    val listing = listFiles(spark, tablePath)
-    if (!exists(spark, stats) || values.size > MaxPruneValues) {
+                         stats: String, values: => Seq[Any]): DataFrame = {
+    val entries = listEntries(spark, tablePath)
+    val listing = entries.map(_._1)
+    def full() = {
       lastPrune.put(tablePath, (listing.size, listing.size))
-      return spark.read.parquet(tablePath)
+      spark.read.parquet(tablePath)
     }
-    val st = Metastore.load(spark, stats)
-    val rows = st.select("filepath").collect().map(_.getString(0))
-    val known = rows.toSet
-    val kept = Metastore.prune(spark, st, values).toSet
-    val files = listing.filter(p => kept.contains(p) || !known.contains(p))
-    lastPrune.put(tablePath, (files.size, listing.size))
-    if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
-    else spark.read.parquet(files: _*)
+    if (entries.iterator.map(_._2).sum < minPruneBytes) return full()
+    cachedStats(spark, stats) match {
+      case None => full()
+      case Some(rows) =>
+        val vs = values.filter(_ != null).distinct
+        if (vs.size > MaxPruneValues) return full()
+        // any-NaN value defeats interval tests (footer stats exclude
+        // NaN by spec) — read everything, as Metastore.prunePairs does
+        val hasNan = vs.exists {
+          case d: java.lang.Double => d.isNaN
+          case f: java.lang.Float  => f.isNaN
+          case _ => false
+        }
+        val sorted = vs.toArray.sortWith(cmpLt)
+        def mayContain(min: Any, max: Any): Boolean =
+          min == null || max == null || hasNan || {
+            // first value >= min, then check it is <= max
+            var lo = 0; var hi = sorted.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (cmpLt(sorted(mid), min)) lo = mid + 1 else hi = mid
+            }
+            lo < sorted.length && !cmpLt(max, sorted(lo))
+          }
+        val known = rows.iterator.map(_._1).toSet
+        val kept = rows.iterator
+          .filter { case (_, mn, mx) => mayContain(mn, mx) }
+          .map(_._1).toSet
+        val files = listing.filter(p => kept.contains(p) || !known.contains(p))
+        lastPrune.put(tablePath, (files.size, listing.size))
+        if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
+        else spark.read.parquet(files: _*)
+    }
+  }
+
+  private def cmpLt(a: Any, b: Any): Boolean =
+    a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+
+  /** Stats rows `(filepath, min, max)` collected once per (session,
+    * stats path), invalidated by the stats directory's listing
+    * fingerprint (name + length + mtime of every file) — appends and
+    * compacts change the listing, so a probe never prunes against
+    * stale bounds it could have known were stale. `None` = no stats
+    * table (pre-clustering index). The fs listing per probe is
+    * metadata-only, microseconds against the scan it gates. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (String, Array[(String, Any, Any)])]()
+
+  private def cachedStats(spark: SparkSession,
+                          statsPath: String): Option[Array[(String, Any, Any)]] = {
+    val root = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val fp = {
+      val it = fs.listFiles(root, true)
+      val b = new StringBuilder
+      while (it.hasNext) {
+        val f = it.next()
+        b.append(f.getPath.getName).append(':')
+          .append(f.getLen).append(':').append(f.getModificationTime).append(';')
+      }
+      b.toString
+    }
+    val cached = statsCache.get((spark, statsPath))
+    if (cached != null && cached._1 == fp) return Some(cached._2)
+    val st = Metastore.load(spark, statsPath)
+    val cols = st.schema.fieldNames
+    val minCol = cols.find(_.endsWith("_min")).get
+    val maxCol = minCol.stripSuffix("_min") + "_max"
+    val rows = st.select(col("filepath"), col(minCol), col(maxCol))
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2)))
+    statsCache.put((spark, statsPath), (fp, rows))
+    Some(rows)
   }
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
@@ -230,10 +324,12 @@ object IncrementalDedup {
       .localCheckpoint()
 
     if (appendKept) {
-      // batch ids, collected once for zone-map pruning of the anti-join's
-      // sets read (bounded by the batch size — the design regime m ≪ n;
-      // past MaxPruneValues prunedRead falls back to the full scan)
-      val batchIds = ids.collect().map(_.get(0)).toSeq
+      // batch ids for zone-map pruning of the anti-join's sets read
+      // (bounded by the batch size — the design regime m ≪ n; past
+      // MaxPruneValues prunedRead falls back to the full scan). Lazy:
+      // prunedRead only evaluates the collect when the table is big
+      // enough for pruning to pay.
+      def batchIds = ids.collect().map(_.get(0)).toSeq
       val kept = batch.join(
           out.where(col("kept")).select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
         // idempotent append: a doc whose id the index already holds (a
@@ -450,12 +546,19 @@ object IncrementalDedup {
             Seq("band", "bucket"))
           .where(col("_ni") + col("_nb") <= maxBucket)
           .select("band", "bucket")
-        // eager checkpoint: cross is referenced three times below (the
-        // sets-fetch prune, its semi-join, and the verification union) —
-        // it is batch-bounded candidate pairs, cheap to pin, and pinning
-        // lets the prune collect its candidate ids without re-running
-        // the probe joins per reference
-        val cross = probed
+        // when the sets table is big enough for zone-map pruning to pay
+        // (minPruneBytes), the candidate ids get collected below — so
+        // cross is eagerly checkpointed first: it is batch-bounded
+        // candidate pairs, cheap to pin, and pinning lets the prune
+        // collect without re-running the probe joins for each of its
+        // three uses. On a toy table the collect never happens and the
+        // checkpoint job would be pure overhead — cross stays lazy
+        // (its two remaining uses recompute inside ONE action, the
+        // pre-clustering shape).
+        val setsPruneActive = broadcastProbe &&
+          listEntries(spark, s"$indexPath/sets").iterator.map(_._2).sum >= minPruneBytes &&
+          exists(spark, statsPath(indexPath, "sets"))
+        val cross0 = probed
           .join(probeSide(okKeys), Seq("band", "bucket"), "left_semi")
           .select(col("band"), col("bucket"), col("doc").as("_old"))
           .join(probeSide(batchPost.select(col("band"), col("bucket"), col("doc").as("_new"))),
@@ -466,7 +569,7 @@ object IncrementalDedup {
           .where(col("_new") =!= col("_old"))
           .select(col("_new").as("doc_a"), col("_old").as("doc_b"))
           .distinct()
-          .localCheckpoint()
+        val cross = if (setsPruneActive) cross0.localCheckpoint() else cross0
         val within = Dedup.candidatePairsFromBuckets(
           batchPost, Seq("band", "bucket"), "doc", maxBucket)
 

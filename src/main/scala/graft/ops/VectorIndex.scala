@@ -268,6 +268,80 @@ object VectorIndex {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Incremental SEMANTIC dedup against the disk-resident index — the
+    * embedding-space twin of [[IncrementalDedup.ingest]]: dedup each
+    * incoming batch against everything already accepted WITHOUT
+    * re-assigning (or re-reading) the accepted corpus beyond the
+    * batch's own probed cells.
+    *
+    * A batch vector MATCHES (a) any resident vector in one of its
+    * probed cells with cosine ≥ `threshold`, or (b) any SMALLER-ID
+    * batch vector sharing a probed cell at ≥ `threshold` — the same
+    * greedy min-id-keeper rule as [[IncrementalDedup.ingest]],
+    * deterministic and oracle-recomputable. One row per batch vector:
+    * `(doc_id, kept, n_matches, min_match_id)`.
+    *
+    * Scale shape (batch m ≪ index n): the batch assigns + probes as a
+    * narrow map; the resident read is partition-pruned to the batch's
+    * probed cells (≤ m·nprobe directories) and the batch side of the
+    * scoring join is broadcast — the index is never shuffled. Recall
+    * is IVF-class: a match in an unprobed cell is missed, the same
+    * trade [[topK]] makes, with the same `nprobe` knob (identical
+    * vectors — exact-copy dups — share the argmax cell by
+    * construction, so they are found at any nprobe ≥ 1).
+    *
+    * `appendKept` appends survivors under the frozen centroids via
+    * [[append]] (idempotent per id), making replays safe: a replayed
+    * batch finds its own already-appended vectors, but the self-pair
+    * guard (resident id ≠ batch id) keeps a vector from matching
+    * itself, so verdicts re-derive identically and the append skips
+    * ids the index already holds. */
+  def ingestDedup(batch: DataFrame, idCol: String, vecCol: String,
+                  path: String, threshold: Double, nprobe: Int = 0,
+                  appendKept: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = Similarity.loadIvfIndex(spark, s"$path/centroids")
+    val np = if (nprobe > 0) nprobe else Similarity.autoNprobe(cents.length)
+    val b = batch.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("_bid"), col(vecCol).as("_bvec"))
+    // eager checkpoint: reused by the cell collect, both match joins and
+    // the verdict aggregate; also severs lineage to the index files the
+    // append below writes (the recacheByPath hazard IncrementalDedup
+    // documents)
+    val probed = Similarity.probedQueries(b, "_bvec", cents, np).localCheckpoint()
+    // bounded driver round-trip: ≤ min(nlist, m·nprobe) ints
+    val probedCells = probed.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val resident = spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probedCells: _*)) // partition-pruned at planning
+      .select(col("cell"), col("id").as("_rid"), col("vec").as("_rvec"))
+    val cross = resident.join(broadcast(probed), Seq("cell"))
+      // self-pair guard: ids are disjoint by contract EXCEPT when a
+      // replayed batch probes an index already holding its own vectors
+      .where(col("_rid") =!= col("_bid") &&
+        Similarity.cosineCol(col("_bvec"), col("_rvec")) >= threshold)
+      .select(col("_bid").as("doc"), col("_rid").as("m"))
+      .distinct()
+    val pa = probed.select(col("cell"), col("_bid").as("_ida"), col("_bvec").as("_va"))
+    val pb = probed.select(col("cell"), col("_bid").as("_idb"), col("_bvec").as("_vb"))
+    val within = pa.join(broadcast(pb), Seq("cell"))
+      .where(col("_idb") < col("_ida") &&
+        Similarity.cosineCol(col("_va"), col("_vb")) >= threshold)
+      .select(col("_ida").as("doc"), col("_idb").as("m"))
+      .distinct()
+    val out = b.select(col("_bid").as("doc")).distinct()
+      .join(cross.unionByName(within), Seq("doc"), "left")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(col("m")).as("n_matches"), min(col("m")).as("min_match_id"))
+      .select(col("doc_id"), (col("n_matches") === 0).as("kept"),
+        col("n_matches"), col("min_match_id"))
+      // verdicts pinned before the append mutates the layout they read
+      .localCheckpoint()
+    if (appendKept)
+      append(batch.join(out.where(col("kept")).select(col("doc_id").as(idCol)),
+        Seq(idCol), "left_semi"), idCol, vecCol, path)
+    out
+  }
+
   /** Partial retrain: re-cluster and rewrite ONLY the named cells —
     * the proportionate response to a [[drift]]/[[pqDrift]] report,
     * where a full re-[[build]] would rewrite 100 TB to fix the 2% of

@@ -184,6 +184,11 @@ class IncrementalDedupSpec extends SparkSpec {
     // 200 accepted docs with ids 1..200 — doc-clustered sets split the
     // id range into 8 disjoint files. A batch matching ONLY low-id docs
     // must fetch candidate sets from a strict subset of those files.
+    // minPruneBytes dropped to 0: this table is KBs, and the
+    // production threshold would (correctly) skip pruning it.
+    val savedThreshold = IncrementalDedup.minPruneBytes
+    IncrementalDedup.minPruneBytes = 0L
+    try {
     val filler = (1L to 196L).map(i =>
       (i + 4, s"filler document number $i with entirely unique content token$i about topic${i % 17}"))
     val accepted = ((1L to 4L).map(i =>
@@ -223,6 +228,7 @@ class IncrementalDedupSpec extends SparkSpec {
     val (compRead, compTotal) = IncrementalDedup.lastPrune.get(s"$idx/sets")
     assert(compRead < compTotal,
       s"compact must restore sets pruning ($compRead of $compTotal read)")
+    } finally IncrementalDedup.minPruneBytes = savedThreshold
   }
 
   test("appended files are covered by stats and pruned probes stay sound") {

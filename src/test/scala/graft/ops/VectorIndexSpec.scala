@@ -271,6 +271,45 @@ class VectorIndexSpec extends SparkSpec {
     assert(after === before, "compaction must never change probe results")
   }
 
+  test("ingestDedup: greedy verdicts, appendKept growth, replay idempotency") {
+    val path = tmpDir("vecidx_ingestdedup")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    // batch: an exact copy of resident id 0 (cross dup), a novel
+    // axis-4 vector (no cluster uses axis 4), and an exact WITHIN-batch
+    // pair of that novel direction (8001 < 8002)
+    val novel = { val v = Array.fill(dim)(0.01f); v(4) = 9f; v.toSeq }
+    val copy0 = corpus.where(col("vec_id") === 0L).head().getSeq[Float](1)
+    val batch = Seq((7000L, copy0), (8001L, novel), (8002L, novel))
+      .toDF("vec_id", "embedding")
+    def verdicts(b: org.apache.spark.sql.DataFrame) =
+      VectorIndex.ingestDedup(b, "vec_id", "embedding", path,
+          threshold = 0.95, appendKept = false)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val got = VectorIndex.ingestDedup(batch, "vec_id", "embedding", path,
+        threshold = 0.95, appendKept = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        Option(r.get(3)))).toList.sortBy(_._1)
+    // 7000 dups the whole resident cluster 0 (cos ~0.9999 to every
+    // member — same dominant axis, tiny noise), greedy min match = 0;
+    // 8001 is novel → kept; 8002 matches only the smaller-id 8001
+    assert(got.map(x => (x._1, x._2)) === List((7000L, false), (8001L, true), (8002L, false)))
+    assert(got.head._3 === 25L && got.head._4 === Some(0L),
+      s"7000 must match all 25 cluster-0 residents with min id 0: $got")
+    assert(got(2)._4 === Some(8001L))
+    // appendKept: ONLY the kept 8001 joined the index — a new copy of
+    // the novel direction matches exactly it, not the dropped 8002
+    val r2 = VectorIndex.ingestDedup(Seq((9100L, novel)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        Option(r.get(3)))).head
+    assert(r2 === ((9100L, false, 1L, Some(8001L))))
+    // replay: the same batch against the index that now holds 8001 —
+    // the self-pair guard keeps 8001 from matching itself, so verdicts
+    // re-derive identically
+    assert(verdicts(batch) === got.map(x => (x._1, x._2)).toMap,
+      "replayed batch must re-derive identical verdicts")
+  }
+
   test("rebuildCells rewrites only the named cells; untouched files byte-identical; probes invariant") {
     val path = tmpDir("vecidx_rebuild")
     VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
