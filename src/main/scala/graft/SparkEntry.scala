@@ -1297,10 +1297,14 @@ object SparkEntry {
     // the rewrite family, as pipeline_assemble is for sampling):
     // substring-despan → token-count quality gate on the CLEANED text →
     // exact-content canonicalization of the cleaned text → leakage-safe
-    // split keyed on the canonical. ONE documents scan feeds the whole
-    // plan; the canonicalization window partitions on md5(clean_text),
-    // so its exchange carries a 32-char digest, never the rewritten
-    // text. The oracle rebuilds every stage from raw token strings, so
+    // split keyed on the canonical. ONE composed plan — no intermediate
+    // materialization between stages (physically the columnar source is
+    // re-scanned 3× by the despan subtree's self-references; text BYTES
+    // cross at most one exchange, the despan reconstruction join —
+    // removeDupSpans' documented shape), and the canonicalization
+    // window partitions on md5(clean_text), so its exchange carries a
+    // 32-char digest, never the rewritten text. The oracle rebuilds
+    // every stage from raw token strings, so
     // the hash check pins span removal, the gate arithmetic, canonical
     // choice AND the split hash in one verdict — the shape a real
     // curation run composes before training.

@@ -454,6 +454,35 @@ object IncrementalDedup {
     }
   }
 
+  /** Stats-soundness audit of the index's OWN zone maps — the same
+    * maintenance op the lake runs on its metastore
+    * ([[graft.lake.Metastore.auditStats]]), pointed at `postings_stats/`
+    * and `sets_stats/`: recompute each table's per-file bounds by scan
+    * and report per-(file, column) verdicts, prefixed with the table
+    * name. The verdict that matters is `under_covering`: stored bounds
+    * narrower than the data mean a probe could zone-map-prune a file
+    * that holds a real candidate — the one failure mode of the pruned
+    * probe path that re-filtering cannot catch (pruning is supposed to
+    * be may-contain; an unsound stats row breaks that premise). Run it
+    * after incidents, not per batch. Empty result when the index
+    * predates clustering (no stats tables — nothing prunes, nothing to
+    * audit). */
+  def auditIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val audits = Seq("postings", "sets").flatMap { table =>
+      val sp = statsPath(indexPath, table)
+      if (!exists(spark, sp)) None
+      else Some(
+        Metastore.auditStats(spark, s"$indexPath/$table", Metastore.load(spark, sp))
+          .withColumn("table", lit(table)))
+    }
+    audits.reduceOption(_ unionByName _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, String, String, String, String, String, String, String)]
+        .toDF("filepath", "column", "verdict", "stored_min", "stored_max",
+          "actual_min", "actual_max", "table")
+    }
+  }
+
   /** One-row health summary of the index, postings-scan cost only:
     * `(n_docs, n_postings, n_buckets, max_bucket, avg_bucket,
     * n_files_postings)`. `max_bucket` approaching the probe-time cap

@@ -342,6 +342,34 @@ object VectorIndex {
     out
   }
 
+  /** Continuous semantic-dedup ingest: [[ingestDedup]] per micro-batch
+    * with `appendKept` on, verdicts landing under
+    * `path/verdicts/batch_<id>/` — the streaming twin of
+    * [[IncrementalDedup.ingestStream]] in embedding space. State lives
+    * entirely in the on-disk cell layout, so the stream dedups against
+    * the FULL accepted history at one pruned-cell read per batch
+    * (unlike a state-store formulation, whose horizon a TTL bounds).
+    * Replay-safe: verdicts re-derive identically (self-pair guard) and
+    * the append skips ids the index already holds. */
+  def ingestDedupStream(stream: DataFrame, idCol: String, vecCol: String,
+                        path: String, checkpoint: String,
+                        threshold: Double, nprobe: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          if (!b.isEmpty)
+            ingestDedup(b, idCol, vecCol, path, threshold, nprobe,
+                appendKept = true)
+              .write.mode("overwrite")
+              .parquet(s"$path/verdicts/batch_$batchId")
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   /** Partial retrain: re-cluster and rewrite ONLY the named cells —
     * the proportionate response to a [[drift]]/[[pqDrift]] report,
     * where a full re-[[build]] would rewrite 100 TB to fix the 2% of

@@ -261,6 +261,34 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(r === Map(300L -> false), "probe must find the doc accepted by append")
   }
 
+  test("auditIndex verdicts are sound on a fresh index and catch a corrupted bound") {
+    val accepted = (1L to 50L).map(i =>
+      (i, s"audit corpus document $i distinct content marker$i")).toDF("doc_id", "text")
+    val idx = freshIndex("audit")
+    IncrementalDedup.buildIndex(accepted, "doc_id", "text", idx, clusterFiles = 4)
+    val fresh = IncrementalDedup.auditIndex(spark, idx)
+    assert(fresh.where(col("verdict") === "under_covering").count() === 0,
+      "a fresh build must have no unsound stats rows")
+    assert(fresh.select("table").distinct().collect().map(_.getString(0)).toSet
+      === Set("postings", "sets"))
+    // corrupt one sets bound: shrink a file's doc_max below its true max
+    val sp = s"$idx/sets_stats"
+    val st = spark.read.parquet(sp).collect()
+    val victim = st.maxBy(_.getAs[Long]("doc_max"))
+    import org.apache.spark.sql.Row
+    val rows = st.map { r =>
+      if (r.getString(0) == victim.getString(0))
+        Row(r.getString(0), r.getAs[Long]("doc_min"), r.getAs[Long]("doc_min"))
+      else Row(r.getString(0), r.getAs[Long]("doc_min"), r.getAs[Long]("doc_max"))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        spark.read.parquet(sp).schema)
+      .write.mode("overwrite").parquet(sp)
+    val bad = IncrementalDedup.auditIndex(spark, idx)
+      .where(col("verdict") === "under_covering" && col("table") === "sets")
+    assert(bad.count() >= 1, "a shrunken bound must surface as under_covering")
+  }
+
   test("maxBucket caps combined index+batch bucket population") {
     // 30 identical accepted docs + 1 identical batch doc: every bucket
     // holding them has combined population 31 > maxBucket=30 → all

@@ -310,6 +310,35 @@ class VectorIndexSpec extends SparkSpec {
       "replayed batch must re-derive identical verdicts")
   }
 
+  test("ingestDedupStream dedups a vector stream against the growing index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = tmpDir("vecidx_dedup_stream")
+    VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
+    val novel = { val v = Array.fill(dim)(0.01f); v(4) = 9f; v.toSeq }
+    val copy0 = corpus.where(col("vec_id") === 0L).head().getSeq[Float](1)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = VectorIndex.ingestDedupStream(
+      stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      path, checkpoint = tmpDir("vecidx_dedup_stream_ckpt"), threshold = 0.95)
+    try {
+      // batch 0: a copy of resident id 0 (dropped) and a novel vector
+      // (kept + appended)
+      stream.addData((7000L, copy0), (8001L, novel))
+      q.processAllAvailable()
+      // batch 1: a copy of the STREAM-accepted 8001 (dropped) and a
+      // second novel direction (kept)
+      val novel2 = { val v = Array.fill(dim)(0.01f); v(5) = 9f; v.toSeq }
+      stream.addData((9100L, novel), (9200L, novel2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.read.parquet(s"$path/verdicts/batch_0")
+      .unionByName(spark.read.parquet(s"$path/verdicts/batch_1"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(verdicts === Map(7000L -> false, 8001L -> true,
+      9100L -> false, 9200L -> true))
+  }
+
   test("rebuildCells rewrites only the named cells; untouched files byte-identical; probes invariant") {
     val path = tmpDir("vecidx_rebuild")
     VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
