@@ -54,8 +54,10 @@ object Bench {
     "dedup_incremental", "sim_indexed_topk",
     // round-10: the backfill-regime strategy (shuffle-probe, uncapped
     // batch) gets its own measured point — the spec pins result parity
-    // with the broadcast strategy, this pins its price
-    "dedup_incremental_backfill",
+    // with the broadcast strategy, this pins its price — and the
+    // incremental SEMANTIC dedup probe (fixed base-copy batch against
+    // the 10×-grown cell layout; the index build rides the cold pass)
+    "dedup_incremental_backfill", "dedup_semantic_incremental",
     // round-9 late additions: substring dedup's wide stage shuffles one
     // row per token window (the steepest row-multiplier in the dedup
     // family — Σ tokens, not Σ docs), and PQ's ADC stage scans
@@ -169,7 +171,10 @@ object Bench {
     // the r9 "40.1 s linear term" was mostly the one-time ingest
     // investment. The cold pass now pays the build; the warm number is
     // the steady-state probe the flat-cost claim is actually about.
-    "dedup_incremental")
+    "dedup_incremental",
+    // round-10: the semantic twin's flat-cost claim gets the same
+    // cold-builds/warm-probes treatment at 100×
+    "dedup_semantic_incremental")
   private val copies100 = 100
 
   /** Round-8 extension: the dedup family's steepest sf1 queries get a

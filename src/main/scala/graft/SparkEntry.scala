@@ -1232,10 +1232,17 @@ object SparkEntry {
     // so nprobe >= 1 finds every match (dedup_semantic's structural
     // argument, now for the incremental form). Index built once per
     // (session, dir); appendKept off so repeated probes are identical.
+    // The batch is CAPPED to the base-copy id range (vec_id < 200000 —
+    // a no-op at oracle scale, where every planted id is below it), the
+    // same regime guard as dedup_incremental's: on the scaled bench
+    // dirs an uncapped batch is half the corpus, and the operator's
+    // contract is batch ≪ index. With it, the scale probes measure a
+    // fixed-size batch against a growing index — the flat-cost claim.
     "dedup_semantic_incremental" -> ((s, dir) => {
       val planted = plantedEmbeddings(s, dir)
       val batch = planted.where(
-        (semIncrBaseMod === 0 && col("vec_id") < 100000L) || semIncrBaseMod === 1)
+        ((semIncrBaseMod === 0 && col("vec_id") < 100000L) || semIncrBaseMod === 1) &&
+          col("vec_id") < 200000L)
       VectorIndex.ingestDedup(batch, "vec_id", "embedding",
           semIncrIndexFor(s, dir), threshold = 0.9)
         .orderBy("doc_id")
@@ -2928,8 +2935,8 @@ object SparkEntry {
         |  UNION ALL SELECT id_b AS d, id_a AS m FROM pairs),
         |batch AS (
         |  SELECT vec_id FROM pe
-        |  WHERE ((vec_id % 100000) % 3 = 0 AND vec_id < 100000)
-        |     OR (vec_id % 100000) % 3 = 1),
+        |  WHERE (((vec_id % 100000) % 3 = 0 AND vec_id < 100000)
+        |     OR (vec_id % 100000) % 3 = 1) AND vec_id < 200000),
         |m AS (
         |  SELECT b.vec_id, r.m FROM batch b JOIN rel r ON r.d = b.vec_id
         |  WHERE r.m NOT IN (SELECT vec_id FROM batch) OR r.m < b.vec_id)
