@@ -27,6 +27,11 @@ import graft.lake.{ClusteredWriter, Metastore}
   *   - `meta/` — the signature parameters; [[ingest]] ADOPTS them
   *     rather than taking its own (probing with a mismatched band
   *     layout would silently find nothing).
+  *   - `postings_stats/`, `sets_stats/` — per-file [min,max] zone maps
+  *     over each table's cluster key (bucket / doc), harvested from
+  *     parquet footers; what probe-time pruning reads. Absent on an
+  *     index built before clustering — probes then full-scan, and
+  *     [[compact]] upgrades the layout in place.
   *
   * Scale shape of a probe (index n docs, batch m docs, m ≪ n):
   *   - the batch's postings and shingle sets are narrow maps over the
@@ -45,11 +50,16 @@ import graft.lake.{ClusteredWriter, Metastore}
   *   [[graft.lake.ClusteredWriter]] clustered on `bucket` and `sets/`
   *   on `doc`, with per-file min/max stats beside each
   *   (`postings_stats/`, `sets_stats/`), so a probe reads only the
-  *   files whose key range intersects the batch's keys. At steady
-  *   state that turns the per-batch scans from O(index) to
+  *   files whose key range intersects the batch's keys — the prune
+  *   decision itself is driver-side interval math over cached stats
+  *   rows (zero Spark jobs), and engages only past `minPruneBytes`
+  *   (a few-MB table is one task wave either way). At steady state
+  *   that turns the per-batch scans from O(index) to
   *   O(batch · files-per-key). For micro-batches, amortize further by
   *   grouping batches; run [[compact]] periodically to fold append-era
-  *   files (whole-range coverage) back into tight disjoint ranges.
+  *   files (whole-range coverage) back into tight disjoint ranges;
+  *   run [[auditIndex]] after incidents (an under-covering stats row
+  *   is the one pruned-probe failure re-filtering cannot catch).
   */
 object IncrementalDedup {
 

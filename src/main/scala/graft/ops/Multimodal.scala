@@ -5,11 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, plus decode / feature-extract / resize /
-  * frame-sample stages. The media codec libraries are NOT in this
-  * container, so the byte-level decode is a clearly-marked deterministic
-  * STUB (`stubDecode`) — what is real and tested is the Spark side:
-  * schema, batch shape, partitioning, and the per-partition execution
-  * model a production decoder plugs into.
+  * frame-sample stages. Decoding is a pluggable seam
+  * ([[MediaDecoder]]): [[ImageIoDecoder]] is a REAL image codec over
+  * the JDK's built-in `javax.imageio` (PNG/JPEG/BMP/GIF — spec'd on
+  * genuine PNG bytes end-to-end through [[extractFeatures]]);
+  * [[StubDecoder]] is the deterministic fallback the synthetic-corpus
+  * queries use, since their media bytes are stand-ins, not images
+  * (audio/video codecs are genuinely absent from this container).
+  * Either way the Spark side — schema, batch shape, partitioning, and
+  * the per-partition open/decode/close execution model — is real and
+  * tested.
   *
   * Scale design: media bytes are the heaviest column by far, so every
   * stage (a) projects the binary column only where needed — column
@@ -59,6 +64,52 @@ object Multimodal {
     * container). Carries no state, so open/close are no-ops. */
   object StubDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte]): Array[Float] = stubDecode(bytes)
+  }
+
+  /** REAL image decoder over the JDK's BUILT-IN codecs
+    * (`javax.imageio` — PNG/JPEG/BMP/GIF ship with the JVM, no external
+    * library): decode the bytes, bilinear-downscale to a `thumb`×`thumb`
+    * grayscale patch, and emit it row-major as the feature vector — the
+    * classic perceptual-thumbnail embedding (what pHash/aHash derive
+    * their bits from). This is a PRODUCTION implementation of the
+    * [[MediaDecoder]] seam, not a stub: the spec round-trips genuine
+    * PNG bytes through it inside [[extractFeatures]], pinning that the
+    * per-partition open/decode/close lifecycle carries a real codec.
+    * (`mm_*` queries keep [[StubDecoder]]: the synthetic corpus's media
+    * bytes are stand-ins, not images — decoders are data-format-bound
+    * by nature, which is exactly why the seam exists.)
+    *
+    * A `class`, not an `object`: each closure serialization gets its
+    * own instance, so per-partition state (none needed here — ImageIO
+    * static entry points are thread-safe) never crosses task slots. */
+  final class ImageIoDecoder(thumb: Int = 8) extends MediaDecoder {
+    require(thumb >= 1, s"thumb must be >= 1, got $thumb")
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "bytes are not a decodable image (PNG/JPEG/BMP/GIF)")
+      val scaled = new java.awt.image.BufferedImage(
+        thumb, thumb, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = scaled.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, thumb, thumb, null)
+      } finally g.dispose()
+      val out = new Array[Float](thumb * thumb)
+      var i = 0; var y = 0
+      while (y < thumb) {
+        var x = 0
+        while (x < thumb) {
+          val rgb = scaled.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val gr = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          // ITU-R BT.601 luma, normalized to [0, 1]
+          out(i) = (0.299f * r + 0.587f * gr + 0.114f * b) / 255f
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** STUB decode: a real implementation calls an image/audio codec here

@@ -102,6 +102,48 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2).getAs[Int]("n_frames") === 0)
   }
 
+  test("ImageIoDecoder decodes REAL PNG bytes through extractFeatures") {
+    import spark.implicits._
+    // genuine PNGs, synthesized with the same JDK codec family the
+    // decoder reads with: three 32x24 solid-color images
+    def png(r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      try { gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, 32, 24) }
+      finally gr.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val media = Seq(
+      (0L, png(255, 0, 0)),   // solid red   -> luma 0.299
+      (1L, png(0, 255, 0)),   // solid green -> luma 0.587
+      (2L, png(0, 0, 255)))   // solid blue  -> luma 0.114
+      .toDF("doc_id", "media")
+      .withColumn("n_bytes", org.apache.spark.sql.functions.octet_length(
+        org.apache.spark.sql.functions.col("media")).cast("long"))
+    val feats = Multimodal.extractFeatures(spark, media,
+        new Multimodal.ImageIoDecoder(thumb = 8))
+      .collect().sortBy(_.doc_id)
+    assert(feats.length === 3 && feats.forall(_.feature.length === 64))
+    // a solid image downscales to a solid thumbnail: every cell equals
+    // the color's luma (to within 8-bit quantization)
+    val expected = Seq(0.299f, 0.587f, 0.114f)
+    feats.zip(expected).foreach { case (f, e) =>
+      f.feature.foreach(v => assert(math.abs(v - e) < 0.01f,
+        s"doc ${f.doc_id}: cell $v != luma $e"))
+    }
+    // undecodable bytes fail loudly, not silently
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+      .withColumn("n_bytes", org.apache.spark.sql.functions.lit(3L))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, junk, new Multimodal.ImageIoDecoder()).collect()
+    }
+    assert(ex.getMessage.contains("not a decodable image") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+
   test("mediaCatalog aggregates without reading media bytes") {
     val cat = Multimodal.mediaCatalog(Multimodal.withMedia(docs))
       .orderBy("media_type").collect()
