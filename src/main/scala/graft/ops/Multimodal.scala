@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / resize /
   * frame-sample stages. Decoding is a pluggable seam
   * ([[MediaDecoder]]): [[ImageIoDecoder]] is a REAL image codec over
-  * the JDK's built-in `javax.imageio` (PNG/JPEG/BMP/GIF — spec'd on
-  * genuine PNG bytes end-to-end through [[extractFeatures]]);
-  * [[StubDecoder]] is the deterministic fallback the synthetic-corpus
-  * queries use, since their media bytes are stand-ins, not images
-  * (audio/video codecs are genuinely absent from this container).
+  * the JDK's built-in `javax.imageio` (PNG/JPEG/BMP/GIF) and
+  * [[WavDecoder]] a REAL audio codec over `javax.sound.sampled`
+  * (WAV/AIFF/AU PCM) — both spec'd on genuine synthesized containers
+  * end-to-end through [[extractFeatures]]; [[StubDecoder]] is the
+  * deterministic fallback the synthetic-corpus queries use, since
+  * their media bytes are stand-ins, not containers (only VIDEO codecs
+  * are genuinely absent from this container).
   * Either way the Spark side — schema, batch shape, partitioning, and
   * the per-partition open/decode/close execution model — is real and
   * tested.
@@ -60,8 +62,10 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** Default decoder: the deterministic stub (no codec libs in this
-    * container). Carries no state, so open/close are no-ops. */
+  /** Default decoder: the deterministic stub — for the synthetic
+    * corpus, whose media bytes are text stand-ins no real codec could
+    * parse, and for video (the one family with no JDK codec). Carries
+    * no state, so open/close are no-ops. */
   object StubDecoder extends MediaDecoder {
     def decode(bytes: Array[Byte]): Array[Float] = stubDecode(bytes)
   }
@@ -109,6 +113,61 @@ object Multimodal {
         y += 1
       }
       out
+    }
+  }
+
+  /** REAL audio decoder over the JDK's built-in `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM — ships with the JVM like `javax.imageio`):
+    * decode the container, average channels to mono, split the signal
+    * into `dims` equal windows and emit each window's RMS energy,
+    * normalized to [0, 1] — the classic energy-envelope feature an
+    * audio curation pass gates on (silence/clipping detection, rough
+    * content fingerprinting). Together with [[ImageIoDecoder]] this
+    * leaves only VIDEO on the stub: both JDK codec families are real
+    * implementations of the seam, spec'd on genuine synthesized
+    * containers end-to-end through [[extractFeatures]]. */
+  final class WavDecoder(dims: Int = 8) extends MediaDecoder {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8),
+          s"unsupported audio encoding ${fmt.getEncoding}/${fmt.getSampleSizeInBits}-bit " +
+            "(PCM_SIGNED 8/16-bit supported)")
+        val raw = in.readAllBytes()
+        val bytesPerSample = fmt.getSampleSizeInBits / 8
+        val frameBytes = bytesPerSample * fmt.getChannels
+        val nFrames = raw.length / frameBytes
+        require(nFrames > 0, "audio container holds no frames")
+        // mono fold: mean over channels, 16-bit little/big per format
+        val mono = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0f; var c = 0
+          while (c < fmt.getChannels) {
+            val off = f * frameBytes + c * bytesPerSample
+            val s =
+              if (bytesPerSample == 1) (raw(off).toInt << 8).toShort
+              else if (fmt.isBigEndian)
+                (((raw(off) & 0xff) << 8) | (raw(off + 1) & 0xff)).toShort
+              else
+                (((raw(off + 1) & 0xff) << 8) | (raw(off) & 0xff)).toShort
+            acc += s / 32768.0f; c += 1
+          }
+          mono(f) = acc / fmt.getChannels; f += 1
+        }
+        // RMS energy per equal-width window
+        Array.tabulate(dims) { i =>
+          val from = (i.toLong * nFrames / dims).toInt
+          val to = math.max(from + 1, ((i + 1).toLong * nFrames / dims).toInt)
+          var s = 0.0; var j = from
+          while (j < math.min(to, nFrames)) { s += mono(j) * mono(j); j += 1 }
+          math.sqrt(s / math.max(1, math.min(to, nFrames) - from)).toFloat
+        }
+      } finally in.close()
     }
   }
 

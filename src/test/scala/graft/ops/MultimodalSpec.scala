@@ -144,6 +144,48 @@ class MultimodalSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("not a decodable image")))
   }
 
+  test("WavDecoder decodes REAL WAV bytes through extractFeatures") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // a genuine 16-bit mono PCM WAV: first half silence, second half a
+    // full-scale square wave — the energy envelope is unambiguous
+    def wav(): Array[Byte] = {
+      val n = 8000
+      val pcm = new Array[Byte](n * 2)
+      var i = n / 2
+      while (i < n) {
+        val v: Short = if (i % 2 == 0) 30000 else -30000
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq((0L, wav())).toDF("doc_id", "media")
+      .withColumn("n_bytes", org.apache.spark.sql.functions.octet_length(
+        org.apache.spark.sql.functions.col("media")).cast("long"))
+    val f = Multimodal.extractFeatures(spark, media,
+        new Multimodal.WavDecoder(dims = 8))
+      .collect().head.feature
+    assert(f.length === 8)
+    // windows 0-3: silence (RMS ~0); windows 4-7: full-scale square
+    // (RMS ~30000/32768 ~ 0.9155)
+    f.take(4).foreach(v => assert(v < 0.01f, s"silent window read $v"))
+    f.drop(4).foreach(v => assert(math.abs(v - 30000f / 32768f) < 0.01f,
+      s"square-wave window read $v"))
+    // junk bytes fail loudly through the same path
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "media")
+      .withColumn("n_bytes", org.apache.spark.sql.functions.lit(3L))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, junk, new Multimodal.WavDecoder()).collect()
+    }
+  }
+
   test("mediaCatalog aggregates without reading media bytes") {
     val cat = Multimodal.mediaCatalog(Multimodal.withMedia(docs))
       .orderBy("media_type").collect()
