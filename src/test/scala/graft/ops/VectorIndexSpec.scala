@@ -419,6 +419,45 @@ class VectorIndexSpec extends SparkSpec {
       "mid-rebuild (new matrix, old cells) full-coverage probe must be invariant")
   }
 
+  test("rebuildCells is idempotent: a crashed-and-rerun rebuild converges") {
+    def freshIndex(tag: String): String = {
+      val p = tmpDir(s"vecidx_rebuild_idem_$tag")
+      VectorIndex.build(corpus, "vec_id", "embedding", p, nlist = 4)
+      p
+    }
+    def assignment(p: String): Map[Long, Int] =
+      spark.read.parquet(s"$p/vectors").select("id", "cell")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rebuilt = Seq(0, 1)
+    // clean single rebuild = the reference outcome
+    val ref = freshIndex("ref")
+    val cellsRef = {
+      // rebuild the cells that hold clusters 0 and 1 (deterministic build)
+      val c0 = spark.read.parquet(s"$ref/vectors").where(col("id") === 0L)
+        .select("cell").head().getInt(0)
+      val c1 = spark.read.parquet(s"$ref/vectors").where(col("id") === 1000L)
+        .select("cell").head().getInt(0)
+      Seq(c0, c1).distinct.sorted
+    }
+    val mergedRef = VectorIndex.rebuildCells(spark, ref, cellsRef)
+    // (a) run the SAME rebuild twice — training is deterministic on the
+    // unchanged vector population, so the second run must re-derive the
+    // identical matrix and assignment
+    val mergedTwice = VectorIndex.rebuildCells(spark, ref, cellsRef)
+    assert(mergedTwice.map(_.toSeq).toSeq === mergedRef.map(_.toSeq).toSeq,
+      "re-running the same rebuild must re-derive the identical matrix")
+    // (b) crash AFTER the centroid swap, before any cell swap: simulate
+    // by splicing the merged matrix into a fresh index, then rerunning
+    // the full rebuild — the roll-forward the scaladoc promises
+    val crashed = freshIndex("crash")
+    Similarity.saveIvfIndex(spark, s"$crashed/centroids", mergedRef)
+    val mergedAfter = VectorIndex.rebuildCells(spark, crashed, cellsRef)
+    assert(mergedAfter.map(_.toSeq).toSeq === mergedRef.map(_.toSeq).toSeq,
+      "rerun after a post-centroid-swap crash must converge to the clean matrix")
+    assert(assignment(crashed) === assignment(ref),
+      "rerun after the crash must converge to the clean cell assignment")
+  }
+
   test("recoverRebuild restores a cell stranded mid-swap") {
     val path = tmpDir("vecidx_rebuild_crash")
     VectorIndex.build(corpus, "vec_id", "embedding", path, nlist = 4)
