@@ -256,8 +256,11 @@ object IncrementalDedup {
     * stale bounds it could have known were stale. `None` = no stats
     * table (pre-clustering index). The fs listing per probe is
     * metadata-only, microseconds against the scan it gates. */
+  // keyed by PATH alone (not session): the rows derive from the files,
+  // and the listing fingerprint already invalidates on any change —
+  // a session key would only pin stopped sessions in the map
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, Array[(String, Any, Any)])]()
+    String, (String, Array[(String, Any, Any)])]()
 
   private def cachedStats(spark: SparkSession,
                           statsPath: String): Option[Array[(String, Any, Any)]] = {
@@ -274,7 +277,7 @@ object IncrementalDedup {
       }
       b.toString
     }
-    val cached = statsCache.get((spark, statsPath))
+    val cached = statsCache.get(statsPath)
     if (cached != null && cached._1 == fp) return Some(cached._2)
     val st = Metastore.load(spark, statsPath)
     val cols = st.schema.fieldNames
@@ -282,7 +285,7 @@ object IncrementalDedup {
     val maxCol = minCol.stripSuffix("_min") + "_max"
     val rows = st.select(col("filepath"), col(minCol), col(maxCol))
       .collect().map(r => (r.getString(0), r.get(1), r.get(2)))
-    statsCache.put((spark, statsPath), (fp, rows))
+    statsCache.put(statsPath, (fp, rows))
     Some(rows)
   }
 
