@@ -1513,6 +1513,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // learned quality-filter inference (lexicon form): a linear text
+    // classifier's exact arithmetic — sigmoid(bias + mean token weight)
+    // — over a fixed fluency/spam lexicon; the DuckDB oracle recomputes
+    // weight lookup, mean, and sigmoid per doc, so the whole inference
+    // chain (tokenize → weigh → pool → squash) is hash-checked. The
+    // vocabulary-free hashed form (TextAnalysis.hashedScore — fastText's
+    // deployment shape, weight table broadcast as one row) is
+    // spec-pinned instead: its bucket assignment is Spark's xxhash64,
+    // which ANSI SQL cannot reproduce.
+    "text_lexicon_score" -> ((s, dir) =>
+      TextAnalysis.lexiconScore(t(s, dir, "documents"), qualityLexicon, bias = -0.5)
+        .select(col("doc_id"), col("lex_hits").cast("long").as("lex_hits"),
+          round(col("lex_score"), 6).as("lex_score"))
+        .orderBy("doc_id")),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_ws_tokens"),
@@ -1842,6 +1857,15 @@ object SparkEntry {
   // recall/error assertions the oracle expects (simhash scorecard, HLL
   // error pin). Every query is hash-checked; none are rows-only.
   // ─────────────────────────────────────────────────────────────────────
+
+  /** Fixed fluency/spam lexicon for the learned-filter inference query:
+    * function words vote fluent (positive), promo tokens vote spam
+    * (negative) — the CCNet-style linear filter's weight shape, pinned
+    * as literals so the DuckDB oracle carries the identical model. */
+  private val qualityLexicon: Seq[(String, Double)] = Seq(
+    "the" -> 0.9, "and" -> 0.7, "of" -> 0.6, "to" -> 0.5, "in" -> 0.5,
+    "a" -> 0.4, "is" -> 0.4, "that" -> 0.3, "for" -> 0.3, "it" -> 0.2,
+    "click" -> -1.5, "buy" -> -1.2, "free" -> -1.0, "subscribe" -> -1.4)
 
   private val normToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
@@ -3046,6 +3070,25 @@ object SparkEntry {
         |FROM e t JOIN b ON list_dot_product(t.v, b.v)
         |    / (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
         |ORDER BY train_id, bench_id""".stripMargin,
+
+    // the linear filter recomputed term-for-term: CASE-chain weights
+    // (generated from the same qualityLexicon literals as the Spark
+    // side, so the two models cannot drift), array-order mean, sigmoid
+    "text_lexicon_score" -> {
+      val caseW = qualityLexicon.map { case (t, w) => s"WHEN '$t' THEN $w" }.mkString(" ")
+      val terms = qualityLexicon.map(t => s"'${t._1}'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
+         |sc AS (SELECT doc_id,
+         |    len(list_filter(tk, t -> t IN ($terms))) AS lex_hits,
+         |    CASE WHEN len(tk) > 0
+         |      THEN COALESCE(list_sum(list_transform(tk,
+         |             t -> CASE t $caseW ELSE 0.0 END)), 0.0) / len(tk)
+         |      ELSE 0.0 END AS mw
+         |  FROM toks)
+         |SELECT doc_id, CAST(lex_hits AS BIGINT) AS lex_hits,
+         |  round(1.0 / (1.0 + exp(-(-0.5 + mw))), 6) AS lex_score
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality" ->
       s"""WITH base AS (

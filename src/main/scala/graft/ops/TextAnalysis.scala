@@ -124,6 +124,81 @@ object TextAnalysis {
       .drop("_toks")
   }
 
+  /** Learned quality-filter INFERENCE, lexicon form — the linear text
+    * classifier shape of CCNet/LLaMA-style curation (a fastText-like
+    * model reduced to per-term weights):
+    * `score = sigmoid(bias + Σ w(token) / n_tokens)`, unknown tokens
+    * weighing 0. One narrow codegen'd pass: the lexicon rides the plan
+    * as a map LITERAL (config-sized — hundreds to a few thousand
+    * terms; past that use [[hashedScore]], whose weight table is
+    * vocabulary-free and O(1) in the plan). Emits `lex_hits` (tokens
+    * found in the lexicon) and `lex_score`; a curation run follows
+    * with a threshold gate. Docs with zero tokens score
+    * `sigmoid(bias)` — the empty-text prior, never NULL. */
+  def lexiconScore(docs: DataFrame, lexicon: Seq[(String, Double)],
+                   textCol: String = "text", bias: Double = 0.0): DataFrame = {
+    require(lexicon.nonEmpty, "empty lexicon: nothing to score")
+    require(lexicon.map(_._1).distinct.size == lexicon.size,
+      "duplicate lexicon terms: weights would silently collide")
+    requireFree(docs, "_toks", "lex_hits", "lex_score")
+    val m = map(lexicon.flatMap { case (t, w) => Seq(lit(t), lit(w)) }: _*)
+    val toks = col("_toks")
+    docs
+      .withColumn("_toks", tokensCol(col(textCol)))
+      .withColumn("lex_hits",
+        size(filter(toks, t => element_at(m, t).isNotNull)))
+      .withColumn("lex_score",
+        sigmoid(lit(bias) +
+          when(size(toks) > 0,
+            aggregate(toks, lit(0.0),
+              (acc, t) => acc + coalesce(element_at(m, t), lit(0.0))) / size(toks))
+            .otherwise(lit(0.0))))
+      .drop("_toks")
+  }
+
+  /** Learned quality-filter INFERENCE, hashed form — fastText's actual
+    * deployment shape: tokens hash into a fixed-width weight table
+    * (`w(token) = weights[xxhash64(token) mod |weights|]`), so scoring
+    * needs no vocabulary at all and the model is a dense array a
+    * trainer exports. Same arithmetic as [[lexiconScore]] otherwise:
+    * `score = sigmoid(bias + Σ w(token) / n_tokens)`.
+    *
+    * The weight table travels as ONE broadcast row cross-joined in
+    * (the centroid-table pattern): plan size is O(1) in the bucket
+    * count, so 2^18-bucket production models plan exactly like the
+    * 16-bucket spec fixture. Hash-bucket collisions are the standard
+    * fastText trade — the trainer sees the same collisions, so
+    * inference matches training. */
+  def hashedScore(docs: DataFrame, weights: Array[Double],
+                  textCol: String = "text", bias: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "empty weight table: nothing to score")
+    requireFree(docs, "_toks", "_w", "hash_score")
+    val spark = docs.sparkSession
+    val wdf = broadcast(spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(weights.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_w",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false)))))
+    val toks = col("_toks")
+    val n = weights.length
+    docs
+      .crossJoin(wdf)
+      .withColumn("_toks", tokensCol(col(textCol)))
+      .withColumn("hash_score",
+        sigmoid(lit(bias) +
+          when(size(toks) > 0,
+            aggregate(toks, lit(0.0),
+              (acc, t) => acc + element_at(col("_w"),
+                pmod(xxhash64(t), lit(n.toLong)).cast("int") + 1)) / size(toks))
+            .otherwise(lit(0.0))))
+      .drop("_toks", "_w")
+  }
+
+  private def sigmoid(x: Column): Column = lit(1.0) / (lit(1.0) + exp(-x))
+
   /** Whitespace-ish token counting plus a BPE-ish subword estimate
     * (4 chars ≈ 1 token, the common rule of thumb), per document. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {

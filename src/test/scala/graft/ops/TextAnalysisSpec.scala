@@ -176,6 +176,61 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunk(bad, "doc_id", "text", 4))
   }
 
+  test("lexiconScore: exact linear-filter arithmetic, hits, empty-text prior") {
+    import spark.implicits._
+    val lex = Seq("good" -> 1.0, "bad" -> -2.0)
+    val docs = Seq(
+      (0L, "good good bad other"), // mean = (1 + 1 - 2 + 0) / 4 = 0
+      (1L, "good"),                // mean = 1
+      (2L, ""))                    // no tokens -> sigmoid(bias)
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.lexiconScore(docs, lex, bias = 0.5)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getAs[Int]("lex_hits"), x.getAs[Double]("lex_score")))
+    def sig(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(r(0)._1 === 3 && math.abs(r(0)._2 - sig(0.5)) < 1e-12)
+    assert(r(1)._1 === 1 && math.abs(r(1)._2 - sig(1.5)) < 1e-12)
+    assert(r(2)._1 === 0 && math.abs(r(2)._2 - sig(0.5)) < 1e-12,
+      "token-less docs must score the bias prior, never NULL")
+    intercept[IllegalArgumentException](
+      TextAnalysis.lexiconScore(docs, Seq("a" -> 1.0, "a" -> 2.0)))
+  }
+
+  test("hashedScore matches the lexicon arithmetic under Spark-derived buckets") {
+    import spark.implicits._
+    // derive each term's bucket with Spark's own xxhash64, build a
+    // weight table from it, and demand the hashed scorer land exactly
+    // on the lexicon scorer's numbers — pinning hash, lookup, pooling
+    // and squash in one equality (buckets checked collision-free so
+    // the correspondence is exact, not approximate)
+    val lex = Seq("alpha" -> 0.8, "beta" -> -1.1, "gamma" -> 0.3)
+    val n = 64
+    val buckets = lex.map(_._1).toDF("t")
+      .select(col("t"), pmod(xxhash64(col("t")), lit(n.toLong)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(buckets.values.toSet.size === lex.size, s"fixture collision: $buckets")
+    // every OTHER token in the fixture must not collide into a weighted
+    // bucket, or the two scorers legitimately diverge
+    val others = Seq("delta", "epsilon", "unrelated")
+    val otherBuckets = others.toDF("t")
+      .select(pmod(xxhash64(col("t")), lit(n.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).toSet
+    assert(otherBuckets.intersect(buckets.values.toSet).isEmpty,
+      "fixture collision between weighted and unweighted tokens")
+    val w = new Array[Double](n)
+    lex.foreach { case (t, wt) => w(buckets(t)) = wt }
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "epsilon unrelated"),
+      (2L, "alpha alpha")).toDF("doc_id", "text")
+    val viaLex = TextAnalysis.lexiconScore(docs, lex).orderBy("doc_id")
+      .collect().map(_.getAs[Double]("lex_score"))
+    val viaHash = TextAnalysis.hashedScore(docs, w).orderBy("doc_id")
+      .collect().map(_.getAs[Double]("hash_score"))
+    viaLex.zip(viaHash).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12, s"lexicon $a != hashed $b") }
+  }
+
   test("working-column name collisions are refused, not clobbered") {
     import spark.implicits._
     val bad = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_toks")
