@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.lake.{BloomIndex, Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex}
+import graft.lake.{BloomIndex, Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex, SnapshotLog}
 import graft.functions.GeometricMean
 import graft.ops.{AsofJoin, Dedup, IncrementalDedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, VectorIndex}
 import graft.streaming.EventsStream
@@ -170,6 +170,33 @@ object SparkEntry {
     * over the REFRESHED stats — so the queries verify both the merged
     * rows and that the swapped-in stats still prune correctly. */
   private val mergeViewCache = new SessionCache[String]
+
+  /** lake_timetravel/lake_rollback/lake_history's versioned table,
+    * once per (session, dir): a four-commit snapshot log over thirds
+    * of lineitem — v0 overwrite (keys ≡ 0 mod 3), v1 append (≡ 1),
+    * v2 bad overwrite (≡ 2), v3 rollback to v1 — so time travel, the
+    * rollback commit, and the history log are all exercised on one
+    * table. The dir is wiped first: /tmp survives across driver runs,
+    * and appending to a previous run's log would shift every version
+    * number the oracles pin. */
+  private val snapTableCache = new SessionCache[String]
+
+  private def snapshotTable(s: SparkSession, dir: String): String =
+    snapTableCache.getOrElseUpdate(s, dir) {
+      val path = s"/tmp/graft_snap_${dirTag(dir)}/lineitem"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = t(s, dir, "lineitem")
+      def third(r: Int) = li.where(pmod(col("l_orderkey"), lit(3)) === r)
+      SnapshotLog.write(third(0), path, "overwrite",
+        clusterColumn = Some("l_orderkey"), nFiles = 4)
+      SnapshotLog.write(third(1), path, "append",
+        clusterColumn = Some("l_orderkey"), nFiles = 4)
+      SnapshotLog.write(third(2), path, "overwrite",
+        clusterColumn = Some("l_orderkey"), nFiles = 4)
+      SnapshotLog.rollback(s, path, 1L)
+      path
+    }
 
   /** lake_bloom's clustered orders copy + per-file Bloom table, once
     * per (session, dir) — an index is built at ingest and probed many
@@ -439,6 +466,41 @@ object SparkEntry {
       base.where(col("o_custkey").isin(37L, 55L))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")
+    }),
+
+    // time travel: read version 1 of the snapshot table (thirds 0+1 of
+    // lineitem) AFTER two more commits changed the head twice — the
+    // version pins that later overwrites/rollbacks never bleed into an
+    // old snapshot's file set
+    "lake_timetravel" -> ((s, dir) => {
+      val table = snapshotTable(s, dir)
+      SnapshotLog.read(s, table, asOf = Some(1L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // rollback: the head commit restores v1's exact live set after the
+    // bad v2 overwrite — reading HEAD (not a pinned version) must equal
+    // thirds 0+1; a rollback that missed a file or leaked one of v2's
+    // shows up as a count/sum drift here
+    "lake_rollback" -> ((s, dir) => {
+      val table = snapshotTable(s, dir)
+      SnapshotLog.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_keys"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
+    // the commit log itself: four entries with pinned ops and the
+    // rollback provenance — layout-independent (no file counts: the
+    // range partitioner owns those)
+    "lake_history" -> ((s, dir) => {
+      val table = snapshotTable(s, dir)
+      SnapshotLog.history(s, table)
+        .select(col("version"), col("op"), col("rollback_of"))
+        .orderBy("version")
     }),
 
     // ───── core relational operators (SURVEY §2.2, free from Spark)
@@ -2051,6 +2113,28 @@ object SparkEntry {
       """SELECT min(l_orderkey) AS l_orderkey_min, max(l_orderkey) AS l_orderkey_max,
         |       min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max
         |FROM lineitem""".stripMargin,
+
+    // version 1 = thirds 0 and 1 of lineitem, whatever later commits did
+    "lake_timetravel" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 3 < 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // head after rollback(1) = the same thirds 0+1 population
+    "lake_rollback" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_keys,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 3 < 2""".stripMargin,
+
+    // the four-commit log is pinned by construction (see snapshotTable)
+    "lake_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(rollback_of AS BIGINT) AS rollback_of
+        |FROM (VALUES (0, 'overwrite', NULL), (1, 'append', NULL),
+        |             (2, 'overwrite', NULL), (3, 'rollback', 1))
+        |  AS t(version, op, rollback_of)
+        |ORDER BY version""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

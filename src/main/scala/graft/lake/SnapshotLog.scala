@@ -1,0 +1,479 @@
+package graft.lake
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+
+/** Versioned snapshot log for a lake table — time travel, history,
+  * rollback, and safe concurrent append on top of immutable data files.
+  *
+  * The reference has no notion of table versions: a batch dir is
+  * overwritten in place and yesterday's data is gone
+  * (lakeshack/lakeshack.py writes/reads one live layout). At 100 TB a
+  * curation pipeline needs the opposite: reproduce last week's training
+  * mix exactly, audit what a merge changed, and roll back a bad ingest
+  * without restoring from backup. This module adds that as a
+  * Delta-style (public design: Armbrust et al., "Delta Lake:
+  * High-Performance ACID Table Storage over Cloud Object Stores",
+  * VLDB 2020) manifest log, re-derived from first principles and kept
+  * deliberately small:
+  *
+  *  - data files are IMMUTABLE and live under `<table>/data/<token>/`,
+  *    one token per commit (a crashed writer strands at most an orphan
+  *    token dir, reclaimed by [[expireOrphans]]);
+  *  - each commit is ONE manifest file `_log/v%012d.mf` listing the
+  *    files it adds and removes (relative paths — the table can be
+  *    relocated wholesale) plus the full schema of the version;
+  *  - a snapshot's live set is the replay of manifests up to its
+  *    version, seeded from the newest valid CHECKPOINT `≤` it
+  *    (`_log/v%012d.cp`, the full live set, written every
+  *    [[checkpointInterval]] commits) — so reconstruction cost is
+  *    O(interval), not O(commits since creation);
+  *  - commit atomicity is `fs.create(path, overwrite = false)` on the
+  *    manifest: atomic version claim on HDFS; on an object store
+  *    without conditional put, front the log with a lock service (the
+  *    same caveat Delta documents for S3) — the seam is exactly
+  *    [[tryClaim]]. A writer that dies mid-write leaves a manifest
+  *    without its `end=` trailer; the next claim of that version
+  *    detects the torn file and replaces it ([[nextVersionReclaiming]]),
+  *    and readers refuse it with a clear message rather than serving a
+  *    partial commit.
+  *
+  * Concurrency: appends are optimistic-retry (two appends never
+  * conflict logically — the loser re-reads the head and re-claims);
+  * overwrite / rollback / expire validate the head is still the one
+  * they planned against and throw `ConcurrentModificationException`
+  * otherwise (lost-update protection). Readers never lock: a version,
+  * once committed, is immutable.
+  *
+  * Scale: a manifest is O(files touched by the commit); a checkpoint is
+  * O(live files) but amortized 1/interval; [[state]] lists one log dir
+  * and reads interval-many small files — independent of table bytes.
+  * The live-set replay is driver-held, same class as the pruning
+  * interval map (reference metastore keeps the same thing in an RDBMS).
+  */
+object SnapshotLog {
+
+  val Magic = "graft-snapshot-v1"
+  val DefaultCheckpointInterval = 10
+
+  /** A resolved snapshot: `version`, live data files (relative to the
+    * table root), and the schema committed at that version. */
+  final case class Snapshot(version: Long, files: Seq[String], schemaJson: String)
+
+  /** One history entry (see [[history]]). */
+  final case class Entry(version: Long, tsMillis: Long, op: String,
+                         nAdds: Int, nRemoves: Int, rollbackOf: Option[Long])
+
+  private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
+    val root = new Path(table)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  private def logDir(root: Path) = new Path(root, "_log")
+  private def manifestPath(root: Path, v: Long) = new Path(logDir(root), f"v$v%012d.mf")
+  private def checkpointPath(root: Path, v: Long) = new Path(logDir(root), f"v$v%012d.cp")
+
+  private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8.name())
+  private def dec(s: String) = URLDecoder.decode(s, StandardCharsets.UTF_8.name())
+
+  // ── manifest format ──────────────────────────────────────────────
+  // Line-based, URL-encoded payloads, `end=<adds>,<removes>` trailer as
+  // the torn-write detector. No JSON library: the format is six line
+  // kinds, and a hand-rolled parser has no escaping corner cases once
+  // every variable payload is URL-encoded.
+
+  private def render(e: Entry, schemaJson: String, adds: Seq[String],
+                     removes: Seq[String]): String = {
+    val sb = new StringBuilder
+    sb.append(Magic).append('\n')
+    sb.append("version=").append(e.version).append('\n')
+    sb.append("ts=").append(e.tsMillis).append('\n')
+    sb.append("op=").append(enc(e.op)).append('\n')
+    e.rollbackOf.foreach(v => sb.append("rollbackOf=").append(v).append('\n'))
+    sb.append("schema=").append(enc(schemaJson)).append('\n')
+    adds.foreach(p => sb.append('+').append(enc(p)).append('\n'))
+    removes.foreach(p => sb.append('-').append(enc(p)).append('\n'))
+    sb.append("end=").append(adds.size).append(',').append(removes.size).append('\n')
+    sb.toString
+  }
+
+  private final case class Parsed(entry: Entry, schemaJson: String,
+                                  adds: Seq[String], removes: Seq[String])
+
+  /** Parse a manifest/checkpoint body; None = torn or foreign file. */
+  private def parse(body: String): Option[Parsed] = {
+    val lines = body.split('\n')
+    if (lines.isEmpty || lines.head != Magic) return None
+    var version = -1L; var ts = -1L; var op = ""; var rollbackOf: Option[Long] = None
+    var schema = ""; val adds = Seq.newBuilder[String]; val removes = Seq.newBuilder[String]
+    var nA = 0; var nR = 0; var ended = false
+    for (ln <- lines.tail if ln.nonEmpty) {
+      if (ended) return None // content after the trailer: torn/garbled
+      if (ln.startsWith("version=")) version = ln.stripPrefix("version=").toLong
+      else if (ln.startsWith("ts=")) ts = ln.stripPrefix("ts=").toLong
+      else if (ln.startsWith("op=")) op = dec(ln.stripPrefix("op="))
+      else if (ln.startsWith("rollbackOf=")) rollbackOf = Some(ln.stripPrefix("rollbackOf=").toLong)
+      else if (ln.startsWith("schema=")) schema = dec(ln.stripPrefix("schema="))
+      else if (ln.startsWith("+")) { adds += dec(ln.tail); nA += 1 }
+      else if (ln.startsWith("-")) { removes += dec(ln.tail); nR += 1 }
+      else if (ln.startsWith("end=")) {
+        val parts = ln.stripPrefix("end=").split(',')
+        if (parts.length != 2 || parts(0).toInt != nA || parts(1).toInt != nR) return None
+        ended = true
+      } else return None
+    }
+    if (!ended || version < 0 || ts < 0 || op.isEmpty || schema.isEmpty) None
+    else Some(Parsed(Entry(version, ts, op, nA, nR, rollbackOf), schema, adds.result(), removes.result()))
+  }
+
+  private def readFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Atomic version claim: create-no-overwrite of the manifest file and
+    * a full write through that single stream. Returns false when the
+    * version is already claimed. THE commit point of the whole module —
+    * an object-store port swaps conditional-put in here and nothing
+    * else changes. */
+  private def tryClaim(fs: FileSystem, p: Path, body: String): Boolean = {
+    val out =
+      try fs.create(p, false)
+      catch { case _: java.io.IOException => return false }
+    try { out.write(body.getBytes(StandardCharsets.UTF_8)); true }
+    finally out.close()
+  }
+
+  // ── log scanning ─────────────────────────────────────────────────
+
+  private final case class LogListing(manifests: Seq[Long], checkpoints: Seq[Long])
+
+  private def listLog(fs: FileSystem, root: Path): LogListing = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) return LogListing(Nil, Nil)
+    val st = fs.listStatus(dir)
+    def vers(suffix: String) = st.iterator
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(suffix))
+      .flatMap(n => scala.util.Try(n.stripPrefix("v").stripSuffix(suffix).toLong).toOption)
+      .toSeq.sorted
+    LogListing(vers(".mf"), vers(".cp"))
+  }
+
+  /** Current committed version, or -1 for a table with no log. A torn
+    * head manifest (crashed writer) is not a committed version. */
+  def currentVersion(spark: SparkSession, table: String): Long = {
+    val (fs, root) = fsOf(spark, table)
+    val ms = listLog(fs, root).manifests
+    ms.reverse.find(v => parse(readFile(fs, manifestPath(root, v))).isDefined).getOrElse(-1L)
+  }
+
+  /** Next claimable version; deletes a TORN head manifest in passing
+    * (a writer died mid-write — its version was never committed, and
+    * the claim below would otherwise be blocked forever). Interior torn
+    * manifests are impossible by construction (a writer only ever
+    * claims head+1) and [[replay]] hard-fails on them. */
+  private def nextVersionReclaiming(fs: FileSystem, root: Path): Long = {
+    val ms = listLog(fs, root).manifests
+    ms.lastOption match {
+      case None => 0L
+      case Some(last) =>
+        if (parse(readFile(fs, manifestPath(root, last))).isEmpty) {
+          fs.delete(manifestPath(root, last), false)
+          last
+        } else last + 1
+    }
+  }
+
+  /** Resolve the snapshot at `asOf` (default: head). Seeds from the
+    * newest VALID checkpoint ≤ target, replays the manifests after it.
+    * A torn checkpoint (crashed checkpointer) is skipped — checkpoints
+    * are an optimization, never required for correctness. */
+  def state(spark: SparkSession, table: String, asOf: Option[Long] = None): Snapshot = {
+    val (fs, root) = fsOf(spark, table)
+    val listing = listLog(fs, root)
+    require(listing.manifests.nonEmpty, s"no snapshot log at $table")
+    val head = currentVersion(spark, table)
+    require(head >= 0, s"snapshot log at $table has no committed version")
+    val target = asOf.getOrElse(head)
+    require(target >= 0 && target <= head,
+      s"version $target out of range [0, $head] for $table")
+    require(listing.manifests.contains(target),
+      s"version $target expired from $table (oldest retained: ${listing.manifests.head})")
+
+    val cpSeed: Option[(Long, Parsed)] = listing.checkpoints
+      .filter(_ <= target).sorted.reverse.iterator
+      .flatMap(v => parse(readFile(fs, checkpointPath(root, v))).map(v -> _))
+      .take(1).toSeq.headOption
+
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    var schema = ""
+    var from = 0L
+    cpSeed.foreach { case (v, p) => live ++= p.adds; schema = p.schemaJson; from = v + 1 }
+    for (v <- listing.manifests if v >= from && v <= target) {
+      val p = parse(readFile(fs, manifestPath(root, v))).getOrElse(
+        throw new IllegalStateException(
+          s"torn manifest v$v inside the log at $table — log is corrupt"))
+      live ++= p.adds
+      live --= p.removes
+      schema = p.schemaJson
+    }
+    Snapshot(target, live.toSeq, schema)
+  }
+
+  // ── commits ──────────────────────────────────────────────────────
+
+  /** Low-level commit: claim `expected + 1` with the given file deltas.
+    * `expected` is the head version the caller planned against
+    * (-1 = creating the table); a different head at claim time throws
+    * `ConcurrentModificationException`. Returns the committed version. */
+  def commit(spark: SparkSession, table: String, op: String,
+             adds: Seq[String], removes: Seq[String], schemaJson: String,
+             expected: Long, rollbackOf: Option[Long] = None,
+             checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val (fs, root) = fsOf(spark, table)
+    fs.mkdirs(logDir(root))
+    val next = nextVersionReclaiming(fs, root)
+    if (next != expected + 1)
+      throw new java.util.ConcurrentModificationException(
+        s"$table moved to v${next - 1} (planned against v$expected)")
+    val e = Entry(next, System.currentTimeMillis(), op, adds.size, removes.size, rollbackOf)
+    if (!tryClaim(fs, manifestPath(root, next), render(e, schemaJson, adds, removes)))
+      throw new java.util.ConcurrentModificationException(
+        s"lost the claim race for v$next of $table")
+    maybeCheckpoint(spark, fs, root, table, next, checkpointInterval)
+    next
+  }
+
+  /** Write a checkpoint when the version lands on the interval. Crash
+    * here is harmless (readers validate + skip); a later commit on the
+    * same version number cannot exist, so no claim conflict. */
+  private def maybeCheckpoint(spark: SparkSession, fs: FileSystem, root: Path,
+                              table: String, v: Long, interval: Int): Unit =
+    if (interval > 0 && v > 0 && v % interval == 0) {
+      val snap = state(spark, table, Some(v))
+      val e = Entry(v, System.currentTimeMillis(), "checkpoint", snap.files.size, 0, None)
+      tryClaim(fs, checkpointPath(root, v), render(e, snap.schemaJson, snap.files, Nil))
+    }
+
+  /** Append retry loop: re-read the head and re-claim — two appends
+    * never logically conflict, so losing a claim race is not an error. */
+  private def retryingAppend(spark: SparkSession, table: String, op: String,
+                             adds: Seq[String], schemaJson: String,
+                             checkpointInterval: Int): Long = {
+    var attempts = 0
+    while (true) {
+      val head = currentVersion(spark, table)
+      try return commit(spark, table, op, adds, Nil, schemaJson, head,
+        checkpointInterval = checkpointInterval)
+      catch {
+        case _: java.util.ConcurrentModificationException if attempts < 20 => attempts += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** List the `.parquet` files Spark materialized under a commit token
+    * dir, as table-relative paths. */
+  private def partFiles(fs: FileSystem, root: Path, tokenDir: Path): Seq[String] = {
+    val prefix = root.toUri.getPath match { case p if p.endsWith("/") => p; case p => p + "/" }
+    val it = fs.listFiles(tokenDir, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val abs = f.getPath.toUri.getPath
+        require(abs.startsWith(prefix), s"$abs escaped table root $prefix")
+        buf += abs.stripPrefix(prefix)
+      }
+    }
+    buf.result()
+  }
+
+  /** Materialize `df` as a new commit. `mode` is `"append"` or
+    * `"overwrite"`; pass `clusterColumn` to range-cluster the files so
+    * zone-map pruning works on the snapshot (same recipe as
+    * [[ClusteredWriter]]). Returns the committed version.
+    *
+    * The data write happens BEFORE any claim, into a fresh token dir —
+    * heavy I/O runs unlocked, the commit itself is one small file. An
+    * overwrite that loses its claim race throws and strands its token
+    * dir as an orphan ([[expireOrphans]] reclaims it); it never
+    * half-applies. */
+  def write(df: DataFrame, table: String, mode: String = "append",
+            clusterColumn: Option[String] = None, nFiles: Int = 8,
+            checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    require(mode == "append" || mode == "overwrite", s"unknown mode '$mode'")
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, table)
+    val planned = if (mode == "overwrite" && fs.exists(logDir(root)) &&
+      listLog(fs, root).manifests.nonEmpty) {
+      val head = currentVersion(spark, table)
+      if (head >= 0) Some(head -> state(spark, table, Some(head)).files) else None
+    } else None
+
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tokenDir = new Path(new Path(root, "data"), token)
+    val shaped = clusterColumn match {
+      case Some(c) => df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(c))
+        .sortWithinPartitions(c)
+      case None => df
+    }
+    shaped.write.mode("errorifexists").parquet(tokenDir.toString)
+    val adds = partFiles(fs, root, tokenDir)
+    val schemaJson = df.schema.json
+
+    mode match {
+      case "append" =>
+        retryingAppend(spark, table, "append", adds, schemaJson, checkpointInterval)
+      case "overwrite" =>
+        val (expected, removes) = planned match {
+          case Some((head, files)) => (head, files)
+          case None => (currentVersion(spark, table), Nil)
+        }
+        commit(spark, table, "overwrite", adds, removes, schemaJson, expected,
+          checkpointInterval = checkpointInterval)
+    }
+  }
+
+  /** Roll the table back to `toVersion` as a NEW commit (never by
+    * deleting history — the bad versions stay auditable and
+    * time-travelable until [[expire]]). */
+  def rollback(spark: SparkSession, table: String, toVersion: Long,
+               checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val head = currentVersion(spark, table)
+    val target = state(spark, table, Some(toVersion))
+    val cur = state(spark, table, Some(head))
+    val curSet = cur.files.toSet
+    val tgtSet = target.files.toSet
+    commit(spark, table, "rollback",
+      adds = target.files.filterNot(curSet), removes = cur.files.filterNot(tgtSet),
+      schemaJson = target.schemaJson, expected = head, rollbackOf = Some(toVersion),
+      checkpointInterval = checkpointInterval)
+  }
+
+  // ── reads ────────────────────────────────────────────────────────
+
+  /** Read a snapshot (default: head). The committed schema of THAT
+    * version is imposed on the scan, so time travel returns the table
+    * as it was — a column added later does not bleed into old versions,
+    * and an empty snapshot still has its schema. */
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+    val snap = state(spark, table, asOf)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else {
+      val root = new Path(table)
+      val abs = snap.files.map(f => new Path(root, f).toString)
+      spark.read.schema(schema).parquet(abs: _*)
+    }
+  }
+
+  /** Commit history, newest first: (version, ts_millis, op, n_adds,
+    * n_removes, rollback_of). Driver-built: the log is O(commits),
+    * the same class as the file listing. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val (fs, root) = fsOf(spark, table)
+    val rows = listLog(fs, root).manifests.flatMap { v =>
+      parse(readFile(fs, manifestPath(root, v))).map { p =>
+        Row(p.entry.version, p.entry.tsMillis, p.entry.op,
+          p.entry.nAdds.toLong, p.entry.nRemoves.toLong,
+          p.entry.rollbackOf.map(Long.box).orNull)
+      }
+    }.reverse
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("ts_millis", LongType, nullable = false),
+        StructField("op", StringType, nullable = false),
+        StructField("n_adds", LongType, nullable = false),
+        StructField("n_removes", LongType, nullable = false),
+        StructField("rollback_of", LongType, nullable = true))))
+  }
+
+  // ── retention ────────────────────────────────────────────────────
+
+  /** Drop history older than the last `keepLast` versions and delete
+    * the data files only they referenced. A checkpoint is first
+    * written AT the new horizon so every retained version still
+    * resolves without the dropped manifests. Files referenced by ANY
+    * retained version survive. Throws `ConcurrentModificationException`
+    * if a commit lands while expiring (single-maintainer, like
+    * compaction). */
+  def expire(spark: SparkSession, table: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val (fs, root) = fsOf(spark, table)
+    val head = currentVersion(spark, table)
+    val listing = listLog(fs, root)
+    val retained = listing.manifests.filter(_ > head - keepLast)
+    if (retained.isEmpty || retained.head == listing.manifests.head) return Nil
+    val horizon = retained.head
+
+    // checkpoint exactly AT the horizon: replaying any retained version
+    // must never need a dropped manifest, and the horizon version itself
+    // retains no manifests below it
+    if (!listing.checkpoints.exists(v =>
+      v == horizon && parse(readFile(fs, checkpointPath(root, v))).isDefined)) {
+      val snap = state(spark, table, Some(horizon))
+      val e = Entry(horizon, System.currentTimeMillis(), "checkpoint",
+        snap.files.size, 0, None)
+      tryClaim(fs, checkpointPath(root, horizon), render(e, snap.schemaJson, snap.files, Nil))
+    }
+
+    val keepFiles = retained.flatMap(v => state(spark, table, Some(v)).files).toSet
+    val dropFiles = listing.manifests.filter(_ < horizon)
+      .flatMap(v => state(spark, table, Some(v)).files)
+      .distinct.filterNot(keepFiles)
+
+    if (currentVersion(spark, table) != head)
+      throw new java.util.ConcurrentModificationException(
+        s"$table advanced past v$head while expiring — re-run")
+
+    dropFiles.foreach(f => fs.delete(new Path(root, f), false))
+    listing.manifests.filter(_ < horizon).foreach(v => fs.delete(manifestPath(root, v), false))
+    listing.checkpoints.filter(_ < horizon).foreach(v => fs.delete(checkpointPath(root, v), false))
+    dropFiles
+  }
+
+  /** Reclaim token dirs no manifest (in any retained version) ever
+    * references and that are older than `graceMs` — the stranded output
+    * of writers that died before their commit. Grace must exceed the
+    * longest write-to-commit gap, same rule as [[Vacuum]]. */
+  def expireOrphans(spark: SparkSession, table: String, graceMs: Long): Seq[String] = {
+    val (fs, root) = fsOf(spark, table)
+    val dataDir = new Path(root, "data")
+    if (!fs.exists(dataDir)) return Nil
+    val listing = listLog(fs, root)
+    // every token referenced by any manifest, committed or torn — a torn
+    // head manifest's token may be about to be re-claimed; grace covers it
+    val referenced: Set[String] = listing.manifests.flatMap { v =>
+      parse(readFile(fs, manifestPath(root, v))).toSeq
+        .flatMap(p => p.adds ++ p.removes)
+    }.map(_.split('/') match {
+      case Array("data", tok, _*) => tok
+      case _ => ""
+    }).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dropped = Seq.newBuilder[String]
+    for (st <- fs.listStatus(dataDir) if st.isDirectory) {
+      val tok = st.getPath.getName
+      if (!referenced.contains(tok) && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, true)
+        dropped += st.getPath.toString
+      }
+    }
+    dropped.result()
+  }
+}

@@ -1,0 +1,168 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+class SnapshotLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(): String = tmpDir("snap") + "/t"
+
+  test("append/overwrite build versions; read/readAt see each version exactly") {
+    val t = mkTable()
+    val v0 = SnapshotLog.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, "overwrite")
+    val v1 = SnapshotLog.write(Seq((3L, "c")).toDF("id", "s"), t, "append")
+    val v2 = SnapshotLog.write(Seq((9L, "z")).toDF("id", "s"), t, "overwrite")
+    assert(Seq(v0, v1, v2) == Seq(0L, 1L, 2L))
+    assert(SnapshotLog.read(spark, t).as[(Long, String)].collect().toSet == Set((9L, "z")))
+    assert(SnapshotLog.read(spark, t, Some(0)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(SnapshotLog.read(spark, t, Some(1)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(SnapshotLog.currentVersion(spark, t) == 2L)
+  }
+
+  test("rollback restores an old version as a NEW commit; history records it") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    SnapshotLog.write(Seq((2L, "b")).toDF("id", "s"), t, "append")
+    SnapshotLog.write(Seq((666L, "bad")).toDF("id", "s"), t, "overwrite")
+    val v3 = SnapshotLog.rollback(spark, t, 1L)
+    assert(v3 == 3L)
+    assert(SnapshotLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the bad version is still time-travelable — rollback never erases
+    assert(SnapshotLog.read(spark, t, Some(2)).as[(Long, String)].collect().toSet ==
+      Set((666L, "bad")))
+    val h = SnapshotLog.history(spark, t)
+      .select("version", "op", "rollback_of").as[(Long, String, Option[Long])]
+      .collect().toSeq
+    assert(h.head == ((3L, "rollback", Some(1L))))
+    assert(h.map(_._1) == Seq(3L, 2L, 1L, 0L))
+  }
+
+  test("time travel imposes the schema committed at that version") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    SnapshotLog.write(
+      Seq((2L, "b", 0.5)).toDF("id", "s", "score"), t, "overwrite")
+    assert(SnapshotLog.read(spark, t, Some(0)).columns.toSeq == Seq("id", "s"))
+    assert(SnapshotLog.read(spark, t, Some(1)).columns.toSeq == Seq("id", "s", "score"))
+  }
+
+  test("checkpoints seed the replay and survive torn checkpoint files") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((0L, "x")).toDF("id", "s"), t, "overwrite",
+      checkpointInterval = 4)
+    (1 to 9).foreach(i => SnapshotLog.write(Seq((i.toLong, "x")).toDF("id", "s"), t,
+      "append", checkpointInterval = 4))
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cps = fs.listStatus(new Path(root, "_log"))
+      .map(_.getPath.getName).filter(_.endsWith(".cp")).sorted.toSeq
+    assert(cps == Seq("v000000000004.cp", "v000000000008.cp"))
+    // tear the newest checkpoint: truncate its trailer
+    val torn = new Path(new Path(root, "_log"), "v000000000008.cp")
+    val body = {
+      val in = fs.open(torn)
+      val bytes = new Array[Byte](fs.getFileStatus(torn).getLen.toInt)
+      in.readFully(bytes); in.close(); new String(bytes, "UTF-8")
+    }
+    fs.delete(torn, false)
+    val out = fs.create(torn, true)
+    out.write(body.substring(0, body.length / 2).getBytes("UTF-8")); out.close()
+    // reads still resolve every version (fall back to v4's checkpoint)
+    assert(SnapshotLog.read(spark, t).count() == 10L)
+    assert(SnapshotLog.read(spark, t, Some(6)).count() == 7L)
+  }
+
+  test("clustered snapshot write yields range-disjoint files") {
+    val t = mkTable()
+    val df = spark.range(0, 10000).select(col("id"), (col("id") % 7).as("g"))
+    SnapshotLog.write(df, t, "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    val stats = Metastore.buildFromFooters(spark, t + "/data", "id")
+      .select("id_min", "id_max").as[(Long, Long)].collect().sortBy(_._1)
+    assert(stats.length == 4)
+    stats.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ =>
+    }
+  }
+
+  test("expire drops old versions + their exclusive files, keeps retained readable") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")   // v0
+    SnapshotLog.write(Seq((666L, "bad")).toDF("id", "s"), t, "overwrite") // v1
+    SnapshotLog.write(Seq((2L, "b")).toDF("id", "s"), t, "overwrite")   // v2
+    SnapshotLog.write(Seq((3L, "c")).toDF("id", "s"), t, "append")      // v3
+    val dropped = SnapshotLog.expire(spark, t, keepLast = 2)
+    assert(dropped.nonEmpty) // v0+v1's exclusive files reclaimed
+    // retained versions still resolve bit-for-bit
+    assert(SnapshotLog.read(spark, t, Some(2)).as[(Long, String)].collect().toSet ==
+      Set((2L, "b")))
+    assert(SnapshotLog.read(spark, t, Some(3)).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    // expired versions refuse with a clear message
+    val err = intercept[IllegalArgumentException](SnapshotLog.read(spark, t, Some(0)))
+    assert(err.getMessage.contains("expired"))
+    // v2's data file survived (v3 references it)
+    assert(SnapshotLog.read(spark, t).count() == 2L)
+  }
+
+  test("a torn head manifest is never served and its version is reclaimed") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    val root = new Path(t)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a writer that died mid-manifest at v1
+    val torn = new Path(new Path(root, "_log"), "v000000000001.mf")
+    val out = fs.create(torn, false)
+    out.write(s"${SnapshotLog.Magic}\nversion=1\nts=1\nop=append\n".getBytes("UTF-8"))
+    out.close()
+    assert(SnapshotLog.currentVersion(spark, t) == 0L)
+    assert(SnapshotLog.read(spark, t).count() == 1L)
+    // next committer reclaims v1
+    val v = SnapshotLog.write(Seq((2L, "b")).toDF("id", "s"), t, "append")
+    assert(v == 1L)
+    assert(SnapshotLog.read(spark, t).count() == 2L)
+  }
+
+  test("overwrite planned against a stale head throws instead of losing the update") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    val stale = SnapshotLog.state(spark, t) // head = v0
+    SnapshotLog.write(Seq((2L, "b")).toDF("id", "s"), t, "append") // advances to v1
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commit(spark, t, "overwrite", Nil, stale.files,
+        stale.schemaJson, expected = stale.version)
+    }
+  }
+
+  test("expireOrphans reclaims only unreferenced token dirs past grace") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    // strand a fake crashed-writer dir
+    val orphan = new Path(t, "data/deadbeef0000")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    val out = fs.create(new Path(orphan, "part-0.parquet"), true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(SnapshotLog.expireOrphans(spark, t, graceMs = Long.MaxValue).isEmpty)
+    val gone = SnapshotLog.expireOrphans(spark, t, graceMs = -1000L)
+    assert(gone.exists(_.endsWith("deadbeef0000")))
+    assert(!fs.exists(orphan))
+    assert(SnapshotLog.read(spark, t).count() == 1L) // live data untouched
+  }
+
+  test("empty snapshot reads as an empty, correctly-typed frame") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    val cur = SnapshotLog.state(spark, t)
+    SnapshotLog.commit(spark, t, "overwrite", Nil, cur.files, cur.schemaJson,
+      expected = cur.version)
+    val df = SnapshotLog.read(spark, t)
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.count() == 0L)
+  }
+}
