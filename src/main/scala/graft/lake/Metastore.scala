@@ -194,7 +194,7 @@ object Metastore {
   /** The driver's Hadoop conf as serializable key/value pairs: a bare
     * `new Configuration()` on an executor would drop fs.s3a credentials /
     * endpoints and fail against object stores. */
-  private def hadoopConfKVs(spark: SparkSession): Seq[(String, String)] = {
+  private[lake] def hadoopConfKVs(spark: SparkSession): Seq[(String, String)] = {
     val it = spark.sparkContext.hadoopConfiguration.iterator()
     val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
     while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
@@ -205,7 +205,7 @@ object Metastore {
     * Distributed footer-only sweep (KBs per file) over an
     * already-listed path set; a file whose footer cannot be read yields
     * no row. */
-  private def footerRowCounts(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  private[lake] def footerRowCounts(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -315,39 +315,8 @@ object Metastore {
           }
           // Parquet physical value -> Spark external value, keyed by the
           // Spark type the normal reader infers (so both builders agree).
-          def toExternal(name: String, v: Any): Any = {
-            if (v == null) return null
-            types(name) match {
-              case StringType =>
-                new String(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
-                  java.nio.charset.StandardCharsets.UTF_8)
-              case TimestampType | TimestampNTZType =>
-                val micros = logicalByName(name).getLogicalTypeAnnotation match {
-                  case t: TimestampLogicalTypeAnnotation => t.getUnit match {
-                    case TimeUnit.MILLIS => v.asInstanceOf[Long] * 1000L
-                    case TimeUnit.MICROS => v.asInstanceOf[Long]
-                    case TimeUnit.NANOS  => Math.floorDiv(v.asInstanceOf[Long], 1000L)
-                  }
-                  case _ => v.asInstanceOf[Long]
-                }
-                if (types(name) == TimestampType)
-                  java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
-                else
-                  java.time.LocalDateTime.ofEpochSecond(
-                    Math.floorDiv(micros, 1000000L),
-                    (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-                    java.time.ZoneOffset.UTC)
-              case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
-              // Parquet footer stats surface INT(8/16/32)-annotated
-              // columns as java.lang.Integer; narrow to the Row's
-              // declared external type or createDataFrame rejects it
-              case ShortType => v.asInstanceOf[Number].shortValue()
-              case ByteType => v.asInstanceOf[Number].byteValue()
-              case IntegerType => v.asInstanceOf[Number].intValue()
-              case LongType => v.asInstanceOf[Number].longValue()
-              case _ => v // float/double physical == external
-            }
-          }
+          def toExternal(name: String, v: Any): Any =
+            footerExternal(types(name), logicalByName.get(name).orNull, v)
           val values = wanted.flatMap { c =>
             acc.get(c) match {
               case Some((mn, mx)) => Seq(toExternal(c, mn), toExternal(c, mx))
@@ -363,6 +332,48 @@ object Metastore {
         }
       }
     spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Parquet footer-statistics value → Spark EXTERNAL value for the
+    * given Spark type (`prim` = the column's parquet primitive type,
+    * needed to resolve the timestamp unit; may be null for
+    * non-temporal columns). Shared by [[buildFromFooters]] and
+    * [[StatsAgg]] so both agree bit-for-bit with what the normal
+    * parquet reader produces. */
+  private[lake] def footerExternal(
+      dt: DataType, prim: org.apache.parquet.schema.PrimitiveType, v: Any): Any = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+    if (v == null) return null
+    dt match {
+      case StringType =>
+        new String(v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+          java.nio.charset.StandardCharsets.UTF_8)
+      case TimestampType | TimestampNTZType =>
+        val micros = prim.getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+            case TimeUnit.MILLIS => v.asInstanceOf[Long] * 1000L
+            case TimeUnit.MICROS => v.asInstanceOf[Long]
+            case TimeUnit.NANOS  => Math.floorDiv(v.asInstanceOf[Long], 1000L)
+          }
+          case _ => v.asInstanceOf[Long]
+        }
+        if (dt == TimestampType)
+          java.time.Instant.EPOCH.plus(micros, java.time.temporal.ChronoUnit.MICROS)
+        else
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+      case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+      // Parquet footer stats surface INT(8/16/32)-annotated columns as
+      // java.lang.Integer; narrow to the Row's declared external type
+      // or createDataFrame rejects it
+      case ShortType => v.asInstanceOf[Number].shortValue()
+      case ByteType => v.asInstanceOf[Number].byteValue()
+      case IntegerType => v.asInstanceOf[Number].intValue()
+      case LongType => v.asInstanceOf[Number].longValue()
+      case _ => v // float/double physical == external
+    }
   }
 
   /** Stats-soundness audit: cross-checks a stored stats table (from
