@@ -1088,6 +1088,29 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("lang", "source"))
         .orderBy("lang", "source")),
 
+    // line-level boilerplate removal (C4/RefinedWeb rule): the corpus
+    // is re-lined into 8-token lines with a fixed footer line injected
+    // into every third doc — the footer (and any organically repeated
+    // line, e.g. short tails from the small vocabulary) occurs in >= 2
+    // distinct docs and must vanish from ALL of them; the oracle
+    // rebuilds each doc's cleaned text from scratch in SQL, so the
+    // md5 pins the whole split→hash→count→filter→rejoin chain
+    "dedup_lines" -> ((s, dir) => {
+      val tk = TextAnalysis.tokensCol(col("text"))
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          array_join(
+            transform(sequence(lit(0), ceil(size(tk) / lit(8.0)).cast("int") - 1),
+              i => array_join(slice(tk, i * lit(8) + 1, lit(8)), " ")), "\n"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\nshared boilerplate footer line")).otherwise(lit(""))
+        ).as("text"))
+      Dedup.lineDedup(lined, "doc_id", "text", minDocs = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Full two-phase pipeline: banded-LSH candidates re-checked against
     // true shingle Jaccard; the oracle recomputes the exact J>=0.5 pair
     // set all-pairs in SQL, so the whole shingle→hash→band→bucket→
@@ -1637,6 +1660,17 @@ object SparkEntry {
       TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text", k = 5)
         .withColumn("tfidf", round(col("tfidf_raw"), 6)).drop("tfidf_raw")
         .orderBy("doc_id", "rank")),
+
+    // BM25 keyword retrieval: three fixed queries over the corpus, full
+    // Okapi scoring (term-sorted summation — the float determinism the
+    // oracle's ordered aggregate mirrors), top-10 each
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"),
+          Seq(0L -> "spark merge batch", 1L -> "window sort key",
+            2L -> "hash table scan"),
+          "doc_id", "text", k = 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")),
 
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(t(s, dir, "documents"))
@@ -2609,6 +2643,29 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS doc_id, lang, source FROM documents
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    // full from-scratch rebuild of the line-dedup result: re-line into
+    // 8-token lines + the injected footer, count distinct docs per
+    // line, drop lines with >= 2, md5 the rejoined text
+    "dedup_lines" ->
+      s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
+         |nums AS (SELECT doc_id, tk, CAST(ceil(len(tk)/8.0) AS BIGINT) AS nl FROM toks),
+         |lines0 AS (
+         |  SELECT doc_id, i, array_to_string(tk[8*i+1 : 8*i+8], ' ') AS line
+         |  FROM nums, LATERAL (SELECT unnest(range(0, nl)) AS i)),
+         |lines1 AS (
+         |  SELECT doc_id, i, line FROM lines0
+         |  UNION ALL
+         |  SELECT doc_id, 1000000000 AS i, 'shared boilerplate footer line' AS line
+         |  FROM toks WHERE doc_id % 3 = 0),
+         |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM lines1 GROUP BY line),
+         |flags AS (
+         |  SELECT l.doc_id, l.i, l.line, (f.nd >= 2) AS dup
+         |  FROM lines1 l JOIN freq f USING (line))
+         |SELECT doc_id, COUNT(*) AS n_lines,
+         |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+         |  md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY i), '')) AS clean_md5
+         |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $normToks AS tk FROM documents),
@@ -3298,6 +3355,40 @@ object SparkEntry {
          |SELECT doc AS doc_id, token, CAST(rank AS INT) AS rank,
          |  round(tfidf_raw, 6) AS tfidf
          |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // full BM25 re-derivation: same integer inputs (N, df, tf, dl), the
+    // same one-division avgdl, and an ORDERED aggregate so the float
+    // summation order matches the Spark side's sorted-term fold
+    "text_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
+         |stats AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+         |  WHERE term IN ('spark','merge','batch','window','sort','key','hash','table','scan')
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+         |qt AS (SELECT * FROM (VALUES (0,'batch'),(0,'merge'),(0,'spark'),
+         |  (1,'key'),(1,'sort'),(1,'window'),
+         |  (2,'hash'),(2,'scan'),(2,'table')) AS q(query_id, term)),
+         |scored AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    SUM(ln(1 + (s.n - dfq.df + 0.5)/(dfq.df + 0.5)) *
+         |          (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+         |          (CAST(tf.tf AS DOUBLE) + 1.2 * (1 - 0.75 + (0.75 * CAST(dl.dl AS DOUBLE)) / s.avgdl))
+         |        ORDER BY q.term) AS score
+         |  FROM qt q JOIN tf ON tf.term = q.term
+         |    JOIN dfq ON dfq.term = q.term
+         |    JOIN dl ON dl.doc_id = tf.doc_id
+         |    CROSS JOIN stats s
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         |    round(score, 6) AS score
+         |  FROM scored)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, score
+         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,

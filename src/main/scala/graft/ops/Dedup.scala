@@ -1193,6 +1193,61 @@ object Dedup {
         (size(toks) - size(col("_kept"))).cast("long").as("n_removed"))
   }
 
+  /** Line-level corpus dedup (the C4/RefinedWeb boilerplate rule):
+    * a LINE (text split on `sep`) that occurs in at least `minDocs`
+    * DISTINCT documents is boilerplate — nav bars, cookie banners,
+    * license footers — and is removed from EVERY document that carries
+    * it. Complements [[substringDup]] (which finds long shared token
+    * spans, not line-aligned repeats) and [[exact]] (whole-document
+    * identity).
+    *
+    * Lines shorter than `minLineChars` characters are exempt — never
+    * counted, never removed (the C4 practice: blank and near-blank
+    * lines are structure, not boilerplate). `sep` is a Java regex
+    * (the default splits on bare newlines); the rebuild joins kept
+    * lines back with the literal separator, so pass a literal
+    * separator when round-tripping text matters.
+    *
+    * Shuffle shape at 100 TB: the frequency pass shuffles 8-byte line
+    * hashes only (per-doc-distinct first, so a doc repeating its own
+    * line contributes one vote); the per-doc drop-set is a hash join of
+    * those hashes; the REBUILD join is the only stage that moves text
+    * bytes, and it moves them exactly once (same cost class as
+    * [[removeDupSpans]]'s interval join). Dup-line identity is
+    * xxhash64 — the same 64-bit birthday arithmetic as substringDup
+    * (~1e-8 false-collision fraction at 10^12 distinct lines).
+    *
+    * Returns one row per document: (idCol, n_lines, n_dup_lines,
+    * clean_text) where n_dup_lines counts removed occurrences. */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", minDocs: Int = 2,
+                sep: String = "\n", minLineChars: Int = 1): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    TextAnalysis.requireFree(docs, "_lines", "_lh", "_nd", "_drop", "_kept")
+    val base = docs.select(col(idCol), split(col(textCol), sep).as("_lines"))
+    val eligible = (l: Column) => length(l) >= minLineChars
+    // one vote per (doc, line): array_distinct before the explode
+    val exploded = base.select(col(idCol),
+      explode(array_distinct(transform(
+        filter(col("_lines"), eligible), l => xxhash64(l)))).as("_lh"))
+    val dupHashes = exploded.groupBy("_lh")
+      .agg(count(lit(1)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("_lh")
+    // per-doc drop set: tiny (distinct boilerplate hashes in the doc)
+    val drops = exploded.join(dupHashes, "_lh")
+      .groupBy(idCol).agg(collect_set(col("_lh")).as("_drop"))
+    base.join(drops, Seq(idCol), "left")
+      .select(col(idCol), col("_lines"),
+        coalesce(col("_drop"), array().cast("array<bigint>")).as("_drop"))
+      .withColumn("_kept", filter(col("_lines"), l =>
+        !(eligible(l) && array_contains(col("_drop"), xxhash64(l)))))
+      .select(col(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        (size(col("_lines")) - size(col("_kept"))).cast("long").as("n_dup_lines"),
+        array_join(col("_kept"), sep).as("clean_text"))
+  }
+
   /** Pairs of ids sharing a bucket key, with a skew cap: buckets larger
     * than `maxBucket` are dropped entirely (documented recall trade).
     *

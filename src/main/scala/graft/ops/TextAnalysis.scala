@@ -367,6 +367,100 @@ object TextAnalysis {
       .groupBy("domain")
       .agg(countDistinct(col("_doc")).as("n_docs"), count(lit(1)).as("n_urls"))
 
+  /** Same one-element-transform binding trick as Dedup/Similarity:
+    * Spark HOF lambdas get no common-subexpression elimination, so a
+    * tokenizer referenced once per query TERM would re-run the regex
+    * split that many times per document. */
+  private def bindOnce(e: Column)(f: Column => Column): Column =
+    element_at(transform(array(e), f), 1)
+
+  /** Driver-side twin of [[tokensCol]] for query strings (distinct,
+    * sorted — the deterministic summation order BM25 scoring relies
+    * on). */
+  private[ops] def tokenizeQuery(q: String): Seq[String] =
+    q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.sorted
+
+  /** BM25 top-k lexical retrieval — the keyword twin of the ANN
+    * surface (`Similarity.*TopK`): score every document against each
+    * query string with Okapi BM25 and return the `k` best per query.
+    *
+    *   score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t)     = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * (Robertson/Spärck Jones; the formulation Lucene documents
+    * publicly.) Two corpus passes, both narrow:
+    *  1. a single aggregate computes N, Σdl, and per-term df for the
+    *     distinct terms of ALL queries at once (terms are config-sized;
+    *     df via `array_contains`, no explode);
+    *  2. a scoring map computes every query's score in ONE pass (the
+    *     tokenizer bound once per doc), keeps docs with score > 0 —
+    *     at web scale the overwhelming filter, since most docs share
+    *     no term with any query — and ranks per query.
+    * The only shuffle is the final per-query top-k window over
+    * (query_id, id, score) triplets of MATCHING docs. At 100 TB with
+    * a high-traffic query workload you'd persist an inverted index
+    * (df/tf/postings, clustered on term — the `IncrementalDedup`
+    * postings layout applies verbatim); this is the index-free form
+    * whose answer that index must reproduce.
+    *
+    * Determinism (what lets a DuckDB oracle hash-match a float score):
+    * idf inputs are integers, avgdl is Σdl/N in one double division,
+    * and each score folds its term contributions in SORTED term order —
+    * floating-point addition is order-sensitive, so the order is part
+    * of the operator contract, not an accident.
+    *
+    * Returns (query_id, idCol, rank, score), rank 1-based, ties broken
+    * by ascending id. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)],
+               idCol: String = "doc_id", textCol: String = "text",
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "no queries")
+    requireFree(docs, "_tk", "_qs")
+    val qterms: Seq[(Long, Seq[String])] =
+      queries.map { case (qid, q) => qid -> tokenizeQuery(q) }
+    val allTerms = qterms.flatMap(_._2).distinct.sorted
+    require(allTerms.nonEmpty, "queries tokenize to no terms")
+
+    // pass 1: N, Σdl, df per term — one aggregate, no explode
+    val statsAggs =
+      (count(lit(1)).as("_n") +: sum(size(col("_tk"))).as("_sumdl") +:
+        allTerms.map(t => sum(when(array_contains(col("_tk"), t), 1L)
+          .otherwise(0L)).as(s"_df_$t")))
+    val srow = docs.select(tokensCol(col(textCol)).as("_tk"))
+      .agg(statsAggs.head, statsAggs.tail: _*).head()
+    val n = srow.getLong(0)
+    require(n > 0, "empty corpus")
+    val avgdl = srow.getLong(1).toDouble / n
+    val dfMap: Map[String, Long] =
+      allTerms.zipWithIndex.map { case (t, i) => t -> srow.getLong(i + 2) }.toMap
+    def idf(t: String): Double = {
+      val df = dfMap(t).toDouble
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }
+
+    // pass 2: all queries scored in one narrow map
+    val scored = docs.select(col(idCol),
+      explode(bindOnce(tokensCol(col(textCol))) { tk =>
+        val dl = size(tk).cast("double")
+        array(qterms.map { case (qid, terms) =>
+          val score = terms.foldLeft(lit(0.0)) { (acc, t) =>
+            val tf = size(filter(tk, x => x === lit(t))).cast("double")
+            acc + lit(idf(t)) * (tf * lit(k1 + 1.0)) /
+              (tf + lit(k1) * (lit(1.0) - lit(b) + (lit(b) * dl) / lit(avgdl)))
+          }
+          struct(lit(qid).as("query_id"), score.as("score"))
+        }: _*)
+      }).as("_qs"))
+      .select(col("_qs.query_id").as("query_id"), col(idCol),
+        col("_qs.score").as("score"))
+      .where(col("score") > 0d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("score"))
+  }
+
   /** Document fingerprinting: md5 of normalized text (exact-dup key) and
     * a shingle fingerprint (min/max of rolling 3-token shingle hashes —
     * a cheap rolling-hash sketch). Narrow map; hashes are 8-16 bytes per
