@@ -210,6 +210,15 @@ object SparkEntry {
       path
     }
 
+  /** text_bpe's trained merge table, once per (session, dir) — a
+    * tokenizer is trained once per corpus snapshot and applied to
+    * every downstream batch. */
+  private val bpeModelCache = new SessionCache[graft.ops.BpeModel]
+
+  private def bpeModel(s: SparkSession, dir: String): graft.ops.BpeModel =
+    bpeModelCache.getOrElseUpdate(s, dir)(
+      graft.ops.Bpe.train(t(s, dir, "documents"), "text", numMerges = 100))
+
   /** lake_bloom's clustered orders copy + per-file Bloom table, once
     * per (session, dir) — an index is built at ingest and probed many
     * times. The copy is clustered by o_orderkey, so zone maps prune
@@ -1660,6 +1669,24 @@ object SparkEntry {
       TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text", k = 5)
         .withColumn("tfidf", round(col("tfidf_raw"), 6)).drop("tfidf_raw")
         .orderBy("doc_id", "rank")),
+
+    // learned BPE tokenization: train 100 merges on the corpus, encode
+    // every document, then verify the encoder's character-preservation
+    // contract IN SQL — the decoded corpus md5 must equal the
+    // normalized-text md5 and the marker-stripped char count must equal
+    // the summed word lengths, for every doc. (Token counts themselves
+    // depend on the learned merges and are pinned by BpeSpec, not the
+    // oracle.)
+    "text_bpe" -> ((s, dir) => {
+      val model = bpeModel(s, dir)
+      graft.ops.Bpe.encode(t(s, dir, "documents"), "doc_id", "text", model)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(array_join(col("bpe_tokens"), ""),
+            "</w>", " "))).as("roundtrip_md5"),
+          length(regexp_replace(array_join(col("bpe_tokens"), ""),
+            "</w>", "")).cast("long").as("n_word_chars"))
+        .orderBy("doc_id")
+    }),
 
     // BM25 keyword retrieval: three fixed queries over the corpus, full
     // Okapi scoring (term-sorted summation — the float determinism the
@@ -3355,6 +3382,16 @@ object SparkEntry {
          |SELECT doc AS doc_id, token, CAST(rank AS INT) AS rank,
          |  round(tfidf_raw, 6) AS tfidf
          |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // the BPE character-preservation theorem, re-derived from raw text:
+    // whatever merges were learned, decode(encode(doc)) is the
+    // space-joined token sequence and stripping end-markers leaves
+    // exactly the words' characters
+    "text_bpe" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string($normToks, ' ')) AS roundtrip_md5,
+         |  CAST(length(array_to_string($normToks, '')) AS BIGINT) AS n_word_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // full BM25 re-derivation: same integer inputs (N, df, tf, dl), the
     // same one-division avgdl, and an ORDERED aggregate so the float

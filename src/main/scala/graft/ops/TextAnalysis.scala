@@ -374,11 +374,16 @@ object TextAnalysis {
   private def bindOnce(e: Column)(f: Column => Column): Column =
     element_at(transform(array(e), f), 1)
 
-  /** Driver-side twin of [[tokensCol]] for query strings (distinct,
-    * sorted — the deterministic summation order BM25 scoring relies
-    * on). */
+  /** JVM-side twin of [[tokensCol]] — the SAME rule, for operators
+    * whose inner loop is imperative (BPE) or whose input is a
+    * driver-side string (BM25 queries). */
+  private[ops] def tokenizeRaw(s: String): Seq[String] =
+    s.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
+  /** Driver-side query tokenization for BM25: distinct, sorted — the
+    * deterministic summation order the scoring relies on. */
   private[ops] def tokenizeQuery(q: String): Seq[String] =
-    q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.sorted
+    tokenizeRaw(q).distinct.sorted
 
   /** BM25 top-k lexical retrieval — the keyword twin of the ANN
     * surface (`Similarity.*TopK`): score every document against each
