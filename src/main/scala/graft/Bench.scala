@@ -68,7 +68,15 @@ object Bench {
     // pair run as _force probes: their queries-map forms end in a
     // row-preserving left join that count() join-eliminates, timing a
     // bare scan (see SparkEntry.scaleProbes)
-    "dedup_substring_force", "sim_pq_topk", "dedup_despan_force", "sim_indexed_pq")
+    "dedup_substring_force", "sim_pq_topk", "dedup_despan_force", "sim_indexed_pq",
+    // round-10 additions: line-level dedup (one 8-byte-hash shuffle per
+    // distinct doc-line + one text-bytes rebuild join — the slope
+    // should track Σ lines), BM25 (two narrow corpus passes + a
+    // matches-only top-k window — near-linear scan cost), and the
+    // footer-stats aggregate (the FLAT claim: cost is a footer sweep
+    // over 10× files plus the same ~2 boundary-file scans; the
+    // clustered-copy write rides the cold pass via the session cache)
+    "dedup_lines", "text_bm25", "lake_agg_pushdown")
 
   private val copies = 10
   private val orderOff = 10000000L

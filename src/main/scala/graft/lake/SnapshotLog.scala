@@ -346,6 +346,81 @@ object SnapshotLog {
     }
   }
 
+  /** Exactly-once APPEND for streaming/retried writers: the caller
+    * names the batch (e.g. `s"batch-$batchId"` from foreachBatch), the
+    * name becomes the token dir, and a batch whose token any manifest
+    * already references is SKIPPED — a crashed micro-batch re-runs to
+    * the same token, so replay commits nothing twice. Returns the
+    * committed version, or -1 when the batch was already applied.
+    *
+    * A crash AFTER the data write but BEFORE the commit leaves a
+    * complete token dir that the retry re-writes (overwrite of an
+    * uncommitted dir — safe, nothing references it) and then commits.
+    * A token must never be reused for different data: the skip is
+    * keyed on the name alone. */
+  def appendBatch(df: DataFrame, table: String, batchToken: String,
+                  clusterColumn: Option[String] = None, nFiles: Int = 8,
+                  checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    require(batchToken.nonEmpty && !batchToken.contains('/'),
+      s"bad batch token '$batchToken'")
+    val spark = df.sparkSession
+    val (fs, root) = fsOf(spark, table)
+    if (tokensReferenced(fs, root).contains(batchToken)) return -1L
+    val tokenDir = new Path(new Path(root, "data"), batchToken)
+    val shaped = clusterColumn match {
+      case Some(c) => df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(c))
+        .sortWithinPartitions(c)
+      case None => df
+    }
+    shaped.write.mode("overwrite").parquet(tokenDir.toString)
+    val adds = partFiles(fs, root, tokenDir)
+    // the claim race can interleave a concurrent writer committing the
+    // SAME token (e.g. a zombie retry): re-check inside the retry loop
+    var attempts = 0
+    while (true) {
+      if (tokensReferenced(fs, root).contains(batchToken)) return -1L
+      val head = currentVersion(spark, table)
+      try return commit(spark, table, "append", adds, Nil, df.schema.json, head,
+        checkpointInterval = checkpointInterval)
+      catch {
+        case _: java.util.ConcurrentModificationException if attempts < 20 => attempts += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Every token dir any manifest references (committed or torn). */
+  private def tokensReferenced(fs: FileSystem, root: Path): Set[String] =
+    listLog(fs, root).manifests.flatMap { v =>
+      parse(readFile(fs, manifestPath(root, v))).toSeq
+        .flatMap(p => p.adds ++ p.removes)
+    }.flatMap(_.split('/') match {
+      case Array("data", tok, _*) => Some(tok)
+      case _ => None
+    }).toSet
+
+  /** OPTIMIZE: rewrite the head's live set range-clustered on
+    * `clusterColumn` as ONE new commit — readers of the old versions
+    * keep their exact file sets (small-file compaction never rewrites
+    * history), zone maps start pruning on the new one. Lost-update
+    * safe: planned against the head like any overwrite. */
+  def compact(spark: SparkSession, table: String, clusterColumn: String,
+              nFiles: Int,
+              checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val df = read(spark, table, Some(head))
+    val (fs, rootP) = fsOf(spark, table)
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tokenDir = new Path(new Path(rootP, "data"), token)
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(clusterColumn))
+      .sortWithinPartitions(clusterColumn)
+      .write.mode("errorifexists").parquet(tokenDir.toString)
+    val adds = partFiles(fs, rootP, tokenDir)
+    commit(spark, table, "compact", adds, cur.files, cur.schemaJson, head,
+      checkpointInterval = checkpointInterval)
+  }
+
   /** Roll the table back to `toVersion` as a NEW commit (never by
     * deleting history — the bad versions stay auditable and
     * time-travelable until [[expire]]). */

@@ -137,10 +137,17 @@ object StatsAgg {
     * `covered` — see the soundness rules above. */
   def plan(spark: SparkSession, dataPath: String, column: String,
            lo: Any, hi: Any): Plan = {
-    require(cmp(lo, hi) <= 0, s"empty range: lo > hi")
     val df = spark.read.parquet(dataPath)
-    val dt = df.schema(column).dataType
-    val files = df.inputFiles.toSeq.map(p => new Path(p).toString)
+    planFiles(spark, df.inputFiles.toSeq.map(p => new Path(p).toString),
+      df.schema(column).dataType, column, lo, hi)
+  }
+
+  /** Explicit-file-set form of [[plan]] — what a versioned table uses:
+    * pass a [[SnapshotLog]] snapshot's live files and the stats-only
+    * aggregate works on THAT version, untouched by later commits. */
+  def planFiles(spark: SparkSession, files: Seq[String], dt: DataType,
+                column: String, lo: Any, hi: Any): Plan = {
+    require(cmp(lo, hi) <= 0, s"empty range: lo > hi")
     val stats = harvest(spark, files, column, dt)
     val stringCol = dt == StringType
     val covered = Seq.newBuilder[FileStats]
@@ -168,8 +175,18 @@ object StatsAgg {
     * empty range yields (0, NULL, NULL) — same as the SQL aggregate. */
   def rangeAgg(spark: SparkSession, dataPath: String, column: String,
                lo: Any, hi: Any): DataFrame = {
-    val dt = spark.read.parquet(dataPath).schema(column).dataType
-    val p = plan(spark, dataPath, column, lo, hi)
+    val df = spark.read.parquet(dataPath)
+    rangeAggFiles(spark, df.inputFiles.toSeq.map(p => new Path(p).toString),
+      df.schema, column, lo, hi)
+  }
+
+  /** Explicit-file-set form of [[rangeAgg]] (snapshot/time-travel
+    * composition — see [[planFiles]]). */
+  def rangeAggFiles(spark: SparkSession, files: Seq[String],
+                    schema: StructType, column: String,
+                    lo: Any, hi: Any): DataFrame = {
+    val dt = schema(column).dataType
+    val p = planFiles(spark, files, dt, column, lo, hi)
     val partSchema = StructType(Seq(
       StructField("n_rows", LongType, nullable = false),
       StructField("min_v", dt, nullable = true),
@@ -183,7 +200,7 @@ object StatsAgg {
     val parts =
       if (p.scanned.isEmpty) coveredDf
       else {
-        val scanDf = spark.read.schema(spark.read.parquet(dataPath).schema)
+        val scanDf = spark.read.schema(schema)
           .parquet(p.scanned: _*)
           .where(col(column).between(lit(lo), lit(hi)))
           .agg(count(lit(1)).as("n_rows"),

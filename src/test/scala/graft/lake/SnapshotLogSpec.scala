@@ -155,6 +155,75 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, t).count() == 1L) // live data untouched
   }
 
+  test("appendBatch is exactly-once: a replayed batch token commits nothing") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    val v1 = SnapshotLog.appendBatch(Seq((2L, "b")).toDF("id", "s"), t, "batch-7")
+    assert(v1 == 1L)
+    // crashed micro-batch re-runs with the same token
+    val again = SnapshotLog.appendBatch(Seq((2L, "b")).toDF("id", "s"), t, "batch-7")
+    assert(again == -1L)
+    assert(SnapshotLog.read(spark, t).count() == 2L)
+    // a NEW token commits normally
+    assert(SnapshotLog.appendBatch(Seq((3L, "c")).toDF("id", "s"), t, "batch-8") == 2L)
+    assert(SnapshotLog.read(spark, t).count() == 3L)
+  }
+
+  test("appendBatch retry after a write-but-no-commit crash lands the batch once") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    // simulate the crash: the token dir exists, no manifest references it
+    val orphanDf = Seq((2L, "b")).toDF("id", "s")
+    orphanDf.write.parquet(s"$t/data/batch-9")
+    assert(SnapshotLog.read(spark, t).count() == 1L) // not visible yet
+    val v = SnapshotLog.appendBatch(orphanDf, t, "batch-9")
+    assert(v == 1L)
+    assert(SnapshotLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("compact rewrites the head clustered without touching history") {
+    val t = mkTable()
+    (0 until 5).foreach(i => SnapshotLog.write(
+      spark.range(i * 100, (i + 1) * 100).select(col("id"), lit(i).as("g")),
+      t, if (i == 0) "overwrite" else "append"))
+    val before = SnapshotLog.state(spark, t)
+    assert(before.files.size >= 5)
+    val v = SnapshotLog.compact(spark, t, "id", nFiles = 2)
+    val after = SnapshotLog.state(spark, t)
+    assert(after.version == v && after.files.size == 2)
+    assert(SnapshotLog.read(spark, t).count() == 500L)
+    // pre-compaction version unchanged, file-for-file
+    assert(SnapshotLog.state(spark, t, Some(before.version)).files == before.files)
+    // the rewrite is genuinely clustered: disjoint id ranges per file
+    val stats = Metastore.buildFromFooters(spark, t + "/data", "id",
+        onlyPaths = after.files.map(f => s"$t/$f"))
+      .select("id_min", "id_max").as[(Long, Long)].collect().sortBy(_._1)
+    assert(stats.length == 2 && stats(0)._2 < stats(1)._1)
+  }
+
+  test("stats-only aggregation composes with time travel") {
+    val t = mkTable()
+    SnapshotLog.write(spark.range(0, 1000).toDF("id"), t, "overwrite",
+      clusterColumn = Some("id"), nFiles = 4)
+    SnapshotLog.write(spark.range(1000, 2000).toDF("id"), t, "append",
+      clusterColumn = Some("id"), nFiles = 4)
+    def agg(asOf: Long) = {
+      val snap = SnapshotLog.state(spark, t, Some(asOf))
+      StatsAgg.rangeAggFiles(spark, snap.files.map(f => s"$t/$f"),
+          SnapshotLog.read(spark, t, Some(asOf)).schema, "id",
+          0L, 5000L)
+        .as[(Long, Long, Long)].head()
+    }
+    assert(agg(0L) == ((1000L, 0L, 999L)))  // v0 never sees v1's rows
+    assert(agg(1L) == ((2000L, 0L, 1999L)))
+    // and the fully-covered case costs zero scans on the version's files
+    val snap0 = SnapshotLog.state(spark, t, Some(0L))
+    val p = StatsAgg.planFiles(spark, snap0.files.map(f => s"$t/$f"),
+      org.apache.spark.sql.types.LongType, "id", Long.MinValue, Long.MaxValue)
+    assert(p.scanned.isEmpty && p.covered.size == snap0.files.size)
+  }
+
   test("empty snapshot reads as an empty, correctly-typed frame") {
     val t = mkTable()
     SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
