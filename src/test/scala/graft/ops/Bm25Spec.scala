@@ -60,6 +60,15 @@ class Bm25Spec extends SparkSpec {
     assert(got.head._2 == 1L) // the only doc with the rare term wins
   }
 
+  test("plan: the scoring pass shuffles (query_id, id, score) triplets, never text") {
+    val docs = (1L to 60L).map(i => (i, s"spark merge w${i % 9} x${i % 4}"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(docs, Seq(0L -> "spark merge", 1L -> "merge"), k = 5)
+    r.collect()
+    val bad = graft.PlanAudit.stringShuffles(r)
+    assert(bad.isEmpty, s"bm25 shuffled text: $bad")
+  }
+
   test("query terms absent from the corpus yield no rows, not errors") {
     assert(topk(Seq(0L -> "zzz qqq")).isEmpty)
   }

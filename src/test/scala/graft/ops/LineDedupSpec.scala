@@ -58,6 +58,17 @@ class LineDedupSpec extends SparkSpec {
     assert(strict.values.forall(_._2 == 0L))
   }
 
+  test("plan: the frequency pass shuffles hashes only; text moves at most once") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"line one v${i % 3}\nshared footer\nline two v${i % 5}")).toDF("doc_id", "text")
+    val r = Dedup.lineDedup(docs)
+    r.collect()
+    // the rebuild join may broadcast the per-doc drop sets (then text
+    // never shuffles); the contract is the BOUND
+    val bad = graft.PlanAudit.stringShuffles(r)
+    assert(bad.size <= 1, s"lineDedup shuffled text ${bad.size} times: $bad")
+  }
+
   test("a doc that is pure boilerplate cleans to the empty string") {
     val out = run(Seq(
       1L -> "shared footer",
