@@ -240,6 +240,23 @@ object MetastoreFileIndex {
     GraftColumnBridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
   }
 
+  /** Explicit-file-set variant for VERSIONED tables: the base index
+    * lists exactly `files` (a [[SnapshotLog]] snapshot's live set), so
+    * the view reads that version — untouched by later commits — while
+    * zone-map pruning works transparently through the same interval
+    * map. No hive partition inference (token dirs are not partition
+    * dirs); `schema` is the version's committed schema. */
+  def tableForFiles(spark: SparkSession, files: Seq[String],
+                    schema: StructType, stats: DataFrame): DataFrame = {
+    val base = new InMemoryFileIndex(spark, files.map(new Path(_)),
+      Map.empty[String, String], Some(schema), FileStatusCache.getOrCreate(spark), None, None)
+    val idx = new MetastoreFileIndex(base, () => stats,
+      Some(spark.sparkContext.hadoopConfiguration))
+    val rel = HadoopFsRelation(idx, StructType(Nil), schema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    GraftColumnBridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+
   /** The MetastoreFileIndex behind a DataFrame returned by `table` —
     * call `.refresh()` on it after appending files + updating stats. */
   def indexOf(df: DataFrame): MetastoreFileIndex =

@@ -455,6 +455,34 @@ object SnapshotLog {
     }
   }
 
+  /** Time travel WITH transparent zone-map pruning: harvest footer
+    * stats for the version's live files only (O(version files), KBs
+    * each — never the dead versions') and serve them through a
+    * [[MetastoreFileIndex]] over exactly that file set. Point/range
+    * queries on `clusterColumn` then skip files at PLANNING time
+    * inside any `spark.sql` over the returned frame — the lake's
+    * pruning machinery applied to a pinned version. Best after
+    * [[compact]] or a clustered write; an unclustered version prunes
+    * nothing (sound, just unhelpful). */
+  def readPruned(spark: SparkSession, table: String, clusterColumn: String,
+                 optionalColumns: Seq[String] = Nil,
+                 asOf: Option[Long] = None): DataFrame = {
+    val snap = state(spark, table, asOf)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val root = new Path(table)
+    // fs-qualified (file:/… | hdfs://…) so the harvested stats'
+    // filepath keys match the FileIndex's listed URIs — a bare /tmp/x
+    // key would silently match nothing and prune nothing (sound, but
+    // the whole point lost)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val abs = snap.files.map(f => fs.makeQualified(new Path(root, f)).toString)
+    val stats = Metastore.buildFromFooters(spark, s"$table/data", clusterColumn,
+      optionalColumns, onlyPaths = abs)
+    MetastoreFileIndex.tableForFiles(spark, abs, schema, stats)
+  }
+
   /** Commit history, newest first: (version, ts_millis, op, n_adds,
     * n_removes, rollback_of). Driver-built: the log is O(commits),
     * the same class as the file listing. */

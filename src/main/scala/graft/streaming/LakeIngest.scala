@@ -45,4 +45,29 @@ object LakeIngest {
         ()
       }
       .start()
+
+  /** Continuous ingest into a VERSIONED table ([[graft.lake.SnapshotLog]]):
+    * one snapshot commit per micro-batch, keyed `batch-<id>` so a
+    * replayed batch (driver died between the data write and the
+    * streaming commit) is recognized by its token and COMMITS NOTHING
+    * TWICE — exactly-once at the table-format level, not just the
+    * sink's. Unlike [[start]]'s replace-under-prefix repair, the
+    * snapshot path needs no repair at all: an uncommitted token dir is
+    * simply overwritten by the retry, an already-committed one is
+    * skipped. Readers time-travel to any micro-batch boundary. */
+  def startVersioned(stream: DataFrame, table: String, checkpoint: String,
+                     clusterColumn: Option[String] = None,
+                     filesPerBatch: Int = 4): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            graft.lake.SnapshotLog.appendBatch(batch, table, s"batch-$batchId",
+              clusterColumn = clusterColumn, nFiles = filesPerBatch)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
 }

@@ -224,6 +224,36 @@ class SnapshotLogSpec extends SparkSpec {
     assert(p.scanned.isEmpty && p.covered.size == snap0.files.size)
   }
 
+  test("readPruned: time travel with zone maps — point query skips files of THAT version") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val t = mkTable()
+    SnapshotLog.write(spark.range(0, 4000).toDF("id"), t, "overwrite",
+      clusterColumn = Some("id"), nFiles = 4)                  // v0: 4 files
+    SnapshotLog.write(spark.range(4000, 8000).toDF("id"), t, "append",
+      clusterColumn = Some("id"), nFiles = 4)                  // v1: 8 files
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    // head: the point row lives in exactly one of 8 files
+    val head = SnapshotLog.readPruned(spark, t, "id").where(col("id") === 4100L)
+    assert(head.as[Long].collect().toSeq == Seq(4100L))
+    assert(filesRead(head) == 1L)
+    // v0: the same predicate matches NOTHING and prunes EVERYTHING —
+    // v1's files are invisible to the pinned version, not just pruned
+    val v0 = SnapshotLog.readPruned(spark, t, "id", asOf = Some(0L))
+      .where(col("id") === 4100L)
+    assert(v0.count() == 0L)
+    assert(filesRead(v0) == 0L)
+    // and an in-version point query on v0 reads one of ITS 4 files
+    val v0hit = SnapshotLog.readPruned(spark, t, "id", asOf = Some(0L))
+      .where(col("id") === 123L)
+    assert(v0hit.as[Long].collect().toSeq == Seq(123L))
+    assert(filesRead(v0hit) == 1L)
+  }
+
   test("empty snapshot reads as an empty, correctly-typed frame") {
     val t = mkTable()
     SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")

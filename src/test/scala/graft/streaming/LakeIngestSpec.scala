@@ -54,4 +54,41 @@ class LakeIngestSpec extends SparkSpec {
     val shack2 = new Lakeshack(spark, after, Some(batch0.schema))
     assert(shack2.query(Seq(42L)).count() === 1)
   }
+
+  test("versioned ingest: one snapshot commit per micro-batch, replay-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.lake.SnapshotLog
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = tmpDir("vingest") + "/t"
+    val checkpoint = tmpDir("vingest_ckpt")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = LakeIngest.startVersioned(stream.toDS().toDF("k", "payload"),
+      table, checkpoint, clusterColumn = Some("k"), filesPerBatch = 2)
+    try {
+      stream.addData((1 to 100).map(i => (i.toLong, s"v$i")): _*)
+      q.processAllAvailable()
+      stream.addData((101 to 200).map(i => (i.toLong, s"v$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // two micro-batches -> two versions, each a time-travel point
+    assert(SnapshotLog.currentVersion(spark, table) == 1L)
+    assert(SnapshotLog.read(spark, table, Some(0L)).count() == 100L)
+    assert(SnapshotLog.read(spark, table).count() == 200L)
+
+    // REPLAYED batch: re-running batch 1's append with its token is a
+    // no-op — the table-format half of streaming exactly-once
+    val batch1 = SnapshotLog.read(spark, table)
+      .where(col("k") > 100L)
+    assert(SnapshotLog.appendBatch(batch1, table, "batch-1") == -1L)
+    assert(SnapshotLog.currentVersion(spark, table) == 1L)
+    assert(SnapshotLog.read(spark, table).count() == 200L)
+
+    // clustered per batch: a pinned-version point query prunes
+    val pruned = SnapshotLog.readPruned(spark, table, "k", asOf = Some(0L))
+      .where(col("k") === 42L)
+    assert(pruned.count() == 1L)
+  }
 }
