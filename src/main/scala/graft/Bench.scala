@@ -76,7 +76,12 @@ object Bench {
     // footer-stats aggregate (the FLAT claim: cost is a footer sweep
     // over 10× files plus the same ~2 boundary-file scans; the
     // clustered-copy write rides the cold pass via the session cache)
-    "dedup_lines", "text_bm25", "lake_agg_pushdown")
+    "dedup_lines", "text_bm25", "lake_agg_pushdown",
+    // BPE: the warm number is the ENCODE pass over 10× docs (training
+    // rides the cold pass via the per-(session, dir) model cache) —
+    // the slope should track corpus bytes, with the per-partition word
+    // cache keeping the merge loop off the token-count critical path
+    "text_bpe")
 
   private val copies = 10
   private val orderOff = 10000000L
