@@ -81,7 +81,11 @@ object Bench {
     // rides the cold pass via the per-(session, dir) model cache) —
     // the slope should track corpus bytes, with the per-partition word
     // cache keeping the merge loop off the token-count critical path
-    "text_bpe")
+    "text_bpe",
+    // perplexity: vocab pass is one word-count shuffle + TakeOrdered,
+    // scoring is shuffle-free narrow (spec-pinned) — the slope should
+    // be scan-bound
+    "text_unigram_ppl")
 
   private val copies = 10
   private val orderOff = 10000000L

@@ -1688,6 +1688,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style LM-perplexity quality scoring, in-corpus unigram
+    // form: the oracle retrains the same add-k model in SQL and
+    // re-scores every doc with an ORDERED log-prob summation, so the
+    // whole vocab→probability→fold chain is hash-checked
+    "text_unigram_ppl" -> ((s, dir) =>
+      TextAnalysis.unigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("ppl", round(col("ppl"), 6))
+        .orderBy("doc_id")),
+
     // BM25 keyword retrieval: three fixed queries over the corpus, full
     // Okapi scoring (term-sorted summation — the float determinism the
     // oracle's ordered aggregate mirrors), top-10 each
@@ -3392,6 +3401,32 @@ object SparkEntry {
          |  md5(array_to_string($normToks, ' ')) AS roundtrip_md5,
          |  CAST(length(array_to_string($normToks, '')) AS BIGINT) AS n_word_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // unigram-LM retraining in SQL: same vocabulary cap rule, same
+    // add-k arithmetic (integer counts, one shared denominator), and
+    // a position-ORDERED log-prob sum matching the Spark side's array
+    // fold
+    "text_unigram_ppl" ->
+      s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
+         |tot AS (SELECT CAST(COALESCE(SUM(len(tk)), 0) AS BIGINT) AS total FROM toks),
+         |cnt AS (SELECT t AS w, COUNT(*) AS c
+         |  FROM toks, LATERAL (SELECT unnest(tk) AS t)
+         |  GROUP BY t ORDER BY c DESC, w LIMIT 65536),
+         |vv AS (SELECT COUNT(*) AS v FROM cnt),
+         |pos AS (SELECT doc_id, o, tk[o] AS w
+         |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS o)),
+         |scored AS (
+         |  SELECT p.doc_id, p.o,
+         |    CASE WHEN c.w IS NULL THEN ln(0.5 / (t.total + 0.5 * (vv.v + 1)))
+         |         ELSE ln((c.c + 0.5) / (t.total + 0.5 * (vv.v + 1))) END AS lp
+         |  FROM pos p LEFT JOIN cnt c ON c.w = p.w
+         |  CROSS JOIN tot t CROSS JOIN vv),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp ORDER BY o) AS slp
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  round(exp(-a.slp / a.n_tokens), 6) AS ppl
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // full BM25 re-derivation: same integer inputs (N, df, tf, dl), the
     // same one-division avgdl, and an ORDERED aggregate so the float

@@ -466,6 +466,69 @@ object TextAnalysis {
       .select(col("query_id"), col(idCol), col("rank"), col("score"))
   }
 
+  /** Unigram language-model PERPLEXITY scoring — the quality-filter
+    * family CCNet popularized (Wenzek et al., LREC 2020: filter web
+    * text by LM perplexity; their KenLM is pretrained, this is the
+    * in-corpus form): train add-k-smoothed unigram probabilities on
+    * the corpus itself, score each document by
+    *
+    *   ppl(d) = exp( − (Σ_i ln p(w_i)) / n )    with
+    *   p(w)   = (count(w) + k) / (total + k·(V+1)),
+    *
+    * out-of-vocabulary words taking the count-0 probability (the +1 in
+    * V is the OOV bucket). High perplexity = rare-word-heavy /
+    * vocabulary-inconsistent documents — gibberish, boilerplate soup,
+    * wrong-language residue.
+    *
+    * Shapes, by pass:
+    *  1. vocabulary: one explode+groupBy word count, top `vocabSize`
+    *     by (count desc, word asc) — the same bounded deterministic
+    *     cap as BPE training; V and the total token count come from
+    *     the same aggregates.
+    *  2. scoring: a NARROW map — the log-prob table rides the plan as
+    *     ONE MapType literal (a single data value, not 65k expression
+    *     nodes), each doc folds `ln p` over its token array IN
+    *     POSITION ORDER via `aggregate` (ordered IEEE summation — the
+    *     BM25 determinism contract again), no explode, no shuffle.
+    * At 100 TB pass 2 is scan-speed; pass 1 is one word-count shuffle.
+    *
+    * Returns (idCol, n_tokens, ppl) — ppl NULL for token-less docs. */
+  def unigramPerplexity(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", vocabSize: Int = 65536,
+                        addK: Double = 0.5): DataFrame = {
+    require(vocabSize > 0 && addK > 0, "vocabSize and addK must be positive")
+    requireFree(docs, "_tk", "_lp")
+    val counts: Array[(String, Long)] = docs
+      .select(explode(tokensCol(col(textCol))).as("_w"))
+      .groupBy("_w").agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_w").asc)
+      .limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // total over the WHOLE corpus (not just kept vocab): OOV mass stays
+    // in the denominator, so probabilities stay a proper distribution
+    val total = docs
+      .select(size(tokensCol(col(textCol))).as("_n"))
+      .agg(coalesce(sum(col("_n")), lit(0L))).head().getLong(0)
+    val v = counts.length
+    val denom = total + addK * (v + 1)
+    val logp: Map[String, Double] =
+      counts.map { case (w, c) => w -> math.log((c + addK) / denom) }.toMap
+    val unkLogp = math.log(addK / denom)
+    val lpMap = typedLit(logp)
+    docs.select(col(idCol),
+      bindOnce(tokensCol(col(textCol))) { tk =>
+        struct(
+          size(tk).cast("long").as("n_tokens"),
+          aggregate(
+            transform(tk, w => coalesce(element_at(lpMap, w), lit(unkLogp))),
+            lit(0.0), (acc, x) => acc + x).as("_lp"))
+      }.as("_s"))
+      .select(col(idCol), col("_s.n_tokens").as("n_tokens"),
+        when(col("_s.n_tokens") > 0,
+          exp(-col("_s._lp") / col("_s.n_tokens").cast("double")))
+          .as("ppl"))
+  }
+
   /** Document fingerprinting: md5 of normalized text (exact-dup key) and
     * a shingle fingerprint (min/max of rolling 3-token shingle hashes —
     * a cheap rolling-hash sketch). Narrow map; hashes are 8-16 bytes per
