@@ -198,6 +198,27 @@ object SparkEntry {
       path
     }
 
+  /** lake_snap_merge's merged snapshot table, once per (session, dir):
+    * lineitem as v0 (clustered), then ONE copy-on-write merge commit
+    * (same upsert/delete batch as the metastore lake's `lake_merge`,
+    * so the two formats' merge semantics share an oracle). */
+  private val snapMergeCache = new SessionCache[String]
+
+  private def snapMergeTable(s: SparkSession, dir: String): String =
+    snapMergeCache.getOrElseUpdate(s, dir) {
+      val path = s"/tmp/graft_snapmerge_${dirTag(dir)}/lineitem"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      SnapshotLog.write(t(s, dir, "lineitem"), path, "overwrite",
+        clusterColumn = Some("l_orderkey"), nFiles = 16)
+      val ups = t(s, dir, "lineitem")
+        .where(col("l_orderkey").isin(42L, 47L))
+        .withColumn("l_quantity", col("l_quantity") + 100)
+      SnapshotLog.merge(s, path, "l_orderkey", ups,
+        deleteKeys = Seq(43L, 50L, 4243L))
+      path
+    }
+
   /** lake_agg_pushdown's clustered lineitem copy, once per (session,
     * dir) — like every index/layout cache here, the clustering is an
     * ingest-time investment the aggregate then exploits many times. */
@@ -522,6 +543,19 @@ object SparkEntry {
       SnapshotLog.history(s, table)
         .select(col("version"), col("op"), col("rollback_of"))
         .orderBy("version")
+    }),
+
+    // copy-on-write MERGE on the snapshot format: the same
+    // upsert+delete batch as lake_merge applied as ONE snapshot commit
+    // (file-level pruned rewrite — SnapshotLogSpec pins that
+    // unaffected files stay byte-identical); same oracle as the
+    // metastore lake's merge, so the two formats cannot drift
+    "lake_snap_merge" -> ((s, dir) => {
+      val table = snapMergeTable(s, dir)
+      SnapshotLog.read(s, table)
+        .where(col("l_orderkey").between(40L, 60L))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // aggregation pushdown into footer stats: count/min/max under a
@@ -2218,6 +2252,16 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_keys,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey % 3 < 2""".stripMargin,
+
+    // identical semantics to lake_merge: upserted keys read +100,
+    // deleted keys gone, everything else untouched
+    "lake_snap_merge" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey IN (42, 47) THEN l_quantity + 100 ELSE l_quantity END
+        |    AS l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 40 AND 60 AND l_orderkey NOT IN (43, 50, 4243)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // the four-commit log is pinned by construction (see snapshotTable)
     "lake_history" ->

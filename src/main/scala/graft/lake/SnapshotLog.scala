@@ -421,6 +421,75 @@ object SnapshotLog {
       checkpointInterval = checkpointInterval)
   }
 
+  /** Copy-on-write MERGE as ONE snapshot commit: rows of `upserts`
+    * replace same-key rows, `deleteKeys` vanish, every other row rides
+    * along untouched. File-level pruning bounds the rewrite: footer
+    * stats are harvested for the HEAD's live files only, and a file is
+    * rewritten only when its [min,max] on `keyCol` may contain an
+    * affected key (stats-less files always rewrite — may-contain,
+    * sound). Unaffected files are not read, not rewritten, and stay
+    * byte-identical across the commit; the pre-merge version remains
+    * time-travelable.
+    *
+    * The affected-key set is collected to the driver (CDC-batch-sized
+    * by contract, same as [[Merge]]'s prune list — a backfill that
+    * touches every key should [[write]] an overwrite instead).
+    * Lost-update safe: planned against the head, so a concurrent
+    * commit makes this throw rather than resurrect overwritten rows.
+    * Re-running the same merge converges (same keys → same rows), it
+    * is NOT exactly-once — wrap in [[appendBatch]]-style tokens via a
+    * caller check on [[history]] if the source may replay. */
+  def merge(spark: SparkSession, table: String, keyCol: String,
+            upserts: DataFrame, deleteKeys: Seq[Any] = Nil,
+            clusterColumn: Option[String] = None, nFiles: Int = 4,
+            checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val (fs, rootP) = fsOf(spark, table)
+    val absAll = cur.files.map(f => fs.makeQualified(new Path(rootP, f)).toString)
+    val upsertKeys = upserts.select(keyCol).distinct().collect().map(_.get(0)).toSeq
+    val keys = (upsertKeys ++ deleteKeys).distinct
+    if (keys.isEmpty) return head
+
+    // affected = live files whose footer interval may contain a key;
+    // files without usable stats rewrite (never silently kept)
+    val kstats = StatsAgg.harvest(spark, absAll, keyCol, schema(keyCol).dataType)
+    val affectedAbs = kstats.filter { fsRow =>
+      (fsRow.min, fsRow.max) match {
+        case (Some(mn), Some(mx)) =>
+          keys.exists(k => StatsAgg.cmp(k, mn) >= 0 && StatsAgg.cmp(k, mx) <= 0)
+        case _ => true
+      }
+    }.map(_.path).toSet
+    val affectedRel = cur.files.filter(f =>
+      affectedAbs.contains(fs.makeQualified(new Path(rootP, f)).toString))
+
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(Row(_)), 1),
+      StructType(Seq(schema(keyCol).copy(name = "_mk"))))
+    val survivors =
+      if (affectedAbs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(affectedAbs.toSeq: _*)
+        .join(org.apache.spark.sql.functions.broadcast(keysDf),
+          org.apache.spark.sql.functions.col(keyCol) ===
+            org.apache.spark.sql.functions.col("_mk"), "left_anti")
+    val replacement = survivors.unionByName(
+      upserts.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tokenDir = new Path(new Path(rootP, "data"), token)
+    val cc = clusterColumn.getOrElse(keyCol)
+    replacement
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col(cc))
+      .sortWithinPartitions(cc)
+      .write.mode("errorifexists").parquet(tokenDir.toString)
+    val adds = partFiles(fs, rootP, tokenDir)
+    commit(spark, table, "merge", adds, affectedRel, cur.schemaJson, head,
+      checkpointInterval = checkpointInterval)
+  }
+
   /** Roll the table back to `toVersion` as a NEW commit (never by
     * deleting history — the bad versions stay auditable and
     * time-travelable until [[expire]]). */

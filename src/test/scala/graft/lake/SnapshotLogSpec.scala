@@ -254,6 +254,80 @@ class SnapshotLogSpec extends SparkSpec {
     assert(filesRead(v0hit) == 1L)
   }
 
+  test("merge: upserts replace, deletes vanish, unaffected files stay byte-identical") {
+    val t = mkTable()
+    val base = spark.range(0, 1000).select(col("id"), (col("id") * 10).as("v"))
+    SnapshotLog.write(base, t, "overwrite", clusterColumn = Some("id"), nFiles = 5)
+    val before = SnapshotLog.state(spark, t)
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileMeta(rel: Seq[String]) = rel.map { f =>
+      val st = fs.getFileStatus(new Path(new Path(t), f))
+      f -> ((st.getLen, st.getModificationTime))
+    }.toMap
+    val metaBefore = fileMeta(before.files)
+
+    // keys 42 and 77 live in the first file's range; 5000 is brand new
+    val ups = Seq((42L, -1L), (5000L, -2L)).toDF("id", "v")
+    val v1 = SnapshotLog.merge(spark, t, "id", ups, deleteKeys = Seq(77L))
+    assert(v1 == 1L)
+
+    val got = SnapshotLog.read(spark, t).as[(Long, Long)].collect().toMap
+    assert(got(42L) == -1L && got(5000L) == -2L)
+    assert(!got.contains(77L))
+    assert(got(100L) == 1000L) // untouched row rides along
+    assert(got.size == 1000L)  // -1 deleted, +1 inserted
+
+    // only the affected file(s) were rewritten; survivors byte-identical
+    val after = SnapshotLog.state(spark, t)
+    val kept = after.files.toSet.intersect(before.files.toSet)
+    assert(kept.nonEmpty, "merge must not rewrite unaffected files")
+    val metaAfter = fileMeta(kept.toSeq)
+    kept.foreach(f => assert(metaAfter(f) == metaBefore(f), s"$f changed"))
+
+    // pre-merge version still time-travels to the original content
+    val v0 = SnapshotLog.read(spark, t, Some(0L)).as[(Long, Long)].collect().toMap
+    assert(v0(42L) == 420L && v0.contains(77L) && !v0.contains(5000L))
+
+    // history records the merge
+    val h = SnapshotLog.history(spark, t).select("version", "op")
+      .as[(Long, String)].collect().toMap
+    assert(h(1L) == "merge")
+  }
+
+  test("merge planned against a stale head throws instead of resurrecting rows") {
+    val t = mkTable()
+    SnapshotLog.write(spark.range(0, 100).select(col("id"), col("id").as("v")),
+      t, "overwrite", clusterColumn = Some("id"), nFiles = 2)
+    // interleave a commit between the merge's plan read and its claim:
+    // simulate by committing first, then calling merge with a doctored
+    // expectation — the public API reads head at entry, so race it with
+    // a plain commit from "another writer" inside the same JVM
+    val cur = SnapshotLog.state(spark, t)
+    // another writer advances the table
+    SnapshotLog.write(spark.range(100, 110).select(col("id"), col("id").as("v")),
+      t, "append")
+    // a merge that planned against v0 must fail its claim
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotLog.commit(spark, t, "merge", Nil, cur.files, cur.schemaJson,
+        expected = cur.version)
+    }
+  }
+
+  test("merge into an empty or miss-only table inserts the upserts") {
+    val t = mkTable()
+    SnapshotLog.write(spark.range(0, 10).select(col("id"), col("id").as("v")),
+      t, "overwrite", clusterColumn = Some("id"), nFiles = 1)
+    // keys far outside every file's range: no file rewritten, pure insert
+    val v = SnapshotLog.merge(spark, t, "id",
+      Seq((999L, 1L)).toDF("id", "v"))
+    assert(v == 1L)
+    val got = SnapshotLog.read(spark, t).as[(Long, Long)].collect().toMap
+    assert(got.size == 11 && got(999L) == 1L)
+    // no-op merge: empty upserts, no deletes
+    assert(SnapshotLog.merge(spark, t, "id",
+      Seq.empty[(Long, Long)].toDF("id", "v")) == 1L)
+  }
+
   test("empty snapshot reads as an empty, correctly-typed frame") {
     val t = mkTable()
     SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
