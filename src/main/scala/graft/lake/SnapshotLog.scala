@@ -583,7 +583,14 @@ object SnapshotLog {
     * resolves without the dropped manifests. Files referenced by ANY
     * retained version survive. Throws `ConcurrentModificationException`
     * if a commit lands while expiring (single-maintainer, like
-    * compaction). */
+    * compaction).
+    *
+    * Crash mid-expire is safe for every RETAINED version (their files
+    * are never in the delete set and the horizon checkpoint lands
+    * before any delete); an expiring-version manifest that outlives a
+    * crash may reference already-deleted files — its reads fail at
+    * scan time, never silently partial — and re-running the same
+    * `expire` completes the cleanup. */
   def expire(spark: SparkSession, table: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val (fs, root) = fsOf(spark, table)
