@@ -77,6 +77,11 @@ object Bench {
     // over 10× files plus the same ~2 boundary-file scans; the
     // clustered-copy write rides the cold pass via the session cache)
     "dedup_lines", "text_bm25", "lake_agg_pushdown",
+    // text_bm25's persisted-index twin: the warm number is the PRUNED
+    // postings probe (index build rides the cold pass via the session
+    // cache) — the claim under measure is the flat, corpus-
+    // insensitive query cost the inverted index exists to buy
+    "text_bm25_indexed",
     // BPE: the warm number is the ENCODE pass over 10× docs (training
     // rides the cold pass via the per-(session, dir) model cache) —
     // the slope should track corpus bytes, with the per-partition word

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.lake.{BloomIndex, Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex, SnapshotLog, StatsAgg}
 import graft.functions.GeometricMean
-import graft.ops.{AsofJoin, Dedup, IncrementalDedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, VectorIndex}
+import graft.ops.{AsofJoin, Dedup, IncrementalDedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextIndex, VectorIndex}
 import graft.streaming.EventsStream
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per operator
@@ -96,6 +96,11 @@ object SparkEntry {
     * doc by BOTH the Spark query and the DuckDB oracle). */
   private val substringBoilerplate =
     "the shared boilerplate footer sentence is appended to every third document in this corpus"
+
+  /** Persisted BM25 inverted-index path ([[graft.ops.TextIndex]]),
+    * built once per (session, dir) — same ingest-time-investment
+    * contract as the vector indexes. */
+  private val textIndexCache = new SessionCache[String]
 
   /** Disk-resident incremental-dedup index path, built once per
     * (session, dir) — same ingest-time-investment contract. */
@@ -1742,6 +1747,25 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy("query_id", "rank")),
 
+    // the same three queries served FROM the persisted inverted index
+    // (TextIndex: term-clustered postings, zone-map-pruned probe, df
+    // from the pruned read, N/avgdl from meta) — the index the brute
+    // form's scaladoc promises. Bit-identical scoring contract, so the
+    // SAME oracle SQL hash-verifies brute and indexed forms.
+    "text_bm25_indexed" -> ((s, dir) => {
+      val path = textIndexCache.getOrElseUpdate(s, dir) {
+        val p = s"/tmp/graft_txtidx_${dirTag(dir)}"
+        TextIndex.build(t(s, dir, "documents"), "doc_id", "text", p)
+        p
+      }
+      TextIndex.bm25TopK(s, path,
+          Seq(0L -> "spark merge batch", 1L -> "window sort key",
+            2L -> "hash table scan"),
+          "doc_id", k = 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy("query_id", "rank")
+    }),
+
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(t(s, dir, "documents"))
         .select(col("doc_id"), col("norm_text"),
@@ -2057,6 +2081,41 @@ object SparkEntry {
 
   private val normToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  /** Shared oracle for BOTH BM25 forms (`text_bm25`,
+    * `text_bm25_indexed`): the indexed form's contract is bit-identical
+    * answers to the brute operator, so one SQL re-derivation (ORDERED
+    * aggregate — the float-summation contract) hash-verifies both. */
+  private val bm25OracleSql =
+    s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
+       |stats AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+       |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |  WHERE term IN ('spark','merge','batch','window','sort','key','hash','table','scan')
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+       |qt AS (SELECT * FROM (VALUES (0,'batch'),(0,'merge'),(0,'spark'),
+       |  (1,'key'),(1,'sort'),(1,'window'),
+       |  (2,'hash'),(2,'scan'),(2,'table')) AS q(query_id, term)),
+       |scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    SUM(ln(1 + (s.n - dfq.df + 0.5)/(dfq.df + 0.5)) *
+       |          (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
+       |          (CAST(tf.tf AS DOUBLE) + 1.2 * (1 - 0.75 + (0.75 * CAST(dl.dl AS DOUBLE)) / s.avgdl))
+       |        ORDER BY q.term) AS score
+       |  FROM qt q JOIN tf ON tf.term = q.term
+       |    JOIN dfq ON dfq.term = q.term
+       |    JOIN dl ON dl.doc_id = tf.doc_id
+       |    CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+       |    round(score, 6) AS score
+       |  FROM scored)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, score
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Shared oracle for both approximate top-k paths: exhaustive exact
     * ranking over the planted-copy corpus (see `annCorpus`). `pow(2, m)`
@@ -3475,36 +3534,11 @@ object SparkEntry {
     // full BM25 re-derivation: same integer inputs (N, df, tf, dl), the
     // same one-division avgdl, and an ORDERED aggregate so the float
     // summation order matches the Spark side's sorted-term fold
-    "text_bm25" ->
-      s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
-         |stats AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
-         |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
-         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-         |  WHERE term IN ('spark','merge','batch','window','sort','key','hash','table','scan')
-         |  GROUP BY 1, 2),
-         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-         |dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
-         |qt AS (SELECT * FROM (VALUES (0,'batch'),(0,'merge'),(0,'spark'),
-         |  (1,'key'),(1,'sort'),(1,'window'),
-         |  (2,'hash'),(2,'scan'),(2,'table')) AS q(query_id, term)),
-         |scored AS (
-         |  SELECT q.query_id, tf.doc_id,
-         |    SUM(ln(1 + (s.n - dfq.df + 0.5)/(dfq.df + 0.5)) *
-         |          (CAST(tf.tf AS DOUBLE) * (1.2 + 1)) /
-         |          (CAST(tf.tf AS DOUBLE) + 1.2 * (1 - 0.75 + (0.75 * CAST(dl.dl AS DOUBLE)) / s.avgdl))
-         |        ORDER BY q.term) AS score
-         |  FROM qt q JOIN tf ON tf.term = q.term
-         |    JOIN dfq ON dfq.term = q.term
-         |    JOIN dl ON dl.doc_id = tf.doc_id
-         |    CROSS JOIN stats s
-         |  GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT query_id, doc_id,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
-         |    round(score, 6) AS score
-         |  FROM scored)
-         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS INT) AS rank, score
-         |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "text_bm25" -> bm25OracleSql,
+
+    // the indexed form's contract IS bit-identical answers, so it
+    // shares the brute form's oracle verbatim
+    "text_bm25_indexed" -> bm25OracleSql,
 
     "text_normalize" ->
       """SELECT doc_id,

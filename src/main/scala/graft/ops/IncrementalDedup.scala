@@ -135,164 +135,26 @@ object IncrementalDedup {
 
   private def statsPath(indexPath: String, table: String) = s"$indexPath/${table}_stats"
 
-  /** Per-table telemetry of the LAST pruned index read in this JVM:
-    * `tablePath -> (files read, files on disk)`. The observability
-    * counterpart of [[graft.lake.QueryTelemetry]]'s prune counters,
-    * and what the spec pins the pruning claim on. */
-  val lastPrune =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+  /** Pruned-read telemetry — see [[IndexRead.lastPrune]] (shared across
+    * all disk-resident indexes; specs pin pruning claims on it). */
+  val lastPrune = IndexRead.lastPrune
 
-  /** Probe-side prune list cap: past this many distinct key values the
-    * value-vs-interval broadcast join stops being obviously cheap and a
-    * batch that large touches most files anyway — fall back to the full
-    * scan (the pre-clustering behavior; results identical). */
-  private val MaxPruneValues = 1 << 18
+  /** Prune-engagement threshold seam — see [[IndexRead.minPruneBytes]]. */
+  private[ops] def minPruneBytes: Long = IndexRead.minPruneBytes
+  private[ops] def minPruneBytes_=(v: Long): Unit = IndexRead.minPruneBytes = v
 
   private def listFiles(spark: SparkSession, dir: String): Seq[String] =
-    listEntries(spark, dir).map(_._1)
+    IndexRead.listFiles(spark, dir)
 
-  private def listEntries(spark: SparkSession, dir: String): Seq[(String, Long)] = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Seq.empty
-    else {
-      val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-          buf += ((f.getPath.toString, f.getLen))
-      }
-      buf.toSeq
-    }
-  }
+  private def listEntries(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    IndexRead.listEntries(spark, dir)
 
-  /** Below this many TABLE bytes a probe skips pruning and scans the
-    * whole table: the prune decision's fixed cost (a candidate-id
-    * collect, an eager checkpoint of the candidate pairs, a values
-    * sort) must stay well under the scan it would skip, and a few-MB
-    * toy index is one task wave either way — the first clustered cut
-    * paid ~2.5 s of decision machinery per probe at sf0.1 to prune a
-    * 4 MB table. At 100 TB the sets table is GBs-to-TBs and the
-    * threshold is irrelevant. Package-visible as the test seam (specs
-    * pin pruning on deliberately tiny tables) and an ops tuning knob.
-    * Default 128 MB ≈ one well-sized lake file: below that the whole
-    * table is a single scan task's worth of bytes. */
-  private[ops] var minPruneBytes: Long = 128L << 20
-
-  /** Zone-map-pruned read of an index table: only files whose stored
-    * [min,max] interval on the cluster key intersects `values` are
-    * scanned. May-contain semantics — every caller re-filters by an
-    * exact join, so pruning can only shrink I/O, never change results.
-    *
-    * The prune decision is DRIVER-SIDE MATH, not a Spark job: the
-    * stats rows (one per file) are collected once per (session, stats
-    * path) into a fingerprint-invalidated cache, and each probe does a
-    * binary search of its sorted values against each file's interval —
-    * O(F log V) on the driver. The first clustered-probe cut ran the
-    * decision as a stats-scan + broadcast join: ~3 extra Spark jobs
-    * per ingest, which REGRESSED the toy-scale scorecard (5.4 → 8.2 s
-    * at sf0.1) for machinery whose entire job is to cost less than the
-    * scan it skips. `values` is by-name so callers don't even pay
-    * their collect when the stats table is absent.
-    *
-    * Soundness under maintenance races: a file on disk but missing
-    * from the stats table (a crash landed between an append and its
-    * stats upsert) is ALWAYS read; a stats row pointing at a deleted
-    * file (a crash inside compact's swap) is ignored because the kept
-    * list is intersected with the live listing. Falls back to the full
-    * scan when the stats table does not exist (an index built before
-    * clustering) or `values` exceeds [[MaxPruneValues]]. */
   private def prunedRead(spark: SparkSession, tablePath: String,
-                         stats: String, values: => Seq[Any]): DataFrame = {
-    val entries = listEntries(spark, tablePath)
-    val listing = entries.map(_._1)
-    def full() = {
-      lastPrune.put(tablePath, (listing.size, listing.size))
-      spark.read.parquet(tablePath)
-    }
-    if (entries.iterator.map(_._2).sum < minPruneBytes) return full()
-    cachedStats(spark, stats) match {
-      case None => full()
-      case Some(rows) =>
-        val vs = values.filter(_ != null).distinct
-        if (vs.size > MaxPruneValues) return full()
-        // any-NaN value defeats interval tests (footer stats exclude
-        // NaN by spec) — read everything, as Metastore.prunePairs does
-        val hasNan = vs.exists {
-          case d: java.lang.Double => d.isNaN
-          case f: java.lang.Float  => f.isNaN
-          case _ => false
-        }
-        val sorted = vs.toArray.sortWith(cmpLt)
-        def mayContain(min: Any, max: Any): Boolean =
-          min == null || max == null || hasNan || {
-            // first value >= min, then check it is <= max
-            var lo = 0; var hi = sorted.length
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (cmpLt(sorted(mid), min)) lo = mid + 1 else hi = mid
-            }
-            lo < sorted.length && !cmpLt(max, sorted(lo))
-          }
-        val known = rows.iterator.map(_._1).toSet
-        val kept = rows.iterator
-          .filter { case (_, mn, mx) => mayContain(mn, mx) }
-          .map(_._1).toSet
-        val files = listing.filter(p => kept.contains(p) || !known.contains(p))
-        lastPrune.put(tablePath, (files.size, listing.size))
-        if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
-        else spark.read.parquet(files: _*)
-    }
-  }
+                         stats: String, values: => Seq[Any]): DataFrame =
+    IndexRead.prunedRead(spark, tablePath, stats, values)
 
-  private def cmpLt(a: Any, b: Any): Boolean =
-    a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-
-  /** Stats rows `(filepath, min, max)` collected once per (session,
-    * stats path), invalidated by the stats directory's listing
-    * fingerprint (name + length + mtime of every file) — appends and
-    * compacts change the listing, so a probe never prunes against
-    * stale bounds it could have known were stale. `None` = no stats
-    * table (pre-clustering index). The fs listing per probe is
-    * metadata-only, microseconds against the scan it gates. */
-  // keyed by PATH alone (not session): the rows derive from the files,
-  // and the listing fingerprint already invalidates on any change —
-  // a session key would only pin stopped sessions in the map
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(String, Any, Any)])]()
-
-  private def cachedStats(spark: SparkSession,
-                          statsPath: String): Option[Array[(String, Any, Any)]] = {
-    val root = new org.apache.hadoop.fs.Path(statsPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val fp = {
-      val it = fs.listFiles(root, true)
-      val b = new StringBuilder
-      while (it.hasNext) {
-        val f = it.next()
-        b.append(f.getPath.getName).append(':')
-          .append(f.getLen).append(':').append(f.getModificationTime).append(';')
-      }
-      b.toString
-    }
-    val cached = statsCache.get(statsPath)
-    if (cached != null && cached._1 == fp) return Some(cached._2)
-    val st = Metastore.load(spark, statsPath)
-    val cols = st.schema.fieldNames
-    val minCol = cols.find(_.endsWith("_min")).get
-    val maxCol = minCol.stripSuffix("_min") + "_max"
-    val rows = st.select(col("filepath"), col(minCol), col(maxCol))
-      .collect().map(r => (r.getString(0), r.get(1), r.get(2)))
-    statsCache.put(statsPath, (fp, rows))
-    Some(rows)
-  }
-
-  private def exists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    IndexRead.exists(spark, dir)
 
   /** Probes `batch` against the index and returns one row PER BATCH DOC:
     * `(doc_id, kept, n_matches, min_match_id)` where a match is a
@@ -387,10 +249,8 @@ object IncrementalDedup {
   private def upsertStats(spark: SparkSession, indexPath: String,
                           table: String, key: String,
                           newFiles: Seq[String]): Unit =
-    if (newFiles.nonEmpty && exists(spark, statsPath(indexPath, table)))
-      Metastore.update(spark, statsPath(indexPath, table),
-        Metastore.buildFromFooters(spark, s"$indexPath/$table", key,
-          onlyPaths = newFiles))
+    IndexRead.upsertStats(spark, s"$indexPath/$table",
+      statsPath(indexPath, table), key, newFiles)
 
   /** Continuous corpus ingest: each micro-batch is deduped against the
     * index (and itself), its verdicts land under
