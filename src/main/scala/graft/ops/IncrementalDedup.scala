@@ -288,44 +288,16 @@ object IncrementalDedup {
       .start()
 
   /** Compacts the index's postings and sets tables into `filesPerTable`
-    * files each — every appended micro-batch adds its own small files,
-    * and a year of batches makes the per-probe postings scan pay an
-    * open-file tax far above the bytes. Each table is fully rewritten
-    * to a staging dir and swapped in by [[graft.lake.SwapProtocol]]'s
-    * two-rename commit (crash between the renames → `recover()` on the
-    * next compact restores the previous table; probes read whichever
-    * complete table is live). Single-maintainer contract, like the
-    * parquet stats store. */
+    * files each — the [[IndexRead.compactTable]] discipline (clustered
+    * rewrite restoring tight disjoint key ranges, SwapProtocol
+    * two-rename commit, stats replacement from the new footers) over
+    * both tables. */
   def compact(spark: SparkSession, indexPath: String,
-              filesPerTable: Int = 8): Unit = {
-    import org.apache.hadoop.fs.Path
+              filesPerTable: Int = 8): Unit =
     Seq("postings" -> "bucket", "sets" -> "doc").foreach { case (table, key) =>
-      val live = new Path(s"$indexPath/$table")
-      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val swap = new graft.lake.SwapProtocol(fs, live, ".compact_tmp", ".compact_bak")
-      swap.recover()
-      swap.dropBak()
-      swap.clearTmp()
-      // clustered rewrite, not a plain repartition: compaction is also
-      // when append-era files (each covering the batch's full key range)
-      // get re-sorted into tight disjoint ranges, restoring probe-time
-      // zone-map pruning to build-time quality
-      ClusteredWriter.write(spark.read.parquet(live.toString),
-        swap.tmp.toString, key, filesPerTable)
-      swap.commit()
-      swap.dropBak()
-      // stats rebuild AFTER the swap: every pre-compact row is replaced
-      // (all live under the table dir). Crash between commit and here →
-      // stats hold only orphan rows (intersected away by prunedRead's
-      // live-listing filter) and the new files are unknown (always
-      // read), so probes stay sound until the next compact/append.
-      // Creates the stats table if absent — compacting UPGRADES an
-      // index built before clustering to the prunable layout.
-      Metastore.replaceUnderPrefix(spark, statsPath(indexPath, table),
-        live.toString,
-        Metastore.buildFromFooters(spark, live.toString, key))
+      IndexRead.compactTable(spark, s"$indexPath/$table",
+        statsPath(indexPath, table), key, filesPerTable)
     }
-  }
 
   /** Stats-soundness audit of the index's OWN zone maps — the same
     * maintenance op the lake runs on its metastore

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.lake.Metastore
+import graft.lake.{ClusteredWriter, Metastore}
 
 /** Zone-map-pruned reads of a PERSISTED index table — the machinery
   * shared by every disk-resident index in the library (the MinHash-LSH
@@ -183,4 +183,44 @@ private[graft] object IndexRead {
     if (newFiles.nonEmpty && exists(spark, statsDir))
       Metastore.update(spark, statsDir,
         Metastore.buildFromFooters(spark, tableDir, key, onlyPaths = newFiles))
+
+  /** Clustered rewrite + stats replacement of ONE index table — the
+    * compact discipline shared by every disk-resident index: every
+    * appended micro-batch adds its own small files whose key range
+    * covers the whole batch, and a year of batches makes the per-probe
+    * scan pay an open-file tax far above the bytes while defeating
+    * zone-map pruning (append-era intervals overlap everything). The
+    * rewrite goes through [[graft.lake.ClusteredWriter]] to a staging
+    * dir (tight disjoint key ranges again), swaps in by
+    * [[graft.lake.SwapProtocol]]'s two-rename commit (crash between
+    * the renames → `recover()` on the next compact restores the
+    * previous table; probes read whichever complete table is live),
+    * then REPLACES the table's stats rows from the new footers.
+    *
+    * Crash between the commit and the stats rebuild → stats hold only
+    * orphan rows (intersected away by [[prunedRead]]'s live-listing
+    * filter) and the new files are unknown (always read) — probes stay
+    * sound until the next compact/append. Creates the stats table if
+    * absent: compacting UPGRADES a pre-clustering index to the
+    * prunable layout. `transform` runs on the table's rows before the
+    * rewrite — the hook where an index folds away its tolerated
+    * append-era redundancy (e.g. [[TextIndex]]'s bit-identical
+    * replayed postings). Single-maintainer contract, like the parquet
+    * stats store. */
+  def compactTable(spark: SparkSession, tableDir: String, statsDir: String,
+                   key: String, files: Int,
+                   transform: DataFrame => DataFrame = identity): Unit = {
+    val live = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swap = new graft.lake.SwapProtocol(fs, live, ".compact_tmp", ".compact_bak")
+    swap.recover()
+    swap.dropBak()
+    swap.clearTmp()
+    ClusteredWriter.write(transform(spark.read.parquet(tableDir)),
+      swap.tmp.toString, key, files)
+    swap.commit()
+    swap.dropBak()
+    Metastore.replaceUnderPrefix(spark, statsDir, tableDir,
+      Metastore.buildFromFooters(spark, tableDir, key))
+  }
 }

@@ -175,6 +175,46 @@ object TextIndex {
     ()
   }
 
+  /** Compacts the index tables into `filesPerTable` files each via the
+    * shared [[IndexRead.compactTable]] discipline (clustered rewrite,
+    * SwapProtocol two-rename commit, stats replacement) — restores
+    * probe-time zone-map pruning to build-time quality after append-era
+    * files (each covering its batch's whole term range) accumulate.
+    * The postings rewrite also folds away tolerated append-crash
+    * redundancy: a replayed postings append leaves BIT-IDENTICAL
+    * duplicate rows (score-neutral under [[bm25TopK]]'s distinct-fold,
+    * but paid for in scan bytes) — `distinct()` here reclaims them.
+    * `meta/` is untouched: totals don't change under a rewrite. */
+  def compact(spark: SparkSession, indexPath: String,
+              filesPerTable: Int = 8): Unit = {
+    IndexRead.compactTable(spark, postingsPath(indexPath),
+      statsPath(indexPath), "term", filesPerTable, _.distinct())
+    IndexRead.compactTable(spark, docsPath(indexPath),
+      docsStatsPath(indexPath), "doc",
+      math.max(1, filesPerTable / 4))
+  }
+
+  /** Continuous index maintenance: appends each micro-batch to the
+    * index — the retrieval twin of [[IncrementalDedup.ingestStream]].
+    * Replay safety comes entirely from [[append]]'s idempotency-by-id
+    * (a replayed batch anti-joins to nothing) plus the score-neutral
+    * postings crash window documented there; state lives in the
+    * on-disk index, so a restarted job serves queries against the full
+    * ingested history immediately. Run [[compact]] periodically to
+    * fold micro-batch files back into tight term ranges. */
+  def ingestStream(stream: DataFrame, idCol: String, textCol: String,
+                   indexPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try { if (!b.isEmpty) append(b, idCol, textCol, indexPath) }
+        finally b.unpersist()
+        ()
+      }
+      .start()
+
   /** BM25 top-k served FROM THE INDEX — same scoring contract as
     * [[TextAnalysis.bm25TopK]] (Okapi formula, integer idf inputs,
     * one-division avgdl, term-sorted IEEE summation), so for an index

@@ -114,6 +114,92 @@ class TextIndexSpec extends SparkSpec {
     assert(served(idx) === brute(corpus))
   }
 
+  test("compact folds replayed-append duplicates and keeps answers bit-identical") {
+    val a = corpus.where(col("doc_id") <= 4)
+    val b = corpus.where(col("doc_id") > 4)
+    val idx = tmpDir("txtidx_compact")
+    TextIndex.build(a, "doc_id", "text", idx)
+    TextIndex.append(b, "doc_id", "text", idx)
+    val want = served(idx)
+    val posts = s"$idx/postings"
+    val clean = spark.read.parquet(posts).count()
+    // simulate the documented crash window: a replayed postings append
+    // leaves bit-identical duplicate rows (docs/ not yet written when
+    // the driver died). Scores must survive the duplicates (the
+    // distinct-fold claim)...
+    spark.read.parquet(posts)
+      .where(col("doc") > 4).write.mode("append").parquet(posts)
+    assert(spark.read.parquet(posts).count() > clean)
+    assert(served(idx) === want)
+    // ...and compact must reclaim them without changing answers
+    TextIndex.compact(spark, idx, filesPerTable = 4)
+    assert(spark.read.parquet(posts).count() === clean)
+    assert(spark.read.parquet(posts).inputFiles.length === 4)
+    assert(served(idx) === want)
+  }
+
+  test("compact restores pruning quality after appends") {
+    // appends write files covering each batch's WHOLE term range; after
+    // compact the ranges are disjoint again and a narrow query reads
+    // fewer files than it did pre-compact
+    val big = (1L to 400L)
+      .map(i => (i, s"w${"%03d".format(i % 97)} x${"%03d".format(i % 89)} spark"))
+      .toDF("doc_id", "text")
+    val idx = tmpDir("txtidx_compact_prune")
+    TextIndex.build(big.where(col("doc_id") <= 100), "doc_id", "text", idx,
+      clusterFiles = 4)
+    (1 to 3).foreach { i =>
+      TextIndex.append(big.where(col("doc_id") > i * 100 &&
+        col("doc_id") <= (i + 1) * 100), "doc_id", "text", idx)
+    }
+    val saved = IndexRead.minPruneBytes
+    IndexRead.minPruneBytes = 0L
+    try {
+      def probeFiles(): (Int, Int) = {
+        TextIndex.bm25TopK(spark, idx, Seq(0L -> "w001 w002"), k = 5).collect()
+        IndexRead.lastPrune.get(s"$idx/postings")
+      }
+      val (readBefore, totalBefore) = probeFiles()
+      // each append-era file spans the full term space: none prune away
+      assert(totalBefore > 4)
+      TextIndex.compact(spark, idx, filesPerTable = 8)
+      val (readAfter, totalAfter) = probeFiles()
+      assert(totalAfter === 8)
+      assert(readAfter < totalAfter, "compacted ranges must prune")
+      assert(readAfter < readBefore || readBefore === totalBefore,
+        s"compact must not worsen pruning: $readBefore/$totalBefore -> $readAfter/$totalAfter")
+      // and answers still match the brute operator end to end
+      assert(TextIndex.bm25TopK(spark, idx, queries, k = 10)
+          .as[(Long, Long, Int, Double)].collect().toSeq.sortBy(r => (r._1, r._3))
+        === TextAnalysis.bm25TopK(big, queries, k = 10)
+          .as[(Long, Long, Int, Double)].collect().toSeq.sortBy(r => (r._1, r._3)))
+    } finally IndexRead.minPruneBytes = saved
+  }
+
+  test("ingestStream maintains the index; a restart replays safely") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir("txtidx_stream")
+    TextIndex.build(corpus.where(col("doc_id") <= 4), "doc_id", "text", idx)
+    val stream = MemoryStream[(Long, String)]
+    val ckpt = tmpDir("txtidx_stream_ckpt")
+    val q = TextIndex.ingestStream(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt)
+    try {
+      stream.addData((5L, ""), (6L, "unrelated prose about watermarks and sessions"))
+      q.processAllAvailable()
+      stream.addData((7L, "spark spark spark merge merge batch"),
+        (8L, "key value scan with window functions"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(served(idx) === brute(corpus))
+    // a replayed batch (new query, same checkpoint semantics: append is
+    // id-idempotent) changes nothing
+    TextIndex.append(corpus.where(col("doc_id") > 6), "doc_id", "text", idx)
+    assert(served(idx) === brute(corpus))
+    assert(TextIndex.stats(spark, idx).head().getLong(0) === corpus.count())
+  }
+
   test("plan: the query path shuffles no text bytes") {
     val idx = tmpDir("txtidx_plan")
     TextIndex.build(corpus, "doc_id", "text", idx)
