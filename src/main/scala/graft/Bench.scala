@@ -196,7 +196,15 @@ object Bench {
     "dedup_incremental",
     // round-10: the semantic twin's flat-cost claim gets the same
     // cold-builds/warm-probes treatment at 100×
-    "dedup_semantic_incremental")
+    "dedup_semantic_incremental",
+    // round-10: the BM25 inverted index's flat-probe claim gets its
+    // third scale point (sf0.1/sf1/sf10): the cold pass pays the
+    // one-time index build (file count scales with the corpus, file
+    // bytes fixed — see SparkEntry's build site), the warm number is
+    // the pruned probe, which should stay near the sf1 cost while the
+    // brute text_bm25's corpus passes grow 10× (its linear control is
+    // the sf0.1→sf1 pair — not re-paid here, the slope is established)
+    "text_bm25_indexed")
   private val copies100 = 100
 
   /** Round-8 extension: the dedup family's steepest sf1 queries get a

@@ -1755,7 +1755,13 @@ object SparkEntry {
     "text_bm25_indexed" -> ((s, dir) => {
       val path = textIndexCache.getOrElseUpdate(s, dir) {
         val p = s"/tmp/graft_txtidx_${dirTag(dir)}"
-        TextIndex.build(t(s, dir, "documents"), "doc_id", "text", p)
+        val docs = t(s, dir, "documents")
+        // file COUNT scales with the corpus, file BYTES stay fixed —
+        // the deployment shape the flat-probe claim rests on: a query
+        // touches files-per-term ≈ constant files of ≈ constant size
+        // regardless of corpus scale (parquet count() is footer-only)
+        val nFiles = math.max(8L, docs.count() / 5000L).toInt
+        TextIndex.build(docs, "doc_id", "text", p, clusterFiles = nFiles)
         p
       }
       TextIndex.bm25TopK(s, path,
