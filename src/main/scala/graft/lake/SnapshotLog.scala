@@ -61,8 +61,12 @@ object SnapshotLog {
   val DefaultCheckpointInterval = 10
 
   /** A resolved snapshot: `version`, live data files (relative to the
-    * table root), and the schema committed at that version. */
-  final case class Snapshot(version: Long, files: Seq[String], schemaJson: String)
+    * table root), the schema committed at that version, and the
+    * deletion vectors attached to each live file (`dvs`: data file →
+    * DV parquet files whose (file, pos) rows are dead in it). A file
+    * absent from `dvs` has no dead rows. */
+  final case class Snapshot(version: Long, files: Seq[String], schemaJson: String,
+                            dvs: Map[String, Seq[String]] = Map.empty)
 
   /** One history entry (see [[history]]). */
   final case class Entry(version: Long, tsMillis: Long, op: String,
@@ -87,7 +91,8 @@ object SnapshotLog {
   // every variable payload is URL-encoded.
 
   private def render(e: Entry, schemaJson: String, adds: Seq[String],
-                     removes: Seq[String]): String = {
+                     removes: Seq[String],
+                     dvSets: Seq[(String, Seq[String])] = Nil): String = {
     val sb = new StringBuilder
     sb.append(Magic).append('\n')
     sb.append("version=").append(e.version).append('\n')
@@ -97,12 +102,26 @@ object SnapshotLog {
     sb.append("schema=").append(enc(schemaJson)).append('\n')
     adds.foreach(p => sb.append('+').append(enc(p)).append('\n'))
     removes.foreach(p => sb.append('-').append(enc(p)).append('\n'))
-    sb.append("end=").append(adds.size).append(',').append(removes.size).append('\n')
+    // `~<file>|<dv>|<dv>…` — REPLACEMENT semantics: the listed DV set
+    // becomes the file's whole set at this version (an empty list
+    // clears it). Replacement, not append, is what makes rollback and
+    // checkpoints one-line replays: the commit states the outcome, the
+    // reader never folds deltas.
+    dvSets.foreach { case (f, dvs) =>
+      sb.append('~').append((f +: dvs).map(enc).mkString("|")).append('\n')
+    }
+    sb.append("end=").append(adds.size).append(',').append(removes.size)
+    if (dvSets.nonEmpty) sb.append(',').append(dvSets.size)
+    sb.append('\n')
     sb.toString
   }
 
   private final case class Parsed(entry: Entry, schemaJson: String,
-                                  adds: Seq[String], removes: Seq[String])
+                                  adds: Seq[String], removes: Seq[String],
+                                  dvSets: Seq[(String, Seq[String])] = Nil) {
+    /** Every DV parquet file this manifest references. */
+    def dvFiles: Seq[String] = dvSets.flatMap(_._2)
+  }
 
   /** Parse a manifest/checkpoint body; None = torn or foreign file. */
   private def parse(body: String): Option[Parsed] = {
@@ -110,7 +129,8 @@ object SnapshotLog {
     if (lines.isEmpty || lines.head != Magic) return None
     var version = -1L; var ts = -1L; var op = ""; var rollbackOf: Option[Long] = None
     var schema = ""; val adds = Seq.newBuilder[String]; val removes = Seq.newBuilder[String]
-    var nA = 0; var nR = 0; var ended = false
+    val dvSets = Seq.newBuilder[(String, Seq[String])]
+    var nA = 0; var nR = 0; var nD = 0; var ended = false
     for (ln <- lines.tail if ln.nonEmpty) {
       if (ended) return None // content after the trailer: torn/garbled
       if (ln.startsWith("version=")) version = ln.stripPrefix("version=").toLong
@@ -120,14 +140,27 @@ object SnapshotLog {
       else if (ln.startsWith("schema=")) schema = dec(ln.stripPrefix("schema="))
       else if (ln.startsWith("+")) { adds += dec(ln.tail); nA += 1 }
       else if (ln.startsWith("-")) { removes += dec(ln.tail); nR += 1 }
+      else if (ln.startsWith("~")) {
+        val parts = ln.tail.split('|')
+        if (parts.isEmpty || parts(0).isEmpty) return None
+        dvSets += dec(parts(0)) -> parts.tail.toSeq.map(dec); nD += 1
+      }
       else if (ln.startsWith("end=")) {
         val parts = ln.stripPrefix("end=").split(',')
-        if (parts.length != 2 || parts(0).toInt != nA || parts(1).toInt != nR) return None
+        // 2-field trailer = pre-DV manifest (nD must be 0); 3-field
+        // counts the `~` lines too
+        val ok = parts.length match {
+          case 2 => parts(0).toInt == nA && parts(1).toInt == nR && nD == 0
+          case 3 => parts(0).toInt == nA && parts(1).toInt == nR && parts(2).toInt == nD
+          case _ => false
+        }
+        if (!ok) return None
         ended = true
       } else return None
     }
     if (!ended || version < 0 || ts < 0 || op.isEmpty || schema.isEmpty) None
-    else Some(Parsed(Entry(version, ts, op, nA, nR, rollbackOf), schema, adds.result(), removes.result()))
+    else Some(Parsed(Entry(version, ts, op, nA, nR, rollbackOf), schema,
+      adds.result(), removes.result(), dvSets.result()))
   }
 
   private def readFile(fs: FileSystem, p: Path): String = {
@@ -217,18 +250,27 @@ object SnapshotLog {
       .take(1).toSeq.headOption
 
     val live = scala.collection.mutable.LinkedHashSet[String]()
+    val dvs = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     var schema = ""
     var from = 0L
-    cpSeed.foreach { case (v, p) => live ++= p.adds; schema = p.schemaJson; from = v + 1 }
+    def applyDvSets(sets: Seq[(String, Seq[String])]): Unit = sets.foreach {
+      case (f, Nil) => dvs.remove(f)
+      case (f, set) => if (live.contains(f)) dvs(f) = set
+    }
+    cpSeed.foreach { case (v, p) =>
+      live ++= p.adds; applyDvSets(p.dvSets); schema = p.schemaJson; from = v + 1
+    }
     for (v <- listing.manifests if v >= from && v <= target) {
       val p = parse(readFile(fs, manifestPath(root, v))).getOrElse(
         throw new IllegalStateException(
           s"torn manifest v$v inside the log at $table — log is corrupt"))
       live ++= p.adds
       live --= p.removes
+      p.removes.foreach(dvs.remove) // a removed file's dead-row set dies with it
+      applyDvSets(p.dvSets)
       schema = p.schemaJson
     }
-    Snapshot(target, live.toSeq, schema)
+    Snapshot(target, live.toSeq, schema, dvs.toMap)
   }
 
   // ── commits ──────────────────────────────────────────────────────
@@ -240,6 +282,7 @@ object SnapshotLog {
   def commit(spark: SparkSession, table: String, op: String,
              adds: Seq[String], removes: Seq[String], schemaJson: String,
              expected: Long, rollbackOf: Option[Long] = None,
+             dvSets: Seq[(String, Seq[String])] = Nil,
              checkpointInterval: Int = DefaultCheckpointInterval): Long = {
     val (fs, root) = fsOf(spark, table)
     fs.mkdirs(logDir(root))
@@ -248,7 +291,7 @@ object SnapshotLog {
       throw new java.util.ConcurrentModificationException(
         s"$table moved to v${next - 1} (planned against v$expected)")
     val e = Entry(next, System.currentTimeMillis(), op, adds.size, removes.size, rollbackOf)
-    if (!tryClaim(fs, manifestPath(root, next), render(e, schemaJson, adds, removes)))
+    if (!tryClaim(fs, manifestPath(root, next), render(e, schemaJson, adds, removes, dvSets)))
       throw new java.util.ConcurrentModificationException(
         s"lost the claim race for v$next of $table")
     maybeCheckpoint(spark, fs, root, table, next, checkpointInterval)
@@ -263,7 +306,8 @@ object SnapshotLog {
     if (interval > 0 && v > 0 && v % interval == 0) {
       val snap = state(spark, table, Some(v))
       val e = Entry(v, System.currentTimeMillis(), "checkpoint", snap.files.size, 0, None)
-      tryClaim(fs, checkpointPath(root, v), render(e, snap.schemaJson, snap.files, Nil))
+      tryClaim(fs, checkpointPath(root, v),
+        render(e, snap.schemaJson, snap.files, Nil, snap.dvs.toSeq))
     }
 
   /** Append retry loop: re-read the head and re-claim — two appends
@@ -393,7 +437,7 @@ object SnapshotLog {
   private def tokensReferenced(fs: FileSystem, root: Path): Set[String] =
     listLog(fs, root).manifests.flatMap { v =>
       parse(readFile(fs, manifestPath(root, v))).toSeq
-        .flatMap(p => p.adds ++ p.removes)
+        .flatMap(p => p.adds ++ p.removes ++ p.dvFiles)
     }.flatMap(_.split('/') match {
       case Array("data", tok, _*) => Some(tok)
       case _ => None
@@ -468,13 +512,12 @@ object SnapshotLog {
     val keysDf = spark.createDataFrame(
       spark.sparkContext.parallelize(keys.map(Row(_)), 1),
       StructType(Seq(schema(keyCol).copy(name = "_mk"))))
-    val survivors =
-      if (affectedAbs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(affectedAbs.toSeq: _*)
-        .join(org.apache.spark.sql.functions.broadcast(keysDf),
-          org.apache.spark.sql.functions.col(keyCol) ===
-            org.apache.spark.sql.functions.col("_mk"), "left_anti")
+    // DV-aware: rows already dead in an affected file must not be
+    // resurrected by its rewrite
+    val survivors = readSnapshot(spark, table, cur, onlyFiles = Some(affectedRel))
+      .join(org.apache.spark.sql.functions.broadcast(keysDf),
+        org.apache.spark.sql.functions.col(keyCol) ===
+          org.apache.spark.sql.functions.col("_mk"), "left_anti")
     val replacement = survivors.unionByName(
       upserts.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
 
@@ -490,6 +533,94 @@ object SnapshotLog {
       checkpointInterval = checkpointInterval)
   }
 
+  /** Row-level DELETE as a deletion-vector commit — O(deleted rows)
+    * written, ZERO data files rewritten. The predicate scan is pushed
+    * into the parquet reader (row-group skipping applies); matching
+    * rows' positions (`_metadata.row_index`) are written as ONE small
+    * DV parquet `(file, pos)` under a fresh commit token, and the
+    * commit restates each affected file's vector set (prior set + the
+    * new DV — replacement semantics, see [[render]]). Readers of the
+    * new version apply the DV merge-on-read; every pre-delete version
+    * still reads the rows (time travel is un-deleted). Contrast with
+    * [[merge]]'s copy-on-write: at 100 TB a 0.001 % delete rewrites
+    * nothing here, where copy-on-write would rewrite every may-contain
+    * file. [[compact]] folds DVs into clean files; re-deleting an
+    * already-dead row is a no-op (positions are idempotent and the
+    * scan excludes dead rows). Returns the new version, or the head
+    * unchanged when nothing matched. Lost-update safe like every
+    * non-append commit. `candidates` (table-relative) bounds the scan
+    * to a pruned file subset — see [[deleteByKeys]]. */
+  def delete(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column,
+             candidates: Option[Seq[String]] = None,
+             checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    import org.apache.spark.sql.functions.col
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val scanFiles = candidates.getOrElse(cur.files)
+    require(scanFiles.forall(cur.files.contains),
+      "candidate files must be live in the head version")
+    if (scanFiles.isEmpty) return head
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val (fs, root) = fsOf(spark, table)
+    val abs = scanFiles.map(f => new Path(root, f).toString)
+
+    var hits = spark.read.schema(schema).parquet(abs: _*)
+      .where(predicate)
+      .select(relFileCol.as("file"), col("_metadata.row_index").as("pos"))
+    // exclude rows already dead — a re-run of the same delete (or an
+    // overlapping predicate) must not grow the vectors
+    val dirtyScanned = scanFiles.filter(cur.dvs.contains)
+    if (dirtyScanned.nonEmpty) {
+      val sub = cur.copy(dvs = cur.dvs.filter { case (f, _) => dirtyScanned.contains(f) })
+      hits = hits.join(org.apache.spark.sql.functions.broadcast(
+        dvRows(spark, root, sub)), Seq("file", "pos"), "left_anti")
+    }
+
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tokenDir = new Path(new Path(root, "data"), token)
+    hits.repartition(1).write.mode("errorifexists").parquet(tokenDir.toString)
+    val dvRel = partFiles(fs, root, tokenDir)
+    val affected = spark.read.parquet(tokenDir.toString)
+      .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+    if (affected.isEmpty) { fs.delete(tokenDir, true); return head }
+    val dvSets = affected.map(f => f -> (cur.dvs.getOrElse(f, Nil) ++ dvRel))
+    commit(spark, table, "delete", adds = Nil, removes = Nil,
+      schemaJson = cur.schemaJson, expected = head, dvSets = dvSets,
+      checkpointInterval = checkpointInterval)
+  }
+
+  /** Key-batch DELETE with file-level pruning: footer stats on `keyCol`
+    * are harvested for the head's live files ([[StatsAgg]], O(version
+    * files) of KB footers) and only may-contain files are scanned —
+    * the [[merge]] prune applied to the DV path, so a CDC delete batch
+    * touches O(affected files), not the table. Stats-less files are
+    * always scanned (may-contain, sound). */
+  def deleteByKeys(spark: SparkSession, table: String, keyCol: String,
+                   keys: Seq[Any],
+                   checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    if (keys.isEmpty) return currentVersion(spark, table)
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    val (fs, root) = fsOf(spark, table)
+    val absAll = cur.files.map(f => fs.makeQualified(new Path(root, f)).toString)
+    val kstats = StatsAgg.harvest(spark, absAll, keyCol, schema(keyCol).dataType)
+    val affectedAbs = kstats.filter { r =>
+      (r.min, r.max) match {
+        case (Some(mn), Some(mx)) =>
+          keys.exists(k => StatsAgg.cmp(k, mn) >= 0 && StatsAgg.cmp(k, mx) <= 0)
+        case _ => true
+      }
+    }.map(_.path).toSet
+    val candidateRel = cur.files.filter(f =>
+      affectedAbs.contains(fs.makeQualified(new Path(root, f)).toString))
+    if (candidateRel.isEmpty) return head
+    delete(spark, table,
+      org.apache.spark.sql.functions.col(keyCol).isin(keys: _*),
+      candidates = Some(candidateRel), checkpointInterval = checkpointInterval)
+  }
+
   /** Roll the table back to `toVersion` as a NEW commit (never by
     * deleting history — the bad versions stay auditable and
     * time-travelable until [[expire]]). */
@@ -500,28 +631,95 @@ object SnapshotLog {
     val cur = state(spark, table, Some(head))
     val curSet = cur.files.toSet
     val tgtSet = target.files.toSet
+    // DV restore: every target file whose dead-row set differs from the
+    // head's gets its TARGET set restated (replacement semantics) — a
+    // delete since `toVersion` is thereby un-deleted, and a file the
+    // target knew as clean is explicitly cleared.
+    val dvRestate = target.files.filter { f =>
+      target.dvs.getOrElse(f, Nil) != cur.dvs.getOrElse(f, Nil)
+    }.map(f => f -> target.dvs.getOrElse(f, Nil))
     commit(spark, table, "rollback",
       adds = target.files.filterNot(curSet), removes = cur.files.filterNot(tgtSet),
       schemaJson = target.schemaJson, expected = head, rollbackOf = Some(toVersion),
-      checkpointInterval = checkpointInterval)
+      dvSets = dvRestate, checkpointInterval = checkpointInterval)
   }
 
   // ── reads ────────────────────────────────────────────────────────
 
+  /** Table-relative path of a scanned row's file, recovered from the
+    * reader's `_metadata.file_path` URI by anchoring at the LAST
+    * `/data/` segment — the table's data root by construction (commit
+    * tokens contain no slash, so no deeper `data/` exists). Immune to
+    * URI rendering differences (`file:/…` vs `file:///…` vs
+    * `hdfs://host/…`): the suffix is identical in all of them, and it
+    * is the SAME expression delete-writing and delete-applying use, so
+    * the DV keys match by construction. */
+  private def relFileCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    regexp_extract(col("_metadata.file_path"), "^.*/(data/.*)$", 1)
+  }
+
+  /** All DV rows `(file, pos)` any live file's vector set references.
+    * Sound to pool across files: a row is dead for file `f` iff some DV
+    * in `f`'s OWN set lists `(f, pos)`, and vector sets only ever grow
+    * append-only within a history branch (rollback restores aligned
+    * prefixes across every file one commit touched) — so a pooled DV's
+    * `f`-rows are in the pool exactly when `f`'s set contains it. */
+  private def dvRows(spark: SparkSession, root: Path, snap: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val paths = snap.dvs.values.flatten.toSeq.distinct.map(f => new Path(root, f).toString)
+    spark.read.parquet(paths: _*).select(col("file"), col("pos"))
+  }
+
+  /** Drop `dv`-listed rows from `scan` (which must expose `_metadata`):
+    * per-file positional anti-join, broadcast — the DV side is
+    * dead-row-sized (CDC contract; [[compact]] folds it to zero), so no
+    * shuffle touches the data. */
+  private def minusDeleted(scan: DataFrame, dv: DataFrame,
+                           outCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    scan
+      .withColumn("_dv_file", relFileCol)
+      .withColumn("_dv_pos", col("_metadata.row_index"))
+      .join(broadcast(dv),
+        col("_dv_file") === dv("file") && col("_dv_pos") === dv("pos"), "left_anti")
+      .select(outCols.map(col): _*)
+  }
+
   /** Read a snapshot (default: head). The committed schema of THAT
     * version is imposed on the scan, so time travel returns the table
     * as it was — a column added later does not bleed into old versions,
-    * and an empty snapshot still has its schema. */
+    * and an empty snapshot still has its schema. Deletion vectors of
+    * the version are applied merge-on-read: files without dead rows
+    * scan untouched; files with them pay one broadcast positional
+    * anti-join (`_metadata.row_index` keyed) and nothing is shuffled. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val snap = state(spark, table, asOf)
+    readSnapshot(spark, table, snap)
+  }
+
+  /** [[read]] for an already-resolved snapshot (shared by merge /
+    * compact / the change feed so they all see the same dead rows). */
+  private[graft] def readSnapshot(spark: SparkSession, table: String,
+                                  snap: Snapshot,
+                                  onlyFiles: Option[Seq[String]] = None): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    if (snap.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else {
-      val root = new Path(table)
-      val abs = snap.files.map(f => new Path(root, f).toString)
-      spark.read.schema(schema).parquet(abs: _*)
+    val files = onlyFiles.getOrElse(snap.files)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val root = new Path(table)
+    def abs(f: String) = new Path(root, f).toString
+    val clean = files.filterNot(snap.dvs.contains)
+    val dirty = files.filter(snap.dvs.contains)
+    val parts = Seq.newBuilder[DataFrame]
+    if (clean.nonEmpty) parts += spark.read.schema(schema).parquet(clean.map(abs): _*)
+    if (dirty.nonEmpty) {
+      val sub = snap.copy(dvs = snap.dvs.filter { case (f, _) => dirty.contains(f) })
+      parts += minusDeleted(
+        spark.read.schema(schema).parquet(dirty.map(abs): _*),
+        dvRows(spark, root, sub), schema.fieldNames.toSeq)
     }
+    parts.result().reduce(_ unionByName _)
   }
 
   /** Time travel WITH transparent zone-map pruning: harvest footer
@@ -549,7 +747,13 @@ object SnapshotLog {
     val abs = snap.files.map(f => fs.makeQualified(new Path(root, f)).toString)
     val stats = Metastore.buildFromFooters(spark, s"$table/data", clusterColumn,
       optionalColumns, onlyPaths = abs)
-    MetastoreFileIndex.tableForFiles(spark, abs, schema, stats)
+    val base = MetastoreFileIndex.tableForFiles(spark, abs, schema, stats)
+    // DV'd version: apply the positional anti-join ON TOP of the pruned
+    // relation — pruning still happens at planning time underneath
+    // (zone maps of a DV'd file stay sound: may-contain), the broadcast
+    // probe only ever matches rows of files that carry vectors
+    if (snap.dvs.isEmpty) base
+    else minusDeleted(base, dvRows(spark, root, snap), schema.fieldNames.toSeq)
   }
 
   /** Commit history, newest first: (version, ts_millis, op, n_adds,
@@ -608,12 +812,14 @@ object SnapshotLog {
       val snap = state(spark, table, Some(horizon))
       val e = Entry(horizon, System.currentTimeMillis(), "checkpoint",
         snap.files.size, 0, None)
-      tryClaim(fs, checkpointPath(root, horizon), render(e, snap.schemaJson, snap.files, Nil))
+      tryClaim(fs, checkpointPath(root, horizon),
+        render(e, snap.schemaJson, snap.files, Nil, snap.dvs.toSeq))
     }
 
-    val keepFiles = retained.flatMap(v => state(spark, table, Some(v)).files).toSet
+    def allFiles(s: Snapshot): Seq[String] = s.files ++ s.dvs.values.flatten
+    val keepFiles = retained.flatMap(v => allFiles(state(spark, table, Some(v)))).toSet
     val dropFiles = listing.manifests.filter(_ < horizon)
-      .flatMap(v => state(spark, table, Some(v)).files)
+      .flatMap(v => allFiles(state(spark, table, Some(v))))
       .distinct.filterNot(keepFiles)
 
     if (currentVersion(spark, table) != head)
@@ -639,7 +845,7 @@ object SnapshotLog {
     // head manifest's token may be about to be re-claimed; grace covers it
     val referenced: Set[String] = listing.manifests.flatMap { v =>
       parse(readFile(fs, manifestPath(root, v))).toSeq
-        .flatMap(p => p.adds ++ p.removes)
+        .flatMap(p => p.adds ++ p.removes ++ p.dvFiles)
     }.map(_.split('/') match {
       case Array("data", tok, _*) => tok
       case _ => ""
