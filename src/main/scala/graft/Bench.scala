@@ -77,6 +77,12 @@ object Bench {
     // over 10× files plus the same ~2 boundary-file scans; the
     // clustered-copy write rides the cold pass via the session cache)
     "dedup_lines", "text_bm25", "lake_agg_pushdown",
+    // round-11: the DV lifecycle — lake_changes pays the v0–v3 build on
+    // the cold pass (clustered writes + DV delete + merge at 10×) and
+    // measures the feed's except-diff warm; lake_dv_delete measures the
+    // merge-on-read anti-join over a 10× snapshot (the DV side stays
+    // deleted-rows-sized, so the slope should track the scan alone)
+    "lake_changes", "lake_dv_delete",
     // text_bm25's persisted-index twin: the warm number is the PRUNED
     // postings probe (index build rides the cold pass via the session
     // cache) — the claim under measure is the flat, corpus-

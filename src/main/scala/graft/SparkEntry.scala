@@ -224,6 +224,68 @@ object SparkEntry {
       path
     }
 
+  /** The change-feed lifecycle table + its incrementally-maintained
+    * view, once per (session, dir): lineitem thirds through the FULL
+    * modern-lake write path — v0 clustered overwrite (keys ≡ 0 mod 3),
+    * v1 append (≡ 1), v2 deletion-vector delete of keys 42+43
+    * (O(deleted rows), zero rewrites), v3 copy-on-write merge
+    * (key 48 upserted at +100, key 51 deleted). The materialized view
+    * (SUM/COUNT by l_returnflag) is created at v1 and refreshed to the
+    * head, so its state was maintained THROUGH a DV delete and a merge
+    * purely from the change feed — never a second source scan. Three
+    * queries read this build: `lake_dv_delete` (time travel to the DV
+    * version), `lake_changes` (the feed itself), `lake_incr_agg` (the
+    * view vs a from-scratch oracle). */
+  private val changeFeedCache = new SessionCache[(String, String)]
+
+  private def changeFeedTables(s: SparkSession, dir: String): (String, String) =
+    changeFeedCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_chfeed_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"; val mv = s"$base/mv"
+      val li = t(s, dir, "lineitem")
+      def third(r: Int) = li.where(pmod(col("l_orderkey"), lit(3)) === r)
+      SnapshotLog.write(third(0), table, "overwrite",
+        clusterColumn = Some("l_orderkey"), nFiles = 4) // v0
+      SnapshotLog.write(third(1), table, "append",
+        clusterColumn = Some("l_orderkey"), nFiles = 4) // v1
+      graft.lake.IncrementalView.create(s, table, mv,
+        Seq("l_returnflag"), Seq("l_quantity"), asOf = Some(1L))
+      SnapshotLog.deleteByKeys(s, table, "l_orderkey", Seq(42L, 43L)) // v2
+      val ups = li.where(col("l_orderkey") === 48L)
+        .withColumn("l_quantity", col("l_quantity") + lit(100.0))
+      SnapshotLog.merge(s, table, "l_orderkey", ups, deleteKeys = Seq(51L)) // v3
+      graft.lake.IncrementalView.refresh(s, mv)
+      (table, mv)
+    }
+
+  /** lake_schema_evo's evolved orders snapshot, once per (session,
+    * dir): v0 = three columns (even keys), v1 appends odd keys WITH a
+    * derived `prio_class` column under `mergeSchema = true` — the head
+    * read null-fills v0's rows, which is exactly what the oracle's
+    * UNION reconstructs. */
+  private val schemaEvoCache = new SessionCache[String]
+
+  private def schemaEvoTable(s: SparkSession, dir: String): String =
+    schemaEvoCache.getOrElseUpdate(s, dir) {
+      val path = s"/tmp/graft_schevo_${dirTag(dir)}/orders"
+      val root = new org.apache.hadoop.fs.Path(path)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val o = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      SnapshotLog.write(
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+          .drop("o_orderpriority"),
+        path, "overwrite", clusterColumn = Some("o_orderkey"), nFiles = 4)
+      SnapshotLog.write(
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+          .withColumn("prio_class", substring(col("o_orderpriority"), 1, 1))
+          .drop("o_orderpriority"),
+        path, "append", mergeSchema = true)
+      path
+    }
+
   /** lake_agg_pushdown's clustered lineitem copy, once per (session,
     * dir) — like every index/layout cache here, the clustering is an
     * ingest-time investment the aggregate then exploits many times. */
@@ -561,6 +623,55 @@ object SparkEntry {
         .where(col("l_orderkey").between(40L, 60L))
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // deletion vectors: keys 42+43 DV-deleted at v2 with ZERO data
+    // files rewritten (SnapshotDvSpec pins byte-identity); this query
+    // time-travels to exactly that version, so it verifies BOTH that
+    // the vectors hide the keys and that the later merge (v3) did not
+    // bleed into the pinned snapshot
+    "lake_dv_delete" -> ((s, dir) => {
+      val (table, _) = changeFeedTables(s, dir)
+      SnapshotLog.read(s, table, asOf = Some(2L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
+    // the row-level change feed across the whole lifecycle: creation
+    // insert, append insert, DV delete (only newly-dead rows), and the
+    // merge's except-diff (upsert = delete+insert, carried-along rows
+    // cancel) — the oracle reconstructs every event from the raw table
+    "lake_changes" -> ((s, dir) => {
+      val (table, _) = changeFeedTables(s, dir)
+      SnapshotLog.readChanges(s, table, fromVersion = -1L)
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("l_quantity"))
+        .groupBy("change_type", "commit_version")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
+    // incremental materialized view: created at v1, advanced through a
+    // DV delete and a merge purely from the change feed (O(changed
+    // rows) per refresh, never a source rescan) — must equal the
+    // oracle's from-scratch aggregate over the head population
+    "lake_incr_agg" -> ((s, dir) => {
+      val (_, mv) = changeFeedTables(s, dir)
+      graft.lake.IncrementalView.read(s, mv)
+        .select(col("l_returnflag"), col("n_rows"),
+          col("sum_l_quantity").as("sum_qty"))
+    }),
+
+    // schema evolution: v1 appended a derived column under mergeSchema
+    // — head reads null-fill v0's rows (parquet missing-column read),
+    // exactly the oracle's NULL-branch UNION
+    "lake_schema_evo" -> ((s, dir) => {
+      val table = schemaEvoTable(s, dir)
+      SnapshotLog.read(s, table)
+        .groupBy("prio_class")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
 
     // aggregation pushdown into footer stats: count/min/max under a
@@ -2340,6 +2451,58 @@ object SparkEntry {
     "lake_agg_pushdown" ->
       """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_v, MAX(l_orderkey) AS max_v
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 40000""".stripMargin,
+
+    // v2 = thirds 0+1 minus the DV-deleted keys; the v3 merge must NOT
+    // bleed into the pinned version
+    "lake_dv_delete" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // every change event, reconstructed from the raw table: v0/v1
+    // creation+append inserts, v2's DV-dead rows, v3's merge diff
+    // (old key-48 rows + key-51 rows out, key-48 rows at +100 in)
+    "lake_changes" ->
+      """WITH ch AS (
+        |  SELECT 'insert' AS change_type, 0 AS commit_version, l_quantity AS q
+        |  FROM lineitem WHERE l_orderkey % 3 = 0
+        |  UNION ALL SELECT 'insert', 1, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 3 = 1
+        |  UNION ALL SELECT 'delete', 2, l_quantity
+        |  FROM lineitem WHERE l_orderkey IN (42, 43)
+        |  UNION ALL SELECT 'delete', 3, l_quantity
+        |  FROM lineitem WHERE l_orderkey IN (48, 51)
+        |  UNION ALL SELECT 'insert', 3, l_quantity + 100
+        |  FROM lineitem WHERE l_orderkey = 48)
+        |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM ch GROUP BY change_type, commit_version""".stripMargin,
+
+    // the incrementally-maintained view must equal this from-scratch
+    // aggregate over the HEAD population (post delete + merge)
+    "lake_incr_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey = 48 THEN l_quantity + 100
+        |               ELSE l_quantity END) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43, 51)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // head after evolution = even keys with NULL prio_class ∪ odd keys
+    // with the derived column
+    "lake_schema_evo" ->
+      """SELECT prio_class, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT NULL AS prio_class, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT substring(o_orderpriority, 1, 1), o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1)
+        |GROUP BY prio_class""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -311,14 +311,17 @@ object SnapshotLog {
     }
 
   /** Append retry loop: re-read the head and re-claim — two appends
-    * never logically conflict, so losing a claim race is not an error. */
+    * never logically conflict, so losing a claim race is not an error.
+    * `schemaFor` re-resolves the committed schema against the head seen
+    * by EACH attempt, so a concurrent schema evolution is never
+    * clobbered by a stale pre-race resolution. */
   private def retryingAppend(spark: SparkSession, table: String, op: String,
-                             adds: Seq[String], schemaJson: String,
+                             adds: Seq[String], schemaFor: Long => String,
                              checkpointInterval: Int): Long = {
     var attempts = 0
     while (true) {
       val head = currentVersion(spark, table)
-      try return commit(spark, table, op, adds, Nil, schemaJson, head,
+      try return commit(spark, table, op, adds, Nil, schemaFor(head), head,
         checkpointInterval = checkpointInterval)
       catch {
         case _: java.util.ConcurrentModificationException if attempts < 20 => attempts += 1
@@ -344,10 +347,52 @@ object SnapshotLog {
     buf.result()
   }
 
+  /** The schema an APPEND commits, validated against the table's head
+    * schema by (name, type) — nullability and metadata are ignored
+    * (parquet round-trips relax nullability; that is not evolution).
+    *
+    * Strict mode (`mergeSchema = false`): the batch must carry exactly
+    * the head's columns (any order) with matching types; the HEAD
+    * schema is re-committed so column order never drifts. A mismatch
+    * throws instead of silently flipping the table's schema.
+    *
+    * Evolution mode (`mergeSchema = true`): common columns must match
+    * types; batch-only columns are APPENDED to the head schema as
+    * nullable (old files read them as null — the parquet reader
+    * null-fills missing columns); head-only columns the batch lacks are
+    * kept (the new files read them as null). Type changes are never
+    * merged. */
+  private def resolveAppendSchema(head: StructType, batch: StructType,
+                                  mergeSchema: Boolean): StructType = {
+    val headByName = head.fields.map(f => f.name -> f).toMap
+    for (bf <- batch.fields; hf <- headByName.get(bf.name))
+      require(hf.dataType == bf.dataType,
+        s"column '${bf.name}': batch type ${bf.dataType.simpleString} != " +
+          s"table type ${hf.dataType.simpleString} — type changes cannot be appended")
+    if (!mergeSchema) {
+      val missing = head.fieldNames.toSet -- batch.fieldNames.toSet
+      val extra = batch.fieldNames.toSet -- head.fieldNames.toSet
+      require(missing.isEmpty && extra.isEmpty,
+        s"append schema mismatch (missing=$missing, extra=$extra) — pass " +
+          "mergeSchema = true to evolve the table")
+      head
+    } else {
+      val newCols = batch.fields.filterNot(f => headByName.contains(f.name))
+        .map(_.copy(nullable = true))
+      StructType(head.fields ++ newCols)
+    }
+  }
+
   /** Materialize `df` as a new commit. `mode` is `"append"` or
     * `"overwrite"`; pass `clusterColumn` to range-cluster the files so
     * zone-map pruning works on the snapshot (same recipe as
     * [[ClusteredWriter]]). Returns the committed version.
+    *
+    * Appends validate against the head schema ([[resolveAppendSchema]]);
+    * `mergeSchema = true` evolves it by appending new nullable columns.
+    * `opLabel` overrides the manifest op string (consumers like
+    * [[IncrementalView]] persist their cursor there); file semantics
+    * stay those of `mode`.
     *
     * The data write happens BEFORE any claim, into a fresh token dir —
     * heavy I/O runs unlocked, the commit itself is one small file. An
@@ -356,7 +401,8 @@ object SnapshotLog {
     * half-applies. */
   def write(df: DataFrame, table: String, mode: String = "append",
             clusterColumn: Option[String] = None, nFiles: Int = 8,
-            checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+            checkpointInterval: Int = DefaultCheckpointInterval,
+            mergeSchema: Boolean = false, opLabel: Option[String] = None): Long = {
     require(mode == "append" || mode == "overwrite", s"unknown mode '$mode'")
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, table)
@@ -375,18 +421,24 @@ object SnapshotLog {
     }
     shaped.write.mode("errorifexists").parquet(tokenDir.toString)
     val adds = partFiles(fs, root, tokenDir)
-    val schemaJson = df.schema.json
 
     mode match {
       case "append" =>
-        retryingAppend(spark, table, "append", adds, schemaJson, checkpointInterval)
+        def schemaFor(head: Long): String =
+          if (head >= 0) {
+            val headSchema = DataType.fromJson(state(spark, table, Some(head))
+              .schemaJson).asInstanceOf[StructType]
+            resolveAppendSchema(headSchema, df.schema, mergeSchema).json
+          } else df.schema.json
+        retryingAppend(spark, table, opLabel.getOrElse("append"), adds, schemaFor,
+          checkpointInterval)
       case "overwrite" =>
         val (expected, removes) = planned match {
           case Some((head, files)) => (head, files)
           case None => (currentVersion(spark, table), Nil)
         }
-        commit(spark, table, "overwrite", adds, removes, schemaJson, expected,
-          checkpointInterval = checkpointInterval)
+        commit(spark, table, opLabel.getOrElse("overwrite"), adds, removes,
+          df.schema.json, expected, checkpointInterval = checkpointInterval)
     }
   }
 
@@ -424,7 +476,16 @@ object SnapshotLog {
     while (true) {
       if (tokensReferenced(fs, root).contains(batchToken)) return -1L
       val head = currentVersion(spark, table)
-      try return commit(spark, table, "append", adds, Nil, df.schema.json, head,
+      // strict schema check against the head this attempt claims — a
+      // streaming batch never evolves the schema silently; evolve via
+      // [[write]](mergeSchema = true) first
+      val schemaJson =
+        if (head >= 0) {
+          val headSchema = DataType.fromJson(state(spark, table, Some(head))
+            .schemaJson).asInstanceOf[StructType]
+          resolveAppendSchema(headSchema, df.schema, mergeSchema = false).json
+        } else df.schema.json
+      try return commit(spark, table, "append", adds, Nil, schemaJson, head,
         checkpointInterval = checkpointInterval)
       catch {
         case _: java.util.ConcurrentModificationException if attempts < 20 => attempts += 1
@@ -754,6 +815,124 @@ object SnapshotLog {
     // probe only ever matches rows of files that carry vectors
     if (snap.dvs.isEmpty) base
     else minusDeleted(base, dvRows(spark, root, snap), schema.fieldNames.toSeq)
+  }
+
+  /** Row-level CHANGE FEED: every insert/delete between two versions,
+    * tagged `_change_type` ('insert' | 'delete') and `_commit_version`.
+    * This is what makes the format a SOURCE for incremental pipelines —
+    * a downstream consumer (see [[IncrementalView]]) reprocesses
+    * O(changed rows) per refresh instead of re-reading a 100 TB table.
+    *
+    * Per-commit cost, by op:
+    *  - `append`: the added files are scanned once — change volume.
+    *  - `delete`: the NEW dead rows are materialized by ONE semi-join
+    *    of the affected files against the commit's new DV (broadcast,
+    *    positional) — affected-file volume, not table volume.
+    *  - `compact`: no row change by contract (a clustering rewrite).
+    *  - `merge`: multiset except-diff over the affected files only
+    *    (removed-side read applies the PRIOR version's DVs, so a dead
+    *    row is never re-deleted); rows the rewrite carried unchanged
+    *    cancel out, so the feed shows exactly the upserted/deleted
+    *    rows. Bounded by the merge's own CDC-batch contract.
+    *  - `overwrite` / `rollback`: the diff is table-sized, so the feed
+    *    REFUSES them unless `allowFullDiff = true` (then: full-snapshot
+    *    except-diff, which also accounts for DV restates/un-deletes).
+    *    Both sides must share one schema.
+    *
+    * `fromVersion` is EXCLUSIVE (pass -1 to include the creating
+    * commit), `toVersion` inclusive (default: head). Rows from
+    * pre-evolution versions are null-filled to the `toVersion` schema. */
+  def readChanges(spark: SparkSession, table: String, fromVersion: Long,
+                  toVersion: Option[Long] = None,
+                  allowFullDiff: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val (fs, root) = fsOf(spark, table)
+    val head = currentVersion(spark, table)
+    val to = toVersion.getOrElse(head)
+    require(fromVersion >= -1 && fromVersion <= to && to <= head,
+      s"bad change range ($fromVersion, $to] for $table at v$head")
+    val outSchema = DataType.fromJson(state(spark, table, Some(to)).schemaJson)
+      .asInstanceOf[StructType]
+    val outFields = outSchema.fields.toSeq
+    def abs(f: String) = new Path(root, f).toString
+
+    /** Null-fill `df` to the output schema, then tag it. */
+    def conform(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.select(outFields.map(f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)): _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v))
+
+    // v0 has no predecessor: an empty snapshot stands in (creation)
+    def prevState(v: Long): Snapshot =
+      if (v == 0) Snapshot(-1L, Nil, "{}") else state(spark, table, Some(v - 1))
+
+    val parts = Seq.newBuilder[DataFrame]
+    for (v <- (fromVersion + 1) to to) {
+      val p = parse(readFile(fs, manifestPath(root, v))).getOrElse(
+        throw new IllegalStateException(s"torn manifest v$v in $table"))
+      val schemaV = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+      def readAdds(): DataFrame =
+        spark.read.schema(schemaV).parquet(p.adds.map(abs): _*)
+      p.entry.op match {
+        case "append" =>
+          if (p.adds.nonEmpty) parts += conform(readAdds(), "insert", v)
+        case "delete" =>
+          val prev = prevState(v)
+          val priorDv = prev.dvs.values.flatten.toSet
+          val newDv = p.dvSets.flatMap(_._2).distinct.filterNot(priorDv)
+          val grown = p.dvSets.collect {
+            case (f, set) if set != prev.dvs.getOrElse(f, Nil) => f
+          }
+          if (newDv.nonEmpty && grown.nonEmpty) {
+            val dvNew = spark.read.parquet(newDv.map(abs): _*).select("file", "pos")
+            val scan = spark.read.schema(schemaV).parquet(grown.map(abs): _*)
+              .withColumn("_dv_file", relFileCol)
+              .withColumn("_dv_pos", col("_metadata.row_index"))
+            val dead = scan.join(broadcast(dvNew),
+                col("_dv_file") === dvNew("file") && col("_dv_pos") === dvNew("pos"),
+                "left_semi")
+              .select(schemaV.fieldNames.map(col): _*)
+            parts += conform(dead, "delete", v)
+          }
+        case "compact" => // clustering rewrite: same rows by contract
+        case op @ ("merge" | "overwrite" | "rollback") =>
+          val prev = prevState(v)
+          // a merge with no affected files (pure upsert of absent keys)
+          // or the table-creating overwrite: inserts, nothing diffed
+          val isCreate = p.removes.isEmpty && (op == "merge" || prev.files.isEmpty)
+          if (isCreate) {
+            if (p.adds.nonEmpty) parts += conform(readAdds(), "insert", v)
+          } else if (op == "merge") {
+            // affected files only: removed side with prior DVs applied
+            val removed = readSnapshot(spark, table, prev, onlyFiles = Some(p.removes))
+            val added = readAdds()
+            parts += conform(added.exceptAll(removed), "insert", v)
+            parts += conform(removed.exceptAll(added), "delete", v)
+          } else {
+            require(allowFullDiff,
+              s"v$v is a table-sized '$op' — the row diff is O(table); pass " +
+                "allowFullDiff = true to compute it anyway, or restart the " +
+                "consumer from a full read of the new version")
+            val curSnap = state(spark, table, Some(v))
+            require(curSnap.schemaJson == prev.schemaJson,
+              s"full diff across a schema change at v$v is not supported")
+            val before = readSnapshot(spark, table, prev)
+            val after = readSnapshot(spark, table, curSnap)
+            parts += conform(after.exceptAll(before), "insert", v)
+            parts += conform(before.exceptAll(after), "delete", v)
+          }
+        case _ => // unknown maintenance op: no row change claimed
+      }
+    }
+    val changeSchema = StructType(outFields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+    parts.result() match {
+      case Seq() => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], changeSchema)
+      case ps => ps.reduce(_ unionByName _)
+    }
   }
 
   /** Commit history, newest first: (version, ts_millis, op, n_adds,
