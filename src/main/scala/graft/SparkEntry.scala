@@ -298,6 +298,21 @@ object SparkEntry {
       path
     }
 
+  /** dsir_weights/dsir_resample's importance-ratio model, once per
+    * (session, dir) — DSIR trains once per (target, raw) pair and
+    * scores every downstream batch, the same train-once contract as
+    * the BPE and centroid caches. Target = sources src1/src2/src3 (the
+    * "curated" stand-in), raw = the whole documents corpus. */
+  private val dsirModelCache = new SessionCache[graft.ops.Dsir.Model]
+  private val dsirTargetSources = Seq("src1", "src2", "src3")
+
+  private def dsirModel(s: SparkSession, dir: String): graft.ops.Dsir.Model =
+    dsirModelCache.getOrElseUpdate(s, dir) {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dsir.train(
+        docs.where(col("source").isin(dsirTargetSources: _*)), docs)
+    }
+
   /** text_bpe's trained merge table, once per (session, dir) — a
     * tokenizer is trained once per corpus snapshot and applied to
     * every downstream batch. */
@@ -1883,6 +1898,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // DSIR importance weights: Σ per-token log p_target/p_raw under the
+    // raw-vocab-capped smoothed bag models, folded in POSITION order
+    // (the float contract the oracle's SUM(x ORDER BY o) mirrors)
+    "dsir_weights" -> ((s, dir) =>
+      graft.ops.Dsir.logWeights(t(s, dir, "documents"), dsirModel(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("dsir_logw"), 6).as("dsir_logw"))
+        .orderBy("doc_id")),
+
+    // the Gumbel top-k draw over those weights: deterministic u from
+    // the library's standard multiplicative id hash, so the oracle
+    // re-derives the exact membership; output is hash-friendly ints/
+    // strings (the keys only ORDER the draw)
+    "dsir_resample" -> ((s, dir) =>
+      graft.ops.Dsir.resample(
+          graft.ops.Dsir.logWeights(t(s, dir, "documents"), dsirModel(s, dir)),
+          n = 100)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(t(s, dir, "documents"))
         .select(col("doc_id"), col("norm_text"),
@@ -2198,6 +2233,42 @@ object SparkEntry {
 
   private val normToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  /** Shared CTE chain for the DSIR oracles: re-derives BOTH smoothed
+    * bag models (raw-frequency-capped vocabulary with the Spark side's
+    * deterministic count-desc/word-asc cut, whole-corpus totals so OOV
+    * mass stays in the denominators), the per-word log ratio, and each
+    * document's POSITION-ORDERED ratio sum — `SUM(x ORDER BY o)`
+    * mirrors the Spark fold's float order exactly, the same contract
+    * as text_unigram_ppl. */
+  private val dsirTargetIn = "('src1', 'src2', 'src3')"
+  private val dsirAggSql =
+    s"""WITH toks AS (SELECT doc_id, $normToks AS tk, source FROM documents),
+       |rawtot AS (SELECT CAST(COALESCE(SUM(len(tk)), 0) AS BIGINT) AS nr FROM toks),
+       |tgttot AS (SELECT CAST(COALESCE(SUM(len(tk)), 0) AS BIGINT) AS nt
+       |  FROM toks WHERE source IN $dsirTargetIn),
+       |rawcnt AS (SELECT t AS w, COUNT(*) AS cr
+       |  FROM toks, LATERAL (SELECT unnest(tk) AS t)
+       |  GROUP BY t ORDER BY cr DESC, w LIMIT 65536),
+       |vv AS (SELECT COUNT(*) AS v FROM rawcnt),
+       |tgtcnt AS (SELECT t AS w, COUNT(*) AS ct
+       |  FROM toks, LATERAL (SELECT unnest(tk) AS t)
+       |  WHERE source IN $dsirTargetIn GROUP BY t),
+       |lr AS (SELECT r.w,
+       |    ln((COALESCE(g.ct, 0) + 0.5) / (tt.nt + 0.5 * (vv.v + 1))) -
+       |    ln((r.cr + 0.5) / (rt.nr + 0.5 * (vv.v + 1))) AS lr
+       |  FROM rawcnt r LEFT JOIN tgtcnt g USING (w)
+       |  CROSS JOIN tgttot tt CROSS JOIN rawtot rt CROSS JOIN vv),
+       |oov AS (SELECT ln(0.5 / (tt.nt + 0.5 * (vv.v + 1))) -
+       |    ln(0.5 / (rt.nr + 0.5 * (vv.v + 1))) AS x
+       |  FROM tgttot tt CROSS JOIN rawtot rt CROSS JOIN vv),
+       |pos AS (SELECT doc_id, o, tk[o] AS w
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(tk) + 1)) AS o)),
+       |scored AS (SELECT p.doc_id, p.o,
+       |    CASE WHEN l.w IS NULL THEN oov.x ELSE l.lr END AS x
+       |  FROM pos p LEFT JOIN lr l ON l.w = p.w CROSS JOIN oov),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(x ORDER BY o) AS s
+       |  FROM scored GROUP BY doc_id)""".stripMargin
 
   /** Shared oracle for BOTH BM25 forms (`text_bm25`,
     * `text_bm25_indexed`): the indexed form's contract is bit-identical
@@ -3708,6 +3779,28 @@ object SparkEntry {
     // the indexed form's contract IS bit-identical answers, so it
     // shares the brute form's oracle verbatim
     "text_bm25_indexed" -> bm25OracleSql,
+
+    // both smoothed models, the log ratio, and the ordered per-doc sum
+    // re-derived from scratch — the selection math, not just row counts
+    "dsir_weights" ->
+      s"""$dsirAggSql
+         |SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  round(COALESCE(a.s, 0.0), 6) AS dsir_logw
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the exact Gumbel top-k membership: same weights, same
+    // multiplicative-hash u, same -ln(-ln(u)) keys, same id tiebreak
+    "dsir_resample" ->
+      s"""$dsirAggSql,
+         |w8 AS (SELECT d.doc_id, d.lang, d.source, COALESCE(a.s, 0.0) AS logw
+         |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+         |keyed AS (SELECT doc_id, lang, source,
+         |    logw - ln(-ln((CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+         |      + 0.5) / 4294967296.0)) AS gk
+         |  FROM w8)
+         |SELECT doc_id, lang, source FROM keyed
+         |ORDER BY gk DESC, doc_id LIMIT 100""".stripMargin,
 
     "text_normalize" ->
       """SELECT doc_id,
