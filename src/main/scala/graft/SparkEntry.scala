@@ -257,6 +257,11 @@ object SparkEntry {
         .withColumn("l_quantity", col("l_quantity") + lit(100.0))
       SnapshotLog.merge(s, table, "l_orderkey", ups, deleteKeys = Seq(51L)) // v3
       graft.lake.IncrementalView.refresh(s, mv)
+      // v4: purge — rewrites ONLY the DV-carrying files, clears the
+      // vectors, row content unchanged; pinned queries keep their
+      // versions (lake_dv_delete reads v2 ACROSS the purge) and the
+      // change feed skips the commit by contract
+      SnapshotLog.purgeDeletes(s, table)
       (table, mv)
     }
 
@@ -651,6 +656,21 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
+    // merge-on-read → copy-on-write conversion: after purgeDeletes the
+    // head population is bit-unchanged (oracle re-derives it from raw
+    // lineitem through delete v2 + merge v3) AND no live file carries a
+    // vector any more — n_dirty_files = 0 rides every output row so the
+    // cleared-vector contract is part of the hash, not just a spec
+    "lake_dv_purge" -> ((s, dir) => {
+      val (table, _) = changeFeedTables(s, dir)
+      val nDirty = SnapshotLog.state(s, table).dvs.size
+      SnapshotLog.read(s, table)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .withColumn("n_dirty_files", lit(nDirty).cast("long"))
     }),
 
     // the row-level change feed across the whole lifecycle: creation
@@ -2530,6 +2550,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // post-purge head = the v3 population re-derived from raw lineitem
+    // (delete 42/43, merge: 51 out, 48 at +100) and, by the purge
+    // contract, ZERO files still carrying vectors
+    "lake_dv_purge" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN l_orderkey = 48 THEN l_quantity + 100
+        |                    ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(0 AS BIGINT) AS n_dirty_files
+        |FROM lineitem
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43, 51)
         |GROUP BY l_returnflag""".stripMargin,
 
     // every change event, reconstructed from the raw table: v0/v1

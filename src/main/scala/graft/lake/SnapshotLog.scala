@@ -526,6 +526,42 @@ object SnapshotLog {
       checkpointInterval = checkpointInterval)
   }
 
+  /** PURGE: materialize the head's merge-on-read deletes by rewriting
+    * ONLY the files that carry deletion vectors — each dirty file is
+    * re-read once with its dead rows dropped, the clean files are not
+    * read, not rewritten, and stay byte-identical (and keep their
+    * zone-map stats, bloom entries, and page-cache residency) across
+    * the commit. This is the bounded merge-on-read → copy-on-write
+    * conversion every DV format needs ([[delete]] keeps deletes
+    * O(deleted rows); a steady trickle of them would otherwise tax
+    * every future read with the anti-join until a FULL [[compact]]
+    * rewrote the table): cost is O(dirty-file bytes), the right
+    * maintenance cadence at 100 TB where deletes cluster in a few
+    * recent files. The op commits as `purge` — a row-content no-op by
+    * contract, so [[readChanges]] (and every feed consumer) skips it
+    * exactly like `compact`. Old versions still time-travel with their
+    * vectors applied; the superseded DV parquet files age out with
+    * them via [[expire]]. Returns the new version, or the head
+    * unchanged when no file carries a vector. Lost-update safe like
+    * every non-append commit. */
+  def purgeDeletes(spark: SparkSession, table: String,
+                   checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val dirty = cur.files.filter(cur.dvs.contains)
+    if (dirty.isEmpty) return head
+    val (fs, rootP) = fsOf(spark, table)
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tokenDir = new Path(new Path(rootP, "data"), token)
+    readSnapshot(spark, table, cur, onlyFiles = Some(dirty))
+      .write.mode("errorifexists").parquet(tokenDir.toString)
+    val adds = partFiles(fs, rootP, tokenDir)
+    // removing a file drops its DV set in the same replay step (state's
+    // `p.removes.foreach(dvs.remove)`), so no dvSets restate is needed
+    commit(spark, table, "purge", adds, dirty, cur.schemaJson, head,
+      checkpointInterval = checkpointInterval)
+  }
+
   /** Copy-on-write MERGE as ONE snapshot commit: rows of `upserts`
     * replace same-key rows, `deleteKeys` vanish, every other row rides
     * along untouched. File-level pruning bounds the rewrite: footer

@@ -196,4 +196,42 @@ class SnapshotDvSpec extends SparkSpec {
     SnapshotLog.expire(spark, t, keepLast = 2) // keep v2..v3 — both carry the DV
     assert(ids(t) == ((0L until 20L).toSet - 0L) ++ Set(200L, 201L))
   }
+
+  test("purgeDeletes rewrites ONLY dirty files; clean files stay byte-identical") {
+    val t = mkTable()
+    seed(t) // v0: 4 files clustered on id — delete hits a strict subset
+    SnapshotLog.delete(spark, t, col("id") < 3) // v1: vectors on 1 file
+    val before = SnapshotLog.state(spark, t)
+    val clean = before.files.filterNot(before.dvs.contains)
+    assert(clean.nonEmpty && before.dvs.nonEmpty, "fixture must mix clean+dirty")
+    val metaClean = fileMeta(t, clean)
+    val rows = ids(t)
+    val v2 = SnapshotLog.purgeDeletes(spark, t)
+    assert(v2 == 2L)
+    val after = SnapshotLog.state(spark, t)
+    assert(after.dvs.isEmpty, "purge must clear every vector")
+    assert(ids(t) == rows, "purge is a row-content no-op")
+    // clean files survive IN PLACE; dirty ones are gone from the live set
+    assert(clean.forall(after.files.contains))
+    assert(fileMeta(t, clean) == metaClean)
+    assert(before.dvs.keys.forall(f => !after.files.contains(f)))
+    // pre-purge versions still time-travel with vectors applied
+    assert(ids(t, Some(1L)) == rows)
+    assert(ids(t, Some(0L)) == (0L until 20L).toSet)
+  }
+
+  test("purgeDeletes on a clean table is a no-op; feed skips the purge commit") {
+    val t = mkTable()
+    seed(t)
+    assert(SnapshotLog.purgeDeletes(spark, t) == 0L) // nothing dirty → head
+    SnapshotLog.delete(spark, t, col("id") === 7) // v1
+    val v2 = SnapshotLog.purgeDeletes(spark, t)
+    assert(v2 == 2L)
+    assert(SnapshotLog.purgeDeletes(spark, t) == 2L) // converged
+    // the feed sees the delete's dead row and NOTHING from the purge
+    val ch = SnapshotLog.readChanges(spark, t, fromVersion = 0L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(ch == Set((7L, "delete", 1L)))
+  }
 }
