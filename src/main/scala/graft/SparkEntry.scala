@@ -265,6 +265,40 @@ object SparkEntry {
       (table, mv)
     }
 
+  /** lake_join_view's star pair + maintained join view, once per
+    * (session, dir): fact = lineitem thirds (v0 overwrite, v1 append,
+    * v2 DV delete of keys 42/43), dim = orders (v0, then v1 merges
+    * every %100==0 key to status 'X' — the group-migration case). The
+    * view is created at (fact v0, dim v0) and REFRESHED to the heads,
+    * so the oracle's from-scratch join+aggregate checks the whole
+    * delta algebra: V(ΔF,D′) for the append+delete, V(F,ΔD) for the
+    * dim update, cross-term included. */
+  private val joinViewCache = new SessionCache[String]
+
+  private def joinViewTable(s: SparkSession, dir: String): String =
+    joinViewCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_joinview_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val fact = s"$base/lineitem"; val dim = s"$base/orders"; val mv = s"$base/mv"
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+      val od = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) === 0),
+        fact, "overwrite", clusterColumn = Some("l_orderkey"), nFiles = 4) // F v0
+      SnapshotLog.write(od, dim, "overwrite",
+        clusterColumn = Some("o_orderkey"), nFiles = 4) // D v0
+      graft.lake.JoinView.create(s, fact, dim, mv, "l_orderkey", "o_orderkey",
+        Seq("o_orderstatus"), Seq("l_quantity"))
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) === 1),
+        fact, "append", clusterColumn = Some("l_orderkey"), nFiles = 4) // F v1
+      SnapshotLog.merge(s, dim, "o_orderkey",
+        od.where(pmod(col("o_orderkey"), lit(100)) === 0)
+          .withColumn("o_orderstatus", lit("X"))) // D v1
+      SnapshotLog.deleteByKeys(s, fact, "l_orderkey", Seq(42L, 43L)) // F v2
+      graft.lake.JoinView.refresh(s, mv)
+      mv
+    }
+
   /** lake_schema_evo's evolved orders snapshot, once per (session,
     * dir): v0 = three columns (even keys), v1 appends odd keys WITH a
     * derived `prio_class` column under `mergeSchema = true` — the head
@@ -697,6 +731,15 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_rows"),
           col("sum_l_quantity").as("sum_qty"))
     }),
+
+    // incrementally-maintained fact⋈dim aggregate: created at (F v0,
+    // D v0), advanced through a fact append, a dim group-migration
+    // merge, and a fact DV delete purely by the two-term delta algebra
+    // — must equal the oracle's from-scratch join+aggregate at heads
+    "lake_join_view" -> ((s, dir) =>
+      graft.lake.JoinView.read(s, joinViewTable(s, dir))
+        .select(col("o_orderstatus"), col("n_rows"),
+          col("sum_l_quantity").as("sum_qty"))),
 
     // schema evolution: v1 appended a derived column under mergeSchema
     // — head reads null-fill v0's rows (parquet missing-column read),
@@ -1918,6 +1961,26 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval: the engine's lexical ranking (BM25 top-10 for
+    // three literal queries) fused with its vector ranking (cosine
+    // top-10 for the same query ids) by Reciprocal Rank Fusion —
+    // rank-only fusion, so the oracle recomputes BOTH component
+    // rankings from scratch and the exact fused scores/order
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"),
+          Seq(0L -> "spark merge batch", 1L -> "window sort key",
+            2L -> "hash table scan"),
+          "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val vec = Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+        .withColumn("rrf_score", round(col("rrf_score"), 8))
+        .orderBy("query_id", "rank")
+    }),
+
     // DSIR importance weights: Σ per-token log p_target/p_raw under the
     // raw-vocab-capped smoothed bag models, folded in POSITION order
     // (the float contract the oracle's SUM(x ORDER BY o) mirrors)
@@ -2551,6 +2614,18 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43)
         |GROUP BY l_returnflag""".stripMargin,
+
+    // the maintained join view must equal this from-scratch
+    // join+aggregate over the head populations (fact thirds 0+1 minus
+    // 42/43; dim with %100 keys migrated to 'X'); l_quantity is
+    // integral-valued so the double sums are exact on both engines
+    "lake_join_view" ->
+      """SELECT CASE WHEN o_orderkey % 100 = 0 THEN 'X'
+        |            ELSE o_orderstatus END AS o_orderstatus,
+        |  COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43)
+        |GROUP BY 1""".stripMargin,
 
     // post-purge head = the v3 population re-derived from raw lineitem
     // (delete 42/43, merge: 51 out, 48 at +100) and, by the purge
@@ -3812,6 +3887,61 @@ object SparkEntry {
     // the indexed form's contract IS bit-identical answers, so it
     // shares the brute form's oracle verbatim
     "text_bm25_indexed" -> bm25OracleSql,
+
+    // both component rankings re-derived from scratch (BM25 with the
+    // ordered idf-sum, exhaustive cosine), then the exact RRF algebra:
+    // Σ 1/(60+rank) per (query, doc), rank by score desc / id asc
+    "hybrid_rrf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
+         |bstats AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
+         |btok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM btok
+         |  WHERE term IN ('spark','merge','batch','window','sort','key','hash','table','scan')
+         |  GROUP BY 1, 2),
+         |bdf AS (SELECT term, COUNT(*) AS df FROM btf GROUP BY 1),
+         |bdl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+         |bqt AS (SELECT * FROM (VALUES (0,'batch'),(0,'merge'),(0,'spark'),
+         |  (1,'key'),(1,'sort'),(1,'window'),
+         |  (2,'hash'),(2,'scan'),(2,'table')) AS q(query_id, term)),
+         |bscored AS (
+         |  SELECT q.query_id, btf.doc_id,
+         |    SUM(ln(1 + (s.n - bdf.df + 0.5)/(bdf.df + 0.5)) *
+         |          (CAST(btf.tf AS DOUBLE) * (1.2 + 1)) /
+         |          (CAST(btf.tf AS DOUBLE) + 1.2 * (1 - 0.75 + (0.75 * CAST(bdl.dl AS DOUBLE)) / s.avgdl))
+         |        ORDER BY q.term) AS score
+         |  FROM bqt q JOIN btf ON btf.term = q.term
+         |    JOIN bdf ON bdf.term = q.term
+         |    JOIN bdl ON bdl.doc_id = btf.doc_id
+         |    CROSS JOIN bstats s
+         |  GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM bscored QUALIFY rank <= 10),
+         |vq AS (SELECT vec_id AS query_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id < 3),
+         |vc AS (SELECT vec_id AS neighbor_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings),
+         |vscored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos_raw
+         |  FROM vq, vc WHERE neighbor_id <> query_id),
+         |vecr AS (
+         |  SELECT query_id, neighbor_id AS doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+         |  FROM vscored QUALIFY rank <= 10),
+         |allr AS (SELECT * FROM lexr UNION ALL SELECT * FROM vecr),
+         |fused AS (SELECT query_id, doc_id,
+         |    SUM(CAST(1 AS DOUBLE) / (60 + rank)) AS rrf, COUNT(*) AS n_lists
+         |  FROM allr GROUP BY 1, 2)
+         |SELECT query_id, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank,
+         |  round(rrf, 8) AS rrf_score, CAST(n_lists AS INT) AS n_lists
+         |FROM fused
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     // both smoothed models, the log ratio, and the ordered per-doc sum
     // re-derived from scratch — the selection math, not just row counts

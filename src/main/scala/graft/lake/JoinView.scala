@@ -1,0 +1,184 @@
+package graft.lake
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate over a FACT ⋈ DIM equi-join —
+  * the star-schema dashboard (fact rows keyed into a dimension,
+  * grouped by dimension/fact attributes, SUM/COUNT measures), kept
+  * materialized across changes to EITHER side.
+  *
+  * [[IncrementalView]] maintains single-table aggregates; real report
+  * queries join first (revenue by customer segment, tokens by source
+  * domain). Recomputing such a view at 100 TB re-reads the fact table;
+  * this module instead applies the classic delta-join identity over
+  * the snapshot format's signed change feeds (insert = +1, delete =
+  * −1, so each side is a multiset with weights and the join's weight
+  * is the product):
+  *
+  *   V(F, D) is linear in each side, hence with F' = F + ΔF,
+  *   D' = D + ΔD:
+  *     V(F', D') − V(F, D) = V(ΔF, D') + V(F, ΔD)
+  *   (the ΔF⋈ΔD cross-term belongs to V(ΔF, D') because D' already
+  *   contains ΔD — two joins per refresh, not three).
+  *
+  * Refresh cost, term by term:
+  *  - `V(ΔF, D')`: the fact-side change rows (O(changed rows), the
+  *    feed's contract) joined against the CURRENT dim — dim-sized
+  *    probe side, broadcast when small, never a fact scan.
+  *  - `V(F, ΔD)`: the OLD fact joined against the dim-side change
+  *    rows. The fact is read via [[SnapshotLog.readPruned]] with an
+  *    `IN (changed dim keys)` predicate — the changed-key set is
+  *    CDC-batch-sized by contract (collected like [[SnapshotLog.merge]]'s
+  *    prune list), so on a fact table clustered on the join key the
+  *    scan planning-time-prunes to the may-contain files: a dim update
+  *    touches O(affected fact files), not 100 TB. Unclustered fact =
+  *    full scan of that one term (sound, just unhelpful) — cluster the
+  *    fact on its foreign key, which is also the right layout for the
+  *    serving join.
+  *  - state merge: aggregate-sized, like the single-table view.
+  *
+  * The view state is a snapshot table; BOTH source cursors (fact
+  * version, dim version) are stored in the commit's op label, so a
+  * refresh is atomic-with-its-cursor and a crashed refresh re-reads
+  * the same change ranges. Same aggregate class as
+  * [[IncrementalView]]: COUNT/SUM (commutative groups); same float
+  * caveat (pin decimals for bit-reproducible audits); groups whose row
+  * count reaches zero are dropped.
+  */
+object JoinView {
+
+  /** Persisted coordinates: the two sources, the version of each the
+    * state reflects, the equi-join keys, and the aggregate spec. */
+  final case class Meta(fact: String, factVersion: Long, dim: String,
+                        dimVersion: Long, factKey: String, dimKey: String,
+                        groupCols: Seq[String], sumCols: Seq[String])
+
+  private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8.name())
+  private def dec(s: String) = URLDecoder.decode(s, StandardCharsets.UTF_8.name())
+
+  private def label(m: Meta): String =
+    s"mvj:${m.factVersion}:${m.dimVersion}:${enc(m.fact)}:${enc(m.dim)}:" +
+      s"${enc(m.factKey)}:${enc(m.dimKey)}:${m.groupCols.map(enc).mkString(",")}:" +
+      m.sumCols.map(enc).mkString(",")
+
+  private def parseLabel(op: String): Option[Meta] = op.split(':') match {
+    case Array("mvj", fv, dv, f, d, fk, dk, g, s) =>
+      Some(Meta(dec(f), fv.toLong, dec(d), dv.toLong, dec(fk), dec(dk),
+        g.split(',').toSeq.map(dec),
+        if (s.isEmpty) Nil else s.split(',').toSeq.map(dec)))
+    case Array("mvj", fv, dv, f, d, fk, dk, g) => // counts only
+      Some(Meta(dec(f), fv.toLong, dec(d), dv.toLong, dec(fk), dec(dk),
+        g.split(',').toSeq.map(dec), Nil))
+    case _ => None
+  }
+
+  /** The view's meta, from the HEAD commit's op label. */
+  def meta(spark: SparkSession, view: String): Meta = {
+    val head = SnapshotLog.currentVersion(spark, view)
+    require(head >= 0, s"no view at $view")
+    val op = SnapshotLog.history(spark, view)
+      .select("op").limit(1).collect()(0).getString(0)
+    parseLabel(op).getOrElse(throw new IllegalStateException(
+      s"$view head was not committed by JoinView (op='$op') — " +
+        "the cursor is lost; recreate the view"))
+  }
+
+  /** The view's defining aggregate over an (already joined) frame with
+    * a signed weight column: n_rows = Σw, sum_<c> = Σ w·c. A full
+    * (re)compute is the same expression with w ≡ 1. */
+  private def weightedAgg(joined: DataFrame, groupCols: Seq[String],
+                          sumCols: Seq[String], w: org.apache.spark.sql.Column): DataFrame = {
+    val aggs = sum(w).cast("long").as("n_rows") +:
+      sumCols.map(c => sum(col(c) * w).as(s"sum_$c"))
+    joined.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def joined(fact: DataFrame, dim: DataFrame, m: Meta): DataFrame =
+    fact.join(dim, fact(m.factKey) === dim(m.dimKey))
+
+  /** Create (or recreate) the view from a FULL join+aggregate of the
+    * sources at (`factAsOf`, `dimAsOf`) (default: each head) — the
+    * last fact scan this aggregate ever needs. */
+  def create(spark: SparkSession, fact: String, dim: String, view: String,
+             factKey: String, dimKey: String,
+             groupCols: Seq[String], sumCols: Seq[String],
+             factAsOf: Option[Long] = None, dimAsOf: Option[Long] = None): Long = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val fv = factAsOf.getOrElse(SnapshotLog.currentVersion(spark, fact))
+    val dv = dimAsOf.getOrElse(SnapshotLog.currentVersion(spark, dim))
+    val m = Meta(fact, fv, dim, dv, factKey, dimKey, groupCols, sumCols)
+    val state = weightedAgg(
+      joined(SnapshotLog.read(spark, fact, Some(fv)),
+        SnapshotLog.read(spark, dim, Some(dv)), m),
+      groupCols, sumCols, lit(1L))
+    SnapshotLog.write(state, view, "overwrite", opLabel = Some(label(m)))
+  }
+
+  /** Advance the view to both source heads. No-op when neither source
+    * moved. `allowFullDiff` passes through to the change feeds (for
+    * table-sized overwrite/rollback commits [[create]] is usually
+    * cheaper than the diff). */
+  def refresh(spark: SparkSession, view: String,
+              allowFullDiff: Boolean = false): Long = {
+    val m = meta(spark, view)
+    val fHead = SnapshotLog.currentVersion(spark, m.fact)
+    val dHead = SnapshotLog.currentVersion(spark, m.dim)
+    require(fHead >= m.factVersion && dHead >= m.dimVersion,
+      s"a source is behind the view's cursor (fact v$fHead < v${m.factVersion} " +
+        s"or dim v$dHead < v${m.dimVersion}) — history replaced; recreate the view")
+    if (fHead == m.factVersion && dHead == m.dimVersion)
+      return SnapshotLog.currentVersion(spark, view)
+
+    val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val deltas = Seq.newBuilder[DataFrame]
+
+    // V(ΔF, D′): fact-side change rows against the CURRENT dim
+    if (fHead > m.factVersion) {
+      val dF = SnapshotLog.readChanges(spark, m.fact, m.factVersion, Some(fHead),
+          allowFullDiff)
+        .withColumn("_w", sign).drop("_change_type", "_commit_version")
+      val dNew = SnapshotLog.read(spark, m.dim, Some(dHead))
+      deltas += weightedAgg(joined(dF, dNew, m), m.groupCols, m.sumCols, col("_w"))
+    }
+
+    // V(F, ΔD): OLD fact (pruned to the changed dim keys) against the
+    // dim-side change rows
+    if (dHead > m.dimVersion) {
+      val dD = SnapshotLog.readChanges(spark, m.dim, m.dimVersion, Some(dHead),
+          allowFullDiff)
+        .withColumn("_w", sign).drop("_change_type", "_commit_version")
+      // CDC-batch-sized by contract — the same driver-held prune list
+      // class as SnapshotLog.merge's affected keys
+      val keys = dD.select(m.dimKey).distinct().collect().map(_.get(0)).toSeq
+      if (keys.nonEmpty) {
+        val fOld = SnapshotLog
+          .readPruned(spark, m.fact, m.factKey, asOf = Some(m.factVersion))
+          .where(col(m.factKey).isin(keys: _*))
+        deltas += weightedAgg(joined(fOld, dD, m), m.groupCols, m.sumCols, col("_w"))
+      }
+    }
+
+    val cur = SnapshotLog.read(spark, view)
+    val stateCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      cur.schema.fields.toSeq.map(f => f.name -> f.dataType)
+    def conformed(df: DataFrame): DataFrame =
+      df.select(stateCols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    val mergeAggs = sum(col("n_rows")).as("n_rows") +:
+      m.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+    val merged = (conformed(cur) +: deltas.result().map(conformed))
+      .reduce(_ unionByName _)
+      .groupBy(m.groupCols.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .where(col("n_rows") =!= 0)
+    SnapshotLog.write(conformed(merged), view, "overwrite",
+      opLabel = Some(label(m.copy(factVersion = fHead, dimVersion = dHead))))
+  }
+
+  /** Read the view's current state: (groupCols…, n_rows, sum_<c>…). */
+  def read(spark: SparkSession, view: String): DataFrame =
+    SnapshotLog.read(spark, view)
+}
