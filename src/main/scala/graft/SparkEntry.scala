@@ -732,6 +732,25 @@ object SparkEntry {
           col("sum_l_quantity").as("sum_qty"))
     }),
 
+    // the change feed shipped through the streaming relay's outbox
+    // (atomic per-version dirs, the file-stream source's input): the
+    // shipped bytes must carry EXACTLY the feed — same oracle as
+    // lake_changes, and the purge version ships as an empty marker
+    "lake_changes_relay" -> ((s, dir) => {
+      val (table, _) = changeFeedTables(s, dir)
+      val ob = s"/tmp/graft_chrelay_${dirTag(dir)}/outbox"
+      val obP = new org.apache.hadoop.fs.Path(ob)
+      obP.getFileSystem(s.sparkContext.hadoopConfiguration).delete(obP, true)
+      graft.streaming.ChangeRelay.relay(s, table, ob)
+      s.read.schema(graft.streaming.ChangeRelay.changeSchema(s, table))
+        .parquet(s"$ob/v*")
+        .select(col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"), col("l_quantity"))
+        .groupBy("change_type", "commit_version")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    }),
+
     // incrementally-maintained fact⋈dim aggregate: created at (F v0,
     // D v0), advanced through a fact append, a dim group-migration
     // merge, and a fact DV delete purely by the two-term delta algebra
@@ -2357,6 +2376,26 @@ object SparkEntry {
     * `text_bm25_indexed`): the indexed form's contract is bit-identical
     * answers to the brute operator, so one SQL re-derivation (ORDERED
     * aggregate — the float-summation contract) hash-verifies both. */
+  /** Shared oracle for the change feed AND its streaming relay (the
+    * outbox carries exactly the feed's rows by contract): every event
+    * class reconstructed from the raw table. */
+  private val changeFeedOracleSql =
+    """WITH ch AS (
+      |  SELECT 'insert' AS change_type, 0 AS commit_version, l_quantity AS q
+      |  FROM lineitem WHERE l_orderkey % 3 = 0
+      |  UNION ALL SELECT 'insert', 1, l_quantity
+      |  FROM lineitem WHERE l_orderkey % 3 = 1
+      |  UNION ALL SELECT 'delete', 2, l_quantity
+      |  FROM lineitem WHERE l_orderkey IN (42, 43)
+      |  UNION ALL SELECT 'delete', 3, l_quantity
+      |  FROM lineitem WHERE l_orderkey IN (48, 51)
+      |  UNION ALL SELECT 'insert', 3, l_quantity + 100
+      |  FROM lineitem WHERE l_orderkey = 48)
+      |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM ch GROUP BY change_type, commit_version""".stripMargin
+
   private val bm25OracleSql =
     s"""WITH toks AS (SELECT doc_id, $normToks AS tk FROM documents),
        |stats AS (SELECT COUNT(*) AS n, CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM toks),
@@ -2643,22 +2682,11 @@ object SparkEntry {
     // every change event, reconstructed from the raw table: v0/v1
     // creation+append inserts, v2's DV-dead rows, v3's merge diff
     // (old key-48 rows + key-51 rows out, key-48 rows at +100 in)
-    "lake_changes" ->
-      """WITH ch AS (
-        |  SELECT 'insert' AS change_type, 0 AS commit_version, l_quantity AS q
-        |  FROM lineitem WHERE l_orderkey % 3 = 0
-        |  UNION ALL SELECT 'insert', 1, l_quantity
-        |  FROM lineitem WHERE l_orderkey % 3 = 1
-        |  UNION ALL SELECT 'delete', 2, l_quantity
-        |  FROM lineitem WHERE l_orderkey IN (42, 43)
-        |  UNION ALL SELECT 'delete', 3, l_quantity
-        |  FROM lineitem WHERE l_orderkey IN (48, 51)
-        |  UNION ALL SELECT 'insert', 3, l_quantity + 100
-        |  FROM lineitem WHERE l_orderkey = 48)
-        |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
-        |  COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM ch GROUP BY change_type, commit_version""".stripMargin,
+    "lake_changes" -> changeFeedOracleSql,
+
+    // the relay's outbox carries EXACTLY the feed (and the purge ships
+    // as an empty marker), so the shipped bytes share the feed oracle
+    "lake_changes_relay" -> changeFeedOracleSql,
 
     // the incrementally-maintained view must equal this from-scratch
     // aggregate over the HEAD population (post delete + merge)

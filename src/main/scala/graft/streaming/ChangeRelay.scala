@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+
+import graft.lake.SnapshotLog
+
+/** The snapshot format as a Structured Streaming SOURCE: relay each
+  * committed version's row-level changes into an append-only OUTBOX
+  * that a standard file stream reads — the log-shipping shape every
+  * CDC deployment uses (table log → transport log → consumers), built
+  * from two primitives Spark already trusts: the change feed
+  * ([[SnapshotLog.readChanges]]) and the file source's seen-files
+  * checkpoint.
+  *
+  * Why an outbox instead of a custom DataSource: the file stream
+  * source already solves discovery, offset tracking, replay, and
+  * back-pressure (`maxFilesPerTrigger`) with exactly-once semantics;
+  * the only missing piece is ATOMIC, IDEMPOTENT publication of each
+  * version's changes. [[relay]] provides that:
+  *
+  *  - version v's rows are written to a dot-prefixed stage dir
+  *    (invisible to globs and parquet listing), then the WHOLE DIR is
+  *    renamed to `<outbox>/v%012d` — one atomic publication per
+  *    version, so a reader never sees a partial version;
+  *  - the version dir IS the cursor and the idempotency key: a
+  *    re-run (crash between rename and return, concurrent relay, a
+  *    scheduler double-fire) finds the dir present — or loses the
+  *    rename race — and skips, so no version ships twice;
+  *  - consumers read `<outbox>/v*` with [[changeStream]]; new version
+  *    dirs surface as new files in the next micro-batch, each row
+  *    tagged `_change_type` / `_commit_version` like the batch feed.
+  *
+  * Scale: one relay call costs O(changed rows of the new versions) —
+  * the feed's own contract — plus one O(dirs) outbox listing; nothing
+  * rescans the table. Downstream cost is the consumer's own. A
+  * no-row-change commit (compact/purge) publishes an empty version
+  * dir — the marker advances, the stream sees nothing. Table-sized
+  * commits (overwrite/rollback) follow the feed's contract: refused
+  * unless `allowFullDiff = true`; the honest alternative is restarting
+  * consumers from a full read of the new version. */
+object ChangeRelay {
+
+  private val VersionDir = """v(\d{12})""".r
+
+  private def versionDir(outbox: Path, v: Long) = new Path(outbox, f"v$v%012d")
+
+  /** Highest version already published to `outbox`, or -1. O(dirs). */
+  def relayedVersion(spark: SparkSession, outbox: String): Long = {
+    val p = new Path(outbox)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VersionDir(d) => d.toLong
+          case _ => -1L
+        }
+    }.foldLeft(-1L)(math.max)
+  }
+
+  /** The schema rows in the outbox carry: the table's HEAD schema plus
+    * the feed's `_change_type` / `_commit_version` tags. Pass this to
+    * [[changeStream]] (a file stream needs its schema up front). */
+  def changeSchema(spark: SparkSession, table: String): StructType = {
+    val base = DataType.fromJson(SnapshotLog.state(spark, table).schemaJson)
+      .asInstanceOf[StructType]
+    StructType(base.fields.toSeq :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+  }
+
+  /** Publish every table version newer than the outbox's cursor, one
+    * atomic dir per version. Returns the versions published by THIS
+    * call (empty when the outbox is already at the table head).
+    * Safe to call from anywhere — a timer, a commit hook, a
+    * foreachBatch — and safe to call twice. */
+  def relay(spark: SparkSession, table: String, outbox: String,
+            allowFullDiff: Boolean = false): Seq[Long] = {
+    val head = SnapshotLog.currentVersion(spark, table)
+    val from = relayedVersion(spark, outbox)
+    if (head <= from) return Nil
+    val out = new Path(outbox)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(out)
+    val published = Seq.newBuilder[Long]
+    for (v <- (from + 1) to head) {
+      val dest = versionDir(out, v)
+      if (!fs.exists(dest)) {
+        val stage = new Path(out,
+          s".stage-v$v-${java.util.UUID.randomUUID().toString.take(12)}")
+        SnapshotLog.readChanges(spark, table, v - 1, Some(v), allowFullDiff)
+          .write.mode("errorifexists").parquet(stage.toString)
+        // atomic publication; a lost race (false) means someone else
+        // published v first — drop our stage, keep going
+        if (fs.rename(stage, dest)) published += v
+        else fs.delete(stage, true)
+      }
+    }
+    published.result()
+  }
+
+  /** Remove stage dirs older than `graceMs` — debris from relays that
+    * died between write and rename. Never touches published versions. */
+  def cleanStages(spark: SparkSession, outbox: String, graceMs: Long): Seq[String] = {
+    val p = new Path(outbox)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".stage-") &&
+        st.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+  }
+
+  /** The outbox as a streaming DataFrame: standard file source over
+    * the published version dirs — exactly-once via its own seen-files
+    * checkpoint, back-pressure via `maxFilesPerTrigger`. */
+  def changeStream(spark: SparkSession, outbox: String, schema: StructType,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(s"$outbox/v*")
+  }
+}

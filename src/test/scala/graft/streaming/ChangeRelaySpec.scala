@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.SnapshotLog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Change-feed relay: atomic per-version publication, idempotent
+  * re-runs, and consumption through a REAL file-source streaming query
+  * with exactly-once continuation across new commits. */
+class ChangeRelaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(base: String): String = {
+    val t = s"$base/t"
+    SnapshotLog.write((0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      t, "overwrite", clusterColumn = Some("id"), nFiles = 2) // v0
+    SnapshotLog.write(Seq((100L, "x"), (101L, "y")).toDF("id", "s"), t, "append") // v1
+    SnapshotLog.delete(spark, t, col("id") === 3L) // v2
+    t
+  }
+
+  test("relay publishes one dir per version; rows equal the batch feed") {
+    val base = tmpDir("chrelay"); val t = mkTable(base); val ob = s"$base/outbox"
+    assert(ChangeRelay.relay(spark, t, ob) == Seq(0L, 1L, 2L))
+    assert(ChangeRelay.relayedVersion(spark, ob) == 2L)
+    val shipped = spark.read.schema(ChangeRelay.changeSchema(spark, t))
+      .parquet(s"$ob/v*")
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    val feed = SnapshotLog.readChanges(spark, t, -1L)
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(shipped == feed && feed.contains((3L, "delete", 2L)))
+  }
+
+  test("re-running the relay ships nothing twice; a lost rename race is absorbed") {
+    val base = tmpDir("chrelay"); val t = mkTable(base); val ob = s"$base/outbox"
+    ChangeRelay.relay(spark, t, ob)
+    assert(ChangeRelay.relay(spark, t, ob).isEmpty) // cursor at head
+    // pre-create the NEXT version dir to simulate losing the race
+    SnapshotLog.write(Seq((200L, "z")).toDF("id", "s"), t, "append") // v3
+    val fs = new Path(ob).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(ob, f"v${3L}%012d"))
+    assert(ChangeRelay.relay(spark, t, ob).isEmpty) // someone else shipped v3
+  }
+
+  test("no-row commits publish an empty marker dir that advances the cursor") {
+    val base = tmpDir("chrelay"); val t = mkTable(base); val ob = s"$base/outbox"
+    SnapshotLog.purgeDeletes(spark, t) // v3: row-content no-op
+    ChangeRelay.relay(spark, t, ob)
+    assert(ChangeRelay.relayedVersion(spark, ob) == 3L)
+    val n = spark.read.schema(ChangeRelay.changeSchema(spark, t))
+      .parquet(s"$ob/v*")
+      .where(col("_commit_version") === 3L).count()
+    assert(n == 0L)
+  }
+
+  test("cleanStages sweeps crashed-relay debris, never published versions") {
+    val base = tmpDir("chrelay"); val t = mkTable(base); val ob = s"$base/outbox"
+    ChangeRelay.relay(spark, t, ob)
+    val fs = new Path(ob).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(ob, ".stage-v9-deadbeef"))
+    assert(ChangeRelay.cleanStages(spark, ob, graceMs = 0L) == Seq(".stage-v9-deadbeef"))
+    assert(ChangeRelay.relayedVersion(spark, ob) == 2L)
+  }
+
+  test("streaming consumption: exactly-once continuation across new commits") {
+    val base = tmpDir("chrelay"); val t = mkTable(base); val ob = s"$base/outbox"
+    ChangeRelay.relay(spark, t, ob)
+    val q = ChangeRelay.changeStream(spark, ob, ChangeRelay.changeSchema(spark, t))
+      .writeStream.format("memory").queryName("chrelay_sink")
+      .option("checkpointLocation", s"$base/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table("chrelay_sink").count()
+      val want1 = SnapshotLog.readChanges(spark, t, -1L).count()
+      assert(got1 == want1)
+      // new commit → relay → ONLY the new rows arrive
+      SnapshotLog.write(Seq((300L, "w"), (301L, "w")).toDF("id", "s"), t, "append")
+      ChangeRelay.relay(spark, t, ob)
+      q.processAllAvailable()
+      val rows = spark.table("chrelay_sink")
+        .select("id", "_change_type", "_commit_version")
+        .as[(Long, String, Long)].collect()
+      assert(rows.length == want1 + 2, "exactly the two new rows, no replays")
+      assert(rows.count(_._3 == 3L) == 2)
+    } finally q.stop()
+  }
+
+  test("a streaming consumer maintains an IncrementalView-equivalent aggregate") {
+    val base = tmpDir("chrelay"); val t = mkTable(base); val ob = s"$base/outbox"
+    ChangeRelay.relay(spark, t, ob)
+    // the classic consumer: fold signed counts per group continuously
+    val q = ChangeRelay.changeStream(spark, ob, ChangeRelay.changeSchema(spark, t))
+      .withColumn("_w", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(pmod(col("id"), lit(2)).as("parity"))
+      .agg(sum("_w").as("n_rows"))
+      .writeStream.format("memory").queryName("chrelay_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt2").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("chrelay_agg")
+        .as[(Long, Long)].collect().toMap
+      val want = SnapshotLog.read(spark, t)
+        .groupBy(pmod(col("id"), lit(2)).as("parity"))
+        .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"streamed state $got != table state $want")
+    } finally q.stop()
+  }
+}
