@@ -96,7 +96,16 @@ object Bench {
     // perplexity: vocab pass is one word-count shuffle + TakeOrdered,
     // scoring is shuffle-free narrow (spec-pinned) — the slope should
     // be scan-bound
-    "text_unigram_ppl")
+    "text_unigram_ppl",
+    // round-11 (see SparkEntry.scaleProbes for each probe's contract):
+    // DSIR scoring (scan-bound narrow fold; train rides the cold pass),
+    // the steady-state JoinView refresh cycle (CDC batch + dim flip +
+    // pruned-fact-probe refresh — should be near-flat on the clustered
+    // fixture), the DV delete→purge cycle (boundary files only), and
+    // the change-relay ship (O(batch rows) written once). The hybrid
+    // RRF query needs no probe: its inputs are already bounded top-k
+    // lists, fusion cost is queries × candK regardless of corpus
+    "dsir_weights_force", "joinview_refresh", "lake_dv_cycle", "lake_relay_probe")
 
   private val copies = 10
   private val orderOff = 10000000L
@@ -210,7 +219,13 @@ object Bench {
     // the pruned probe, which should stay near the sf1 cost while the
     // brute text_bm25's corpus passes grow 10× (its linear control is
     // the sf0.1→sf1 pair — not re-paid here, the slope is established)
-    "text_bm25_indexed")
+    "text_bm25_indexed",
+    // round-11 flat-claims at their third scale point: the JoinView
+    // refresh cycle (cold pays the full-create fixture; warm is the
+    // per-refresh price whose pruned fact probe should track files-
+    // per-key, not corpus) and the DV delete→purge cycle (boundary
+    // files of the clustered snapshot)
+    "joinview_refresh", "lake_dv_cycle")
   private val copies100 = 100
 
   /** Round-8 extension: the dedup family's steepest sf1 queries get a

@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *
   * Refresh cost, term by term:
   *  - `V(ΔF, D')`: the fact-side change rows (O(changed rows), the
-  *    feed's contract) joined against the CURRENT dim — dim-sized
-  *    probe side, broadcast when small, never a fact scan.
+  *    feed's contract) joined against the CURRENT dim, with the dim
+  *    probe zone-map-pruned to the batch's join keys — on a dim
+  *    clustered by its key, O(affected dim files), never a fact scan.
   *  - `V(F, ΔD)`: the OLD fact joined against the dim-side change
   *    rows. The fact is read via [[SnapshotLog.readPruned]] with an
   *    `IN (changed dim keys)` predicate — the changed-key set is
@@ -121,9 +122,14 @@ object JoinView {
   /** Advance the view to both source heads. No-op when neither source
     * moved. `allowFullDiff` passes through to the change feeds (for
     * table-sized overwrite/rollback commits [[create]] is usually
-    * cheaper than the diff). */
+    * cheaper than the diff). `maxProbeKeys` bounds the driver-held key
+    * lists that prune each term's probe scan: a change batch with more
+    * distinct join keys falls back to an unpruned probe of that term
+    * (sound — the join itself restricts to the keys — just unpruned,
+    * the right trade for a backfill-sized batch). */
   def refresh(spark: SparkSession, view: String,
-              allowFullDiff: Boolean = false): Long = {
+              allowFullDiff: Boolean = false,
+              maxProbeKeys: Int = 100000): Long = {
     val m = meta(spark, view)
     val fHead = SnapshotLog.currentVersion(spark, m.fact)
     val dHead = SnapshotLog.currentVersion(spark, m.dim)
@@ -136,13 +142,32 @@ object JoinView {
     val sign = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     val deltas = Seq.newBuilder[DataFrame]
 
-    // V(ΔF, D′): fact-side change rows against the CURRENT dim
+    /** The batch's distinct join keys if there are ≤ maxProbeKeys of
+      * them (the CDC contract's normal case — the same driver-held
+      * prune-list class as [[SnapshotLog.merge]]'s affected keys),
+      * None for a backfill-sized batch. */
+    def probeKeys(batch: DataFrame, keyCol: String): Option[Seq[Any]] = {
+      val ks = batch.select(keyCol).distinct().limit(maxProbeKeys + 1)
+        .collect().map(_.get(0)).toSeq
+      if (ks.size > maxProbeKeys) None else Some(ks)
+    }
+
+    // V(ΔF, D′): fact-side change rows against the CURRENT dim — the
+    // dim probe is zone-map-pruned to the batch's keys, so a clustered
+    // dim is read at O(affected files), not table size
     if (fHead > m.factVersion) {
       val dF = SnapshotLog.readChanges(spark, m.fact, m.factVersion, Some(fHead),
           allowFullDiff)
         .withColumn("_w", sign).drop("_change_type", "_commit_version")
-      val dNew = SnapshotLog.read(spark, m.dim, Some(dHead))
-      deltas += weightedAgg(joined(dF, dNew, m), m.groupCols, m.sumCols, col("_w"))
+      val dNew = probeKeys(dF, m.factKey) match {
+        case Some(ks) if ks.isEmpty => null // empty change set: no term
+        case Some(ks) =>
+          SnapshotLog.readPruned(spark, m.dim, m.dimKey, asOf = Some(dHead))
+            .where(col(m.dimKey).isin(ks: _*))
+        case None => SnapshotLog.read(spark, m.dim, Some(dHead))
+      }
+      if (dNew != null)
+        deltas += weightedAgg(joined(dF, dNew, m), m.groupCols, m.sumCols, col("_w"))
     }
 
     // V(F, ΔD): OLD fact (pruned to the changed dim keys) against the
@@ -151,15 +176,15 @@ object JoinView {
       val dD = SnapshotLog.readChanges(spark, m.dim, m.dimVersion, Some(dHead),
           allowFullDiff)
         .withColumn("_w", sign).drop("_change_type", "_commit_version")
-      // CDC-batch-sized by contract — the same driver-held prune list
-      // class as SnapshotLog.merge's affected keys
-      val keys = dD.select(m.dimKey).distinct().collect().map(_.get(0)).toSeq
-      if (keys.nonEmpty) {
-        val fOld = SnapshotLog
-          .readPruned(spark, m.fact, m.factKey, asOf = Some(m.factVersion))
-          .where(col(m.factKey).isin(keys: _*))
-        deltas += weightedAgg(joined(fOld, dD, m), m.groupCols, m.sumCols, col("_w"))
+      val fOld = probeKeys(dD, m.dimKey) match {
+        case Some(ks) if ks.isEmpty => null
+        case Some(ks) =>
+          SnapshotLog.readPruned(spark, m.fact, m.factKey, asOf = Some(m.factVersion))
+            .where(col(m.factKey).isin(ks: _*))
+        case None => SnapshotLog.read(spark, m.fact, Some(m.factVersion))
       }
+      if (fOld != null)
+        deltas += weightedAgg(joined(fOld, dD, m), m.groupCols, m.sumCols, col("_w"))
     }
 
     val cur = SnapshotLog.read(spark, view)
