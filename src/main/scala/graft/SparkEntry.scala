@@ -1896,6 +1896,31 @@ object SparkEntry {
           round(col("lex_score"), 6).as("lex_score"))
         .orderBy("doc_id")),
 
+    // the NAMED heuristic battery (Gopher, Rae et al. 2021 §A.1.1) with
+    // per-rule verdicts — the oracle recomputes every rule's measurement
+    // AND threshold comparison in ANSI SQL, so the whole verdict table
+    // (7 rules × every doc) is hash-checked, not just the final AND.
+    // minWords=5 (not the paper's 50) so the synthetic corpus exercises
+    // both branches of every rule.
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), minWords = 5)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("bullet_line_ratio"), 6).as("bullet_line_ratio"),
+          round(col("ellipsis_line_ratio"), 6).as("ellipsis_line_ratio"),
+          round(col("alpha_word_ratio"), 6).as("alpha_word_ratio"),
+          col("n_required_stops"),
+          col("r_word_count").cast("long").as("r_word_count"),
+          col("r_mean_len").cast("long").as("r_mean_len"),
+          col("r_symbol").cast("long").as("r_symbol"),
+          col("r_bullet").cast("long").as("r_bullet"),
+          col("r_ellipsis").cast("long").as("r_ellipsis"),
+          col("r_alpha").cast("long").as("r_alpha"),
+          col("r_stop").cast("long").as("r_stop"),
+          col("gopher_pass").cast("long").as("gopher_pass"))
+        .orderBy("doc_id")),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_ws_tokens"),
@@ -3873,6 +3898,61 @@ object SparkEntry {
          |  round(1.0 / (1.0 + exp(-(-0.5 + mw))), 6) AS lex_score
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+
+    // every Gopher rule re-measured in SQL: whitespace words, trimmed
+    // non-empty lines, '#'/'...' counts by replace-length arithmetic
+    // (exactly the Spark side's formulation so the double divisions are
+    // the same IEEE ops), then the same threshold comparisons
+    "text_gopher" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    list_filter(regexp_split_to_array(text, '\\s+'), x -> length(x) > 0) AS w,
+         |    list_filter(list_transform(regexp_split_to_array(text, '\\n'), x -> trim(x)),
+         |                x -> length(x) > 0) AS l,
+         |    $normToks AS tk
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CASE WHEN len(w) > 0 THEN
+         |      CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+         |      ELSE 0.0 END AS mean_word_len,
+         |    CASE WHEN len(w) > 0 THEN
+         |      CAST((length(text) - length(replace(text, '#', '')))
+         |        + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w)
+         |      ELSE 0.0 END AS symbol_word_ratio,
+         |    CASE WHEN len(l) > 0 THEN
+         |      CAST(len(list_filter(l, x -> substr(x, 1, 1) IN ('•', '-', '*'))) AS DOUBLE) / len(l)
+         |      ELSE 0.0 END AS bullet_line_ratio,
+         |    CASE WHEN len(l) > 0 THEN
+         |      CAST(len(list_filter(l, x -> ends_with(x, '...'))) AS DOUBLE) / len(l)
+         |      ELSE 0.0 END AS ellipsis_line_ratio,
+         |    CASE WHEN len(w) > 0 THEN
+         |      CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w)
+         |      ELSE 0.0 END AS alpha_word_ratio,
+         |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                         s -> list_contains(tk, s))) AS BIGINT) AS n_required_stops
+         |  FROM base)
+         |SELECT doc_id, n_words,
+         |  round(mean_word_len, 6) AS mean_word_len,
+         |  round(symbol_word_ratio, 6) AS symbol_word_ratio,
+         |  round(bullet_line_ratio, 6) AS bullet_line_ratio,
+         |  round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+         |  round(alpha_word_ratio, 6) AS alpha_word_ratio,
+         |  n_required_stops,
+         |  CAST(n_words >= 5 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+         |  CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS BIGINT) AS r_mean_len,
+         |  CAST(symbol_word_ratio <= 0.1 AS BIGINT) AS r_symbol,
+         |  CAST(bullet_line_ratio <= 0.9 AS BIGINT) AS r_bullet,
+         |  CAST(ellipsis_line_ratio <= 0.3 AS BIGINT) AS r_ellipsis,
+         |  CAST(alpha_word_ratio >= 0.8 AS BIGINT) AS r_alpha,
+         |  CAST(n_required_stops >= 2 AS BIGINT) AS r_stop,
+         |  CAST(n_words >= 5 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+         |    AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+         |    AND n_required_stops >= 2 AS BIGINT) AS gopher_pass
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH base AS (

@@ -231,6 +231,67 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-12, s"lexicon $a != hashed $b") }
   }
 
+  test("gopher rules: hand-computed verdicts per rule") {
+    // a clean passing document: 6 words, mean len in [3,10], no symbols,
+    // no bullets/ellipses, all-alpha, contains the+of+and (>=2 stops)
+    val good = "the quick brown fox jumps over the lazy dog of and house"
+    val r = TextAnalysis.gopherRules(docsOf((1L, good)), minWords = 5).first()
+    assert(r.getAs[Long]("n_words") === 12L)
+    assert(r.getAs[Boolean]("gopher_pass"))
+
+    // symbol rule: 3 '#' over 7 words > 0.1 -> r_symbol fails
+    val hashy = "alpha bravo charlie delta echo#foxtrot ## golf"
+    val h = TextAnalysis.gopherRules(docsOf((1L, hashy)), minWords = 5).first()
+    assert(math.abs(h.getAs[Double]("symbol_word_ratio") - 3.0 / 7) < 1e-12)
+    assert(!h.getAs[Boolean]("r_symbol") && !h.getAs[Boolean]("gopher_pass"))
+
+    // bullet rule: 2 of 2 lines bulleted = 1.0 > 0.9
+    val bullets = "- first item\n* second item"
+    val b = TextAnalysis.gopherRules(docsOf((1L, bullets)), minWords = 1).first()
+    assert(b.getAs[Double]("bullet_line_ratio") === 1.0)
+    assert(!b.getAs[Boolean]("r_bullet"))
+
+    // ellipsis rule: 1 of 2 lines ends with "..." = 0.5 > 0.3; the "..."
+    // also counts as one symbol occurrence
+    val ell = "this line trails off...\nthis one does not"
+    val e = TextAnalysis.gopherRules(docsOf((1L, ell)), minWords = 1).first()
+    assert(e.getAs[Double]("ellipsis_line_ratio") === 0.5)
+    assert(!e.getAs[Boolean]("r_ellipsis"))
+    assert(math.abs(e.getAs[Double]("symbol_word_ratio") - 1.0 / 8) < 1e-12)
+
+    // alpha rule: 2 numeric words of 5 = 0.6 < 0.8
+    val nums = "12 34 alpha bravo charlie"
+    val a = TextAnalysis.gopherRules(docsOf((1L, nums)), minWords = 1).first()
+    assert(math.abs(a.getAs[Double]("alpha_word_ratio") - 3.0 / 5) < 1e-12)
+    assert(!a.getAs[Boolean]("r_alpha"))
+
+    // stop rule: only 'the' present (1 < 2)
+    val oneStop = "the moonbase crystal garden"
+    val s1 = TextAnalysis.gopherRules(docsOf((1L, oneStop)), minWords = 1).first()
+    assert(s1.getAs[Long]("n_required_stops") === 1L)
+    assert(!s1.getAs[Boolean]("r_stop"))
+  }
+
+  test("gopher rules: zero-word and threshold-boundary documents") {
+    // empty + punctuation-only: every ratio 0 (never NULL), word-count fails
+    val rows = TextAnalysis.gopherRules(docsOf((1L, ""), (2L, "!!! ???")))
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      assert(!r.getAs[Boolean]("r_word_count") && !r.getAs[Boolean]("gopher_pass"))
+      assert(!r.isNullAt(r.fieldIndex("symbol_word_ratio")))
+      assert(r.getAs[Double]("alpha_word_ratio") === 0.0)
+    }
+    // boundaries are inclusive: exactly minWords words, mean len exactly 3
+    val edge = "abc abc abc abc abc"
+    val e = TextAnalysis.gopherRules(docsOf((1L, edge)), minWords = 5).first()
+    assert(e.getAs[Long]("n_words") === 5L)
+    assert(e.getAs[Double]("mean_word_len") === 3.0)
+    assert(e.getAs[Boolean]("r_word_count") && e.getAs[Boolean]("r_mean_len"))
+    // invalid bounds refused
+    intercept[IllegalArgumentException](
+      TextAnalysis.gopherRules(docsOf((1L, "x")), minWords = 10, maxWords = 5))
+  }
+
   test("working-column name collisions are refused, not clobbered") {
     import spark.implicits._
     val bad = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_toks")
