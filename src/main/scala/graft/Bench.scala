@@ -105,7 +105,13 @@ object Bench {
     // the change-relay ship (O(batch rows) written once). The hybrid
     // RRF query needs no probe: its inputs are already bounded top-k
     // lists, fusion cost is queries × candK regardless of corpus
-    "dsir_weights_force", "joinview_refresh", "lake_dv_cycle", "lake_relay_probe")
+    "dsir_weights_force", "joinview_refresh", "lake_dv_cycle", "lake_relay_probe",
+    // filter training: 3 gradient epochs + 1 metrics pass, each ONE
+    // narrow scan of the cached per-doc feature rows ending in a
+    // config-sized quantized-long aggregate — the slope should be
+    // 4 × scan-bound with zero shuffle growth (no count() collapse
+    // risk: the driver loop collects the aggregates itself)
+    "text_train_filter")
 
   private val copies = 10
   private val orderOff = 10000000L

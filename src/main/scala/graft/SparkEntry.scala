@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.lake.{BloomIndex, Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex, SnapshotLog, StatsAgg}
 import graft.functions.GeometricMean
-import graft.ops.{AsofJoin, Dedup, IncrementalDedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, TextIndex, VectorIndex}
+import graft.ops.{AsofJoin, Dedup, IncrementalDedup, Multimodal, Packing, QualityTrainer, Sampling, Similarity, TextAnalysis, TextIndex, VectorIndex}
 import graft.streaming.EventsStream
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per operator
@@ -1921,6 +1921,24 @@ object SparkEntry {
           col("gopher_pass").cast("long").as("gopher_pass"))
         .orderBy("doc_id")),
 
+    // in-engine TRAINING of the learned quality filter: 3 epochs of
+    // full-batch logistic regression (en-vs-other from stopword
+    // frequencies), every epoch's gradient sum quantized to a 1e-6
+    // fixed-point grid so the corpus sum is an order-free integer sum —
+    // the DuckDB oracle replays the identical recursion as chained CTEs
+    // and must land on bit-identical weights, loss, and accuracy.
+    "text_train_filter" -> ((s, dir) => {
+      val r = QualityTrainer.train(t(s, dir, "documents"), trainerLexicon,
+        col("lang") === "en", epochs = 3, lr = 5.0)
+      import s.implicits._
+      (r.lexicon ++ Seq(
+        ("_bias", r.bias), ("_loss", r.loss),
+        ("_n_correct", r.nCorrect.toDouble), ("_n", r.n.toDouble)))
+        .toDF("feature", "value")
+        .select(col("feature"), round(col("value"), 6).as("value"))
+        .orderBy("feature")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_ws_tokens"),
@@ -2365,6 +2383,75 @@ object SparkEntry {
 
   private val normToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> length(x) > 0)"
+
+  /** Features for the trained quality filter: high-frequency corpus
+    * terms (the synthetic documents' vocabulary is topic words, not
+    * natural language), so every feature column is dense and every
+    * weight moves — the oracle then checks 3 epochs of genuinely
+    * multi-feature gradient arithmetic, not a degenerate bias fit. */
+  private val trainerLexicon: Seq[String] = Seq(
+    "join", "hash", "row", "scan", "table", "order", "window", "the",
+    "group", "spark", "query", "data")
+
+  /** Replays QualityTrainer's full-batch GD as chained CTEs — one
+    * (gradient, weight-update) CTE pair per epoch, then a metrics pass
+    * at the final weights. Exactness leans on the operator's contract:
+    * quantized-long gradient sums (order-free), left-associative margin
+    * chains (`+` in SQL parses left-assoc, matching the Scala foldLeft),
+    * and the identical `w - lr*((g/1e6)/n)` recursion, so every double
+    * here is bit-identical to the Spark side's. DuckDB `ln` is natural
+    * log (its `log` is log10 — the one rename). */
+  private def trainFilterOracle(lexicon: Seq[String], epochs: Int, lr: Double): String = {
+    val k = lexicon.size
+    val idx = 0 until k
+    def margin(wRef: String) =
+      s"(${wRef}b" + idx.map(i => s" + $wRef$i * x$i").mkString + ")"
+    val featCols = lexicon.zipWithIndex.map { case (term, i) =>
+      s"""CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> t = '$term')) AS DOUBLE) / len(tk) ELSE 0.0 END AS x$i"""
+    }.mkString(",\n    ")
+    val epochCtes = (1 to epochs).map { e =>
+      val m = margin(s"w${e - 1}.w")
+      val p = s"(1.0 / (1.0 + exp(-$m)))"
+      val grads = idx.map(i =>
+        s"SUM(CAST(round(($p - y) * x$i * 1000000.0, 0) AS BIGINT)) AS g$i")
+        .mkString(",\n    ") +
+        s",\n    SUM(CAST(round(($p - y) * 1000000.0, 0) AS BIGINT)) AS gb"
+      val updates = idx.map(i =>
+        s"w${e - 1}.w$i - $lr * ((CAST(g$e.g$i AS DOUBLE) / 1000000.0) / n.n) AS w$i")
+        .mkString(",\n    ") +
+        s",\n    w${e - 1}.wb - $lr * ((CAST(g$e.gb AS DOUBLE) / 1000000.0) / n.n) AS wb"
+      s"""g$e AS (
+         |  SELECT $grads
+         |  FROM feat CROSS JOIN w${e - 1}),
+         |w$e AS (
+         |  SELECT $updates
+         |  FROM w${e - 1} CROSS JOIN g$e CROSS JOIN n)"""
+    }.mkString(",\n")
+    val mFin = margin(s"w$epochs.w")
+    val weightRows = lexicon.zipWithIndex.map { case (term, i) =>
+      s"SELECT '$term' AS feature, round(w$i, 6) AS value FROM w$epochs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH feat AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $featCols
+       |  FROM (SELECT $normToks AS tk, lang FROM documents)),
+       |n AS (SELECT COUNT(*) AS n FROM feat),
+       |w0 AS (SELECT ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS wb),
+       |$epochCtes,
+       |metrics AS (
+       |  SELECT
+       |    SUM(CAST(round((CASE WHEN y = 1.0 THEN ln(1.0 + exp(-$mFin))
+       |                    ELSE ln(1.0 + exp($mFin)) END) * 1000000.0, 0) AS BIGINT)) AS lq,
+       |    SUM(CASE WHEN ($mFin >= 0) = (y = 1.0) THEN 1 ELSE 0 END) AS ok
+       |  FROM feat CROSS JOIN w$epochs)
+       |SELECT feature, value FROM (
+       |  $weightRows
+       |  UNION ALL SELECT '_bias', round(wb, 6) FROM w$epochs
+       |  UNION ALL SELECT '_loss', round(CAST(lq AS DOUBLE) / 1000000.0, 6) FROM metrics
+       |  UNION ALL SELECT '_n_correct', CAST(ok AS DOUBLE) FROM metrics
+       |  UNION ALL SELECT '_n', CAST(n AS DOUBLE) FROM n)
+       |ORDER BY feature""".stripMargin
+  }
 
   /** Shared CTE chain for the DSIR oracles: re-derives BOTH smoothed
     * bag models (raw-frequency-capped vocabulary with the Spark side's
@@ -3898,6 +3985,11 @@ object SparkEntry {
          |  round(1.0 / (1.0 + exp(-(-0.5 + mw))), 6) AS lex_score
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+
+    // full-batch GD replayed epoch-by-epoch in SQL; bit-identical by the
+    // operator's quantization/left-assoc-margin contract (see
+    // trainFilterOracle)
+    "text_train_filter" -> trainFilterOracle(trainerLexicon, epochs = 3, lr = 5.0),
 
     // every Gopher rule re-measured in SQL: whitespace words, trimmed
     // non-empty lines, '#'/'...' counts by replace-length arithmetic
