@@ -2093,6 +2093,31 @@ object SparkEntry {
           col("n_ips").cast("long").as("n_ips"), col("redacted_text"))
         .orderBy("doc_id")),
 
+    // full PII scan with Luhn-VALIDATED card redaction: every doc gets a
+    // planted 15-digit card candidate DERIVED FROM doc_id (so validity
+    // varies document-to-document — ~1 in 10 pass the checksum) plus a
+    // doc-varying phone. The oracle recomputes the Luhn sum per
+    // candidate in SQL; the redacted_text hash then catches any
+    // validity disagreement (a valid card must vanish, an invalid one
+    // must survive verbatim).
+    "text_pii" -> ((s, dir) =>
+      TextAnalysis.piiScan(
+          t(s, dir, "documents").withColumn("text",
+            concat(col("text"),
+              lit(" pay 4"),
+              lpad(pmod(col("doc_id"), lit(100000000)).cast("string"), 8, "0"),
+              lpad(pmod(col("doc_id") * 7, lit(1000000)).cast("string"), 6, "0"),
+              lit(" or call +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))))
+        .select(col("doc_id"),
+          col("n_card_candidates").cast("long").as("n_card_candidates"),
+          col("n_cards").cast("long").as("n_cards"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_ips").cast("long").as("n_ips"),
+          col("redacted_text"))
+        .orderBy("doc_id")),
+
     // url/domain rollup: plants two URLs per doc (the synthetic corpus
     // has none) so the domain table provably covers every doc — the
     // blocklist/per-domain-cap shape of web-corpus curation
@@ -4302,6 +4327,40 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted_text
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // Luhn recomputed digit-by-digit in SQL (nested lambda: candidates →
+    // positions → doubled-digit contributions, all integer arithmetic);
+    // card redaction replayed as the same left fold of literal replaces
+    "text_pii" -> {
+      val digits = "regexp_replace(c, '[^0-9]', '', 'g')"
+      val d = s"CAST(substr($digits, length($digits) - p2 + 1, 1) AS INT)"
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' pay 4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+         |       || lpad(CAST((doc_id * 7) % 1000000 AS VARCHAR), 6, '0')
+         |       || ' or call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, t,
+         |  regexp_extract_all(t, '\\b(?:[0-9][ -]?){12,18}[0-9]\\b') AS cands FROM p),
+         |v AS (SELECT doc_id, t, cands,
+         |  list_filter(cands, c -> list_sum(
+         |    list_transform(generate_series(1, length($digits)),
+         |      p2 -> CASE WHEN p2 % 2 = 1 THEN $d
+         |            ELSE CASE WHEN 2 * $d < 10 THEN 2 * $d ELSE 2 * $d - 9 END
+         |            END)) % 10 = 0) AS valid
+         |  FROM c)
+         |SELECT doc_id,
+         |  CAST(len(cands) AS BIGINT) AS n_card_candidates,
+         |  CAST(len(valid) AS BIGINT) AS n_cards,
+         |  CAST(len(regexp_extract_all(t, '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    list_reduce([t] || valid, (acc, x) -> replace(acc, x, '[CARD]')),
+         |    '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?', '[PHONE]', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS redacted_text
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
 
     "text_urls" ->
       """WITH p AS (SELECT doc_id,

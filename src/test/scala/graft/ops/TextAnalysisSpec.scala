@@ -292,6 +292,47 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.gopherRules(docsOf((1L, "x")), minWords = 10, maxWords = 5))
   }
 
+  test("piiScan: Luhn separates valid from invalid cards; typed redaction") {
+    // 4539148803436467 is Luhn-valid; flipping the check digit breaks it
+    val docs = docsOf(
+      (1L, "pay 4539148803436467 now"),
+      (2L, "pay 4539148803436468 now"),
+      (3L, "card 4539 1488 0343 6467 and ip 10.0.0.7"),
+      (4L, "call +1-555-0123 or mail a@b.org"))
+    val rows = TextAnalysis.piiScan(docs).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Int]("n_card_candidates") === 1)
+    assert(rows(0).getAs[Int]("n_cards") === 1)
+    assert(rows(0).getAs[String]("redacted_text") === "pay [CARD] now")
+    // invalid checksum: candidate counted, NOT redacted
+    assert(rows(1).getAs[Int]("n_card_candidates") === 1)
+    assert(rows(1).getAs[Int]("n_cards") === 0)
+    assert(rows(1).getAs[String]("redacted_text") === "pay 4539148803436468 now")
+    // space-separated card validates (separators stripped before Luhn)
+    assert(rows(2).getAs[Int]("n_cards") === 1)
+    assert(rows(2).getAs[Int]("n_ips") === 1)
+    assert(rows(2).getAs[String]("redacted_text") === "card [CARD] and ip [IP]")
+    // phone + email, no card candidates
+    assert(rows(3).getAs[Int]("n_card_candidates") === 0)
+    assert(rows(3).getAs[Int]("n_phones") === 1)
+    assert(rows(3).getAs[Int]("n_emails") === 1)
+    assert(rows(3).getAs[String]("redacted_text") === "call [PHONE] or mail [EMAIL]")
+  }
+
+  test("luhnValid: checksum arithmetic on known vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      ("4539148803436467", true),   // Visa test number
+      ("79927398713", true),        // the canonical Luhn example
+      ("79927398710", false),
+      ("4111111111111111", true),
+      ("4111111111111112", false),
+      ("", false))
+    val df = vecs.map(_._1).toDF("d")
+      .select(col("d"), TextAnalysis.luhnValid(col("d")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    vecs.foreach { case (s, want) => assert(df(s) === want, s"luhn($s)") }
+  }
+
   test("working-column name collisions are refused, not clobbered") {
     import spark.implicits._
     val bad = Seq((1L, "hello world", "keep me")).toDF("doc_id", "text", "_toks")
