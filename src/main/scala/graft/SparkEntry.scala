@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.lake.{BloomIndex, Clause, ClusteredWriter, Lakeshack, Merge, Metastore, MetastoreFileIndex, SnapshotLog, StatsAgg}
 import graft.functions.GeometricMean
-import graft.ops.{AsofJoin, Dedup, IncrementalDedup, Multimodal, Packing, QualityTrainer, Sampling, Similarity, TextAnalysis, TextIndex, VectorIndex}
+import graft.ops.{AsofJoin, Dedup, EventAnalytics, IncrementalDedup, Multimodal, Packing, QualityTrainer, Sampling, Similarity, TextAnalysis, TextIndex, VectorIndex}
 import graft.streaming.EventsStream
 
 /** Driver contract (see SURVEY.md §7): one `queries` entry per operator
@@ -1005,6 +1005,27 @@ object SparkEntry {
     "q_session_window" -> ((s, dir) =>
       EventsStream.sessionWindow(EventsStream.readEvents(s, s"$dir/events.parquet"))
         .orderBy("user_id", "session_start")),
+
+    // dense calendar gap-fill + forward fill: missing-as-absent vs
+    // missing-as-zero told apart explicitly (n_events=0, hour_sum NULL,
+    // ff_sum carries the last observed hour forward)
+    "q_gapfill" -> ((s, dir) =>
+      EventAnalytics.gapFill(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .orderBy("user_id", "hour")),
+
+    // ordered funnel: each step's first event STRICTLY after the
+    // previous step, all within 7 days of step 1 — one shuffle, the
+    // sequential recurrence folded over a per-user array
+    "q_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(EventsStream.readEvents(s, s"$dir/events.parquet"),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // cohort retention grid: first-seen ISO week × activity-week offset,
+    // retention as exact integer parts-per-million
+    "q_retention" -> ((s, dir) =>
+      EventAnalytics.retention(EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .orderBy("cohort_week", "week_offset")),
 
     // NOTE: expressed via spark.sql — the DataFrame rollup-after-join +
     // orderBy-on-grouping-column combination trips a false positive in
@@ -3158,6 +3179,67 @@ object SparkEntry {
         |  COUNT(*) AS n_events
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH cells AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |    COUNT(*) AS n_events, SUM(CAST(value AS DECIMAL(18,2))) AS hsum
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(hour) AS lo, max(hour) AS hi FROM cells),
+        |cal AS (
+        |  SELECT u.user_id, g.hour
+        |  FROM (SELECT DISTINCT user_id FROM cells) u,
+        |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |        FROM span) g)
+        |SELECT c.user_id, c.hour,
+        |  COALESCE(n_events, 0) AS n_events,
+        |  CAST(hsum AS DOUBLE) AS hour_sum,
+        |  CAST(last_value(hsum IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ff_sum
+        |FROM cal c LEFT JOIN cells e ON c.user_id = e.user_id AND c.hour = e.hour
+        |ORDER BY c.user_id, c.hour""".stripMargin,
+
+    // the sequential first-after-previous recurrence as chained CTEs:
+    // step k's min(ts) joins step k-1's result, every step bounded by
+    // t_1 + horizon — semantics identical to the array fold
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT user_id, min(ts) AS t_2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'view' AND ts > t_1
+        |    AND ts <= t_1 + INTERVAL 7 DAY GROUP BY 1),
+        |s3 AS (SELECT user_id, min(ts) AS t_3
+        |  FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t_2
+        |    AND ts <= t_1 + INTERVAL 7 DAY GROUP BY 1),
+        |s4 AS (SELECT user_id, min(ts) AS t_4
+        |  FROM e JOIN s1 USING (user_id) JOIN s3 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t_3
+        |    AND ts <= t_1 + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT user_id, t_1, t_2, t_3, t_4,
+        |  CAST(1 + CAST(t_2 IS NOT NULL AS INT) + CAST(t_3 IS NOT NULL AS INT)
+        |    + CAST(t_4 IS NOT NULL AS INT) AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |  LEFT JOIN s4 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH w AS (SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM w),
+        |g AS (SELECT cohort_week,
+        |    CAST(datediff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+        |    COUNT(DISTINCT user_id) AS n_active
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM f GROUP BY 1)
+        |SELECT cohort_week, week_offset, n_active, n_cohort,
+        |  CAST(n_active * 1000000 // n_cohort AS BIGINT) AS retention_ppm
+        |FROM g JOIN s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
