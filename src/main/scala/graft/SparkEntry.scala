@@ -330,6 +330,42 @@ object SparkEntry {
       path
     }
 
+  /** lake_expect's gated ingest pair, once per (session, dir): orders
+    * with two planted corruption classes (negated price for keys ≡ 0
+    * mod 97, nulled status for ≡ 0 mod 101) pushed through the
+    * expectations gate — drop-mode rules divert violators to the
+    * quarantine table, the warn-mode date rule counts but keeps its
+    * rows. Keys divisible by both moduli (9797, …) exercise the
+    * multi-violation path at sf ≥ 0.01. */
+  private val expectCache = new SessionCache[(String, String)]
+  private val expectWarnCutoff = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+
+  private def expectTables(s: SparkSession, dir: String): (String, String) = {
+    import graft.lake.Expectations
+    import graft.lake.Expectations.{Expect, Expectation}
+    expectCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_expect_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/orders"; val quar = s"$base/quarantine"
+      val corrupted = t(s, dir, "orders")
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(97)) === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(101)) === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+      Expectations.ingest(s, corrupted, table, quar, Seq(
+        Expectation("positive_price", col("o_totalprice") > 0, Expect.Drop),
+        Expectation("known_status",
+          col("o_orderstatus").isin("O", "F", "P"), Expect.Drop),
+        Expectation("modern_order",
+          col("o_orderdate") >= lit(expectWarnCutoff), Expect.Warn)),
+        "b0", clusterColumn = Some("o_orderkey"), nFiles = 8)
+      (table, quar)
+    }
+  }
+
   /** lake_agg_pushdown's clustered lineitem copy, once per (session,
     * dir) — like every index/layout cache here, the clustering is an
     * ingest-time investment the aggregate then exploits many times. */
@@ -774,6 +810,33 @@ object SparkEntry {
         .groupBy("prio_class")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
+    // expectations-gated ingest: the committed STATE of both tables is
+    // the correctness surface (clean/quarantined populations + exact
+    // decimal sums + per-rule violation counts from the quarantine's
+    // _violations) — the oracle replays the corruption and every rule,
+    // including null-predicate-is-violation and warn-keeps-the-row
+    "lake_expect" -> ((s, dir) => {
+      val (table, quarT) = expectTables(s, dir)
+      val main = SnapshotLog.read(s, table)
+      val quar = SnapshotLog.read(s, quarT)
+      val nullD = lit(null).cast("double")
+      val cleanRow = main
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit("clean").as("kind"), col("n_rows"), col("sum_price"))
+      val quarRow = quar
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit("quarantined").as("kind"), col("n_rows"), col("sum_price"))
+      val violRows = quar.select(explode(col("_violations")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("n_rows"))
+        .select(concat(lit("viol:"), col("v")).as("kind"), col("n_rows"),
+          nullD.as("sum_price"))
+      val warnRow = main.where(col("o_orderdate") < lit(expectWarnCutoff))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("warn:modern_order").as("kind"), col("n_rows"),
+          nullD.as("sum_price"))
+      cleanRow.union(quarRow).union(violRows).union(warnRow).orderBy("kind")
     }),
 
     // aggregation pushdown into footer stats: count/min/max under a
@@ -2904,6 +2967,46 @@ object SparkEntry {
     "lake_agg_pushdown" ->
       """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_v, MAX(l_orderkey) AS max_v
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 40000""".stripMargin,
+
+    // replays the planted corruption + every expectation rule from the
+    // raw table: NULL predicate = violation, drop-mode rules define the
+    // split, the warn rule counts on both sides of it
+    "lake_expect" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+        |         ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN NULL
+        |         ELSE o_orderstatus END AS status,
+        |    CAST(o_orderdate AS TIMESTAMP) AS odate
+        |  FROM orders),
+        |v AS (SELECT *,
+        |    NOT COALESCE(price > 0, FALSE) AS v_price,
+        |    NOT COALESCE(status IN ('O', 'F', 'P'), FALSE) AS v_status,
+        |    NOT COALESCE(odate >= TIMESTAMP '1996-01-01', FALSE) AS v_warn,
+        |    (NOT COALESCE(price > 0, FALSE))
+        |      OR (NOT COALESCE(status IN ('O', 'F', 'P'), FALSE)) AS dropped
+        |  FROM c)
+        |SELECT * FROM (
+        |  SELECT 'clean' AS kind, COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM v WHERE NOT dropped
+        |  UNION ALL
+        |  SELECT 'quarantined', COUNT(*),
+        |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |  FROM v WHERE dropped
+        |  UNION ALL
+        |  SELECT 'viol:positive_price', COUNT(*), CAST(NULL AS DOUBLE)
+        |  FROM v WHERE dropped AND v_price HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'viol:known_status', COUNT(*), CAST(NULL AS DOUBLE)
+        |  FROM v WHERE dropped AND v_status HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'viol:modern_order', COUNT(*), CAST(NULL AS DOUBLE)
+        |  FROM v WHERE dropped AND v_warn HAVING COUNT(*) > 0
+        |  UNION ALL
+        |  SELECT 'warn:modern_order', COUNT(*), CAST(NULL AS DOUBLE)
+        |  FROM v WHERE NOT dropped AND v_warn)
+        |ORDER BY kind""".stripMargin,
 
     // v2 = thirds 0+1 minus the DV-deleted keys; the v3 merge must NOT
     // bleed into the pinned version
