@@ -330,6 +330,48 @@ object SparkEntry {
       path
     }
 
+  /** lake_wap's write-audit-publish lifecycle, once per (session, dir):
+    * v0 = lineitem thirds 0+1; a branch stages the third-2 append, a
+    * DV delete (44, 45) and a +200 merge on key 49; an audit gate runs
+    * against the BRANCH (main readers never see unaudited rows); then
+    * fast-forward publish lands everything as ONE main commit, tagged
+    * `audited`, and the branch is dropped. The query reads THROUGH the
+    * tag, so fork restatement, branch commits, the manifest-diff
+    * publish, and tag resolution are all in the hash. */
+  private val wapCache = new SessionCache[String]
+
+  private def wapTable(s: SparkSession, dir: String): String = {
+    import graft.lake.Branches
+    wapCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_wap_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"
+      val li = t(s, dir, "lineitem")
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) < 2),
+        table, "overwrite", clusterColumn = Some("l_orderkey"), nFiles = 4)
+      Branches.create(s, table, "staged")
+      val b = Branches.path(table, "staged")
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) === 2),
+        b, "append", clusterColumn = Some("l_orderkey"), nFiles = 4)
+      SnapshotLog.deleteByKeys(s, b, "l_orderkey", Seq(44L, 45L))
+      SnapshotLog.merge(s, b, "l_orderkey",
+        li.where(col("l_orderkey") === 49L)
+          .withColumn("l_quantity", col("l_quantity") + lit(200.0)))
+      // the audit gate: deleted keys gone, merged rows present, main
+      // still at the fork — publish only after the branch passes
+      val audited = SnapshotLog.read(s, b)
+      require(audited.where(col("l_orderkey").isin(44L, 45L)).isEmpty,
+        "audit failed: deleted keys still visible on the branch")
+      require(SnapshotLog.currentVersion(s, table) == 0L,
+        "audit failed: main advanced during staging")
+      val v = Branches.publish(s, table, "staged")
+      Branches.tag(s, table, "audited", Some(v))
+      Branches.drop(s, table, "staged")
+      table
+    }
+  }
+
   /** lake_expect's gated ingest pair, once per (session, dir): orders
     * with two planted corruption classes (negated price for keys ≡ 0
     * mod 97, nulled status for ≡ 0 mod 101) pushed through the
@@ -810,6 +852,21 @@ object SparkEntry {
         .groupBy("prio_class")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
+    // write-audit-publish: the tag read must equal the oracle's replay
+    // of append+delete+merge over raw lineitem, and head_is_tag pins
+    // that fast-forward publish left the head exactly at the tag
+    "lake_wap" -> ((s, dir) => {
+      val table = wapTable(s, dir)
+      val headIsTag = SnapshotLog.currentVersion(s, table) ==
+        graft.lake.Branches.tagVersion(s, table, "audited")
+      graft.lake.Branches.readTag(s, table, "audited")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .withColumn("head_is_tag", lit(headIsTag))
+        .orderBy("l_returnflag")
     }),
 
     // expectations-gated ingest: the committed STATE of both tables is
@@ -2967,6 +3024,16 @@ object SparkEntry {
     "lake_agg_pushdown" ->
       """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_v, MAX(l_orderkey) AS max_v
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 40000""".stripMargin,
+
+    // the published state = full lineitem with the branch's delete and
+    // merge applied; the tag must resolve to exactly this population
+    "lake_wap" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN l_orderkey = 49 THEN l_quantity + 200
+        |                     ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  TRUE AS head_is_tag
+        |FROM lineitem WHERE l_orderkey NOT IN (44, 45)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // replays the planted corruption + every expectation rule from the
     // raw table: NULL predicate = violation, drop-mode rules define the

@@ -72,12 +72,30 @@ object SnapshotLog {
   final case class Entry(version: Long, tsMillis: Long, op: String,
                          nAdds: Int, nRemoves: Int, rollbackOf: Option[Long])
 
-  private def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
+  private[lake] def fsOf(spark: SparkSession, table: String): (FileSystem, Path) = {
     val root = new Path(table)
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
-  private def logDir(root: Path) = new Path(root, "_log")
+  /** The root that owns the DATA POOL for a log root. A branch
+    * ([[Branches]]) keeps its own `_log` under
+    * `<table>/_branches/<name>/` but shares the TABLE's `data/` pool —
+    * one immutable file namespace, many refs selecting subsets of it
+    * (the public Iceberg ref model). Every file path a manifest stores
+    * is relative to this pool root, so a branch manifest and a main
+    * manifest describe the same file with the same string and publish
+    * is a pure manifest diff — no file ever moves. */
+  private[lake] def dataRootOf(root: Path): Path =
+    if (root.getParent != null && root.getParent.getName == Branches.BranchesDir)
+      root.getParent.getParent
+    else root
+
+  private[lake] def isBranchRoot(root: Path): Boolean = dataRootOf(root) != root
+
+  /** The shared `data/` pool a log root commits into. */
+  private[lake] def poolDir(root: Path) = new Path(dataRootOf(root), "data")
+
+  private[lake] def logDir(root: Path) = new Path(root, "_log")
   private def manifestPath(root: Path, v: Long) = new Path(logDir(root), f"v$v%012d.mf")
   private def checkpointPath(root: Path, v: Long) = new Path(logDir(root), f"v$v%012d.cp")
 
@@ -333,7 +351,8 @@ object SnapshotLog {
   /** List the `.parquet` files Spark materialized under a commit token
     * dir, as table-relative paths. */
   private def partFiles(fs: FileSystem, root: Path, tokenDir: Path): Seq[String] = {
-    val prefix = root.toUri.getPath match { case p if p.endsWith("/") => p; case p => p + "/" }
+    val prefix = dataRootOf(root).toUri.getPath match {
+      case p if p.endsWith("/") => p; case p => p + "/" }
     val it = fs.listFiles(tokenDir, true)
     val buf = Seq.newBuilder[String]
     while (it.hasNext) {
@@ -413,7 +432,7 @@ object SnapshotLog {
     } else None
 
     val token = java.util.UUID.randomUUID().toString.take(12)
-    val tokenDir = new Path(new Path(root, "data"), token)
+    val tokenDir = new Path(poolDir(root), token)
     val shaped = clusterColumn match {
       case Some(c) => df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(c))
         .sortWithinPartitions(c)
@@ -462,7 +481,7 @@ object SnapshotLog {
     val spark = df.sparkSession
     val (fs, root) = fsOf(spark, table)
     if (tokensReferenced(fs, root).contains(batchToken)) return -1L
-    val tokenDir = new Path(new Path(root, "data"), batchToken)
+    val tokenDir = new Path(poolDir(root), batchToken)
     val shaped = clusterColumn match {
       case Some(c) => df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(c))
         .sortWithinPartitions(c)
@@ -517,7 +536,7 @@ object SnapshotLog {
     val df = read(spark, table, Some(head))
     val (fs, rootP) = fsOf(spark, table)
     val token = java.util.UUID.randomUUID().toString.take(12)
-    val tokenDir = new Path(new Path(rootP, "data"), token)
+    val tokenDir = new Path(poolDir(rootP), token)
     df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(clusterColumn))
       .sortWithinPartitions(clusterColumn)
       .write.mode("errorifexists").parquet(tokenDir.toString)
@@ -552,7 +571,7 @@ object SnapshotLog {
     if (dirty.isEmpty) return head
     val (fs, rootP) = fsOf(spark, table)
     val token = java.util.UUID.randomUUID().toString.take(12)
-    val tokenDir = new Path(new Path(rootP, "data"), token)
+    val tokenDir = new Path(poolDir(rootP), token)
     readSnapshot(spark, table, cur, onlyFiles = Some(dirty))
       .write.mode("errorifexists").parquet(tokenDir.toString)
     val adds = partFiles(fs, rootP, tokenDir)
@@ -588,7 +607,7 @@ object SnapshotLog {
     val cur = state(spark, table, Some(head))
     val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
     val (fs, rootP) = fsOf(spark, table)
-    val absAll = cur.files.map(f => fs.makeQualified(new Path(rootP, f)).toString)
+    val absAll = cur.files.map(f => fs.makeQualified(new Path(dataRootOf(rootP), f)).toString)
     val upsertKeys = upserts.select(keyCol).distinct().collect().map(_.get(0)).toSeq
     val keys = (upsertKeys ++ deleteKeys).distinct
     if (keys.isEmpty) return head
@@ -604,7 +623,7 @@ object SnapshotLog {
       }
     }.map(_.path).toSet
     val affectedRel = cur.files.filter(f =>
-      affectedAbs.contains(fs.makeQualified(new Path(rootP, f)).toString))
+      affectedAbs.contains(fs.makeQualified(new Path(dataRootOf(rootP), f)).toString))
 
     val keysDf = spark.createDataFrame(
       spark.sparkContext.parallelize(keys.map(Row(_)), 1),
@@ -619,7 +638,7 @@ object SnapshotLog {
       upserts.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*))
 
     val token = java.util.UUID.randomUUID().toString.take(12)
-    val tokenDir = new Path(new Path(rootP, "data"), token)
+    val tokenDir = new Path(poolDir(rootP), token)
     val cc = clusterColumn.getOrElse(keyCol)
     replacement
       .repartitionByRange(nFiles, org.apache.spark.sql.functions.col(cc))
@@ -660,7 +679,7 @@ object SnapshotLog {
     if (scanFiles.isEmpty) return head
     val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
     val (fs, root) = fsOf(spark, table)
-    val abs = scanFiles.map(f => new Path(root, f).toString)
+    val abs = scanFiles.map(f => new Path(dataRootOf(root), f).toString)
 
     var hits = spark.read.schema(schema).parquet(abs: _*)
       .where(predicate)
@@ -675,7 +694,7 @@ object SnapshotLog {
     }
 
     val token = java.util.UUID.randomUUID().toString.take(12)
-    val tokenDir = new Path(new Path(root, "data"), token)
+    val tokenDir = new Path(poolDir(root), token)
     hits.repartition(1).write.mode("errorifexists").parquet(tokenDir.toString)
     val dvRel = partFiles(fs, root, tokenDir)
     val affected = spark.read.parquet(tokenDir.toString)
@@ -701,7 +720,7 @@ object SnapshotLog {
     val cur = state(spark, table, Some(head))
     val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
     val (fs, root) = fsOf(spark, table)
-    val absAll = cur.files.map(f => fs.makeQualified(new Path(root, f)).toString)
+    val absAll = cur.files.map(f => fs.makeQualified(new Path(dataRootOf(root), f)).toString)
     val kstats = StatsAgg.harvest(spark, absAll, keyCol, schema(keyCol).dataType)
     val affectedAbs = kstats.filter { r =>
       (r.min, r.max) match {
@@ -711,7 +730,7 @@ object SnapshotLog {
       }
     }.map(_.path).toSet
     val candidateRel = cur.files.filter(f =>
-      affectedAbs.contains(fs.makeQualified(new Path(root, f)).toString))
+      affectedAbs.contains(fs.makeQualified(new Path(dataRootOf(root), f)).toString))
     if (candidateRel.isEmpty) return head
     delete(spark, table,
       org.apache.spark.sql.functions.col(keyCol).isin(keys: _*),
@@ -764,7 +783,7 @@ object SnapshotLog {
     * `f`-rows are in the pool exactly when `f`'s set contains it. */
   private def dvRows(spark: SparkSession, root: Path, snap: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val paths = snap.dvs.values.flatten.toSeq.distinct.map(f => new Path(root, f).toString)
+    val paths = snap.dvs.values.flatten.toSeq.distinct.map(f => new Path(dataRootOf(root), f).toString)
     spark.read.parquet(paths: _*).select(col("file"), col("pos"))
   }
 
@@ -805,7 +824,7 @@ object SnapshotLog {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val root = new Path(table)
-    def abs(f: String) = new Path(root, f).toString
+    def abs(f: String) = new Path(dataRootOf(root), f).toString
     val clean = files.filterNot(snap.dvs.contains)
     val dirty = files.filter(snap.dvs.contains)
     val parts = Seq.newBuilder[DataFrame]
@@ -841,8 +860,8 @@ object SnapshotLog {
     // key would silently match nothing and prune nothing (sound, but
     // the whole point lost)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val abs = snap.files.map(f => fs.makeQualified(new Path(root, f)).toString)
-    val stats = Metastore.buildFromFooters(spark, s"$table/data", clusterColumn,
+    val abs = snap.files.map(f => fs.makeQualified(new Path(dataRootOf(root), f)).toString)
+    val stats = Metastore.buildFromFooters(spark, poolDir(root).toString, clusterColumn,
       optionalColumns, onlyPaths = abs)
     val base = MetastoreFileIndex.tableForFiles(spark, abs, schema, stats)
     // DV'd version: apply the positional anti-join ON TOP of the pruned
@@ -890,7 +909,7 @@ object SnapshotLog {
     val outSchema = DataType.fromJson(state(spark, table, Some(to)).schemaJson)
       .asInstanceOf[StructType]
     val outFields = outSchema.fields.toSeq
-    def abs(f: String) = new Path(root, f).toString
+    def abs(f: String) = new Path(dataRootOf(root), f).toString
 
     /** Null-fill `df` to the output schema, then tag it. */
     def conform(df: DataFrame, tpe: String, v: Long): DataFrame =
@@ -1013,9 +1032,20 @@ object SnapshotLog {
   def expire(spark: SparkSession, table: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "keepLast must be >= 1")
     val (fs, root) = fsOf(spark, table)
+    require(!isBranchRoot(root),
+      s"run retention on the table root, not branch $table — the data " +
+        "pool is shared and a branch-scoped expire would delete files " +
+        "other refs still reference")
     val head = currentVersion(spark, table)
     val listing = listLog(fs, root)
-    val retained = listing.manifests.filter(_ > head - keepLast)
+    // a TAGGED version must stay time-travelable: retention never drops
+    // below the oldest tag (contiguous retention keeps replay sound —
+    // dropping an interior tagged version would need per-tag
+    // checkpoints; refusing is simpler and what the tag promises)
+    val tagFloor = Branches.tagVersions(spark, table).values
+      .foldLeft(Long.MaxValue)(math.min)
+    val retained = listing.manifests
+      .filter(v => v > head - keepLast || v >= tagFloor)
     if (retained.isEmpty || retained.head == listing.manifests.head) return Nil
     val horizon = retained.head
 
@@ -1032,7 +1062,12 @@ object SnapshotLog {
     }
 
     def allFiles(s: Snapshot): Seq[String] = s.files ++ s.dvs.values.flatten
-    val keepFiles = retained.flatMap(v => allFiles(state(spark, table, Some(v)))).toSet
+    // files any BRANCH references survive main retention: a branch
+    // forked from an old version keeps reading its fork state even
+    // after main's manifests for that version are gone (the fork
+    // commit is self-contained)
+    val keepFiles = retained.flatMap(v => allFiles(state(spark, table, Some(v)))).toSet ++
+      branchReferencedFiles(fs, root)
     val dropFiles = listing.manifests.filter(_ < horizon)
       .flatMap(v => allFiles(state(spark, table, Some(v))))
       .distinct.filterNot(keepFiles)
@@ -1047,21 +1082,39 @@ object SnapshotLog {
     dropFiles
   }
 
+  /** Every pool-relative file path any live branch's log references
+    * (adds, removes, and DV files of every branch manifest). Retention
+    * on the main table must treat these as live. */
+  private def branchReferencedFiles(fs: FileSystem, root: Path): Set[String] = {
+    val bdir = new Path(root, Branches.BranchesDir)
+    if (!fs.exists(bdir)) return Set.empty
+    fs.listStatus(bdir).iterator.filter(_.isDirectory).flatMap { st =>
+      val broot = st.getPath
+      listLog(fs, broot).manifests.flatMap(v =>
+        parse(readFile(fs, manifestPath(broot, v))).toSeq
+          .flatMap(p => p.adds ++ p.removes ++ p.dvFiles))
+    }.toSet
+  }
+
   /** Reclaim token dirs no manifest (in any retained version) ever
     * references and that are older than `graceMs` — the stranded output
     * of writers that died before their commit. Grace must exceed the
     * longest write-to-commit gap, same rule as [[Vacuum]]. */
   def expireOrphans(spark: SparkSession, table: String, graceMs: Long): Seq[String] = {
     val (fs, root) = fsOf(spark, table)
+    require(!isBranchRoot(root),
+      s"run orphan reclamation on the table root, not branch $table")
     val dataDir = new Path(root, "data")
     if (!fs.exists(dataDir)) return Nil
     val listing = listLog(fs, root)
     // every token referenced by any manifest, committed or torn — a torn
-    // head manifest's token may be about to be re-claimed; grace covers it
-    val referenced: Set[String] = listing.manifests.flatMap { v =>
+    // head manifest's token may be about to be re-claimed; grace covers
+    // it. Branch manifests count: an unpublished branch's appends live
+    // in the shared pool referenced by the branch log alone.
+    val referenced: Set[String] = (listing.manifests.flatMap { v =>
       parse(readFile(fs, manifestPath(root, v))).toSeq
         .flatMap(p => p.adds ++ p.removes ++ p.dvFiles)
-    }.map(_.split('/') match {
+    } ++ branchReferencedFiles(fs, root)).map(_.split('/') match {
       case Array("data", tok, _*) => tok
       case _ => ""
     }).toSet
