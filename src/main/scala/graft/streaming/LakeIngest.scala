@@ -70,4 +70,35 @@ object LakeIngest {
         ()
       }
       .start()
+
+  /** Continuous ingest through the [[graft.lake.Expectations]] gate:
+    * each micro-batch is split row-by-row against the rules — clean
+    * rows append to `table`, dropped rows (with their `_violations`)
+    * to `quarantine`, both exactly-once under tokens derived from the
+    * batch id (a replayed batch recomputes the same deterministic
+    * split and each half commits at most once; a crash BETWEEN the two
+    * appends is healed by the replay committing only the missing
+    * half). A fail-mode violation throws inside foreachBatch and
+    * stops the query with neither table touched for that batch — the
+    * operator fixes the upstream and restarts from the checkpoint.
+    *
+    * This is the streaming form of the DLT expectations contract: bad
+    * rows never reach queryable state, and the quarantine table is
+    * itself a versioned lake table an operator can replay, audit, and
+    * re-ingest from. */
+  def startGated(stream: DataFrame, table: String, quarantine: String,
+                 expectations: Seq[graft.lake.Expectations.Expectation],
+                 checkpoint: String,
+                 clusterColumn: Option[String] = None,
+                 filesPerBatch: Int = 4): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.lake.Expectations.ingest(batch.sparkSession, batch, table,
+            quarantine, expectations, s"batch-$batchId",
+            clusterColumn, filesPerBatch)
+        ()
+      }
+      .start()
 }
