@@ -854,6 +854,17 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
     }),
 
+    // row-level provenance on the 4-commit lifecycle table: thirds 0
+    // and 1 must credit exactly v0 and v1 (the rollback at v3 re-adds
+    // nothing, so first-adder resolution sees through it)
+    "lake_lineage" -> ((s, dir) => {
+      val table = snapshotTable(s, dir)
+      SnapshotLog.readLineage(s, table)
+        .groupBy(col("_commit_version").as("commit_version"))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("commit_version")
+    }),
+
     // write-audit-publish: the tag read must equal the oracle's replay
     // of append+delete+merge over raw lineitem, and head_is_tag pins
     // that fast-forward publish left the head exactly at the tag
@@ -3024,6 +3035,14 @@ object SparkEntry {
     "lake_agg_pushdown" ->
       """SELECT COUNT(*) AS n_rows, MIN(l_orderkey) AS min_v, MAX(l_orderkey) AS max_v
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 40000""".stripMargin,
+
+    // head = rollback-to-v1 state = thirds 0+1, and each third's
+    // first-adder is its own commit — so provenance IS the modulus
+    "lake_lineage" ->
+      """SELECT l_orderkey % 3 AS commit_version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 3 < 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the published state = full lineitem with the branch's delete and
     // merge applied; the tag must resolve to exactly this population

@@ -814,6 +814,60 @@ object SnapshotLog {
     readSnapshot(spark, table, snap)
   }
 
+  /** [[read]] with row-level provenance: every row carries
+    * `_commit_version` — the log version whose manifest FIRST added
+    * the row's file (for a branch log, the branch-local version; a
+    * fork restatement therefore credits v0 of the branch) — and
+    * `_source_file`, the pool-relative path. The audit question this
+    * answers ("which ingest produced this row, and from which file?")
+    * is the reference's batch-provenance story
+    * (lakeshack/metastore.py keys stats rows by filepath) promoted to
+    * the versioned format.
+    *
+    * Resolution is bounded by retention: a file whose adding manifest
+    * was [[expire]]d resolves to -1 (unknown-before-horizon), never to
+    * a wrong version. Cost: the file→version map is one driver-side
+    * replay of the retained manifests (O(log size), same class as
+    * [[state]]) broadcast into a file-count-sized join — row bytes are
+    * untouched, and deletion vectors apply exactly as in [[read]]. */
+  def readLineage(spark: SparkSession, table: String,
+                  asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val snap = state(spark, table, asOf)
+    val (fs, root) = fsOf(spark, table)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("_commit_version", LongType), StructField("_source_file", StringType)))
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val listing = listLog(fs, root)
+    val firstAdd = scala.collection.mutable.LinkedHashMap[String, Long]()
+    for (v <- listing.manifests;
+         p <- parse(readFile(fs, manifestPath(root, v))))
+      p.adds.foreach(f => if (!firstAdd.contains(f)) firstAdd(f) = v)
+    val verDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        snap.files.map(f => Row(f, firstAdd.getOrElse(f, -1L))), 1),
+      StructType(Seq(StructField("_source_file", StringType),
+        StructField("_commit_version", LongType))))
+    def abs(f: String) = new Path(dataRootOf(root), f).toString
+    def withProvenance(files: Seq[String]) =
+      spark.read.schema(schema).parquet(files.map(abs): _*)
+        .withColumn("_source_file", relFileCol)
+    val clean = snap.files.filterNot(snap.dvs.contains)
+    val dirty = snap.files.filter(snap.dvs.contains)
+    val parts = Seq.newBuilder[DataFrame]
+    if (clean.nonEmpty) parts += withProvenance(clean)
+    if (dirty.nonEmpty) {
+      val sub = snap.copy(dvs = snap.dvs.filter { case (f, _) => dirty.contains(f) })
+      parts += minusDeleted(withProvenance(dirty), dvRows(spark, root, sub),
+        schema.fieldNames.toSeq :+ "_source_file")
+    }
+    parts.result().reduce(_ unionByName _)
+      .join(broadcast(verDf), "_source_file")
+      .select(outSchema.fieldNames.map(col): _*)
+  }
+
   /** [[read]] for an already-resolved snapshot (shared by merge /
     * compact / the change feed so they all see the same dead rows). */
   private[graft] def readSnapshot(spark: SparkSession, table: String,
