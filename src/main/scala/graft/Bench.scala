@@ -111,7 +111,17 @@ object Bench {
     // config-sized quantized-long aggregate — the slope should be
     // 4 × scan-bound with zero shuffle growth (no count() collapse
     // risk: the driver loop collects the aggregates itself)
-    "text_train_filter")
+    "text_train_filter",
+    // round-11 batch 2: the expectations gate (narrow annotate +
+    // counting pass over 10× orders, no commits), the dense-grid fill
+    // (grid rows = keys × span, window per key), the funnel's per-user
+    // array fold, the cohort grid (two user-keyed aggregates + a
+    // user-activity join), the Luhn/redaction PII map, the WAP tag
+    // read over a 10× published snapshot (fork+branch+publish fixture
+    // rides the cold pass), and the lineage read (file→version
+    // broadcast join over 10× files on top of the plain scan)
+    "lake_expect_gate", "q_gapfill_force", "q_funnel_force", "q_retention",
+    "text_pii_force", "lake_wap", "lake_lineage")
 
   private val copies = 10
   private val orderOff = 10000000L
@@ -143,7 +153,7 @@ object Bench {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val doneFile = new org.apache.hadoop.fs.Path(s"$outDir/_DONE")
-    val fp = "v3:" + fingerprint(fs, srcDir) // v3: per-copy rotation perturbation
+    val fp = "v4:" + fingerprint(fs, srcDir) // v4: events replicated too
     if (fs.exists(doneFile)) {
       val in = fs.open(doneFile)
       val prev = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -171,6 +181,13 @@ object Bench {
       .write.parquet(s"$outDir/orders.parquet")
     replicate(src("customer"), Map("c_custkey" -> custOff))
       .write.parquet(s"$outDir/customer.parquet")
+    // events: user_id shifts per copy (10× the user population, each
+    // user's event sequence intact — funnel/retention semantics
+    // preserved), event_id shifts to stay unique; ts is NOT perturbed,
+    // so the calendar span is fixed and the gap-fill grid scales with
+    // keys alone (the knob its scaladoc documents)
+    replicate(src("events"), Map("event_id" -> orderOff, "user_id" -> custOff))
+      .write.parquet(s"$outDir/events.parquet")
     // documents: copy i letter-rotates a..j (i=0 = identity, the base
     // corpus verbatim), so copies are mutually DISTINCT — most tokens
     // change, so no shingle survives across copies. An earlier form

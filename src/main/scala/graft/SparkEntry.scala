@@ -382,31 +382,36 @@ object SparkEntry {
   private val expectCache = new SessionCache[(String, String)]
   private val expectWarnCutoff = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
 
-  private def expectTables(s: SparkSession, dir: String): (String, String) = {
-    import graft.lake.Expectations
+  /** The planted corruption lake_expect's oracle replays. */
+  private def expectCorrupt(orders: DataFrame): DataFrame = orders
+    .withColumn("o_totalprice",
+      when(pmod(col("o_orderkey"), lit(97)) === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice")))
+    .withColumn("o_orderstatus",
+      when(pmod(col("o_orderkey"), lit(101)) === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")))
+
+  private def expectRules: Seq[graft.lake.Expectations.Expectation] = {
     import graft.lake.Expectations.{Expect, Expectation}
+    Seq(
+      Expectation("positive_price", col("o_totalprice") > 0, Expect.Drop),
+      Expectation("known_status",
+        col("o_orderstatus").isin("O", "F", "P"), Expect.Drop),
+      Expectation("modern_order",
+        col("o_orderdate") >= lit(expectWarnCutoff), Expect.Warn))
+  }
+
+  private def expectTables(s: SparkSession, dir: String): (String, String) =
     expectCache.getOrElseUpdate(s, dir) {
       val base = s"/tmp/graft_expect_${dirTag(dir)}"
       val root = new org.apache.hadoop.fs.Path(base)
       root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
       val table = s"$base/orders"; val quar = s"$base/quarantine"
-      val corrupted = t(s, dir, "orders")
-        .withColumn("o_totalprice",
-          when(pmod(col("o_orderkey"), lit(97)) === 0, -col("o_totalprice"))
-            .otherwise(col("o_totalprice")))
-        .withColumn("o_orderstatus",
-          when(pmod(col("o_orderkey"), lit(101)) === 0, lit(null).cast("string"))
-            .otherwise(col("o_orderstatus")))
-      Expectations.ingest(s, corrupted, table, quar, Seq(
-        Expectation("positive_price", col("o_totalprice") > 0, Expect.Drop),
-        Expectation("known_status",
-          col("o_orderstatus").isin("O", "F", "P"), Expect.Drop),
-        Expectation("modern_order",
-          col("o_orderdate") >= lit(expectWarnCutoff), Expect.Warn)),
-        "b0", clusterColumn = Some("o_orderkey"), nFiles = 8)
+      graft.lake.Expectations.ingest(s, expectCorrupt(t(s, dir, "orders")),
+        table, quar, expectRules, "b0",
+        clusterColumn = Some("o_orderkey"), nFiles = 8)
       (table, quar)
     }
-  }
 
   /** lake_agg_pushdown's clustered lineitem copy, once per (session,
     * dir) — like every index/layout cache here, the clustering is an
@@ -2818,6 +2823,53 @@ object SparkEntry {
       IncrementalDedup.ingestPairs(planted.where(baseMod === 0), "doc_id", "text",
         incrIndexFor(s, dir), threshold = 0.5, broadcastProbe = false)
     }),
+
+    // round-11 force probes (the bench's count() forcing would
+    // column-prune the computed surface of each of these — grouping BY
+    // a value derived from it makes the work load-bearing):
+
+    // the expectations GATE alone at scale: annotate + the per-rule
+    // counting pass over the corrupted batch, no commits — prices the
+    // narrow map a 100 TB gated ingest pays per batch (the committed
+    // lake_expect fixture rides the session cache, so its warm number
+    // times table reads, not the gate)
+    "lake_expect_gate" -> ((s, dir) =>
+      graft.lake.Expectations.annotate(expectCorrupt(t(s, dir, "orders")), expectRules)
+        .groupBy(concat_ws(",", col("_violations")).as("viol"))
+        .agg(count(lit(1)).as("n"))),
+
+    // the dense-grid fill with the forward-fill window load-bearing
+    // (ff_sum in the grouping key): grid rows scale with keys × span
+    "q_gapfill_force" -> ((s, dir) =>
+      graft.ops.EventAnalytics.gapFill(
+          graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet"))
+        .groupBy((coalesce(col("ff_sum"), lit(0.0)) > 50.0).as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("n_events")).as("ne"))),
+
+    // the full step recurrence load-bearing (depth derives from every
+    // t_i): per-user array fold over 10× users
+    "q_funnel_force" -> ((s, dir) =>
+      graft.ops.EventAnalytics.funnel(
+          graft.streaming.EventsStream.readEvents(s, s"$dir/events.parquet"),
+          Seq("signup", "view", "click", "purchase"))
+        .groupBy("depth").agg(count(lit(1)).as("n"))),
+
+    // Luhn + all four regex classes + the redaction fold load-bearing
+    // (every computed column feeds the grouping key); same doc_id-
+    // derived planting as the oracle query so both Luhn branches fire
+    "text_pii_force" -> ((s, dir) =>
+      TextAnalysis.piiScan(
+          t(s, dir, "documents").withColumn("text",
+            concat(col("text"),
+              lit(" pay 4"),
+              lpad(pmod(col("doc_id"), lit(100000000)).cast("string"), 8, "0"),
+              lpad(pmod(col("doc_id") * 7, lit(1000000)).cast("string"), 6, "0"),
+              lit(" or call +1-555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))))
+        .groupBy(pmod(length(col("redacted_text")) + col("n_cards") +
+          col("n_phones") + col("n_emails") + col("n_ips") +
+          col("n_card_candidates"), lit(13)).as("g"))
+        .agg(count(lit(1)).as("n"))),
 
     // substringDup/removeDupSpans end in a row-preserving left join
     // against a per-doc aggregate, and the bench forces queries with
