@@ -277,7 +277,22 @@ object SparkEntry {
 
   private def joinViewTable(s: SparkSession, dir: String): String =
     joinViewCache.getOrElseUpdate(s, dir) {
-      val base = s"/tmp/graft_joinview_${dirTag(dir)}"
+      buildJoinViewFixture(s, dir, s"/tmp/graft_joinview_${dirTag(dir)}")
+    }
+
+  /** joinview_refresh's PRIVATE copy of the star fixture: the probe
+    * commits new versions every tick, which must never mutate the
+    * fixture the oracle-checked `lake_join_view` hashes against —
+    * correctness would become order-dependent within one (session,
+    * dir). Same construction, disjoint path. */
+  private val joinViewProbeCache = new SessionCache[String]
+
+  private def joinViewProbeTable(s: SparkSession, dir: String): String =
+    joinViewProbeCache.getOrElseUpdate(s, dir) {
+      buildJoinViewFixture(s, dir, s"/tmp/graft_jvprobe_${dirTag(dir)}")
+    }
+
+  private def buildJoinViewFixture(s: SparkSession, dir: String, base: String): String = {
       val root = new org.apache.hadoop.fs.Path(base)
       root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
       val fact = s"$base/lineitem"; val dim = s"$base/orders"; val mv = s"$base/mv"
@@ -302,7 +317,7 @@ object SparkEntry {
       SnapshotLog.deleteByKeys(s, fact, "l_orderkey", Seq(42L, 43L)) // F v2
       graft.lake.JoinView.refresh(s, mv)
       mv
-    }
+  }
 
   /** lake_schema_evo's evolved orders snapshot, once per (session,
     * dir): v0 = three columns (even keys), v1 appends odd keys WITH a
@@ -2909,8 +2924,10 @@ object SparkEntry {
     // zone-map-PRUNED fact probe — the claim is a near-flat slope on
     // the key-clustered fact (files-per-key ~ constant by layout)
     "joinview_refresh" -> ((s, dir) => {
-      val mv = joinViewTable(s, dir)
-      val base = s"/tmp/graft_joinview_${dirTag(dir)}"
+      // PRIVATE fixture (see joinViewProbeTable): the probe's commits
+      // must not advance the tables lake_join_view's oracle pins
+      val mv = joinViewProbeTable(s, dir)
+      val base = s"/tmp/graft_jvprobe_${dirTag(dir)}"
       // the batch is CARVED from the clustered snapshots themselves via
       // a pruned key-range read (TPC-H keys are sparse, so ranges — not
       // arithmetic — pick live keys; ~200 wide ≈ a few hundred rows):
@@ -2936,7 +2953,14 @@ object SparkEntry {
     // key-clustered fixture both terms touch boundary files only, so
     // the cycle should stay near-flat while the table grows
     "lake_dv_cycle" -> ((s, dir) => {
-      val (table, _) = changeFeedTables(s, dir)
+      // PRIVATE fixture: (a) the probe's delete/purge commits must not
+      // advance the table lake_dv_delete/lake_changes hash against;
+      // (b) unlike the 4-file oracle fixture, file COUNT here scales
+      // with the corpus (constant bytes/file), so "boundary files" —
+      // and with them the purge rewrite — stay constant-sized at any
+      // scale. The 4-file fixture made each dirty file 25% of the
+      // corpus, turning the cycle O(corpus/4) by construction.
+      val table = dvCycleTable(s, dir)
       val ks = dvProbeKeys(s, dir)
       val tick = dvCycleTick.getAndIncrement().toInt
       val pick = Seq(ks((2 * tick + 100) % ks.length), ks((2 * tick + 101) % ks.length))
@@ -2973,6 +2997,24 @@ object SparkEntry {
   private val joinViewProbeTick = new java.util.concurrent.atomic.AtomicLong(0L)
   private val dvCycleTick = new java.util.concurrent.atomic.AtomicLong(0L)
   private val relayProbeTick = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** lake_dv_cycle's PRIVATE snapshot table (see the probe note): 2/3
+    * of lineitem, key-clustered, file count scaled to the corpus so a
+    * 2-key delete's may-contain prune and the follow-up purge touch a
+    * ~constant byte volume at any scale. */
+  private val dvCycleCache = new SessionCache[String]
+  private def dvCycleTable(s: SparkSession, dir: String): String =
+    dvCycleCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_dvcycle_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"
+      val li = t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(3)) < 2)
+      val nF = math.max(4L, li.count() / 50000L).toInt
+      SnapshotLog.write(li, table, "overwrite",
+        clusterColumn = Some("l_orderkey"), nFiles = nF)
+      table
+    }
 
   /** Bounded driver-held key pool for the DV-cycle probe: the first
     * 5,000 distinct v0-population orderkeys (TPC-H keys are sparse, so

@@ -66,6 +66,16 @@ object Branches {
     * Fails if the branch already exists. */
   def create(spark: SparkSession, table: String, name: String,
              fromVersion: Option[Long] = None): Long = {
+    // A branch of a branch would nest `_branches/b1/_branches/b2`,
+    // whose dataRootOf resolves to `…/b1/data` — NOT the table pool
+    // the fork commit's restated paths are relative to: every read of
+    // the nested branch would miss, and appends would open a divergent
+    // second pool. Refuse the shape outright (fork from the table and
+    // a version instead).
+    require(!table.split('/').contains(BranchesDir),
+      s"cannot fork from '$table' — branches fork from the TABLE root " +
+        s"(use fromVersion to pin the state; nesting under $BranchesDir " +
+        "would split the shared data pool)")
     val broot = path(table, name)
     val (fs, rootP) = SnapshotLog.fsOf(spark, broot)
     require(!fs.exists(SnapshotLog.logDir(rootP)),

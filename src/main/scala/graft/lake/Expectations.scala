@@ -60,8 +60,18 @@ object Expectations {
     * hashing is order-stable. */
   def annotate(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "at least one expectation required")
-    require(expectations.map(_.name).distinct.size == expectations.size,
-      "expectation names must be unique")
+    // case-insensitive uniqueness: Spark's default resolver conflates
+    // names differing only by case, which would corrupt the per-rule
+    // counts rather than error
+    require(expectations.map(_.name.toLowerCase).distinct.size == expectations.size,
+      "expectation names must be unique (case-insensitively)")
+    // '_total' is ingest's internal count alias and '_violations' the
+    // annotation column — an expectation named either would silently
+    // collide with them in the aggregate row / output schema
+    expectations.map(_.name)
+      .find(n => n.equalsIgnoreCase("_total") || n.equalsIgnoreCase("_violations"))
+      .foreach(n => throw new IllegalArgumentException(
+        s"expectation name '$n' is reserved"))
     require(!df.columns.contains("_violations"),
       "input already has a _violations column")
     val marks = expectations.map(e =>

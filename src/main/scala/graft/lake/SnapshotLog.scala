@@ -110,7 +110,8 @@ object SnapshotLog {
 
   private def render(e: Entry, schemaJson: String, adds: Seq[String],
                      removes: Seq[String],
-                     dvSets: Seq[(String, Seq[String])] = Nil): String = {
+                     dvSets: Seq[(String, Seq[String])] = Nil,
+                     tokens: Option[Seq[String]] = None): String = {
     val sb = new StringBuilder
     sb.append(Magic).append('\n')
     sb.append("version=").append(e.version).append('\n')
@@ -128,15 +129,25 @@ object SnapshotLog {
     dvSets.foreach { case (f, dvs) =>
       sb.append('~').append((f +: dvs).map(enc).mkString("|")).append('\n')
     }
+    // `!<token>` — CHECKPOINT-ONLY: the cumulative set of commit tokens
+    // any manifest ≤ this version ever referenced (including expired
+    // ones — the set is seeded from the previous token-carrying
+    // checkpoint, so it survives retention). This is what keeps
+    // [[appendBatch]]'s exactly-once skip O(checkpointInterval) instead
+    // of O(commits), twice per streaming micro-batch.
+    tokens.foreach(_.foreach(t => sb.append('!').append(enc(t)).append('\n')))
     sb.append("end=").append(adds.size).append(',').append(removes.size)
-    if (dvSets.nonEmpty) sb.append(',').append(dvSets.size)
+    if (dvSets.nonEmpty || tokens.isDefined) sb.append(',').append(dvSets.size)
+    tokens.foreach(ts => sb.append(',').append(ts.size))
     sb.append('\n')
     sb.toString
   }
 
   private final case class Parsed(entry: Entry, schemaJson: String,
                                   adds: Seq[String], removes: Seq[String],
-                                  dvSets: Seq[(String, Seq[String])] = Nil) {
+                                  dvSets: Seq[(String, Seq[String])] = Nil,
+                                  tokens: Seq[String] = Nil,
+                                  tokensKnown: Boolean = false) {
     /** Every DV parquet file this manifest references. */
     def dvFiles: Seq[String] = dvSets.flatMap(_._2)
   }
@@ -148,7 +159,9 @@ object SnapshotLog {
     var version = -1L; var ts = -1L; var op = ""; var rollbackOf: Option[Long] = None
     var schema = ""; val adds = Seq.newBuilder[String]; val removes = Seq.newBuilder[String]
     val dvSets = Seq.newBuilder[(String, Seq[String])]
-    var nA = 0; var nR = 0; var nD = 0; var ended = false
+    val tokens = Seq.newBuilder[String]
+    var nA = 0; var nR = 0; var nD = 0; var nT = 0
+    var ended = false; var tokensKnown = false
     for (ln <- lines.tail if ln.nonEmpty) {
       if (ended) return None // content after the trailer: torn/garbled
       if (ln.startsWith("version=")) version = ln.stripPrefix("version=").toLong
@@ -163,22 +176,29 @@ object SnapshotLog {
         if (parts.isEmpty || parts(0).isEmpty) return None
         dvSets += dec(parts(0)) -> parts.tail.toSeq.map(dec); nD += 1
       }
+      else if (ln.startsWith("!")) { tokens += dec(ln.tail); nT += 1 }
       else if (ln.startsWith("end=")) {
         val parts = ln.stripPrefix("end=").split(',')
         // 2-field trailer = pre-DV manifest (nD must be 0); 3-field
-        // counts the `~` lines too
+        // counts the `~` lines too; 4-field (checkpoints) adds the
+        // token-set count — its PRESENCE distinguishes "empty token
+        // set" from "written before token indexing existed"
         val ok = parts.length match {
-          case 2 => parts(0).toInt == nA && parts(1).toInt == nR && nD == 0
-          case 3 => parts(0).toInt == nA && parts(1).toInt == nR && parts(2).toInt == nD
+          case 2 => parts(0).toInt == nA && parts(1).toInt == nR && nD == 0 && nT == 0
+          case 3 => parts(0).toInt == nA && parts(1).toInt == nR &&
+            parts(2).toInt == nD && nT == 0
+          case 4 => parts(0).toInt == nA && parts(1).toInt == nR &&
+            parts(2).toInt == nD && parts(3).toInt == nT
           case _ => false
         }
         if (!ok) return None
+        tokensKnown = parts.length == 4
         ended = true
       } else return None
     }
     if (!ended || version < 0 || ts < 0 || op.isEmpty || schema.isEmpty) None
     else Some(Parsed(Entry(version, ts, op, nA, nR, rollbackOf), schema,
-      adds.result(), removes.result(), dvSets.result()))
+      adds.result(), removes.result(), dvSets.result(), tokens.result(), tokensKnown))
   }
 
   private def readFile(fs: FileSystem, p: Path): String = {
@@ -318,15 +338,58 @@ object SnapshotLog {
 
   /** Write a checkpoint when the version lands on the interval. Crash
     * here is harmless (readers validate + skip); a later commit on the
-    * same version number cannot exist, so no claim conflict. */
+    * same version number cannot exist, so no claim conflict. The
+    * checkpoint carries the CUMULATIVE referenced-token set (seeded
+    * from the previous token-carrying checkpoint, so O(interval) to
+    * compute) — [[appendBatch]]'s exactly-once skip reads it instead of
+    * re-parsing every retained manifest. */
   private def maybeCheckpoint(spark: SparkSession, fs: FileSystem, root: Path,
                               table: String, v: Long, interval: Int): Unit =
     if (interval > 0 && v > 0 && v % interval == 0) {
       val snap = state(spark, table, Some(v))
+      val tokens = tokenSetAt(fs, root, Some(v)).toSeq.sorted
       val e = Entry(v, System.currentTimeMillis(), "checkpoint", snap.files.size, 0, None)
       tryClaim(fs, checkpointPath(root, v),
-        render(e, snap.schemaJson, snap.files, Nil, snap.dvs.toSeq))
+        render(e, snap.schemaJson, snap.files, Nil, snap.dvs.toSeq,
+          tokens = Some(tokens)))
     }
+
+  /** The commit token a pool-relative path belongs to. */
+  private def tokenOf(path: String): Option[String] = path.split('/') match {
+    case Array("data", tok, _*) => Some(tok)
+    case _ => None
+  }
+
+  /** Diagnostic: manifests parsed by [[tokenSetAt]] since JVM start —
+    * the spec pins appendBatch's per-batch log reads to
+    * O(checkpointInterval) on a long log. */
+  private[lake] val tokenScanManifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Every commit token any manifest with version ≤ `upTo` (default:
+    * all) references — INCLUDING manifests already dropped by
+    * [[expire]], via the cumulative checkpoint token set. Seeds from
+    * the newest token-carrying checkpoint ≤ `upTo` and parses only the
+    * manifests after it: O(checkpointInterval) steady-state. Falls back
+    * to the full retained-manifest scan when no checkpoint carries
+    * tokens yet (a log written before token indexing). */
+  private def tokenSetAt(fs: FileSystem, root: Path,
+                         upTo: Option[Long] = None): Set[String] = {
+    val listing = listLog(fs, root)
+    val bound = upTo.getOrElse(Long.MaxValue)
+    val seed = listing.checkpoints.filter(_ <= bound).sorted.reverse.iterator
+      .flatMap(cv => parse(readFile(fs, checkpointPath(root, cv)))
+        .filter(_.tokensKnown).map(cv -> _))
+      .take(1).toSeq.headOption
+    val (from, base) = seed match {
+      case Some((cv, p)) => (cv + 1, p.tokens.toSet)
+      case None => (Long.MinValue, Set.empty[String])
+    }
+    base ++ listing.manifests.filter(v => v >= from && v <= bound).flatMap { v =>
+      tokenScanManifestReads.incrementAndGet()
+      parse(readFile(fs, manifestPath(root, v))).toSeq
+        .flatMap(p => p.adds ++ p.removes ++ p.dvFiles)
+    }.flatMap(tokenOf)
+  }
 
   /** Append retry loop: re-read the head and re-claim — two appends
     * never logically conflict, so losing a claim race is not an error.
@@ -513,15 +576,13 @@ object SnapshotLog {
     -1L // unreachable
   }
 
-  /** Every token dir any manifest references (committed or torn). */
+  /** Every token dir any manifest ever referenced (committed or torn,
+    * retained or expired) — checkpoint-seeded, O(checkpointInterval)
+    * per call (see [[tokenSetAt]]). The cumulative set also closes a
+    * replay hole retention used to open: a batch whose only
+    * referencing manifest was [[expire]]d stays skipped. */
   private def tokensReferenced(fs: FileSystem, root: Path): Set[String] =
-    listLog(fs, root).manifests.flatMap { v =>
-      parse(readFile(fs, manifestPath(root, v))).toSeq
-        .flatMap(p => p.adds ++ p.removes ++ p.dvFiles)
-    }.flatMap(_.split('/') match {
-      case Array("data", tok, _*) => Some(tok)
-      case _ => None
-    }).toSet
+    tokenSetAt(fs, root)
 
   /** OPTIMIZE: rewrite the head's live set range-clustered on
     * `clusterColumn` as ONE new commit — readers of the old versions
@@ -947,6 +1008,17 @@ object SnapshotLog {
     *    REFUSES them unless `allowFullDiff = true` (then: full-snapshot
     *    except-diff, which also accounts for DV restates/un-deletes).
     *    Both sides must share one schema.
+    *  - `purge`: no live-row change by contract (merge-on-read fold).
+    *  - `publish:<name>` ([[Branches.publish]]): bounded except-diff
+    *    over the AFFECTED files only — adds, removes, and DV-restated
+    *    survivors, each side with its own version's vectors applied —
+    *    so a WAP batch flows through the feed at O(published diff).
+    *  - `fork@<v>` (v0 of a branch log): the restated live set, DVs
+    *    applied, as inserts — the branch's creating commit.
+    *  - any OTHER label ([[write]]'s `opLabel`): classified by shape —
+    *    adds-only commits insert their added files; commits with
+    *    removes or DV restates are gated behind `allowFullDiff` like
+    *    `overwrite`. An unknown op is never silently skipped.
     *
     * `fromVersion` is EXCLUSIVE (pass -1 to include the creating
     * commit), `toVersion` inclusive (default: head). Rows from
@@ -965,11 +1037,17 @@ object SnapshotLog {
     val outFields = outSchema.fields.toSeq
     def abs(f: String) = new Path(dataRootOf(root), f).toString
 
-    /** Null-fill `df` to the output schema, then tag it. */
-    def conform(df: DataFrame, tpe: String, v: Long): DataFrame =
+    /** Null-fill `df` to the output schema (shared by the tag step and
+      * the except-diffs, whose two sides may sit on different commit
+      * schemas after an evolution). */
+    def align(df: DataFrame): DataFrame =
       df.select(outFields.map(f =>
           if (df.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)): _*)
+
+    /** Null-fill `df` to the output schema, then tag it. */
+    def conform(df: DataFrame, tpe: String, v: Long): DataFrame =
+      align(df)
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
 
@@ -1006,6 +1084,31 @@ object SnapshotLog {
             parts += conform(dead, "delete", v)
           }
         case "compact" => // clustering rewrite: same rows by contract
+        case "purge" => // merge-on-read fold: same live rows by contract
+        case op if op.startsWith("fork@") =>
+          // branch-creating commit (v0 of a branch log): the restated
+          // live set with its DVs applied IS the insert set — reachable
+          // only via fromVersion = -1 on a branch, i.e. the consumer
+          // asked for the creation
+          parts += conform(
+            readSnapshot(spark, table, state(spark, table, Some(v))), "insert", v)
+        case op if op.startsWith("publish:") =>
+          // WAP fast-forward (Branches.publish): ONE main commit carrying
+          // a branch's net diff — adds, removes, AND DV restates on
+          // surviving files. Bounded except-diff over the AFFECTED files
+          // only, each side reading its own version's DVs, so new dead
+          // rows surface as deletes and un-deletes as inserts. Cost is
+          // O(published diff), never O(table).
+          val prev = prevState(v)
+          val cur = state(spark, table, Some(v))
+          val prevSet = prev.files.toSet; val curSet = cur.files.toSet
+          val restated = p.dvSets.map(_._1)
+          val prevAffected = (p.removes ++ restated.filter(prevSet)).distinct
+          val curAffected = (p.adds ++ restated.filter(curSet)).distinct
+          val before = align(readSnapshot(spark, table, prev, onlyFiles = Some(prevAffected)))
+          val after = align(readSnapshot(spark, table, cur, onlyFiles = Some(curAffected)))
+          parts += conform(after.exceptAll(before), "insert", v)
+          parts += conform(before.exceptAll(after), "delete", v)
         case op @ ("merge" | "overwrite" | "rollback") =>
           val prev = prevState(v)
           // a merge with no affected files (pure upsert of absent keys)
@@ -1032,7 +1135,30 @@ object SnapshotLog {
             parts += conform(after.exceptAll(before), "insert", v)
             parts += conform(before.exceptAll(after), "delete", v)
           }
-        case _ => // unknown maintenance op: no row change claimed
+        case other =>
+          // A label [[write]]'s opLabel put on the commit (e.g. the
+          // view cursors 'mv:…'/'mvj:…'). File semantics are the mode's
+          // by contract, so classify by SHAPE — never silently claim
+          // "no row change" for an op we don't know:
+          //  - adds-only (append-shaped): the added files are exactly
+          //    the new rows;
+          //  - anything with removes or DV restates (overwrite-shaped):
+          //    a full-snapshot except-diff, gated like 'overwrite'.
+          if (p.removes.isEmpty && p.dvSets.isEmpty) {
+            if (p.adds.nonEmpty) parts += conform(readAdds(), "insert", v)
+          } else {
+            require(allowFullDiff,
+              s"v$v carries op '$other' with removes/DV restates — the row " +
+                "diff cannot be bounded; pass allowFullDiff = true for a " +
+                "full-snapshot except-diff, or restart the consumer from a " +
+                "full read of the new version")
+            val prev = prevState(v)
+            val curSnap = state(spark, table, Some(v))
+            val before = align(readSnapshot(spark, table, prev))
+            val after = align(readSnapshot(spark, table, curSnap))
+            parts += conform(after.exceptAll(before), "insert", v)
+            parts += conform(before.exceptAll(after), "delete", v)
+          }
       }
     }
     val changeSchema = StructType(outFields :+
@@ -1109,10 +1235,15 @@ object SnapshotLog {
     if (!listing.checkpoints.exists(v =>
       v == horizon && parse(readFile(fs, checkpointPath(root, v))).isDefined)) {
       val snap = state(spark, table, Some(horizon))
+      // cumulative token set rides the horizon checkpoint so
+      // appendBatch's exactly-once skip survives the manifest drop
+      // below — a replayed pre-horizon batch must still be a no-op
+      val tokens = tokenSetAt(fs, root, Some(horizon)).toSeq.sorted
       val e = Entry(horizon, System.currentTimeMillis(), "checkpoint",
         snap.files.size, 0, None)
       tryClaim(fs, checkpointPath(root, horizon),
-        render(e, snap.schemaJson, snap.files, Nil, snap.dvs.toSeq))
+        render(e, snap.schemaJson, snap.files, Nil, snap.dvs.toSeq,
+          tokens = Some(tokens)))
     }
 
     def allFiles(s: Snapshot): Seq[String] = s.files ++ s.dvs.values.flatten

@@ -680,8 +680,10 @@ object TextAnalysis {
         lineRatio(size(filter(l, x => x.endsWith("...")))))
       .withColumn("alpha_word_ratio",
         safeRatio(size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double")))
-      .withColumn("n_required_stops", {
-        val tk = tokensCol(text)
+      // bindOnce, or the 8-element filter lambda re-runs the regex
+      // tokenization once per stop word per row (the CollapseProject
+      // re-run trap documented above)
+      .withColumn("n_required_stops", bindOnce(tokensCol(text)) { tk =>
         size(filter(
           array(gopherStops.map(lit(_)): _*), s => array_contains(tk, s))).cast("long")
       })

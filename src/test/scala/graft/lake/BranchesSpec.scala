@@ -139,4 +139,15 @@ class BranchesSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, table).count() === 102)
     assert(Branches.readTag(spark, table, "audited-2024-03").count() === 102)
   }
+
+  test("branch-of-branch is refused: the nested pool would diverge") {
+    val table = mkTable("br_nest")
+    Branches.create(spark, table, "b1")
+    val e = intercept[IllegalArgumentException](
+      Branches.create(spark, Branches.path(table, "b1"), "b2"))
+    assert(e.getMessage.contains("TABLE root"))
+    // the guard also rejects any _branches segment smuggled in the path
+    intercept[IllegalArgumentException](
+      Branches.create(spark, s"$table/${Branches.BranchesDir}/b1", "b3"))
+  }
 }

@@ -183,4 +183,41 @@ class ChangeFeedSpec extends SparkSpec {
       .collect().toSet
     assert(ch == Set((1L, None, 0L), (2L, Some(9L), 1L)))
   }
+
+  test("publish feeds the branch's net diff: append, DV delete, nothing else") {
+    val t = mkTable()
+    SnapshotLog.write((0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      t, "overwrite", clusterColumn = Some("id"), nFiles = 2) // v0
+    Branches.create(spark, t, "wap")
+    val b = Branches.path(t, "wap")
+    SnapshotLog.write(Seq((100L, "new")).toDF("id", "s"), b, "append")
+    SnapshotLog.delete(spark, b, col("id") === 7L) // DV on a surviving file
+    Branches.publish(spark, t, "wap") // main v1, op 'publish:wap'
+    // the feed must see the WAP batch: one insert, one delete — a
+    // silent skip here was the round-11 ADVICE-high hazard
+    assert(changes(t, 0L) == Set(
+      (100L, "new", "insert", 1L), (7L, "r7", "delete", 1L)))
+    // and the incremental path composes: a view refreshed across the
+    // publish equals a from-scratch aggregate (consumer-level check)
+    val mv = tmpDir("chfeed_pubmv") + "/mv"
+    IncrementalView.create(spark, t, mv, Seq("s"), Nil, asOf = Some(0L))
+    IncrementalView.refresh(spark, mv)
+    assert(IncrementalView.read(spark, mv).where(col("s") === "new").count() === 1)
+    assert(IncrementalView.read(spark, mv).where(col("s") === "r7").count() === 0)
+  }
+
+  test("adds-only custom op label feeds inserts; removes-bearing label is gated") {
+    import org.apache.spark.sql.functions.lit
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite") // v0
+    SnapshotLog.write(Seq((2L, "b")).toDF("id", "s"), t, "append",
+      opLabel = Some("my-ingest:batch7")) // v1: append-shaped custom label
+    assert(changes(t, 0L) == Set((2L, "b", "insert", 1L)))
+    SnapshotLog.write(Seq((3L, "c")).toDF("id", "s"), t, "overwrite",
+      opLabel = Some("mv:9:src:g:")) // v2: overwrite-shaped custom label
+    val e = intercept[IllegalArgumentException](changes(t, 1L))
+    assert(e.getMessage.contains("allowFullDiff"))
+    assert(changes(t, 1L, full = true) == Set(
+      (1L, "a", "delete", 2L), (2L, "b", "delete", 2L), (3L, "c", "insert", 2L)))
+  }
 }

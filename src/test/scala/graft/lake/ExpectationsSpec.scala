@@ -73,4 +73,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(r.mainVersion === 0L && r.quarantineVersion === -1L)
     assert(r.violations.values.sum === 0L)
   }
+
+  test("reserved and case-colliding expectation names are rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0, "O")).toDF("k", "price", "status")
+    def rule(n: String) = Expectation(n, col("k") > 0, Expect.Drop)
+    val e = intercept[IllegalArgumentException](
+      Expectations.annotate(df, Seq(rule("_total"))))
+    assert(e.getMessage.contains("reserved"))
+    intercept[IllegalArgumentException](
+      Expectations.annotate(df, Seq(rule("_VIOLATIONS"))))
+    // Spark's resolver conflates case: two rules differing only by case
+    // would corrupt counts, so they are refused up front
+    val dup = intercept[IllegalArgumentException](
+      Expectations.annotate(df, Seq(rule("posKey"), rule("poskey"))))
+    assert(dup.getMessage.contains("unique"))
+  }
 }

@@ -338,4 +338,45 @@ class SnapshotLogSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("id", "s"))
     assert(df.count() == 0L)
   }
+
+  test("appendBatch on a long log reads O(checkpointInterval) manifests, not O(commits)") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite") // v0
+    val schemaJson = SnapshotLog.state(spark, t).schemaJson
+    // 99 synthetic commits (the token machinery never opens data files,
+    // so fake paths keep the 100-commit log cheap to build); default
+    // checkpoint interval = 10
+    for (i <- 1 to 99)
+      SnapshotLog.commit(spark, t, "append",
+        adds = Seq(s"data/synth$i/part-0.parquet"), removes = Nil,
+        schemaJson = schemaJson, expected = i - 1L)
+    assert(SnapshotLog.currentVersion(spark, t) == 99L)
+    SnapshotLog.tokenScanManifestReads.set(0L)
+    // replayed token from v1 — 90+ commits and several checkpoints ago
+    assert(SnapshotLog.appendBatch(Seq((2L, "b")).toDF("id", "s"), t, "synth1") == -1L)
+    // fresh token commits (pre-check + claim-loop check = 2 scans)
+    assert(SnapshotLog.appendBatch(Seq((2L, "b")).toDF("id", "s"), t, "fresh-1") == 100L)
+    val reads = SnapshotLog.tokenScanManifestReads.get()
+    // 3 token scans (1 replay check + 2 in the fresh append), each
+    // seeded from the v90 checkpoint → ≤ ~10 manifests per scan; the
+    // old O(commits) path would have read ~300 here
+    assert(reads <= 45L, s"token scans read $reads manifests — not checkpoint-seeded?")
+    // the fresh batch's files are live (the synthetic paths make a full
+    // read impossible, so check the committed state directly)
+    assert(SnapshotLog.state(spark, t).files.exists(_.startsWith("data/fresh-1/")))
+  }
+
+  test("exactly-once token skip survives expire dropping the referencing manifest") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite") // v0
+    assert(SnapshotLog.appendBatch(Seq((2L, "b")).toDF("id", "s"), t, "batch-0") == 1L)
+    for (i <- 100 to 110) // advance far enough that v1 expires
+      SnapshotLog.write(Seq((i.toLong, s"r$i")).toDF("id", "s"), t, "append")
+    SnapshotLog.expire(spark, t, keepLast = 3)
+    // v1's manifest is gone — the cumulative checkpoint token set must
+    // still skip the replay (the old manifest-scan skip would re-commit)
+    intercept[Exception](SnapshotLog.read(spark, t, Some(1L)))
+    assert(SnapshotLog.appendBatch(Seq((2L, "b")).toDF("id", "s"), t, "batch-0") == -1L)
+    assert(SnapshotLog.read(spark, t).where(col("id") === 2L).count() == 1L)
+  }
 }
