@@ -389,6 +389,10 @@ object Bench {
       val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
       names.foreach { name =>
         val fn = SparkEntry.queries.getOrElse(name, SparkEntry.scaleProbes(name))
+        // stderr breadcrumb: scheduler warnings (large task binaries,
+        // oversized tasks) interleave here, so a warning is attributable
+        // to the query that produced it without a UI
+        System.err.println(s"[bench] $name @ $dir")
         val t0 = System.nanoTime()
         try {
           fn(spark, dir).count()
@@ -474,7 +478,14 @@ object Bench {
             .mkString("\"errors\":{", ",", "}")
         // compact keys: every sf1 char competes with a main-dict query
         // entry for the driver's 2000-char stdout tail
+        // probe_mode: whether these numbers come from the tail of the
+        // full ~260-execution session (dead-heap pressure documented at
+        // sessionHygiene) or an isolated SPARK_GRAFT_ONLY rerun — the
+        // two are NOT comparable, and an artifact reader must know which
+        // it is holding (round-11 reconciliation lesson)
+        val mode = if (only.isEmpty) "session_tail" else "isolated"
         sf1Json = s""","sf1":{"scale":$copies,"gen":${sec2(genSec)},""" +
+          s""""probe_mode":${jsonStr(mode)},""" +
           s""""queries":$qs,"cold_sec":${sec2(sf1Cold.values.sum)}$errJson}"""
         sf1Compact = s""","sf1_total_sec":${sec2(sf1Warm.values.sum)}""" +
           (if (sf1Errors.isEmpty) "" else s""","sf1_n_errors":${sf1Errors.size}""")
@@ -515,7 +526,9 @@ object Bench {
           if (sf10Errors.isEmpty) ""
           else "," + sf10Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
             .mkString("\"errors\":{", ",", "}")
-        sf10Json = s""","sf10":{"scale":$copies100,"gen":${sec2(genSec)},"queries":$qs$errJson}"""
+        val mode = if (only.isEmpty) "session_tail" else "isolated"
+        sf10Json = s""","sf10":{"scale":$copies100,"gen":${sec2(genSec)},""" +
+          s""""probe_mode":${jsonStr(mode)},"queries":$qs$errJson}"""
         sf10Compact = s""","sf10_total_sec":${sec2(sf10Times.values.sum)}""" +
           (if (sf10Errors.isEmpty) "" else s""","sf10_n_errors":${sf10Errors.size}""")
       } catch { case e: Throwable =>

@@ -203,6 +203,61 @@ object SparkEntry {
       path
     }
 
+  /** lake_incr_minmax's source + min/max view, once per (session, dir):
+    * v0 = keys ≡ 0 mod 3 (clustered), view created at v0 with
+    * SUM(l_quantity) + MIN/MAX(l_extendedprice) by l_returnflag, v1
+    * appends keys ≡ 1, then a DV delete removes the TWO orderkeys
+    * holding the highest l_extendedprice in the v1 population — a
+    * delete that retracts at least one group's maintained MAX, forcing
+    * the rescan-on-retract path (not just the insert fold). The keys
+    * are derived from the data so the oracle can re-derive them in
+    * pure SQL at any scale factor. */
+  private val minMaxViewCache = new SessionCache[String]
+
+  private def minMaxViewTable(s: SparkSession, dir: String): String =
+    minMaxViewCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_mmview_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"; val mv = s"$base/mv"
+      val li = t(s, dir, "lineitem")
+      def third(r: Int) = li.where(pmod(col("l_orderkey"), lit(3)) === r)
+      SnapshotLog.write(third(0), table, "overwrite",
+        clusterColumn = Some("l_orderkey"), nFiles = 4) // v0
+      graft.lake.IncrementalView.create(s, table, mv,
+        Seq("l_returnflag"), Seq("l_quantity"),
+        minMaxCols = Seq("l_extendedprice"))
+      SnapshotLog.write(third(1), table, "append",
+        clusterColumn = Some("l_orderkey"), nFiles = 4) // v1
+      val topKeys = SnapshotLog.read(s, table)
+        .groupBy("l_orderkey").agg(max(col("l_extendedprice")).as("_mp"))
+        .orderBy(col("_mp").desc, col("l_orderkey").asc).limit(2)
+        .select("l_orderkey").collect().map(_.getLong(0)).toSeq
+      SnapshotLog.deleteByKeys(s, table, "l_orderkey", topKeys) // v2: retracts a MAX
+      graft.lake.IncrementalView.refresh(s, mv)
+      mv
+    }
+
+  /** lake_maintain's private table, once per (session, dir): v0 = keys
+    * ≡ 0 mod 3 (8 clustered files), one CDC-sized DV delete, then
+    * [[SnapshotLog.maintain]] with a zero dirty-fraction bound — the
+    * policy must auto-purge, leaving zero dirty files and exactly the
+    * post-delete population. */
+  private val maintainCache = new SessionCache[String]
+
+  private def maintainTable(s: SparkSession, dir: String): String =
+    maintainCache.getOrElseUpdate(s, dir) {
+      val path = s"/tmp/graft_maint_${dirTag(dir)}/lineitem"
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      SnapshotLog.write(
+        t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(3)) === 0),
+        path, "overwrite", clusterColumn = Some("l_orderkey"), nFiles = 8)
+      SnapshotLog.deleteByKeys(s, path, "l_orderkey", Seq(42L, 45L))
+      SnapshotLog.maintain(s, path, maxDirtyFraction = 0.0)
+      path
+    }
+
   /** lake_snap_merge's merged snapshot table, once per (session, dir):
     * lineitem as v0 (clustered), then ONE copy-on-write merge commit
     * (same upsert/delete batch as the metastore lake's `lake_merge`,
@@ -747,6 +802,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // the same pinned-version aggregate through PURE SQL: the DSv2
+    // catalog (SnapshotCatalog) resolves `VERSION AS OF 1` to v1's
+    // exact file set + schema, no API call in sight — hash-matching
+    // lake_timetravel's oracle proves the SQL surface serves the same
+    // bytes as the API read. Catalog name is per-dir: Spark caches a
+    // catalog instance by name at first use, so a shared name would pin
+    // the first dir's root for the whole session.
+    "lake_sql_timetravel" -> ((s, dir) => {
+      val table = snapshotTable(s, dir)
+      val root = table.stripSuffix("/lineitem")
+      val cat = s"snap_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(
+        s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.lineitem VERSION AS OF 1
+           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // rollback: the head commit restores v1's exact live set after the
     // bad v2 overwrite — reading HEAD (not a pinned version) must equal
     // thirds 0+1; a rollback that missed a file or leaked one of v2's
@@ -833,6 +908,31 @@ object SparkEntry {
       graft.lake.IncrementalView.read(s, mv)
         .select(col("l_returnflag"), col("n_rows"),
           col("sum_l_quantity").as("sum_qty"))
+    }),
+
+    // auto-maintenance policy: after maintain() the vectors are FOLDED
+    // (n_dirty_files pinned to 0 in the result) and the head reads
+    // exactly the post-delete population
+    "lake_maintain" -> ((s, dir) => {
+      val table = maintainTable(s, dir)
+      val nDirty = SnapshotLog.state(s, table).dvs.size.toLong
+      SnapshotLog.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .withColumn("n_dirty_files", lit(nDirty))
+    }),
+
+    // MIN/MAX + derived AVG maintained through a DV delete that
+    // retracts a group's max (rescan-on-retract, bounded to the
+    // retracted groups) — must equal the oracle's from-scratch
+    // aggregate over the post-delete population
+    "lake_incr_minmax" -> ((s, dir) => {
+      val mv = minMaxViewTable(s, dir)
+      graft.lake.IncrementalView.read(s, mv)
+        .select(col("l_returnflag"), col("n_rows"),
+          col("min_l_extendedprice").as("min_price"),
+          col("max_l_extendedprice").as("max_price"),
+          col("avg_l_quantity").as("avg_qty"))
     }),
 
     // the change feed shipped through the streaming relay's outbox
@@ -2464,6 +2564,20 @@ object SparkEntry {
           size(col("sampled_frame_idx")).cast("long").as("n_sampled"))
         .orderBy("doc_id")),
 
+    // strided per-frame features through the frame-iterator seam
+    // (ChunkVideoDecoder): frame count/index arithmetic is the
+    // oracle-checked surface; the float payload is pinned bit-exact by
+    // MultimodalSpec (stubDecode is not ANSI-SQL-expressible)
+    "mm_video_frames" -> ((s, dir) =>
+      Multimodal.extractFrameFeatures(s,
+          Multimodal.withMedia(t(s, dir, "documents")),
+          new Multimodal.ChunkVideoDecoder(frameBytes = 16, dims = 8), stride = 4)
+        .toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sampled_frames"),
+          max(col("frame_idx")).cast("long").as("max_frame_idx"))
+        .orderBy("doc_id")),
+
     // resize planning: oracle-expressible dims (doc_id/n_chars modular
     // arithmetic instead of withMedia's xxhash dims, which DuckDB lacks)
     "mm_resize" -> ((s, dir) =>
@@ -3101,6 +3215,13 @@ object SparkEntry {
         |FROM lineitem WHERE l_orderkey % 3 < 2
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // pure-SQL time travel reads the same v1 = thirds 0+1
+    "lake_sql_timetravel" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 3 < 2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // head after rollback(1) = the same thirds 0+1 population
     "lake_rollback" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT l_orderkey) AS n_keys,
@@ -3239,6 +3360,29 @@ object SparkEntry {
         |               ELSE l_quantity END) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43, 51)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // after auto-purge: post-delete population, zero dirty files
+    "lake_maintain" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(0 AS BIGINT) AS n_dirty_files
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 0 AND l_orderkey NOT IN (42, 45)""".stripMargin,
+
+    // min/max view vs from-scratch: population = thirds 0+1 minus the
+    // two orderkeys with the highest per-key max extendedprice (the
+    // same derivation the fixture used to pick its delete batch)
+    "lake_incr_minmax" ->
+      """WITH pop AS (SELECT * FROM lineitem WHERE l_orderkey % 3 < 2),
+        |top2 AS (SELECT l_orderkey FROM (
+        |  SELECT l_orderkey, max(l_extendedprice) AS _mp FROM pop
+        |  GROUP BY l_orderkey ORDER BY _mp DESC, l_orderkey ASC LIMIT 2))
+        |SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM pop WHERE l_orderkey NOT IN (SELECT l_orderkey FROM top2)
         |GROUP BY l_returnflag""".stripMargin,
 
     // head after evolution = even keys with NULL prio_class ∪ odd keys
@@ -4931,6 +5075,18 @@ object SparkEntry {
         |    THEN floor((octet_length(encode(text)) // 16 - 1) / 4) + 1
         |    ELSE 0 END AS BIGINT) AS n_sampled
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // docs with ≥1 complete 16-byte frame emit idx 0,4,8,… — count =
+    // ceil(n_frames/4), max idx = 4*(count-1)
+    "mm_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(floor((octet_length(encode(text)) // 16 - 1) / 4) + 1 AS BIGINT)
+        |    AS n_sampled_frames,
+        |  CAST(4 * floor((octet_length(encode(text)) // 16 - 1) / 4) AS BIGINT)
+        |    AS max_frame_idx
+        |FROM documents
+        |WHERE octet_length(encode(text)) // 16 > 0
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_resize" ->
       """WITH m AS (

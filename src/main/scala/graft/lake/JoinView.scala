@@ -203,7 +203,17 @@ object JoinView {
       opLabel = Some(label(m.copy(factVersion = fHead, dimVersion = dHead))))
   }
 
-  /** Read the view's current state: (groupCols…, n_rows, sum_<c>…). */
-  def read(spark: SparkSession, view: String): DataFrame =
-    SnapshotLog.read(spark, view)
+  /** Read the view's current state: (groupCols…, n_rows, sum_<c>…)
+    * plus DERIVED `avg_<c>` per sum column — AVG is exactly SUM/COUNT,
+    * so it rides the maintained pair with no state of its own. MIN/MAX
+    * over a join view are NOT offered: a dim-side update migrates whole
+    * groups, so retraction detection would need the joined recompute
+    * for every touched group — [[IncrementalView]] (single-source)
+    * maintains them with the bounded rescan instead. */
+  def read(spark: SparkSession, view: String): DataFrame = {
+    val m = meta(spark, view)
+    m.sumCols.foldLeft(SnapshotLog.read(spark, view))((df, c) =>
+      df.withColumn(s"avg_$c",
+        col(s"sum_$c").cast("double") / col("n_rows").cast("double")))
+  }
 }

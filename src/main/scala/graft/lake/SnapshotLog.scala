@@ -642,6 +642,43 @@ object SnapshotLog {
       checkpointInterval = checkpointInterval)
   }
 
+  /** MAINTENANCE POLICY for merge-on-read deletes: [[purgeDeletes]]
+    * when the head's dead-row debt crosses a bound, else a no-op.
+    * Every read of a DV'd version pays a broadcast of the dead-row set
+    * ([[dvRows]]) and the anti-join on dirty files; [[delete]] keeps
+    * writes O(deleted rows), so WITHOUT a trigger that read-side tax
+    * only ever grows — this is the trigger. Call it on an ingest/delete
+    * cadence (e.g. every N micro-batches, or after each CDC apply):
+    *
+    *  - `maxDirtyFraction`: purge when more than this fraction of the
+    *    head's live files carry vectors (read-amplification bound);
+    *  - `maxDeadRows`: purge when the pooled dead-row count exceeds
+    *    this (broadcast-size bound — the DV parquet files are
+    *    dead-row-sized, so counting them is cheap).
+    *
+    * Returns the new version after a purge, or the head unchanged.
+    * Cost when triggered is [[purgeDeletes]]'s O(dirty-file bytes);
+    * when not triggered, one footer-count pass over the (small) DV
+    * files. Lost-update safe like every non-append commit. */
+  def maintain(spark: SparkSession, table: String,
+               maxDirtyFraction: Double = 0.2, maxDeadRows: Long = 1000000L,
+               checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    require(maxDirtyFraction >= 0.0 && maxDeadRows >= 0L,
+      "bounds must be non-negative")
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val dirty = cur.files.count(cur.dvs.contains)
+    if (dirty == 0) return head
+    val dirtyFraction = dirty.toDouble / cur.files.size
+    val trigger =
+      if (dirtyFraction > maxDirtyFraction) true
+      else {
+        val (_, root) = fsOf(spark, table)
+        dvRows(spark, root, cur).count() > maxDeadRows
+      }
+    if (trigger) purgeDeletes(spark, table, checkpointInterval) else head
+  }
+
   /** Copy-on-write MERGE as ONE snapshot commit: rows of `upserts`
     * replace same-key rows, `deleteKeys` vanish, every other row rides
     * along untouched. File-level pruning bounds the rewrite: footer
@@ -713,8 +750,10 @@ object SnapshotLog {
   /** Row-level DELETE as a deletion-vector commit — O(deleted rows)
     * written, ZERO data files rewritten. The predicate scan is pushed
     * into the parquet reader (row-group skipping applies); matching
-    * rows' positions (`_metadata.row_index`) are written as ONE small
-    * DV parquet `(file, pos)` under a fresh commit token, and the
+    * rows' positions (`_metadata.row_index`) are written as DV parquet
+    * `(file, pos)` rows under a fresh commit token — one file in the
+    * CDC-sized common case, `⌈rows / dvRowsPerFile⌉` (≤ 64) for a bulk
+    * predicate, so no delete funnels through one task — and the
     * commit restates each affected file's vector set (prior set + the
     * new DV — replacement semantics, see [[render]]). Readers of the
     * new version apply the DV merge-on-read; every pre-delete version
@@ -730,8 +769,10 @@ object SnapshotLog {
   def delete(spark: SparkSession, table: String,
              predicate: org.apache.spark.sql.Column,
              candidates: Option[Seq[String]] = None,
-             checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+             checkpointInterval: Int = DefaultCheckpointInterval,
+             dvRowsPerFile: Long = 8L * 1024 * 1024): Long = {
     import org.apache.spark.sql.functions.col
+    require(dvRowsPerFile > 0, "dvRowsPerFile must be positive")
     val head = currentVersion(spark, table)
     val cur = state(spark, table, Some(head))
     val scanFiles = candidates.getOrElse(cur.files)
@@ -754,17 +795,26 @@ object SnapshotLog {
         dvRows(spark, root, sub)), Seq("file", "pos"), "left_anti")
     }
 
-    val token = java.util.UUID.randomUUID().toString.take(12)
-    val tokenDir = new Path(poolDir(root), token)
-    hits.repartition(1).write.mode("errorifexists").parquet(tokenDir.toString)
-    val dvRel = partFiles(fs, root, tokenDir)
-    val affected = spark.read.parquet(tokenDir.toString)
-      .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
-    if (affected.isEmpty) { fs.delete(tokenDir, true); return head }
-    val dvSets = affected.map(f => f -> (cur.dvs.getOrElse(f, Nil) ++ dvRel))
-    commit(spark, table, "delete", adds = Nil, removes = Nil,
-      schemaJson = cur.schemaJson, expected = head, dvSets = dvSets,
-      checkpointInterval = checkpointInterval)
+    // count-aware DV layout: the CDC-sized common case writes ONE file,
+    // but a predicate matching 10⁸ rows must not funnel through one
+    // task — the hit set is cached (it is (string, long) pairs, tiny
+    // relative to the scanned data) so the count never re-runs the scan
+    hits.persist()
+    try {
+      val nDead = hits.count()
+      if (nDead == 0) return head
+      val nParts = math.min(64L, nDead / dvRowsPerFile + 1).toInt
+      val token = java.util.UUID.randomUUID().toString.take(12)
+      val tokenDir = new Path(poolDir(root), token)
+      hits.repartition(nParts).write.mode("errorifexists").parquet(tokenDir.toString)
+      val dvRel = partFiles(fs, root, tokenDir)
+      val affected = spark.read.parquet(tokenDir.toString)
+        .select("file").distinct().collect().map(_.getString(0)).toSeq.sorted
+      val dvSets = affected.map(f => f -> (cur.dvs.getOrElse(f, Nil) ++ dvRel))
+      commit(spark, table, "delete", adds = Nil, removes = Nil,
+        schemaJson = cur.schemaJson, expected = head, dvSets = dvSets,
+        checkpointInterval = checkpointInterval)
+    } finally hits.unpersist()
   }
 
   /** Key-batch DELETE with file-level pruning: footer stats on `keyCol`

@@ -225,6 +225,71 @@ object Multimodal {
     * non-trivial values. */
   private def nFramesFor(nBytes: Long): Int = (nBytes % 30 + 1).toInt
 
+  /** The VIDEO decoder seam: unlike [[MediaDecoder]] (one feature per
+    * payload), a video codec yields an ordered FRAME ITERATOR — and the
+    * iterator must be lazy, because frame sampling at stride `s` should
+    * decode ~1/s of the stream on a codec that can skip (keyframe
+    * seek). Same per-partition lifecycle contract as [[MediaDecoder]]:
+    * `open()` once before any container, `close()` once even on
+    * failure, instances `Serializable` (shipped per task, not per row).
+    * The JDK ships NO video codec (the documented boundary — see
+    * README), so the in-repo implementation is [[ChunkVideoDecoder]], a
+    * deterministic container-shaped fake: the SEAM and the operator
+    * around it are real and spec-pinned; a production build swaps in an
+    * ffmpeg/JavaCV-backed instance and nothing else changes. */
+  trait VideoDecoder extends Serializable {
+    /** Per-partition setup — called once before any `frames`. */
+    def open(): Unit = ()
+    /** Decode a container into its ordered frames, LAZILY. */
+    def frames(bytes: Array[Byte]): Iterator[Array[Float]]
+    /** Per-partition teardown — called once, even on failure. */
+    def close(): Unit = ()
+  }
+
+  /** Deterministic frame-iterator fake: the payload is treated as
+    * `frameBytes`-sized chunks, each "decoded" by [[stubDecode]]. The
+    * iterator is genuinely lazy (built on `grouped`), so a strided
+    * consumer never touches skipped chunks' float math — the laziness
+    * contract a real keyframe-seeking codec relies on. */
+  final class ChunkVideoDecoder(frameBytes: Int = 16, dims: Int = 8)
+      extends VideoDecoder {
+    require(frameBytes >= 1 && dims >= 1, "frameBytes and dims must be >= 1")
+    def frames(bytes: Array[Byte]): Iterator[Array[Float]] =
+      bytes.grouped(frameBytes)
+        .filter(_.length == frameBytes) // a trailing partial chunk is no frame
+        .map(stubDecode(_, dims))
+  }
+
+  case class FrameFeatures(doc_id: Long, frame_idx: Int, feature: Array[Float])
+
+  /** Strided per-frame feature extraction — the video twin of
+    * [[extractFeatures]]: one narrow `mapPartitions` pass, the decoder
+    * opened once per partition and closed by a task-completion listener
+    * (teardown fires even when a mid-stream decode throws), every
+    * `stride`-th frame of each container emitted as
+    * (doc_id, frame_idx, feature). No shuffle: output order inside a
+    * partition is (row order, frame order), and downstream consumers
+    * key on (doc_id, frame_idx) — at 100 TB the media bytes are read
+    * once and only feature-width data leaves the scan. */
+  def extractFrameFeatures(spark: SparkSession, media: DataFrame,
+                           decoder: VideoDecoder = new ChunkVideoDecoder(),
+                           stride: Int = 4): Dataset[FrameFeatures] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        decoder.open()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => decoder.close()))
+        it.flatMap { case (id, bytes) =>
+          decoder.frames(bytes).zipWithIndex.collect {
+            case (f, i) if i % stride == 0 => FrameFeatures(id, i, f)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: keep every `stride`-th chunk of the payload —
     * byte-level stand-in for video frame sampling; the slice arithmetic,
     * schema and laziness are what a real sampler needs. */

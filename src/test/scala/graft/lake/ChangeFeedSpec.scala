@@ -124,6 +124,43 @@ class ChangeFeedSpec extends SparkSpec {
     assert(viewState(mv) == full)
   }
 
+  test("min/max view: inserts fold; a delete retracting the extremum rescans that group only") {
+    val src = mkTable(); val mv = tmpDir("chfeed") + "/mvmm"
+    def df(rows: (Long, String, Long)*) = rows.toDF("id", "g", "x")
+    SnapshotLog.write(df((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 7L), (4L, "b", 7L)),
+      src, "overwrite", clusterColumn = Some("id"), nFiles = 1) // v0
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("x"), minMaxCols = Seq("x"))
+    def mm(): Map[String, (Long, Long, Double)] = IncrementalView.read(spark, mv)
+      .select(col("g"), col("min_x"), col("max_x"), col("avg_x"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(mm() == Map("a" -> (5L, 10L, 7.5), "b" -> (7L, 7L, 7.0)))
+
+    // insert-only refresh: extrema fold in with no rescan
+    SnapshotLog.write(df((5L, "a", 20L), (6L, "b", 1L)), src, "append") // v1
+    IncrementalView.refresh(spark, mv)
+    assert(mm() == Map("a" -> (5L, 20L, 35.0 / 3), "b" -> (1L, 7L, 5.0)))
+
+    // delete retracts a's MAX (20) and one of b's tied 7s: 'a' must
+    // rescan down to 10; 'b' keeps max 7 via the surviving witness
+    SnapshotLog.delete(spark, src, col("id") === 5L || col("id") === 3L) // v2
+    IncrementalView.refresh(spark, mv)
+    assert(mm() == Map("a" -> (5L, 10L, 7.5), "b" -> (1L, 7L, 4.0)))
+
+    // delete strictly inside the range: no retraction, extrema stand
+    SnapshotLog.delete(spark, src, col("id") === 4L) // v3: b loses its 7
+    IncrementalView.refresh(spark, mv)
+    assert(mm() == Map("a" -> (5L, 10L, 7.5), "b" -> (1L, 1L, 1.0)))
+
+    // final state equals the from-scratch aggregate
+    val full = SnapshotLog.read(spark, src).groupBy("g")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        (sum(col("x")).cast("double") / count(lit(1))).as("av"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(mm() == full)
+  }
+
   test("view cursor survives in the commit label; foreign head is refused") {
     val src = mkTable(); val mv = tmpDir("chfeed") + "/mv2"
     SnapshotLog.write(Seq((1L, "a", 1L)).toDF("id", "g", "x"), src, "overwrite")

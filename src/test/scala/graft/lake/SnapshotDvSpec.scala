@@ -234,4 +234,47 @@ class SnapshotDvSpec extends SparkSpec {
       .as[(Long, String, Long)].collect().toSet
     assert(ch == Set((7L, "delete", 1L)))
   }
+
+  test("a bulk delete spreads the DV write over multiple files; reads unchanged") {
+    val t = mkTable()
+    SnapshotLog.write((0 until 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s"),
+      t, "overwrite", clusterColumn = Some("id"), nFiles = 4) // v0
+    // 600 dead rows at 100 rows/DV-file → >1 DV file, no 1-task funnel
+    SnapshotLog.delete(spark, t, col("id") < 600, dvRowsPerFile = 100L) // v1
+    val snap = SnapshotLog.state(spark, t)
+    val dvFiles = snap.dvs.values.flatten.toSeq.distinct
+    assert(dvFiles.size > 1, s"expected >1 DV file, got ${dvFiles.size}")
+    assert(ids(t) == (600 until 1000).map(_.toLong).toSet)
+    // re-run converges (positions idempotent across the multi-file set)
+    assert(SnapshotLog.delete(spark, t, col("id") < 600, dvRowsPerFile = 100L) == 1L)
+  }
+
+  test("maintain purges once the dirty-file fraction crosses the bound") {
+    val t = mkTable()
+    seed(t, n = 40, nFiles = 8) // v0: 8 clean files
+    SnapshotLog.delete(spark, t, col("id") === 3L) // v1: 1/8 dirty
+    // below the bound: a no-op — vectors stay
+    assert(SnapshotLog.maintain(spark, t, maxDirtyFraction = 0.5) == 1L)
+    assert(SnapshotLog.state(spark, t).dvs.nonEmpty)
+    // cross the fraction bound → auto-purge, zero dirty files after
+    SnapshotLog.delete(spark, t, col("id") % 2 === 0L) // v2: most files dirty
+    val v = SnapshotLog.maintain(spark, t, maxDirtyFraction = 0.5)
+    assert(v == 3L)
+    val snap = SnapshotLog.state(spark, t)
+    assert(snap.dvs.isEmpty, "maintain must leave n_dirty_files == 0")
+    assert(ids(t) == (0 until 40).map(_.toLong).filter(i => i % 2 == 1 && i != 3).toSet)
+    // converged: a second maintain is a no-op
+    assert(SnapshotLog.maintain(spark, t, maxDirtyFraction = 0.5) == 3L)
+  }
+
+  test("maintain's dead-row bound triggers independently of the fraction") {
+    val t = mkTable()
+    seed(t, n = 40, nFiles = 8) // v0
+    SnapshotLog.delete(spark, t, col("id") < 5L) // v1: few files, 5 dead rows
+    // fraction bound loose, row bound tight → purge fires on rows
+    val v = SnapshotLog.maintain(spark, t, maxDirtyFraction = 1.0, maxDeadRows = 3L)
+    assert(v == 2L)
+    assert(SnapshotLog.state(spark, t).dvs.isEmpty)
+    assert(ids(t) == (5 until 40).map(_.toLong).toSet)
+  }
 }

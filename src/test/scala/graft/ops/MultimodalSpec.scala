@@ -193,4 +193,83 @@ class MultimodalSpec extends SparkSpec {
       Seq("audio/wav", "image/png", "video/mp4"))
     assert(cat.map(_.getAs[Long]("total_bytes")).sum === 160L + 17 + 1)
   }
+
+  test("extractFrameFeatures: strided frames through the lazy iterator seam") {
+    val media = Multimodal.withMedia(docs)
+    val out = Multimodal.extractFrameFeatures(spark, media,
+        new Multimodal.ChunkVideoDecoder(frameBytes = 16, dims = 8), stride = 4)
+      .collect().groupBy(_.doc_id)
+    // doc 0: 160 bytes = 10 complete frames → idx 0,4,8; doc 1: 17 bytes
+    // = 1 frame → idx 0; doc 2: 1 byte = 0 frames → absent
+    assert(out(0L).map(_.frame_idx).sorted.toSeq === Seq(0, 4, 8))
+    assert(out(1L).map(_.frame_idx).toSeq === Seq(0))
+    assert(!out.contains(2L))
+    // each emitted feature equals stubDecode of exactly that chunk
+    val payload = Array.fill[Byte](160)('a'.toByte)
+    val frame4 = Multimodal.stubDecode(payload.slice(64, 80), 8)
+    assert(out(0L).find(_.frame_idx == 4).get.feature.toSeq === frame4.toSeq)
+    // sampled count agrees with sampleFrames' plan arithmetic
+    val planned = Multimodal.sampleFrames(media, stride = 4, frameBytes = 16)
+      .select("doc_id", "sampled_frame_idx").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).size).toMap
+    assert(planned === Map(0L -> 3, 1L -> 1, 2L -> 0))
+  }
+
+  test("video decoder lifecycle: open once per partition, close fires on failure") {
+    import MultimodalSpec._
+    lifecycleLog.clear()
+    val media = Multimodal.withMedia(docs).repartition(2)
+    Multimodal.extractFrameFeatures(spark, media, new TrackedVideoDecoder(false)).collect()
+    val opens = lifecycleLog.toArray.count(_ == "open")
+    val closes = lifecycleLog.toArray.count(_ == "close")
+    assert(opens === 2 && closes === 2, s"opens=$opens closes=$closes")
+
+    // a decoder that throws mid-stream must still see its close()
+    lifecycleLog.clear()
+    intercept[org.apache.spark.SparkException](
+      Multimodal.extractFrameFeatures(spark, media.repartition(1),
+        new TrackedVideoDecoder(true)).collect())
+    assert(lifecycleLog.toArray.contains("close"),
+      "close() must run via the task-completion listener even on decode failure")
+  }
+
+  test("ChunkVideoDecoder's iterator is lazy: strided reads skip chunk decodes") {
+    import MultimodalSpec._
+    decodeCount.set(0)
+    val d = new CountingVideoDecoder(frameBytes = 4)
+    // 40 bytes = 10 frames; stride handled by the CONSUMER via
+    // zipWithIndex — but chunk DECODE work (the counted part) only runs
+    // for frames the consumer actually materializes lazily
+    val it = d.frames(Array.fill[Byte](40)(1))
+    assert(decodeCount.get() === 0L, "no decode before consumption")
+    it.next(); it.next()
+    assert(decodeCount.get() === 2L, "decodes run per-frame on demand")
+  }
+}
+
+object MultimodalSpec {
+  /** JVM-shared lifecycle log: tests run local[*], so executor threads
+    * share this static — the standard trick for asserting inside-task
+    * behavior without accumulators. */
+  val lifecycleLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val decodeCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  final class TrackedVideoDecoder(explode: Boolean)
+      extends Multimodal.VideoDecoder {
+    override def open(): Unit = lifecycleLog.add("open")
+    override def close(): Unit = lifecycleLog.add("close")
+    def frames(bytes: Array[Byte]): Iterator[Array[Float]] = {
+      if (explode && bytes.length > 50) throw new RuntimeException("codec died")
+      bytes.grouped(16).filter(_.length == 16).map(Multimodal.stubDecode(_, 8))
+    }
+  }
+
+  final class CountingVideoDecoder(frameBytes: Int)
+      extends Multimodal.VideoDecoder {
+    def frames(bytes: Array[Byte]): Iterator[Array[Float]] =
+      bytes.grouped(frameBytes).filter(_.length == frameBytes).map { chunk =>
+        decodeCount.incrementAndGet()
+        Multimodal.stubDecode(chunk, 4)
+      }
+  }
 }
