@@ -712,11 +712,14 @@ object SnapshotLog {
 
     // affected = live files whose footer interval may contain a key;
     // files without usable stats rewrite (never silently kept)
-    val kstats = StatsAgg.harvest(spark, absAll, keyCol, schema(keyCol).dataType)
+    val kstats = cachedHarvest(spark, absAll, keyCol, schema(keyCol).dataType)
+    // sorted keys + binary search: the may-contain probe is
+    // files x log(keys), not files x keys (a large CDC batch against a
+    // 100k-file version would otherwise burn the driver)
+    val sortedKeys = keys.toArray.sortWith(StatsAgg.cmp(_, _) < 0)
     val affectedAbs = kstats.filter { fsRow =>
       (fsRow.min, fsRow.max) match {
-        case (Some(mn), Some(mx)) =>
-          keys.exists(k => StatsAgg.cmp(k, mn) >= 0 && StatsAgg.cmp(k, mx) <= 0)
+        case (Some(mn), Some(mx)) => StatsAgg.anyKeyInRange(sortedKeys, mn, mx)
         case _ => true
       }
     }.map(_.path).toSet
@@ -724,7 +727,11 @@ object SnapshotLog {
       affectedAbs.contains(fs.makeQualified(new Path(dataRootOf(rootP), f)).toString))
 
     val keysDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(keys.map(Row(_)), 1),
+      // slice the key batch so no single task ships megabytes of keys
+      // (a 150k-key batch in one slice was the 4.4 MiB task the round-11
+      // bench flagged)
+      spark.sparkContext.parallelize(keys.map(Row(_)),
+        math.max(1, keys.size / 20000)),
       StructType(Seq(schema(keyCol).copy(name = "_mk"))))
     // DV-aware: rows already dead in an affected file must not be
     // resurrected by its rewrite
@@ -832,11 +839,11 @@ object SnapshotLog {
     val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
     val (fs, root) = fsOf(spark, table)
     val absAll = cur.files.map(f => fs.makeQualified(new Path(dataRootOf(root), f)).toString)
-    val kstats = StatsAgg.harvest(spark, absAll, keyCol, schema(keyCol).dataType)
+    val kstats = cachedHarvest(spark, absAll, keyCol, schema(keyCol).dataType)
+    val sortedKeys = keys.toArray.sortWith(StatsAgg.cmp(_, _) < 0)
     val affectedAbs = kstats.filter { r =>
       (r.min, r.max) match {
-        case (Some(mn), Some(mx)) =>
-          keys.exists(k => StatsAgg.cmp(k, mn) >= 0 && StatsAgg.cmp(k, mx) <= 0)
+        case (Some(mn), Some(mx)) => StatsAgg.anyKeyInRange(sortedKeys, mn, mx)
         case _ => true
       }
     }.map(_.path).toSet
@@ -869,6 +876,67 @@ object SnapshotLog {
       adds = target.files.filterNot(curSet), removes = cur.files.filterNot(tgtSet),
       schemaJson = target.schemaJson, expected = head, rollbackOf = Some(toVersion),
       dvSets = dvRestate, checkpointInterval = checkpointInterval)
+  }
+
+  // ── footer-stats cache ───────────────────────────────────────────
+
+  /** Per-(file, column) footer-stats cache. A pool file is IMMUTABLE by
+    * protocol — a commit token is never reused for different data and
+    * data files are never modified in place — so harvested bounds are
+    * valid for the file's whole life and a maintenance loop (merge /
+    * deleteByKeys / readPruned per tick) pays footer reads for NEW
+    * files only, not O(version files) per call. That re-harvest was the
+    * one measured per-refresh O(files) term in the steady-state JoinView
+    * cycle (round-12 reconciliation). LRU-capped at 1M entries
+    * (~100 MB): same driver-memory class as the pruning interval map. */
+  private val footerStatsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, StatsAgg.FileStats](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, StatsAgg.FileStats]): Boolean =
+        size() > 1000000
+    })
+
+  /** [[StatsAgg.harvest]] through the cache: only uncached (file,
+    * column) pairs pay a footer read. */
+  private def cachedHarvest(spark: SparkSession, paths: Seq[String],
+                            column: String,
+                            dt: org.apache.spark.sql.types.DataType): Seq[StatsAgg.FileStats] = {
+    def key(p: String) = s"$p|$column"
+    val missing = paths.filterNot(p => footerStatsCache.containsKey(key(p)))
+    if (missing.nonEmpty)
+      StatsAgg.harvest(spark, missing, column, dt)
+        .foreach(fs => footerStatsCache.put(key(fs.path), fs))
+    // a file whose harvest failed entirely (no FileStats row) maps to a
+    // stats-less entry: never pruned, always scanned — sound
+    paths.map(p => Option(footerStatsCache.get(key(p)))
+      .getOrElse(StatsAgg.FileStats(p, 0L, None, None, None)))
+  }
+
+  /** Version-pinned stats table for [[MetastoreFileIndex]], built from
+    * the per-file cache (schema comes from the SNAPSHOT, so no
+    * inference pass touches footers). Output shape matches
+    * [[Metastore.buildFromFooters]]: (filepath, <c>_min, <c>_max …). */
+  private def cachedStatsTable(spark: SparkSession, absFiles: Seq[String],
+                               schema: StructType,
+                               cols: Seq[String]): DataFrame = {
+    val present = cols.filter(c => schema.fieldNames.contains(c))
+    val byCol = present.map(c =>
+      c -> cachedHarvest(spark, absFiles, c, schema(c).dataType)
+        .map(fs => fs.path -> fs).toMap).toMap
+    val outSchema = StructType(
+      StructField("filepath", StringType, nullable = false) +:
+        present.flatMap { c =>
+          val dt = schema(c).dataType
+          Seq(StructField(c + "_min", dt), StructField(c + "_max", dt))
+        })
+    val rows = absFiles.map { p =>
+      Row.fromSeq(p +: present.flatMap { c =>
+        val fs = byCol(c)(p)
+        Seq(fs.min.orNull, fs.max.orNull)
+      })
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), outSchema)
   }
 
   // ── reads ────────────────────────────────────────────────────────
@@ -979,6 +1047,46 @@ object SnapshotLog {
       .select(outSchema.fieldNames.map(col): _*)
   }
 
+  /** Manifest-fed scan over a KNOWN file list: the paths come from a
+    * committed manifest, so the per-call existence probe and glob pass
+    * of `spark.read.parquet(paths…)` are pure waste — this constructs
+    * the relation directly over an `InMemoryFileIndex` backed by the
+    * session [[org.apache.spark.sql.execution.datasources.FileStatusCache]]
+    * (immutable files → statuses cacheable), the same recipe as
+    * [[MetastoreFileIndex.tableForFiles]] minus the pruning index. On a
+    * version with 10⁵ files this turns every read construction from
+    * O(files) driver FS calls into cache hits — the metadata-ops term
+    * the round-12 joinview_refresh reconciliation named. */
+  private def scanKnownFiles(spark: SparkSession, paths: Seq[String],
+                             schema: StructType): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    // nullable like `spark.read.schema(…)` forces: a pre-evolution file
+    // legitimately lacks a later column (null-filled by the reader), and
+    // a non-nullable field would make the vectorized reader REFUSE the
+    // file instead
+    val readSchema = StructType(schema.fields.map(relaxNullability))
+    val idx = new InMemoryFileIndex(spark, paths.map(new Path(_)),
+      Map.empty[String, String], Some(readSchema),
+      FileStatusCache.getOrCreate(spark), None, None)
+    val rel = HadoopFsRelation(idx, StructType(Nil), readSchema, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+      LogicalRelation(rel, isStreaming = false))
+  }
+
+  /** Deep nullable relaxation (what DataFrameReader.schema applies). */
+  private def relaxNullability(f: StructField): StructField = {
+    import org.apache.spark.sql.types._
+    def relax(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(relaxNullability))
+      case a: ArrayType => a.copy(elementType = relax(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = relax(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    f.copy(dataType = relax(f.dataType), nullable = true)
+  }
+
   /** [[read]] for an already-resolved snapshot (shared by merge /
     * compact / the change feed so they all see the same dead rows). */
   private[graft] def readSnapshot(spark: SparkSession, table: String,
@@ -993,11 +1101,11 @@ object SnapshotLog {
     val clean = files.filterNot(snap.dvs.contains)
     val dirty = files.filter(snap.dvs.contains)
     val parts = Seq.newBuilder[DataFrame]
-    if (clean.nonEmpty) parts += spark.read.schema(schema).parquet(clean.map(abs): _*)
+    if (clean.nonEmpty) parts += scanKnownFiles(spark, clean.map(abs), schema)
     if (dirty.nonEmpty) {
       val sub = snap.copy(dvs = snap.dvs.filter { case (f, _) => dirty.contains(f) })
       parts += minusDeleted(
-        spark.read.schema(schema).parquet(dirty.map(abs): _*),
+        scanKnownFiles(spark, dirty.map(abs), schema),
         dvRows(spark, root, sub), schema.fieldNames.toSeq)
     }
     parts.result().reduce(_ unionByName _)
@@ -1026,8 +1134,7 @@ object SnapshotLog {
     // the whole point lost)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val abs = snap.files.map(f => fs.makeQualified(new Path(dataRootOf(root), f)).toString)
-    val stats = Metastore.buildFromFooters(spark, poolDir(root).toString, clusterColumn,
-      optionalColumns, onlyPaths = abs)
+    val stats = cachedStatsTable(spark, abs, schema, clusterColumn +: optionalColumns)
     val base = MetastoreFileIndex.tableForFiles(spark, abs, schema, stats)
     // DV'd version: apply the positional anti-join ON TOP of the pruned
     // relation — pruning still happens at planning time underneath

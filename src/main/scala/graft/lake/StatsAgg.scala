@@ -123,6 +123,19 @@ object StatsAgg {
     * Numbers go through BigDecimal (footer externals and caller
     * literals may box differently — Integer vs Long); temporal types
     * are mutually Comparable within their class. */
+  /** True iff any of `sorted` (ascending under [[cmp]]) falls in
+    * [mn, mx] — binary search for the first key ≥ mn, then one compare
+    * against mx. O(log keys) per file where the naive exists-scan was
+    * O(keys). */
+  private[lake] def anyKeyInRange(sorted: Array[Any], mn: Any, mx: Any): Boolean = {
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmp(sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
+    }
+    lo < sorted.length && cmp(sorted(lo), mx) <= 0
+  }
+
   private[lake] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Number, y: Number) =>
       new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString))
