@@ -168,6 +168,7 @@ object SparkEntry {
     * times — rebuilding it per query would bench the writer, not the
     * pruning. */
   private val zorderViewCache = new SessionCache[String]
+  private val snapZorderCache = new SessionCache[String]
 
   /** lake_merge/lake_delete's merged-table setup, once per (session,
     * dir): copy lineitem into a clustered lake, apply one CDC upsert
@@ -745,6 +746,29 @@ object SparkEntry {
            |FROM $view
            |WHERE l_orderkey BETWEEN 4000 AND 4600 AND l_partkey BETWEEN 500 AND 700
            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // OPTIMIZE ZORDER on the VERSIONED format: compactZ rewrites the
+    // head Morton-interleaved as one commit; the same two-dim range
+    // query as lake_zorder then runs through readPruned with BOTH
+    // dimensions harvested — multi-dim planning-time file skipping on a
+    // time-travelable table (numFiles pinned in SnapshotLogSpec)
+    "lake_snap_zorder" -> ((s, dir) => {
+      val table = snapZorderCache.getOrElseUpdate(s, dir) {
+        val path = s"/tmp/graft_snapz_${dirTag(dir)}/lineitem"
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        SnapshotLog.write(t(s, dir, "lineitem"), path, "overwrite",
+          clusterColumn = Some("l_orderkey"), nFiles = 16) // v0: one-dim
+        SnapshotLog.compactZ(s, path, Seq("l_orderkey", "l_partkey"), nFiles = 16)
+        path
+      }
+      SnapshotLog.readPruned(s, table, "l_orderkey",
+          optionalColumns = Seq("l_partkey"))
+        .where(col("l_orderkey").between(4000L, 4600L) &&
+          col("l_partkey").between(500L, 700L))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // copy-on-write MERGE: row-level listing across the upserted (42,
@@ -3160,6 +3184,13 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "lake_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey BETWEEN 4000 AND 4600 AND l_partkey BETWEEN 500 AND 700
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // Z-order OPTIMIZE on the snapshot format: same query, same rows —
+    // the clustering rewrite must be a row-content no-op
+    "lake_snap_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
         |WHERE l_orderkey BETWEEN 4000 AND 4600 AND l_partkey BETWEEN 500 AND 700
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,

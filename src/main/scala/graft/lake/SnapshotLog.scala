@@ -606,6 +606,52 @@ object SnapshotLog {
       checkpointInterval = checkpointInterval)
   }
 
+  /** OPTIMIZE (Z-ORDER): rewrite the head's live set clustered on the
+    * interleaved rank-normalized Morton key of 2–8 columns, as ONE
+    * commit — [[compact]]'s multi-dimension form. After it,
+    * [[readPruned]] with one dimension as the cluster column and the
+    * rest as `optionalColumns` skips files on ANY of the dimensions at
+    * planning time: range clustering serves one predicate column well,
+    * Z-ordering serves several at once (the standard OPTIMIZE ZORDER
+    * trade — per-dimension pruning is a bit weaker than a dedicated
+    * sort, but every dimension prunes). Rank normalization (quantile
+    * boundaries from one `approxQuantile` pass) keeps interleaving
+    * effective under skew — same recipe as
+    * [[ClusteredWriter.writeZOrderedRanked]], committed through the
+    * snapshot token protocol so history stays time-travelable and the
+    * change feed sees a row-content no-op (`compact` op by contract). */
+  def compactZ(spark: SparkSession, table: String, cols: Seq[String],
+               nFiles: Int, buckets: Int = 256,
+               checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    require(cols.size >= 2 && cols.size <= 8,
+      s"Z-order wants 2-8 columns, got ${cols.size} (use compact for one)")
+    require(buckets >= 2 && buckets <= 256, s"buckets must be in [2,256], got $buckets")
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val df = read(spark, table, Some(head))
+    require(!df.columns.contains("_z"),
+      "input column '_z' clashes with the working Morton-key column")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val quantiles = df.select(cols.map(x => c(x).cast("double").as(x)): _*)
+      .stat.approxQuantile(cols.toArray, probs, 0.001)
+    val dims = cols.zip(quantiles).map { case (x, q) =>
+      require(q.nonEmpty, s"cannot rank-normalize '$x': empty or all-NULL column")
+      (c(x), q.distinct.sorted)
+    }
+    val (fs, rootP) = fsOf(spark, table)
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tokenDir = new Path(poolDir(rootP), token)
+    df.withColumn("_z", ZOrder.mortonKeyRanked(dims))
+      .repartitionByRange(nFiles, c("_z"))
+      .sortWithinPartitions(c("_z"))
+      .drop("_z")
+      .write.mode("errorifexists").parquet(tokenDir.toString)
+    val adds = partFiles(fs, rootP, tokenDir)
+    commit(spark, table, "compact", adds, cur.files, cur.schemaJson, head,
+      checkpointInterval = checkpointInterval)
+  }
+
   /** PURGE: materialize the head's merge-on-read deletes by rewriting
     * ONLY the files that carry deletion vectors — each dirty file is
     * re-read once with its dead rows dropped, the clean files are not

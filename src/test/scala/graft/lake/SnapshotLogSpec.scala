@@ -339,6 +339,36 @@ class SnapshotLogSpec extends SparkSpec {
     assert(df.count() == 0L)
   }
 
+  test("compactZ: multi-dimension pruning on the versioned format, history untouched") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scans = df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, "no FileSourceScanExec in plan")
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val t = mkTable()
+    // two independent uniform dims — a single-column sort can't serve both
+    val rows = (0 until 4096).map(i => (i.toLong, ((i * 2654435761L) % 4096L), s"r$i"))
+    SnapshotLog.write(rows.toDF("a", "b", "s"), t, "overwrite",
+      clusterColumn = Some("a"), nFiles = 16) // v0: range-clustered on a only
+    val v1 = SnapshotLog.compactZ(spark, t, Seq("a", "b"), nFiles = 16) // v1
+    assert(v1 == 1L)
+    // same rows before and after (a clustering rewrite is a row no-op)
+    assert(SnapshotLog.read(spark, t).count() === 4096L)
+    assert(SnapshotLog.read(spark, t, Some(0L)).count() === 4096L)
+    assert(SnapshotLog.readChanges(spark, t, 0L).count() === 0L)
+    // point-range queries on EITHER dimension prune files at v1
+    val pruned = SnapshotLog.readPruned(spark, t, "a", optionalColumns = Seq("b"))
+    val onA = filesRead(pruned.where(col("a").between(100L, 120L)))
+    val onB = filesRead(pruned.where(col("b").between(100L, 120L)))
+    assert(onA < 16, s"Z-order must prune on dim a (read $onA/16)")
+    assert(onB < 16, s"Z-order must prune on dim b (read $onB/16)")
+    // results match the unpruned read exactly
+    assert(pruned.where(col("b").between(100L, 120L)).count() ===
+      SnapshotLog.read(spark, t).where(col("b").between(100L, 120L)).count())
+  }
+
   test("appendBatch on a long log reads O(checkpointInterval) manifests, not O(commits)") {
     val t = mkTable()
     SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite") // v0
