@@ -89,13 +89,18 @@ class SnapshotCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
 
-  /** `VERSION AS OF <v>` — the version string must be a committed
-    * version number of the table. */
+  /** `VERSION AS OF <v>` — a committed version number, or (quoted) a
+    * TAG name ([[Branches.tag]]'s immutable pins): `VERSION AS OF
+    * 'march-run'` reads exactly the snapshot the March run trained on,
+    * and retention never expires below a live tag, so the query stays
+    * answerable until the tag is dropped. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"bad version '$version' for $catalogName.$ident — expected a " +
-          "commit number (see SnapshotLog.history)")
+      case _: NumberFormatException =>
+        Branches.tagVersions(spark, tablePath(ident)).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"'$version' is neither a commit number nor a tag of " +
+              s"$catalogName.$ident (see SnapshotLog.history / Branches.tag)"))
     }
     tableAt(ident, Some(v))
   }

@@ -57,6 +57,20 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no version"))
   }
 
+  test("VERSION AS OF a tag name reads the pinned snapshot") {
+    val root = tmpDir("snapcat_tag")
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), s"$root/t", "overwrite") // v0
+    Branches.tag(spark, s"$root/t", "march-run") // pins v0
+    SnapshotLog.write(Seq((2L, "b")).toDF("id", "s"), s"$root/t", "append") // v1
+    register("snaptag", root)
+    assert(spark.sql("SELECT count(*) FROM snaptag.t VERSION AS OF 'march-run'")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT count(*) FROM snaptag.t").as[Long].head() == 2L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM snaptag.t VERSION AS OF 'no-such-tag'").collect())
+    assert(e.getMessage.contains("neither a commit number nor a tag"))
+  }
+
   test("a DV-carrying version is refused with a pointer to the API read") {
     val root = tmpDir("snapcat_dv")
     SnapshotLog.write((0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
