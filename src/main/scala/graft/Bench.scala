@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * files so lake pruning has real files to skip — and one headline
   * query per family runs against it (`sf1` in the output JSON).
   * Disable with SPARK_GRAFT_NO_SF1=1.
+  *
+  * ISOLATION (round-13): each scale section runs in a FRESH FORKED JVM
+  * (probe_mode:"isolated") — session-tail probes measured the dying
+  * parent heap, not the operators, two rounds running; see the scale-
+  * section comment in main for the evidence and the fallback rules
+  * (SPARK_GRAFT_NO_FORK=1 forces the old in-session "session_tail").
   */
 object Bench {
 
@@ -404,7 +410,10 @@ object Bench {
       (times.toMap, errors.toMap)
     }
 
-    val allNames = keep(SparkEntry.queries.keys.toSeq.sorted)
+    // a forked section child ([[forkSection]]) runs ONLY its scale
+    // section: the main scorecard + twins belong to the parent
+    val isChild = sys.env.contains("SPARK_GRAFT_SECTION")
+    val allNames = if (isChild) Nil else keep(SparkEntry.queries.keys.toSeq.sorted)
     val (cold, coldErrs) = run(allNames, sfDir) // pays codegen compile + JIT
     val (warm, warmErrs) = run(allNames, sfDir)
 
@@ -416,7 +425,7 @@ object Bench {
     def runTwins(): (Map[String, Double], Map[String, String]) = {
       val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      SparkEntry.operatorTwins.toSeq.sortBy(_._1)
+      (if (isChild) Nil else SparkEntry.operatorTwins.toSeq.sortBy(_._1))
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -439,102 +448,195 @@ object Bench {
     // query failed warm must not be added on top of nothing)
     val opTotal = warm.map { case (k, v) => opWarm.getOrElse(k, v) }.sum
 
-    // ── scaled section ──
-    // Session hygiene before each scale section: by this point ~260
-    // query executions have died in the 8 GB driver heap, and their
-    // unreferenced localCheckpoint blocks / broadcasts are reclaimed by
-    // ContextCleaner only after a GC notices them. Measured (round-10
-    // reconciliation, PLANS.md): the identical sf10 probes read
-    // 10.5/10.8/32.2 s in a fresh JVM vs 40/65/105 s late in the full
-    // session — most of the gap is dead-session heap pressure, not
-    // operator cost. An explicit GC (never clearCache — that would
-    // silently unpersist the LIVE engine caches and re-measure stats
-    // harvests as query time) narrows it honestly.
+    // ── scale sections: ISOLATED FORKED JVMs are the artifact of record ──
+    // Two consecutive rounds of session-tail probes produced dedup-family
+    // 100× numbers 3-12× above same-code isolated reruns (round-12
+    // verdict): by the scale sections, ~380 query executions have died in
+    // the 8 GB driver heap, and the probes measured THAT session's decay,
+    // not the operator. Each scale section therefore runs in a FRESH
+    // forked JVM (same classpath, flags, env; child stdout discarded,
+    // stderr inherited so [bench] breadcrumbs stay attributable), and its
+    // numbers land stamped probe_mode:"isolated". The in-session path
+    // survives only as a fallback (SPARK_GRAFT_NO_FORK=1, or a fork that
+    // failed to produce output) stamped "session_tail" — an artifact
+    // reader must never mistake one regime for the other.
     def sessionHygiene(): Unit = { System.gc(); Thread.sleep(500); System.gc() }
+    val childSection = sys.env.get("SPARK_GRAFT_SECTION")
+    def probeMode: String =
+      if (childSection.isDefined || only.nonEmpty) "isolated" else "session_tail"
     // cache key includes the base dir's name: a run against sf0.01 must
     // not hand its scaled data to a later run against sf0.1
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       s"/tmp/graft_scale${copies}_${new java.io.File(sfDir).getName}")
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
+      s"/tmp/graft_scale${copies100}_${new java.io.File(sfDir).getName}")
+
+    def errJsonOf(errs: Map[String, String]): String =
+      if (errs.isEmpty) ""
+      else "," + errs.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
+        .mkString("\"errors\":{", ",", "}")
+    def qsJson(times: Map[String, Double]): String = times.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
+
+    /** One sf1 section run IN THIS JVM → (inner JSON object, errors). */
+    def runSf1Section(): (String, Map[String, String]) = {
+      val tGen0 = System.nanoTime()
+      scaleUp(spark, sfDir, sf1Dir)
+      val genSec = (System.nanoTime() - tGen0) / 1e9
+      val (sf1Cold, e1) = run(keep(scaleQueries), sf1Dir)
+      val (sf1Warm, e2) = run(keep(scaleQueries), sf1Dir)
+      val errs = e1 ++ e2
+      // error strings truncated: per-query exceptions are unbounded,
+      // and a broad sf1 failure (13 × full messages) would by itself
+      // overflow the 2000-char stdout tail the JSON must fit
+      val inner = s"""{"scale":$copies,"gen":${sec2(genSec)},""" +
+        s""""probe_mode":${jsonStr(probeMode)},"queries":${qsJson(sf1Warm)},""" +
+        s""""cold_sec":${sec2(sf1Cold.values.sum)},""" +
+        s""""total_sec":${sec2(sf1Warm.values.sum)}${errJsonOf(errs)}}"""
+      (inner, errs)
+    }
+
+    /** One sf10 section run IN THIS JVM → (inner JSON object, errors).
+      * Cold pass untimed, warm pass reported — the first pass over a
+      * freshly generated (or page-cache-cold) 1.4 GB corpus is I/O-bound
+      * and ±70% across runs, which would swamp the slope under measure.
+      * The dedup family runs ONE timed pass (compute-bound); in a fresh
+      * child JVM its codegen classes are first JIT-warmed by an untimed
+      * pass at the BASE dir (the sf1 section used to provide that warmth
+      * in-session — same plans, 1/100 the data). */
+    def runSf10Section(): (String, Map[String, String]) = {
+      val tGen0 = System.nanoTime()
+      scaleUp100(spark, sfDir, sf10Dir)
+      val genSec = (System.nanoTime() - tGen0) / 1e9
+      val (_, e10cold) = run(keep(scale100Queries), sf10Dir)
+      val (sf10Warm, e10) = run(keep(scale100Queries), sf10Dir)
+      if (childSection.isDefined) { val _ = run(keep(scale100Dedup), sfDir) }
+      val (sf10Ded, e10d) = run(keep(scale100Dedup), sf10Dir)
+      val sf10Times = sf10Warm ++ sf10Ded
+      val errs = e10cold ++ e10 ++ e10d
+      val inner = s"""{"scale":$copies100,"gen":${sec2(genSec)},""" +
+        s""""probe_mode":${jsonStr(probeMode)},"queries":${qsJson(sf10Times)},""" +
+        s""""total_sec":${sec2(sf10Times.values.sum)}${errJsonOf(errs)}}"""
+      (inner, errs)
+    }
+
+    /** Fork a fresh JVM running ONLY `section`; returns its inner JSON +
+      * exit code, or None when forking is disabled/failed (caller falls
+      * back in-session). The child inherits env (SF dirs, CPUS, ONLY),
+      * classpath, and the JDK17 module opens; its stdout is discarded
+      * (the parent's stdout tail is the driver contract), stderr rides
+      * through for the per-query breadcrumbs. */
+    def forkSection(section: String): Option[(String, Int)] = {
+      if (sys.env.contains("SPARK_GRAFT_NO_FORK")) return None
+      try {
+        val javaBin = new java.io.File(
+          new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+        val outFile = java.io.File.createTempFile(s"graft_bench_$section", ".json")
+        outFile.deleteOnExit()
+        // same list as build.sbt / Spark's JavaModuleOptions: a child
+        // without them dies at SparkSession.builder on JDK 17
+        val opens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar"
+        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        val cmd = (Seq(javaBin) ++ opens ++ Seq(
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+          "-cp", sys.props("java.class.path"), "graft.Bench")).toList
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_SECTION", section)
+        pb.environment().put("SPARK_GRAFT_SECTION_OUT", outFile.getAbsolutePath)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        System.err.println(s"[bench] forking isolated $section probe JVM")
+        val rc = pb.start().waitFor()
+        val content = new String(java.nio.file.Files.readAllBytes(outFile.toPath),
+          "UTF-8").trim
+        if (content.startsWith("{") && content.endsWith("}")) Some((content, rc))
+        else None
+      } catch { case _: Exception => None }
+    }
+
+    // ── child mode: run ONE section, write its JSON, exit ──
+    childSection match {
+      case Some(section) =>
+        val (inner, errs) =
+          try section match {
+            case "sf1" => runSf1Section()
+            case "sf10" => runSf10Section()
+            case other => throw new IllegalArgumentException(
+              s"unknown SPARK_GRAFT_SECTION '$other'")
+          } catch { case e: Throwable =>
+            val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+            (s"""{"section_error":${jsonStr(msg)}}""", Map("setup" -> msg))
+          }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(sys.env("SPARK_GRAFT_SECTION_OUT")),
+          (inner + "\n").getBytes("UTF-8"))
+        spark.stop()
+        sys.exit(if (errs.nonEmpty) 1 else 0)
+      case None => ()
+    }
+
+    def totalOf(inner: String): Option[String] =
+      """"total_sec":([0-9.]+)""".r.findFirstMatchIn(inner).map(_.group(1))
+    def nErrsOf(inner: String): Int =
+      """"errors":\{""".r.findFirstIn(inner).size // presence flag: 0 | 1
+
     var sf1Json = ""
     var sf1Compact = ""
     var sf1Errors = Map.empty[String, String]
     if (!sys.env.contains("SPARK_GRAFT_NO_SF1")) {
-      try {
-        sessionHygiene()
-        val tGen0 = System.nanoTime()
-        scaleUp(spark, sfDir, sf1Dir)
-        val genSec = (System.nanoTime() - tGen0) / 1e9
-        val (sf1Cold, e1) = run(keep(scaleQueries), sf1Dir)
-        val (sf1Warm, e2) = run(keep(scaleQueries), sf1Dir)
-        sf1Errors = e1 ++ e2
-        val qs = sf1Warm.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
-        // error strings truncated: per-query exceptions are unbounded,
-        // and a broad sf1 failure (13 × full messages) would by itself
-        // overflow the 2000-char stdout tail the JSON must fit
-        val errJson =
-          if (sf1Errors.isEmpty) ""
-          else "," + sf1Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
-            .mkString("\"errors\":{", ",", "}")
-        // compact keys: every sf1 char competes with a main-dict query
-        // entry for the driver's 2000-char stdout tail
-        // probe_mode: whether these numbers come from the tail of the
-        // full ~260-execution session (dead-heap pressure documented at
-        // sessionHygiene) or an isolated SPARK_GRAFT_ONLY rerun — the
-        // two are NOT comparable, and an artifact reader must know which
-        // it is holding (round-11 reconciliation lesson)
-        val mode = if (only.isEmpty) "session_tail" else "isolated"
-        sf1Json = s""","sf1":{"scale":$copies,"gen":${sec2(genSec)},""" +
-          s""""probe_mode":${jsonStr(mode)},""" +
-          s""""queries":$qs,"cold_sec":${sec2(sf1Cold.values.sum)}$errJson}"""
-        sf1Compact = s""","sf1_total_sec":${sec2(sf1Warm.values.sum)}""" +
-          (if (sf1Errors.isEmpty) "" else s""","sf1_n_errors":${sf1Errors.size}""")
-      } catch { case e: Throwable =>
-        sf1Errors = Map("sf1_setup" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-        sf1Json = s""","sf1_error":${jsonStr(sf1Errors("sf1_setup"))}"""
-        sf1Compact = sf1Json
+      forkSection("sf1") match {
+        case Some((inner, rc)) =>
+          sf1Json = s""","sf1":$inner"""
+          sf1Compact = totalOf(inner).fold("")(t => s""","sf1_total_sec":$t""")
+          if (rc != 0 || nErrsOf(inner) > 0)
+            sf1Errors = Map("sf1_child" -> s"exit $rc — see the sf1 errors block")
+        case None =>
+          try {
+            sessionHygiene()
+            val (inner, errs) = runSf1Section()
+            sf1Errors = errs
+            sf1Json = s""","sf1":$inner"""
+            sf1Compact = totalOf(inner).fold("")(t => s""","sf1_total_sec":$t""") +
+              (if (errs.isEmpty) "" else s""","sf1_n_errors":${errs.size}""")
+          } catch { case e: Throwable =>
+            sf1Errors = Map("sf1_setup" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            sf1Json = s""","sf1_error":${jsonStr(sf1Errors("sf1_setup"))}"""
+            sf1Compact = sf1Json
+          }
       }
     }
 
-    // ── 100× probe ──
-    // cold pass untimed, warm pass reported — same contract as the main
-    // section: the first pass over a freshly generated (or dropped from
-    // page cache) 1.4 GB corpus is I/O-bound and measured ±70% across
-    // runs (q_skew_join 14 s vs 25 s), which would swamp the slope the
-    // probe exists to measure
     var sf10Json = ""
     var sf10Compact = ""
     var sf10Errors = Map.empty[String, String]
     if (!sys.env.contains("SPARK_GRAFT_NO_SF1") && !sys.env.contains("SPARK_GRAFT_NO_SF10")) {
-      try {
-        sessionHygiene()
-        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR",
-          s"/tmp/graft_scale${copies100}_${new java.io.File(sfDir).getName}")
-        val tGen0 = System.nanoTime()
-        scaleUp100(spark, sfDir, sf10Dir)
-        val genSec = (System.nanoTime() - tGen0) / 1e9
-        val (_, e10cold) = run(keep(scale100Queries), sf10Dir)
-        val (sf10Warm, e10) = run(keep(scale100Queries), sf10Dir)
-        // dedup family: single timed pass (see scale100Dedup — compute-
-        // bound, JIT-warmed by the sf1 section's identical plans)
-        val (sf10Ded, e10d) = run(keep(scale100Dedup), sf10Dir)
-        val sf10Times = sf10Warm ++ sf10Ded
-        sf10Errors = e10cold ++ e10 ++ e10d
-        val qs = sf10Times.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
-        val errJson =
-          if (sf10Errors.isEmpty) ""
-          else "," + sf10Errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(120))}" }
-            .mkString("\"errors\":{", ",", "}")
-        val mode = if (only.isEmpty) "session_tail" else "isolated"
-        sf10Json = s""","sf10":{"scale":$copies100,"gen":${sec2(genSec)},""" +
-          s""""probe_mode":${jsonStr(mode)},"queries":$qs$errJson}"""
-        sf10Compact = s""","sf10_total_sec":${sec2(sf10Times.values.sum)}""" +
-          (if (sf10Errors.isEmpty) "" else s""","sf10_n_errors":${sf10Errors.size}""")
-      } catch { case e: Throwable =>
-        sf10Errors = Map("sf10_setup" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
-        sf10Json = s""","sf10_error":${jsonStr(sf10Errors("sf10_setup"))}"""
-        sf10Compact = sf10Json
+      forkSection("sf10") match {
+        case Some((inner, rc)) =>
+          sf10Json = s""","sf10":$inner"""
+          sf10Compact = totalOf(inner).fold("")(t => s""","sf10_total_sec":$t""")
+          if (rc != 0 || nErrsOf(inner) > 0)
+            sf10Errors = Map("sf10_child" -> s"exit $rc — see the sf10 errors block")
+        case None =>
+          try {
+            sessionHygiene()
+            val (inner, errs) = runSf10Section()
+            sf10Errors = errs
+            sf10Json = s""","sf10":$inner"""
+            sf10Compact = totalOf(inner).fold("")(t => s""","sf10_total_sec":$t""") +
+              (if (errs.isEmpty) "" else s""","sf10_n_errors":${errs.size}""")
+          } catch { case e: Throwable =>
+            sf10Errors = Map("sf10_setup" -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+            sf10Json = s""","sf10_error":${jsonStr(sf10Errors("sf10_setup"))}"""
+            sf10Compact = sf10Json
+          }
       }
     }
 

@@ -348,6 +348,48 @@ object SparkEntry {
       buildJoinViewFixture(s, dir, s"/tmp/graft_jvprobe_${dirTag(dir)}")
     }
 
+  /** lake_join_view_mm's star pair + MIN/MAX join view, once per
+    * (session, dir): the same star construction as lake_join_view plus
+    * a fact DV delete of the two orderkeys holding the highest per-key
+    * max(l_extendedprice) — retracting group extrema THROUGH the join
+    * (the dim migration moves whole groups too), so the oracle's
+    * from-scratch join checks the joined rescan-on-retract algebra. */
+  private val joinViewMmCache = new SessionCache[String]
+
+  private def joinViewMmTable(s: SparkSession, dir: String): String =
+    joinViewMmCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_jvmm_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val fact = s"$base/lineitem"; val dim = s"$base/orders"; val mv = s"$base/mv"
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val od = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) === 0),
+        fact, "overwrite", clusterColumn = Some("l_orderkey"), nFiles = 4) // F v0
+      SnapshotLog.write(od, dim, "overwrite",
+        clusterColumn = Some("o_orderkey"), nFiles = 4) // D v0
+      graft.lake.JoinView.create(s, fact, dim, mv, "l_orderkey", "o_orderkey",
+        Seq("o_orderstatus"), Seq("l_quantity"),
+        minMaxCols = Seq("l_extendedprice"))
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) === 1),
+        fact, "append", clusterColumn = Some("l_orderkey"), nFiles = 4) // F v1
+      SnapshotLog.merge(s, dim, "o_orderkey",
+        od.where(pmod(col("o_orderkey"), lit(100)) === 0)
+          .withColumn("o_orderstatus", lit("X"))) // D v1: group migration
+      // F v2: DV-delete the two keys holding the top per-key max price —
+      // retracts the owning groups' max through the join (every key
+      // joins exactly one order, so the fact-side derivation is the
+      // joined one, reproducible in the oracle)
+      val topKeys = SnapshotLog.read(s, fact)
+        .groupBy("l_orderkey").agg(max(col("l_extendedprice")).as("_mp"))
+        .orderBy(col("_mp").desc, col("l_orderkey").asc).limit(2)
+        .select("l_orderkey").collect().map(_.getLong(0)).toSeq
+      SnapshotLog.deleteByKeys(s, fact, "l_orderkey", topKeys)
+      graft.lake.JoinView.refresh(s, mv)
+      mv
+    }
+
   private def buildJoinViewFixture(s: SparkSession, dir: String, base: String): String = {
       val root = new org.apache.hadoop.fs.Path(base)
       root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
@@ -986,6 +1028,36 @@ object SparkEntry {
       graft.lake.JoinView.read(s, joinViewTable(s, dir))
         .select(col("o_orderstatus"), col("n_rows"),
           col("sum_l_quantity").as("sum_qty"))),
+
+    // MIN/MAX maintained ACROSS the join: fact append + dim group
+    // migration + a fact DV delete that retracts group extrema — the
+    // joined rescan-on-retract (flagged groups only) must land the view
+    // on the oracle's from-scratch join+aggregate at the heads
+    "lake_join_view_mm" -> ((s, dir) =>
+      graft.lake.JoinView.read(s, joinViewMmTable(s, dir))
+        .select(col("o_orderstatus"), col("n_rows"),
+          col("sum_l_quantity").as("sum_qty"),
+          col("min_l_extendedprice").as("min_price"),
+          col("max_l_extendedprice").as("max_price"))),
+
+    // pure-SQL read of a DV-CARRYING version: VERSION AS OF 2 resolves
+    // the post-delete snapshot whose deletion vectors the DSv2 scan
+    // applies row-positionally (SnapshotTable's DvScanBuilder) —
+    // hash-matching lake_dv_delete's oracle proves the SQL surface
+    // serves exactly the API read's rows: dead rows dropped, the later
+    // merge not bled in, all without purging first
+    "lake_sql_dv" -> ((s, dir) => {
+      val (table, _) = changeFeedTables(s, dir)
+      val root = table.stripSuffix("/lineitem")
+      val cat = s"snapdv_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(
+        s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.lineitem VERSION AS OF 2
+           |GROUP BY l_returnflag""".stripMargin)
+    }),
 
     // schema evolution: v1 appended a derived column under mergeSchema
     // — head reads null-fill v0's rows (parquet missing-column read),
@@ -3360,6 +3432,34 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43)
         |GROUP BY 1""".stripMargin,
+
+    // the MIN/MAX join view vs from-scratch: population = fact thirds
+    // 0+1 minus the two orderkeys with the highest per-key max
+    // extendedprice (the fixture's delete-batch derivation), joined to
+    // the migrated dim; min/max must survive the retraction rescan
+    "lake_join_view_mm" ->
+      """WITH pop AS (SELECT * FROM lineitem WHERE l_orderkey % 3 < 2),
+        |top2 AS (SELECT l_orderkey FROM (
+        |  SELECT l_orderkey, max(l_extendedprice) AS _mp FROM pop
+        |  GROUP BY l_orderkey ORDER BY _mp DESC, l_orderkey ASC LIMIT 2)),
+        |pop2 AS (SELECT * FROM pop
+        |  WHERE l_orderkey NOT IN (SELECT l_orderkey FROM top2))
+        |SELECT CASE WHEN o_orderkey % 100 = 0 THEN 'X'
+        |            ELSE o_orderstatus END AS o_orderstatus,
+        |  COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM pop2 JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
+    // SQL over the DV-carrying v2: identical population to
+    // lake_dv_delete — the vectors hide 42/43, the v3 merge is invisible
+    "lake_sql_dv" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43)
+        |GROUP BY l_returnflag""".stripMargin,
 
     // post-purge head = the v3 population re-derived from raw lineitem
     // (delete 42/43, merge: 51 out, 48 at +100) and, by the purge

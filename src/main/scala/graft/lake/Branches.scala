@@ -148,11 +148,21 @@ object Branches {
 
   /** Tag `version` (default: head) of the main table as `name` —
     * atomic create-no-overwrite; a tag is immutable (delete + re-tag
-    * to move it, accepting that the old pin is gone). */
+    * to move it, accepting that the old pin is gone).
+    *
+    * An ALL-DIGIT name is rejected: SQL `VERSION AS OF <v>` resolves a
+    * numeric argument as a commit number FIRST ([[SnapshotCatalog
+    * .loadTable]]), so a tag named '42' would be unreachable there —
+    * shadowed by commit 42, possibly a different snapshot than the tag
+    * pins. Refusing at creation keeps the ambiguity impossible instead
+    * of documented. */
   def tag(spark: SparkSession, table: String, name: String,
           version: Option[Long] = None): Long = {
     val (fs, rootP) = SnapshotLog.fsOf(spark, table)
     require(!SnapshotLog.isBranchRoot(rootP), "tags live on the table root")
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — SQL VERSION AS OF would resolve " +
+        "it as a commit number, never the tag; pick a name with a letter")
     val head = SnapshotLog.currentVersion(spark, table)
     val v = version.getOrElse(head)
     require(v >= 0 && v <= head, s"cannot tag v$v (head is v$head)")

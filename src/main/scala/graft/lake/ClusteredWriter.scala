@@ -86,6 +86,13 @@ object ClusteredWriter {
     require(!df.columns.contains("_z"),
       "input column '_z' clashes with the working Morton-key column; rename it first")
     require(buckets >= 2 && buckets <= 256, s"buckets must be in [2,256], got $buckets")
+    // boundary count (buckets − 1) must fit the per-dimension Morton
+    // code space — fail before the quantile pass, not inside
+    // mortonKeyRanked after it (5+ dims have fewer than 8 bits each)
+    val zBits = math.min(16, 62 / cols.size)
+    require(buckets <= (1 << zBits),
+      s"buckets=$buckets exceeds the $zBits-bit per-dimension code space " +
+        s"for ${cols.size} Z-order columns — use buckets <= ${1 << zBits}")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // one pass over a projection cast to double (approxQuantile is
     // numeric-only; the cast also normalizes int/date dims)

@@ -193,15 +193,30 @@ object IncrementalView {
           spark.sparkContext.parallelize(flagged.toSeq, 1), gSchema)
         var src = SnapshotLog.read(spark, m.src, Some(srcHead))
         if (m.groupCols.size == 1 && flagged.length <= 10000) {
-          val vs = flagged.map(_.get(0)).toSeq
-          src = src.where(col(m.groupCols.head).isin(vs: _*)) // pushable
+          // groupBy treats NULL as a real group, but `isin` never
+          // matches it — OR an explicit isNull arm in when the flagged
+          // set carries the NULL group (both arms push down)
+          val (nullKeys, vs) = flagged.toSeq.partition(_.isNullAt(0))
+          val key = col(m.groupCols.head)
+          val in = if (vs.isEmpty) lit(false) else key.isin(vs.map(_.get(0)): _*)
+          src = src.where(if (nullKeys.nonEmpty) in || key.isNull else in)
         }
-        val re = src.join(broadcast(gdf), m.groupCols, "left_semi")
+        // NULL-SAFE equality (<=>) throughout: a retracted extremum of
+        // the NULL group must rescan and land back on its state row —
+        // plain `=` (what a using-columns join builds) drops it and
+        // leaves a stale min/max in the view
+        val semiCond = m.groupCols.map(c => src(c) <=> gdf(c)).reduce(_ && _)
+        val re = src.join(broadcast(gdf), semiCond, "left_semi")
           .groupBy(m.groupCols.map(col): _*)
           .agg(max(lit(true)).as("_rescanned"),
             m.minMaxCols.flatMap(c => Seq(
               min(col(c)).as(s"_remin_$c"), max(col(c)).as(s"_remax_$c"))): _*)
-        merged = merged.join(broadcast(re), m.groupCols, "left")
+        val reCols = m.groupCols.indices.map(i => s"_rg_$i")
+        val re2 = m.groupCols.zip(reCols).foldLeft(re) {
+          case (d, (c, rc)) => d.withColumnRenamed(c, rc) }
+        val joinCond = m.groupCols.zip(reCols)
+          .map { case (c, rc) => col(c) <=> col(rc) }.reduce(_ && _)
+        merged = merged.join(broadcast(re2), joinCond, "left").drop(reCols: _*)
         for (c <- m.minMaxCols) merged = merged
           .withColumn(s"min_$c", when(col("_rescanned"), col(s"_remin_$c"))
             .otherwise(col(s"min_$c")))

@@ -46,17 +46,23 @@ import org.apache.spark.sql.functions._
   * version, dim version) are stored in the commit's op label, so a
   * refresh is atomic-with-its-cursor and a crashed refresh re-reads
   * the same change ranges. Same aggregate class as
-  * [[IncrementalView]]: COUNT/SUM (commutative groups); same float
-  * caveat (pin decimals for bit-reproducible audits); groups whose row
-  * count reaches zero are dropped.
+  * [[IncrementalView]]: COUNT/SUM (commutative groups) plus MIN/MAX
+  * via rescan-on-retract over the joined recompute of flagged groups;
+  * same float caveat (pin decimals for bit-reproducible audits);
+  * groups whose row count reaches zero are dropped.
   */
 object JoinView {
 
   /** Persisted coordinates: the two sources, the version of each the
-    * state reflects, the equi-join keys, and the aggregate spec. */
+    * state reflects, the equi-join keys, and the aggregate spec.
+    * `minMaxCols` maintain MIN/MAX over the JOINED measure — not
+    * subtractable, so deletes that may retract a group's extremum
+    * trigger a bounded joined recompute of exactly those groups (see
+    * [[refresh]]). */
   final case class Meta(fact: String, factVersion: Long, dim: String,
                         dimVersion: Long, factKey: String, dimKey: String,
-                        groupCols: Seq[String], sumCols: Seq[String])
+                        groupCols: Seq[String], sumCols: Seq[String],
+                        minMaxCols: Seq[String] = Nil)
 
   private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8.name())
   private def dec(s: String) = URLDecoder.decode(s, StandardCharsets.UTF_8.name())
@@ -64,17 +70,23 @@ object JoinView {
   private def label(m: Meta): String =
     s"mvj:${m.factVersion}:${m.dimVersion}:${enc(m.fact)}:${enc(m.dim)}:" +
       s"${enc(m.factKey)}:${enc(m.dimKey)}:${m.groupCols.map(enc).mkString(",")}:" +
-      m.sumCols.map(enc).mkString(",")
+      m.sumCols.map(enc).mkString(",") +
+      (if (m.minMaxCols.isEmpty) "" else ":" + m.minMaxCols.map(enc).mkString(","))
 
-  private def parseLabel(op: String): Option[Meta] = op.split(':') match {
-    case Array("mvj", fv, dv, f, d, fk, dk, g, s) =>
-      Some(Meta(dec(f), fv.toLong, dec(d), dv.toLong, dec(fk), dec(dk),
-        g.split(',').toSeq.map(dec),
-        if (s.isEmpty) Nil else s.split(',').toSeq.map(dec)))
-    case Array("mvj", fv, dv, f, d, fk, dk, g) => // counts only
-      Some(Meta(dec(f), fv.toLong, dec(d), dv.toLong, dec(fk), dec(dk),
-        g.split(',').toSeq.map(dec), Nil))
-    case _ => None
+  private def parseLabel(op: String): Option[Meta] = {
+    def split(s: String) = if (s.isEmpty) Nil else s.split(',').toSeq.map(dec)
+    op.split(':') match {
+      case Array("mvj", fv, dv, f, d, fk, dk, g, s, mm) =>
+        Some(Meta(dec(f), fv.toLong, dec(d), dv.toLong, dec(fk), dec(dk),
+          g.split(',').toSeq.map(dec), split(s), split(mm)))
+      case Array("mvj", fv, dv, f, d, fk, dk, g, s) =>
+        Some(Meta(dec(f), fv.toLong, dec(d), dv.toLong, dec(fk), dec(dk),
+          g.split(',').toSeq.map(dec), split(s)))
+      case Array("mvj", fv, dv, f, d, fk, dk, g) => // counts only
+        Some(Meta(dec(f), fv.toLong, dec(d), dv.toLong, dec(fk), dec(dk),
+          g.split(',').toSeq.map(dec), Nil))
+      case _ => None
+    }
   }
 
   /** The view's meta, from the HEAD commit's op label. */
@@ -89,12 +101,23 @@ object JoinView {
   }
 
   /** The view's defining aggregate over an (already joined) frame with
-    * a signed weight column: n_rows = Σw, sum_<c> = Σ w·c. A full
+    * a signed weight column: n_rows = Σw, sum_<c> = Σ w·c, and for
+    * min/max columns the INSERT-side extrema (w > 0) under the state
+    * names plus, when `emitDeletes`, the DELETE-side extrema (w < 0)
+    * as `_dmin_<c>`/`_dmax_<c>` — the retraction probes. A full
     * (re)compute is the same expression with w ≡ 1. */
   private def weightedAgg(joined: DataFrame, groupCols: Seq[String],
-                          sumCols: Seq[String], w: org.apache.spark.sql.Column): DataFrame = {
+                          sumCols: Seq[String], w: org.apache.spark.sql.Column,
+                          minMaxCols: Seq[String] = Nil,
+                          emitDeletes: Boolean = false): DataFrame = {
     val aggs = sum(w).cast("long").as("n_rows") +:
-      sumCols.map(c => sum(col(c) * w).as(s"sum_$c"))
+      (sumCols.map(c => sum(col(c) * w).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c =>
+          Seq(min(when(w > 0, col(c))).as(s"min_$c"),
+            max(when(w > 0, col(c))).as(s"max_$c")) ++
+            (if (emitDeletes) Seq(
+              min(when(w < 0, col(c))).as(s"_dmin_$c"),
+              max(when(w < 0, col(c))).as(s"_dmax_$c")) else Nil)))
     joined.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -107,15 +130,16 @@ object JoinView {
   def create(spark: SparkSession, fact: String, dim: String, view: String,
              factKey: String, dimKey: String,
              groupCols: Seq[String], sumCols: Seq[String],
-             factAsOf: Option[Long] = None, dimAsOf: Option[Long] = None): Long = {
+             factAsOf: Option[Long] = None, dimAsOf: Option[Long] = None,
+             minMaxCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "need at least one group column")
     val fv = factAsOf.getOrElse(SnapshotLog.currentVersion(spark, fact))
     val dv = dimAsOf.getOrElse(SnapshotLog.currentVersion(spark, dim))
-    val m = Meta(fact, fv, dim, dv, factKey, dimKey, groupCols, sumCols)
+    val m = Meta(fact, fv, dim, dv, factKey, dimKey, groupCols, sumCols, minMaxCols)
     val state = weightedAgg(
       joined(SnapshotLog.read(spark, fact, Some(fv)),
         SnapshotLog.read(spark, dim, Some(dv)), m),
-      groupCols, sumCols, lit(1L))
+      groupCols, sumCols, lit(1L), minMaxCols)
     SnapshotLog.write(state, view, "overwrite", opLabel = Some(label(m)))
   }
 
@@ -167,7 +191,8 @@ object JoinView {
         case None => SnapshotLog.read(spark, m.dim, Some(dHead))
       }
       if (dNew != null)
-        deltas += weightedAgg(joined(dF, dNew, m), m.groupCols, m.sumCols, col("_w"))
+        deltas += weightedAgg(joined(dF, dNew, m), m.groupCols, m.sumCols,
+          col("_w"), m.minMaxCols, emitDeletes = true)
     }
 
     // V(F, ΔD): OLD fact (pruned to the changed dim keys) against the
@@ -184,7 +209,8 @@ object JoinView {
         case None => SnapshotLog.read(spark, m.fact, Some(m.factVersion))
       }
       if (fOld != null)
-        deltas += weightedAgg(joined(fOld, dD, m), m.groupCols, m.sumCols, col("_w"))
+        deltas += weightedAgg(joined(fOld, dD, m), m.groupCols, m.sumCols,
+          col("_w"), m.minMaxCols, emitDeletes = true)
     }
 
     val cur = SnapshotLog.read(spark, view)
@@ -192,24 +218,82 @@ object JoinView {
       cur.schema.fields.toSeq.map(f => f.name -> f.dataType)
     def conformed(df: DataFrame): DataFrame =
       df.select(stateCols.map { case (n, t) => col(n).cast(t).as(n) }: _*)
+    // delta frames carry the delete-side extrema probes beside the
+    // state columns; the state side rides with them null-filled
+    def conformDelta(df: DataFrame): DataFrame =
+      df.select(stateCols.map { case (n, t) => col(n).cast(t).as(n) } ++
+        m.minMaxCols.flatMap(c => Seq(col(s"_dmin_$c"), col(s"_dmax_$c"))): _*)
+    def nullDels(df: DataFrame): DataFrame =
+      m.minMaxCols.foldLeft(df)((d, c) => d
+        .withColumn(s"_dmin_$c", lit(null).cast(cur.schema(s"min_$c").dataType))
+        .withColumn(s"_dmax_$c", lit(null).cast(cur.schema(s"max_$c").dataType)))
     val mergeAggs = sum(col("n_rows")).as("n_rows") +:
-      m.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
-    val merged = (conformed(cur) +: deltas.result().map(conformed))
+      (m.sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")) ++
+        m.minMaxCols.flatMap(c => Seq(
+          min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"),
+          min(col(s"_dmin_$c")).as(s"_dmin_$c"),
+          max(col(s"_dmax_$c")).as(s"_dmax_$c"))))
+    var merged = (nullDels(conformed(cur)) +: deltas.result().map(conformDelta))
       .reduce(_ unionByName _)
       .groupBy(m.groupCols.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
       .where(col("n_rows") =!= 0)
+
+    if (m.minMaxCols.nonEmpty) {
+      // RESCAN-ON-RETRACT over the JOINED recompute: a delete-side value
+      // that TIES the group's candidate extremum may have been its last
+      // witness — exactly those groups are re-aggregated from fact⋈dim
+      // at the new heads, semi-joined (null-safely: NULL is a real
+      // group) to the flagged set. The tie test also self-corrects the
+      // two-term delta algebra's phantom pairs: a cross-term insert that
+      // becomes the candidate extremum always has a matching delete of
+      // the same value in the other term, so it flags its own group.
+      // Cost: one join of the sources restricted to the flagged groups'
+      // rows — paid only when a retraction happened, never on the
+      // insert-only fast path.
+      val retract = m.minMaxCols.map(c =>
+        coalesce(col(s"_dmin_$c") <= col(s"min_$c"), lit(false)) ||
+          coalesce(col(s"_dmax_$c") >= col(s"max_$c"), lit(false)))
+        .reduce(_ || _)
+      val flagged = merged.where(retract).select(m.groupCols.map(col): _*)
+        .collect() // CDC-bounded: groups whose extremum a delete touched
+      if (flagged.nonEmpty) {
+        val gSchema = org.apache.spark.sql.types.StructType(
+          m.groupCols.map(c => cur.schema(c)))
+        val gdf = spark.createDataFrame(
+          spark.sparkContext.parallelize(flagged.toSeq, 1), gSchema)
+        val full = joined(SnapshotLog.read(spark, m.fact, Some(fHead)),
+          SnapshotLog.read(spark, m.dim, Some(dHead)), m)
+        val semiCond = m.groupCols.map(c => full(c) <=> gdf(c)).reduce(_ && _)
+        val re = full.join(broadcast(gdf), semiCond, "left_semi")
+          .groupBy(m.groupCols.map(col): _*)
+          .agg(max(lit(true)).as("_rescanned"),
+            m.minMaxCols.flatMap(c => Seq(
+              min(col(c)).as(s"_remin_$c"), max(col(c)).as(s"_remax_$c"))): _*)
+        val reCols = m.groupCols.indices.map(i => s"_rg_$i")
+        val re2 = m.groupCols.zip(reCols).foldLeft(re) {
+          case (d, (c, rc)) => d.withColumnRenamed(c, rc) }
+        val joinCond = m.groupCols.zip(reCols)
+          .map { case (c, rc) => col(c) <=> col(rc) }.reduce(_ && _)
+        merged = merged.join(broadcast(re2), joinCond, "left").drop(reCols: _*)
+        for (c <- m.minMaxCols) merged = merged
+          .withColumn(s"min_$c", when(col("_rescanned"), col(s"_remin_$c"))
+            .otherwise(col(s"min_$c")))
+          .withColumn(s"max_$c", when(col("_rescanned"), col(s"_remax_$c"))
+            .otherwise(col(s"max_$c")))
+      }
+    }
     SnapshotLog.write(conformed(merged), view, "overwrite",
       opLabel = Some(label(m.copy(factVersion = fHead, dimVersion = dHead))))
   }
 
-  /** Read the view's current state: (groupCols…, n_rows, sum_<c>…)
-    * plus DERIVED `avg_<c>` per sum column — AVG is exactly SUM/COUNT,
-    * so it rides the maintained pair with no state of its own. MIN/MAX
-    * over a join view are NOT offered: a dim-side update migrates whole
-    * groups, so retraction detection would need the joined recompute
-    * for every touched group — [[IncrementalView]] (single-source)
-    * maintains them with the bounded rescan instead. */
+  /** Read the view's current state: (groupCols…, n_rows, sum_<c>…,
+    * min_<c>…, max_<c>…) plus DERIVED `avg_<c>` per sum column — AVG
+    * is exactly SUM/COUNT, so it rides the maintained pair with no
+    * state of its own. MIN/MAX (when declared in `minMaxCols`) are
+    * maintained by rescan-on-retract over the joined recompute of the
+    * flagged groups — see [[refresh]]. */
   def read(spark: SparkSession, view: String): DataFrame = {
     val m = meta(spark, view)
     m.sumCols.foldLeft(SnapshotLog.read(spark, view))((df, c) =>

@@ -110,7 +110,7 @@ class MetastoreFileIndex(
       pd.copy(files = pd.files.filter { f =>
         total += 1
         val keep = intervals.get(f.getPath.toString) match {
-          case Some(stats) => dataFilters.forall(mayContain(stats, _))
+          case Some(stats) => dataFilters.forall(MetastoreFileIndex.mayContain(stats, _))
           case None => true // file unknown to the metastore: never prune
         }
         if (keep) kept += 1
@@ -126,9 +126,15 @@ class MetastoreFileIndex(
     out
   }
 
+}
+
+object MetastoreFileIndex {
+
   /** May the file (with these column intervals) contain a row satisfying
-    * `e`? Unknown shapes answer true. */
-  private def mayContain(stats: Map[String, (Literal, Literal)], e: Expression): Boolean = {
+    * `e`? Unknown shapes answer true. Shared by this index and the
+    * catalog-side [[SnapshotFileIndex]] — ONE definition of the pruning
+    * semantics, so the SQL path cannot drift from the API path. */
+  private[lake] def mayContain(stats: Map[String, (Literal, Literal)], e: Expression): Boolean = {
     // Floating-point columns: a spec-compliant writer EXCLUDES NaN from
     // footer min/max, and Spark orders NaN above every double — so a
     // NaN row satisfies `col > v`, `col >= v`, and `col === NaN` even
@@ -171,9 +177,6 @@ class MetastoreFileIndex(
       case _ => true
     }
   }
-}
-
-object MetastoreFileIndex {
 
   private[lake] val log = org.slf4j.LoggerFactory.getLogger(classOf[MetastoreFileIndex])
 

@@ -7,8 +7,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -26,22 +24,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * The catalog maps `snap.<ns…>.<name>` to the snapshot table at
   * `<root>/<ns…>/<name>` and serves the RESOLVED version's live file
-  * set through Spark's own `ParquetTable` with the schema committed at
-  * that version — so predicate pushdown, column pruning, and row-group
-  * skipping all work unchanged, and a column added later never bleeds
-  * into an old version. The reference has no versioned SQL surface at
-  * all (lakeshack/lakeshack.py:550-557 interpolates SQL strings over
-  * one live layout); this is the Spark-native finish of its
-  * query-the-lake story.
+  * set through [[SnapshotParquetTable]] (Spark's `ParquetTable`
+  * extended with the version's semantics) with the schema committed at
+  * that version — a column added later never bleeds into an old
+  * version. The reference has no versioned SQL surface at all
+  * (lakeshack/lakeshack.py:550-557 interpolates SQL strings over one
+  * live layout); this is the Spark-native finish of its query-the-lake
+  * story:
   *
-  * Scope (documented, not silent):
-  *  - READ-ONLY: `createTable`/`alterTable`/`dropTable`/`renameTable`
-  *    throw — commits go through [[SnapshotLog]], whose claim protocol
-  *    is the single writer path (one commit point, [[SnapshotLog.commit]]).
-  *  - A version carrying DELETION VECTORS is refused with a pointer to
-  *    `SnapshotLog.read` / `purgeDeletes`: a plain parquet scan cannot
-  *    apply the positional anti-join, and silently resurrecting dead
-  *    rows would be a correctness bug, not a degraded mode.
+  *  - ZONE-MAP PRUNING: `WHERE` clauses on stats-bearing columns skip
+  *    files at planning time ([[SnapshotFileIndex]]) — the API path's
+  *    `readPruned` behavior, now free inside any `spark.sql`.
+  *  - DELETION VECTORS apply transparently: a post-`delete` version
+  *    reads its live rows only ([[DvScanBuilder]]'s positional filter,
+  *    the SQL twin of `SnapshotLog.read`'s anti-join), at a bounded,
+  *    documented read tax that `purgeDeletes`/`maintain` clears.
+  *
+  * Scope (documented, not silent): READ-ONLY —
+  * `createTable`/`alterTable`/`dropTable`/`renameTable` throw; commits
+  * go through [[SnapshotLog]], whose claim protocol is the single
+  * writer path (one commit point, [[SnapshotLog.commit]]).
   *
   * `TIMESTAMP AS OF` resolves to the NEWEST version whose commit
   * timestamp is ≤ the asked instant (micros, as Spark hands it over) —
@@ -93,7 +95,9 @@ class SnapshotCatalog extends TableCatalog {
     * TAG name ([[Branches.tag]]'s immutable pins): `VERSION AS OF
     * 'march-run'` reads exactly the snapshot the March run trained on,
     * and retention never expires below a live tag, so the query stays
-    * answerable until the tag is dropped. */
+    * answerable until the tag is dropped. A NUMERIC argument always
+    * resolves as a commit number; the ambiguity cannot bite because
+    * [[Branches.tag]] refuses all-digit tag names at creation. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong catch {
       case _: NumberFormatException =>
@@ -127,18 +131,22 @@ class SnapshotCatalog extends TableCatalog {
     val p = tablePath(ident)
     if (SnapshotLog.currentVersion(s, p) < 0) throw new NoSuchTableException(ident)
     val snap = SnapshotLog.state(s, p, asOf)
-    require(snap.dvs.isEmpty,
-      s"$catalogName.$ident v${snap.version} carries deletion vectors — a SQL " +
-        "parquet scan would resurrect dead rows. Read it via SnapshotLog.read " +
-        "(merge-on-read) or fold the vectors first with SnapshotLog.purgeDeletes.")
-    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    // deep-relaxed nullability, like DataFrameReader.schema: a
+    // pre-evolution file legitimately lacks a later (null-filled)
+    // column, and a non-nullable field would make the vectorized
+    // reader refuse the file
+    val schema = StructType(DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType].fields.map(SnapshotLog.relaxNullability))
     val rootP = new Path(p)
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val dataRoot = SnapshotLog.dataRootOf(rootP)
     val paths = snap.files.map(f => fs.makeQualified(new Path(dataRoot, f)).toString)
-    ParquetTable(s"$catalogName.${ident.toString}@v${snap.version}", s,
-      CaseInsensitiveStringMap.empty(), paths, Some(schema),
-      classOf[ParquetFileFormat])
+    // dead-position map (empty for a clean version): the scan applies
+    // the version's deletion vectors row-by-row — see SnapshotTable's
+    // scaladoc for the exact read tax and why it is bounded
+    val dead = SnapshotLog.deadPositions(s, rootP, snap)
+    new SnapshotParquetTable(s"$catalogName.${ident.toString}@v${snap.version}",
+      s, paths, schema, dead)
   }
 
   private def readOnly(op: String): Nothing =

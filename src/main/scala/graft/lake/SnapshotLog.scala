@@ -3,6 +3,8 @@ package graft.lake
 import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
@@ -627,6 +629,14 @@ object SnapshotLog {
     require(cols.size >= 2 && cols.size <= 8,
       s"Z-order wants 2-8 columns, got ${cols.size} (use compact for one)")
     require(buckets >= 2 && buckets <= 256, s"buckets must be in [2,256], got $buckets")
+    // the Morton key packs min(16, 62/k) bits per dimension, so the
+    // boundary count (buckets − 1) must fit that code space — validated
+    // HERE, before the approxQuantile pass, not inside mortonKeyRanked
+    // after it (5+ dims shrink the per-dimension budget below 256)
+    val zBits = math.min(16, 62 / cols.size)
+    require(buckets <= (1 << zBits),
+      s"buckets=$buckets exceeds the $zBits-bit per-dimension code space " +
+        s"for ${cols.size} Z-order columns — use buckets <= ${1 << zBits}")
     val head = currentVersion(spark, table)
     val cur = state(spark, table, Some(head))
     val df = read(spark, table, Some(head))
@@ -719,10 +729,41 @@ object SnapshotLog {
     val trigger =
       if (dirtyFraction > maxDirtyFraction) true
       else {
-        val (_, root) = fsOf(spark, table)
-        dvRows(spark, root, cur).count() > maxDeadRows
+        // dead-row count from DV parquet FOOTERS, on the driver: the
+        // non-triggering path of a per-micro-batch policy check must be
+        // JOBLESS (no Spark job, no executor round-trip) — DV files are
+        // dead-row-sized and immutable, so each footer is read at most
+        // once per JVM (cache below) and the steady-state cost is a map
+        // lookup per DV file
+        val (fs, root) = fsOf(spark, table)
+        cur.dvs.values.flatten.toSeq.distinct.map { f =>
+          footerRowCount(fs, new Path(dataRootOf(root), f))
+        }.sum > maxDeadRows
       }
     if (trigger) purgeDeletes(spark, table, checkpointInterval) else head
+  }
+
+  /** Driver-side parquet footer row count, cached per path (pool files
+    * are immutable by protocol, so the count is valid for the file's
+    * life). Used by [[maintain]]'s no-op path; DV files only — data
+    * files go through the distributed [[StatsAgg.harvest]]. */
+  private val footerRowCountCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > 100000
+    })
+
+  private def footerRowCount(fs: FileSystem, p: Path): Long = {
+    val key = p.toString
+    val cached = footerRowCountCache.get(key)
+    if (cached != null) return cached.longValue()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, fs.getConf))
+    val n = try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            finally reader.close()
+    footerRowCountCache.put(key, java.lang.Long.valueOf(n))
+    n
   }
 
   /** Copy-on-write MERGE as ONE snapshot commit: rows of `upserts`
@@ -934,7 +975,15 @@ object SnapshotLog {
     * files only, not O(version files) per call. That re-harvest was the
     * one measured per-refresh O(files) term in the steady-state JoinView
     * cycle (round-12 reconciliation). LRU-capped at 1M entries
-    * (~100 MB): same driver-memory class as the pruning interval map. */
+    * (~100 MB): same driver-memory class as the pruning interval map.
+    *
+    * EVICTION CONTRACT: the only operations that ever delete a pool
+    * file are [[expire]] and [[expireOrphans]], and both evict the
+    * dropped paths from this cache (and the session `FileStatusCache`)
+    * before returning — so a stale entry for a deleted file cannot
+    * exist by construction, not merely because no retained manifest
+    * references one. (Tokens are never reused, so a future file can
+    * never take a dropped file's path either.) */
   private val footerStatsCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, StatsAgg.FileStats](1024, 0.75f, true) {
       override def removeEldestEntry(
@@ -944,7 +993,7 @@ object SnapshotLog {
 
   /** [[StatsAgg.harvest]] through the cache: only uncached (file,
     * column) pairs pay a footer read. */
-  private def cachedHarvest(spark: SparkSession, paths: Seq[String],
+  private[lake] def cachedHarvest(spark: SparkSession, paths: Seq[String],
                             column: String,
                             dt: org.apache.spark.sql.types.DataType): Seq[StatsAgg.FileStats] = {
     def key(p: String) = s"$p|$column"
@@ -981,8 +1030,10 @@ object SnapshotLog {
         Seq(fs.min.orNull, fs.max.orNull)
       })
     }
+    // sliced like merge's key frame: a 10⁵-file version's stats rows in
+    // one slice would ship a multi-MB single task
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), outSchema)
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 20000)), outSchema)
   }
 
   // ── reads ────────────────────────────────────────────────────────
@@ -1011,6 +1062,33 @@ object SnapshotLog {
     val paths = snap.dvs.values.flatten.toSeq.distinct.map(f => new Path(dataRootOf(root), f).toString)
     spark.read.parquet(paths: _*).select(col("file"), col("pos"))
   }
+
+  /** The snapshot's dead positions, collected to the driver as
+    * pool-relative file → SORTED position array — the executor-side
+    * shape [[SnapshotCatalog]]'s DV-applying SQL scan filters with.
+    * Dead-row-sized by the DV contract ([[maintain]] bounds it); cached
+    * per (table, version) because a version's vector set is immutable.
+    * Pooling across files is sound for the same reason as [[dvRows]]. */
+  private[lake] def deadPositions(spark: SparkSession, root: Path,
+                                  snap: Snapshot): Map[String, Array[Long]] = {
+    if (snap.dvs.isEmpty) return Map.empty
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = fs.makeQualified(root).toString + "@" + snap.version
+    val cached = deadPositionsCache.get(key)
+    if (cached != null) return cached
+    val out = dvRows(spark, root, snap).collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
+    deadPositionsCache.put(key, out)
+    out
+  }
+
+  private val deadPositionsCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, Array[Long]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, Array[Long]]]): Boolean =
+        size() > 64
+    })
 
   /** Drop `dv`-listed rows from `scan` (which must expose `_metadata`):
     * per-file positional anti-join, broadcast — the DV side is
@@ -1122,7 +1200,7 @@ object SnapshotLog {
   }
 
   /** Deep nullable relaxation (what DataFrameReader.schema applies). */
-  private def relaxNullability(f: StructField): StructField = {
+  private[lake] def relaxNullability(f: StructField): StructField = {
     import org.apache.spark.sql.types._
     def relax(dt: DataType): DataType = dt match {
       case s: StructType => StructType(s.fields.map(relaxNullability))
@@ -1434,19 +1512,31 @@ object SnapshotLog {
 
     // checkpoint exactly AT the horizon: replaying any retained version
     // must never need a dropped manifest, and the horizon version itself
-    // retains no manifests below it
-    if (!listing.checkpoints.exists(v =>
-      v == horizon && parse(readFile(fs, checkpointPath(root, v))).isDefined)) {
+    // retains no manifests below it. A checkpoint WITHOUT the cumulative
+    // token set (written before token indexing existed) counts as
+    // MISSING here: dropping manifests below it would lose their batch
+    // tokens forever and reopen appendBatch's replay/double-commit hole
+    // on upgraded logs — so it is rewritten (delete + reclaim) with the
+    // token set computed while every manifest still exists. Readers are
+    // never hurt by the gap between delete and reclaim: a missing
+    // checkpoint just falls back to manifest replay, and no manifest is
+    // deleted until the token-carrying checkpoint is in place.
+    val horizonCp = listing.checkpoints.find(_ == horizon)
+      .flatMap(v => parse(readFile(fs, checkpointPath(root, v))))
+    if (!horizonCp.exists(_.tokensKnown)) {
       val snap = state(spark, table, Some(horizon))
       // cumulative token set rides the horizon checkpoint so
       // appendBatch's exactly-once skip survives the manifest drop
       // below — a replayed pre-horizon batch must still be a no-op
       val tokens = tokenSetAt(fs, root, Some(horizon)).toSeq.sorted
+      if (horizonCp.isDefined) fs.delete(checkpointPath(root, horizon), false)
       val e = Entry(horizon, System.currentTimeMillis(), "checkpoint",
         snap.files.size, 0, None)
-      tryClaim(fs, checkpointPath(root, horizon),
+      require(tryClaim(fs, checkpointPath(root, horizon),
         render(e, snap.schemaJson, snap.files, Nil, snap.dvs.toSeq,
-          tokens = Some(tokens)))
+          tokens = Some(tokens))),
+        s"could not write the horizon checkpoint v$horizon for $table — " +
+          "refusing to drop manifests whose tokens it must carry")
     }
 
     def allFiles(s: Snapshot): Seq[String] = s.files ++ s.dvs.values.flatten
@@ -1467,7 +1557,30 @@ object SnapshotLog {
     dropFiles.foreach(f => fs.delete(new Path(root, f), false))
     listing.manifests.filter(_ < horizon).foreach(v => fs.delete(manifestPath(root, v), false))
     listing.checkpoints.filter(_ < horizon).foreach(v => fs.delete(checkpointPath(root, v), false))
+    evictCaches(spark, fs, root, dropFiles)
     dropFiles
+  }
+
+  /** Drop every cached fact about the (just deleted) pool files — the
+    * eviction half of the footer-stats cache's contract. Targeted for
+    * the per-file caches; the session [[org.apache.spark.sql.execution
+    * .datasources.FileStatusCache]] only offers invalidateAll, which is
+    * the right blunt tool on a maintenance cadence (the next read
+    * re-lists and re-caches). */
+  private def evictCaches(spark: SparkSession, fs: FileSystem, root: Path,
+                          droppedRel: Seq[String]): Unit = {
+    if (droppedRel.isEmpty) return
+    val absSet = droppedRel.map(f =>
+      fs.makeQualified(new Path(dataRootOf(root), f)).toString).toSet
+    def evict[V](m: java.util.Map[String, V], pathOf: String => String): Unit =
+      m.synchronized {
+        val it = m.keySet.iterator()
+        while (it.hasNext) if (absSet.contains(pathOf(it.next()))) it.remove()
+      }
+    evict(footerStatsCache, _.takeWhile(_ != '|'))
+    evict(footerRowCountCache, identity)
+    org.apache.spark.sql.execution.datasources.FileStatusCache
+      .getOrCreate(spark).invalidateAll()
   }
 
   /** Every pool-relative file path any live branch's log references
@@ -1515,6 +1628,25 @@ object SnapshotLog {
         dropped += st.getPath.toString
       }
     }
-    dropped.result()
+    val out = dropped.result()
+    // same eviction contract as expire — a reclaimed token dir's files
+    // must not survive in any per-file cache (prefix match: the caches
+    // key by absolute file path, all under the deleted dir)
+    if (out.nonEmpty) {
+      val prefixes = out.map(d => fs.makeQualified(new Path(d)).toString + "/")
+      def evict[V](m: java.util.Map[String, V], pathOf: String => String): Unit =
+        m.synchronized {
+          val it = m.keySet.iterator()
+          while (it.hasNext) {
+            val p = pathOf(it.next())
+            if (prefixes.exists(p.startsWith)) it.remove()
+          }
+        }
+      evict(footerStatsCache, _.takeWhile(_ != '|'))
+      evict(footerRowCountCache, identity)
+      org.apache.spark.sql.execution.datasources.FileStatusCache
+        .getOrCreate(spark).invalidateAll()
+    }
+    out
   }
 }

@@ -140,6 +140,15 @@ class BranchesSpec extends SparkSpec {
     assert(Branches.readTag(spark, table, "audited-2024-03").count() === 102)
   }
 
+  test("all-digit tag names are rejected at creation (VERSION AS OF shadowing)") {
+    val table = mkTable("br_digit_tag")
+    val e = intercept[IllegalArgumentException](Branches.tag(spark, table, "42"))
+    assert(e.getMessage.contains("all digits"))
+    // a letter anywhere makes the name unambiguous — accepted
+    Branches.tag(spark, table, "v42")
+    assert(Branches.tagVersions(spark, table).contains("v42"))
+  }
+
   test("branch-of-branch is refused: the nested pool would diverge") {
     val table = mkTable("br_nest")
     Branches.create(spark, table, "b1")

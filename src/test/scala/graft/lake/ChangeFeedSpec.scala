@@ -161,6 +161,24 @@ class ChangeFeedSpec extends SparkSpec {
     assert(mm() == full)
   }
 
+  test("min/max view: the NULL group's retraction rescans null-safely") {
+    val src = mkTable(); val mv = tmpDir("chfeed") + "/mvnull"
+    // groupBy treats NULL as a real group — a delete retracting ITS
+    // extremum must flow through the rescan's null-safe joins, not fall
+    // out of a plain-equality semi-join
+    def df(rows: (Long, Option[String], Long)*) = rows.toDF("id", "g", "x")
+    SnapshotLog.write(df((1L, None, 10L), (2L, None, 5L), (3L, Some("b"), 7L)),
+      src, "overwrite", clusterColumn = Some("id"), nFiles = 1) // v0
+    IncrementalView.create(spark, src, mv, Seq("g"), Nil, minMaxCols = Seq("x"))
+    SnapshotLog.delete(spark, src, col("id") === 1L) // retracts NULL group's max
+    IncrementalView.refresh(spark, mv)
+    val st = IncrementalView.read(spark, mv)
+      .select(col("g"), col("min_x"), col("max_x"))
+      .as[(Option[String], Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(st == Map(None -> (5L, 5L), Some("b") -> (7L, 7L)))
+  }
+
   test("view cursor survives in the commit label; foreign head is refused") {
     val src = mkTable(); val mv = tmpDir("chfeed") + "/mv2"
     SnapshotLog.write(Seq((1L, "a", 1L)).toDF("id", "g", "x"), src, "overwrite")

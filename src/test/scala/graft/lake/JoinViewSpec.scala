@@ -121,4 +121,50 @@ class JoinViewSpec extends SparkSpec {
     val e = intercept[IllegalStateException](JoinView.refresh(spark, view))
     assert(e.getMessage.contains("cursor is lost"))
   }
+
+  test("min/max across the join: fold on insert, joined rescan on retract, migration") {
+    val base = mkBase()
+    val fact = s"$base/fact"; val dim = s"$base/dim"; val view = s"$base/mv"
+    SnapshotLog.write(
+      (0 until 12).map(i => (i.toLong, (i % 4).toLong, i * 10.0)).toDF("id", "k", "x"),
+      fact, "overwrite", clusterColumn = Some("k"), nFiles = 4)
+    SnapshotLog.write(
+      Seq((0L, "even"), (1L, "odd"), (2L, "even"), (3L, "odd")).toDF("dk", "grp"),
+      dim, "overwrite")
+    JoinView.create(spark, fact, dim, view, "k", "dk", Seq("grp"), Seq("x"),
+      minMaxCols = Seq("x"))
+    def mmState(): Map[String, (Long, Double, Double)] =
+      JoinView.read(spark, view).select("grp", "n_rows", "min_x", "max_x")
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    def fullMm(): Map[String, (Long, Double, Double)] =
+      SnapshotLog.read(spark, fact)
+        .join(SnapshotLog.read(spark, dim), col("k") === col("dk"))
+        .groupBy("grp").agg(count(lit(1)), min("x"), max("x"))
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(mmState() == fullMm()) // create = full compute
+
+    // insert-only: extrema fold, no retraction
+    SnapshotLog.write(Seq((100L, 0L, 500.0)).toDF("id", "k", "x"), fact, "append")
+    JoinView.refresh(spark, view)
+    assert(mmState() == fullMm())
+
+    // fact DV delete retracts 'even's max (500 @ id=100) and 'odd's max
+    // (110 @ id=11): both groups must rescan through the join
+    SnapshotLog.delete(spark, fact, col("id") === 100L || col("id") === 11L)
+    JoinView.refresh(spark, view)
+    assert(mmState() == fullMm())
+
+    // dim migration: dk=0 moves to 'odd' — whole-group extremum mass
+    // migrates; the delete side of the old group flags its own rescan
+    SnapshotLog.merge(spark, dim, "dk", Seq((0L, "odd")).toDF("dk", "grp"))
+    JoinView.refresh(spark, view)
+    assert(mmState() == fullMm())
+
+    // dim DV delete drops dk=3: its joined rows leave 'odd'
+    SnapshotLog.deleteByKeys(spark, dim, "dk", Seq(3L))
+    JoinView.refresh(spark, view)
+    assert(mmState() == fullMm())
+  }
 }

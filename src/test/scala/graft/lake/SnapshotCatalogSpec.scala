@@ -71,18 +71,57 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("neither a commit number nor a tag"))
   }
 
-  test("a DV-carrying version is refused with a pointer to the API read") {
+  test("a DV-carrying version reads via SQL with its dead rows dropped") {
     val root = tmpDir("snapcat_dv")
     SnapshotLog.write((0 until 10).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
       s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 2) // v0
     SnapshotLog.delete(spark, s"$root/t", col("id") === 3L) // v1: DVs
     register("snapdv", root)
-    val e = intercept[Exception](spark.sql("SELECT * FROM snapdv.t").collect())
-    assert(e.getMessage.contains("deletion vectors"))
-    // v0 (pre-delete) still reads via SQL; purge clears the head for SQL
+    // head carries vectors: SQL applies them — exactly the API read
+    assert(spark.sql("SELECT id FROM snapdv.t").as[Long].collect().toSet ==
+      (0L until 10L).toSet - 3L)
+    // pre-delete version still reads everything
     assert(spark.sql("SELECT count(*) FROM snapdv.t VERSION AS OF 0").as[Long].head() == 10L)
-    SnapshotLog.purgeDeletes(spark, s"$root/t") // v2
-    assert(spark.sql("SELECT count(*) FROM snapdv.t").as[Long].head() == 9L)
+    // a second, overlapping delete grows the vector set; SQL follows
+    SnapshotLog.delete(spark, s"$root/t", col("id") >= 7L) // v2
+    assert(spark.sql("SELECT id FROM snapdv.t").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 4L, 5L, 6L))
+    // predicates still apply (post-scan — nothing pushed into parquet on
+    // a DV'd version) and aggregate answers match the API read
+    assert(spark.sql("SELECT count(*) FROM snapdv.t WHERE id > 2").as[Long].head() ==
+      SnapshotLog.read(spark, s"$root/t").where(col("id") > 2).count())
+    // purge folds the vectors; the clean head reads the same rows
+    SnapshotLog.purgeDeletes(spark, s"$root/t") // v3
+    assert(spark.sql("SELECT id FROM snapdv.t").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 4L, 5L, 6L))
+    // the pinned DV'd version STILL time-travels across the purge
+    assert(spark.sql("SELECT count(*) FROM snapdv.t VERSION AS OF 1").as[Long].head() == 9L)
+  }
+
+  test("catalog scans zone-map prune files on WHERE (physical numFiles)") {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val root = tmpDir("snapcat_prune")
+    SnapshotLog.write((0 until 4000).map(i => (i.toLong, i.toString)).toDF("id", "s"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 8) // v0
+    register("snappr", root)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec =>
+        b.inputPartitions.collect { case fp: FilePartition => fp.files.length }.sum
+      }.getOrElse(fail("no BatchScanExec in the plan"))
+    val point = spark.sql("SELECT * FROM snappr.t WHERE id = 42")
+    assert(point.as[(Long, String)].collect().toSeq == Seq((42L, "42")))
+    val pruned = scannedFiles(point)
+    val full = scannedFiles(spark.sql("SELECT * FROM snappr.t"))
+    assert(full == 8, s"fixture should have 8 files, saw $full")
+    assert(pruned <= 2, s"point query scanned $pruned of $full files — not pruned")
+    // pruning on a DV'd version too: file skipping works under the DV scan
+    SnapshotLog.delete(spark, s"$root/t", col("id") === 1L) // v1
+    val dvPoint = spark.sql("SELECT * FROM snappr.t WHERE id = 42")
+    assert(dvPoint.as[(Long, String)].collect().toSeq == Seq((42L, "42")))
+    assert(scannedFiles(dvPoint) <= 2)
+    // and the DV'd point read of a dead key returns nothing
+    assert(spark.sql("SELECT * FROM snappr.t WHERE id = 1").collect().isEmpty)
   }
 
   test("catalog is read-only; listTables sees only snapshot tables") {

@@ -86,4 +86,51 @@ class CdcApplySpec extends SparkSpec {
       .select("filepath").collect().map(_.getString(0)).foreach(p =>
         assert(fs.exists(new org.apache.hadoop.fs.Path(p)), s"stale stats row $p"))
   }
+
+  test("versioned CDC apply: merge+DV deletes per batch, auto-maintain purges the debt") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.lake.SnapshotLog
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmpDir("cdcv")
+    val table = s"$root/t"
+    SnapshotLog.write((1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "payload"),
+      table, "overwrite", clusterColumn = Some("k"), nFiles = 4) // v0
+
+    val stream = MemoryStream[(String, Long, String)]
+    // maintainEvery=2 with a zero dirty-fraction bound: the policy check
+    // on every 2nd batch MUST purge any vector debt standing then
+    val q = CdcApply.startVersioned(stream.toDS().toDF("op", "k", "payload"),
+      table, s"$root/ckpt", keyCol = "k",
+      maintainEvery = 2, maxDirtyFraction = 0.0)
+    try {
+      stream.addData(("upsert", 5L, "v5-new"), ("delete", 9L, ""),
+        ("upsert", 200L, "v200")) // batch 0: merge + DV delete
+      q.processAllAvailable()
+      // after batch 0 (no maintain tick yet) the delete is merge-on-read
+      assert(SnapshotLog.state(spark, table).dvs.nonEmpty,
+        "batch-0 delete should stand as a deletion vector")
+      stream.addData(("delete", 11L, ""), ("upsert", 7L, "v7-new")) // batch 1
+      q.processAllAvailable() // separate ticks: MemoryStream coalesces otherwise
+      // batch 2 (maintain tick): the upsert targets a key range FAR from
+      // the standing DV (key 11's file) so the tick finds real vector
+      // debt — a nearby upsert would have rewritten the dirty file and
+      // cleared it as a merge side effect
+      stream.addData(("upsert", 80L, "v80-new"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the maintain tick at batch 2 folded every vector (purge commit)
+    assert(SnapshotLog.state(spark, table).dvs.isEmpty,
+      "auto-maintain should have purged the DV debt")
+    assert(SnapshotLog.history(spark, table).select("op").as[String]
+      .collect().contains("purge"), "history should carry the auto-purge")
+    val byKey = SnapshotLog.read(spark, table)
+      .as[(Long, String)].collect().toMap
+    assert(byKey(5L) == "v5-new" && byKey(7L) == "v7-new" && byKey(200L) == "v200")
+    assert(byKey(80L) == "v80-new")
+    assert(!byKey.contains(9L) && !byKey.contains(11L))
+    assert(byKey(4L) == "v4" && byKey.size == 99,
+      "100 seeded − deleted 9,11 + inserted 200")
+  }
 }
