@@ -348,6 +348,34 @@ object SparkEntry {
       buildJoinViewFixture(s, dir, s"/tmp/graft_jvprobe_${dirTag(dir)}")
     }
 
+  /** lake_sql_dml's table, built END-TO-END by SQL DML through the
+    * catalog, once per (session, dir): v0 = thirds-0 overwrite (API —
+    * the table must exist to register), v1 = `INSERT INTO` of third 1
+    * (DSv2 BatchWrite whose driver commit is the manifest claim), v2 =
+    * `DELETE FROM … WHERE l_orderkey IN (42, 43)` (deletion-vector
+    * commit). Returns the catalog name; the query reads the DV-carrying
+    * head back through SQL. */
+  private val sqlDmlCache = new SessionCache[String]
+
+  private def sqlDmlCatalog(s: SparkSession, dir: String): String =
+    sqlDmlCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqldml_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"
+      val li = t(s, dir, "lineitem")
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) === 0),
+        table, "overwrite", clusterColumn = Some("l_orderkey"), nFiles = 4) // v0
+      val cat = s"snapdml_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val src = s"graft_sqldml_src_${dirTag(dir)}"
+      li.where(pmod(col("l_orderkey"), lit(3)) === 1).createOrReplaceTempView(src)
+      s.sql(s"INSERT INTO $cat.lineitem SELECT * FROM $src") // v1 append
+      s.sql(s"DELETE FROM $cat.lineitem WHERE l_orderkey IN (42, 43)") // v2 DVs
+      cat
+    }
+
   /** lake_join_view_mm's star pair + MIN/MAX join view, once per
     * (session, dir): the same star construction as lake_join_view plus
     * a fact DV delete of the two orderkeys holding the highest per-key
@@ -1056,6 +1084,22 @@ object SparkEntry {
         s"""SELECT l_returnflag, COUNT(*) AS n_rows,
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
            |FROM $cat.lineitem VERSION AS OF 2
+           |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // SQL DML end-to-end: the table's v1 append arrived via INSERT INTO
+    // (DSv2 BatchWrite — the driver-side commit IS the manifest claim)
+    // and its v2 deletes via DELETE FROM (a deletion-vector commit, zero
+    // files rewritten) — the head read back through SQL must equal the
+    // same population every API-built lifecycle produces. This is the
+    // reference's query-the-lake surface promoted to a full read-WRITE
+    // SQL table (lakeshack.py has no write SQL at all).
+    "lake_sql_dml" -> ((s, dir) => {
+      val cat = sqlDmlCatalog(s, dir)
+      s.sql(
+        s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.lineitem
            |GROUP BY l_returnflag""".stripMargin)
     }),
 
@@ -3455,6 +3499,15 @@ object SparkEntry {
     // SQL over the DV-carrying v2: identical population to
     // lake_dv_delete — the vectors hide 42/43, the v3 merge is invisible
     "lake_sql_dv" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // the SQL-DML-built table: v0 thirds-0 + INSERT INTO third-1 +
+    // DELETE FROM 42/43 = thirds 0+1 minus the deleted keys
+    "lake_sql_dml" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem

@@ -40,10 +40,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    the SQL twin of `SnapshotLog.read`'s anti-join), at a bounded,
   *    documented read tax that `purgeDeletes`/`maintain` clears.
   *
-  * Scope (documented, not silent): READ-ONLY —
-  * `createTable`/`alterTable`/`dropTable`/`renameTable` throw; commits
-  * go through [[SnapshotLog]], whose claim protocol is the single
-  * writer path (one commit point, [[SnapshotLog.commit]]).
+  * SQL DML (round 13): the HEAD table is writable — `INSERT INTO`
+  * appends, `INSERT OVERWRITE` replaces, `DELETE FROM … WHERE` commits
+  * deletion vectors, `CREATE TABLE` / CTAS creates — every one through
+  * [[SnapshotLog]]'s claim protocol (the DSv2 `BatchWrite.commit` IS
+  * the manifest claim, so an aborted INSERT strands at most an orphan
+  * token dir). A pinned `VERSION/TIMESTAMP AS OF` table stays
+  * immutable; `ALTER`/`DROP`/`RENAME` throw (retention and schema
+  * evolution are API-side maintenance decisions, not query-side ones).
   *
   * `TIMESTAMP AS OF` resolves to the NEWEST version whose commit
   * timestamp is ≤ the asked instant (micros, as Spark hands it over) —
@@ -145,8 +149,11 @@ class SnapshotCatalog extends TableCatalog {
     // the version's deletion vectors row-by-row — see SnapshotTable's
     // scaladoc for the exact read tax and why it is bounded
     val dead = SnapshotLog.deadPositions(s, rootP, snap)
+    // a pinned version is immutable by definition — only the HEAD load
+    // (no AS OF) accepts INSERT/DELETE, and those commit through the
+    // claim protocol like every other writer
     new SnapshotParquetTable(s"$catalogName.${ident.toString}@v${snap.version}",
-      s, paths, schema, dead)
+      s, paths, schema, dead, tablePath = p, writable = asOf.isEmpty)
   }
 
   private def readOnly(op: String): Nothing =
@@ -155,10 +162,22 @@ class SnapshotCatalog extends TableCatalog {
         "SnapshotLog.write/merge/delete, whose manifest claim is the one " +
         "write path with ACID semantics")
 
+  /** `CREATE TABLE` / the create half of CTAS: commits an EMPTY v0
+    * carrying the schema; CTAS's rows then arrive as the v1 append
+    * through the DSv2 write path (non-atomic across the two commits,
+    * like every non-staging catalog — a crash between them leaves an
+    * empty table, never a partial one). Partition transforms are
+    * refused: the format's layout story is range/Z-order clustering at
+    * write time, not hive partitions. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"$catalogName tables take no PARTITIONED BY — cluster at write " +
+        "time instead (SnapshotLog.write clusterColumn / compactZ)")
+    SnapshotLog.createEmpty(spark, tablePath(ident), schema.json)
+    tableAt(ident, None)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     readOnly("ALTER TABLE")

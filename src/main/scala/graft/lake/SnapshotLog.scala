@@ -526,6 +526,45 @@ object SnapshotLog {
     }
   }
 
+  /** Commit the parquet files a DSv2 writer already materialized under
+    * a pool token dir — the manifest half of the SQL write path
+    * ([[SnapshotCatalog]] `INSERT INTO` / `INSERT OVERWRITE`): executors
+    * wrote the data through Spark's stock parquet `BatchWrite`, and this
+    * runs at `BatchWrite.commit` time on the driver, so the version
+    * claim IS the query's commit point — an aborted INSERT strands at
+    * most an orphan token dir ([[expireOrphans]] reclaims it), never a
+    * half-visible table. Appends validate strictly against the head
+    * schema (evolve via [[write]](mergeSchema = true) first). */
+  private[lake] def commitWrittenToken(spark: SparkSession, table: String,
+      tokenDir: Path, overwrite: Boolean, batchSchema: StructType,
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val (fs, root) = fsOf(spark, table)
+    val adds = partFiles(fs, root, tokenDir)
+    if (overwrite) {
+      val head = currentVersion(spark, table)
+      val removes = if (head >= 0) state(spark, table, Some(head)).files else Nil
+      commit(spark, table, "overwrite", adds, removes, batchSchema.json, head,
+        checkpointInterval = checkpointInterval)
+    } else {
+      def schemaFor(head: Long): String =
+        if (head >= 0) {
+          val hs = DataType.fromJson(state(spark, table, Some(head)).schemaJson)
+            .asInstanceOf[StructType]
+          resolveAppendSchema(hs, batchSchema, mergeSchema = false).json
+        } else batchSchema.json
+      retryingAppend(spark, table, "append", adds, schemaFor, checkpointInterval)
+    }
+  }
+
+  /** Create an EMPTY table at v0 with the given schema — the catalog's
+    * `CREATE TABLE` half (CTAS then appends into it). Fails if the
+    * table already has a log. */
+  private[lake] def createEmpty(spark: SparkSession, table: String,
+                                schemaJson: String): Long = {
+    require(currentVersion(spark, table) < 0, s"table already exists at $table")
+    commit(spark, table, "create", Nil, Nil, schemaJson, expected = -1L)
+  }
+
   /** Exactly-once APPEND for streaming/retried writers: the caller
     * names the batch (e.g. `s"batch-$batchId"` from foreachBatch), the
     * name becomes the token dir, and a batch whose token any manifest

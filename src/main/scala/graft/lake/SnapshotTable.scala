@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.FileSourceOptions
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.catalog.SupportsDelete
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, VariantExtraction}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory, PartitionedFile, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory
@@ -54,7 +56,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * clean files and pays O(log deadRows) per row only on the handful of
   * dirty ones.
   */
-private[lake] class SnapshotParquetTable(
+/** The read half: Spark's `ParquetTable` with the pruning index and the
+  * DV-applying scan. Kept as an INTERNAL delegate of
+  * [[SnapshotParquetTable]] rather than the served table itself:
+  * Spark's `FallBackFileSourceV2` rule force-rewrites ANY
+  * `INSERT INTO` over a `FileTable` onto the V1 path (which requires a
+  * single root path — a snapshot's explicit file list is many), so the
+  * catalog's table must not BE a `FileTable` for SQL DML to reach the
+  * DSv2 write path. */
+private[lake] class SnapshotReadTable(
     tname: String, spark: SparkSession, filePaths: Seq[String],
     tableSchema: StructType, dead: Map[String, Array[Long]])
   extends ParquetTable(tname, spark, CaseInsensitiveStringMap.empty(), filePaths,
@@ -71,6 +81,97 @@ private[lake] class SnapshotParquetTable(
   }
 }
 
+private[lake] class SnapshotParquetTable(
+    tname: String, spark: SparkSession, filePaths: Seq[String],
+    tableSchema: StructType, dead: Map[String, Array[Long]],
+    tablePath: String, writable: Boolean)
+  extends org.apache.spark.sql.connector.catalog.Table
+  with org.apache.spark.sql.connector.catalog.SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with SupportsDelete {
+
+  private val readTable =
+    new SnapshotReadTable(tname, spark, filePaths, tableSchema, dead)
+
+  override def name(): String = tname
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    import org.apache.spark.sql.connector.catalog.TableCapability._
+    val caps = new java.util.HashSet[org.apache.spark.sql.connector.catalog.TableCapability]()
+    caps.add(BATCH_READ)
+    if (writable) { caps.add(BATCH_WRITE); caps.add(TRUNCATE) }
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ParquetScanBuilder =
+    readTable.newScanBuilder(options)
+
+  // ── SQL DML: INSERT INTO / INSERT OVERWRITE ────────────────────────
+  // The DSv2 two-phase write maps 1:1 onto the snapshot commit
+  // protocol: executors stream parquet into a FRESH POOL TOKEN DIR
+  // through Spark's stock parquet BatchWrite (task-attempt isolation,
+  // speculative-duplicate handling — all stock), and the driver-side
+  // BatchWrite.commit claims the manifest, which IS the query's commit
+  // point. An abort (or a driver crash before the claim) strands at
+  // most an orphan token dir for expireOrphans — the table never shows
+  // a half-written INSERT. Appends validate strictly against the head
+  // schema; INSERT OVERWRITE (truncate) replaces the live set as one
+  // lost-update-safe overwrite commit.
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable,
+      s"$tname is a time-travel pin — write to the table head (no AS OF)")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = {
+          val token = java.util.UUID.randomUUID().toString.take(12)
+          val tokenDir = new Path(
+            SnapshotLog.poolDir(new Path(tablePath)), token)
+          val inner = ParquetTable(s"$tname#write", spark,
+            CaseInsensitiveStringMap.empty(), Seq(tokenDir.toString),
+            Some(info.schema()), classOf[ParquetFileFormat])
+            .newWriteBuilder(info).build().toBatch
+          val ow = overwrite
+          new BatchWrite {
+            override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+              inner.createBatchWriterFactory(p)
+            override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+            override def commit(messages: Array[WriterCommitMessage]): Unit = {
+              inner.commit(messages) // files land under the token dir
+              SnapshotLog.commitWrittenToken(spark, tablePath, tokenDir, ow,
+                info.schema())
+              ()
+            }
+            override def abort(messages: Array[WriterCommitMessage]): Unit =
+              inner.abort(messages)
+          }
+        }
+      }
+    }
+  }
+
+  // ── SQL DML: DELETE FROM ... WHERE ─────────────────────────────────
+  // Row-level SQL delete = one deletion-vector commit
+  // (SnapshotLog.delete): O(matched rows) written, zero files
+  // rewritten, time travel un-deleted — the same semantics the API
+  // delete documents, now a language feature. Only filters this table
+  // can compile to a Column are accepted (canDeleteWhere), so Spark
+  // refuses loudly rather than deleting the wrong rows.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    writable && filters.forall(f => SnapshotTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(writable,
+      s"$tname is a time-travel pin — delete on the table head (no AS OF)")
+    val cond = filters.flatMap(SnapshotTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotLog.delete(spark, tablePath, cond)
+    ()
+  }
+}
+
 private[lake] object SnapshotTable {
   private val RelRe = "^.*/(data/.*)$".r
 
@@ -80,6 +181,36 @@ private[lake] object SnapshotTable {
   def relOf(absPath: String): String = absPath match {
     case RelRe(rel) => rel
     case other => other
+  }
+
+  /** Compile a DSv1 source filter (what `SupportsDelete` hands over) to
+    * a `Column` for `SnapshotLog.delete`'s pushed scan. None = a shape
+    * this table refuses to delete by (canDeleteWhere gates on it). */
+  def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
   }
 }
 

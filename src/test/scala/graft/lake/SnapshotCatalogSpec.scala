@@ -124,16 +124,75 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM snappr.t WHERE id = 1").collect().isEmpty)
   }
 
-  test("catalog is read-only; listTables sees only snapshot tables") {
+  test("SQL DML: INSERT INTO appends, INSERT OVERWRITE replaces, DELETE commits DVs") {
+    val root = tmpDir("snapcat_dml")
+    SnapshotLog.write((0 until 6).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 2) // v0
+    register("snapdml", root)
+
+    // INSERT INTO: one append commit through the DSv2 write path
+    spark.sql("INSERT INTO snapdml.t VALUES (100, 'x'), (101, 'y')")
+    assert(SnapshotLog.currentVersion(spark, s"$root/t") == 1L)
+    assert(SnapshotLog.history(spark, s"$root/t")
+      .select("op").limit(1).as[String].head() == "append")
+    assert(spark.sql("SELECT count(*) FROM snapdml.t").as[Long].head() == 8L)
+
+    // DELETE FROM … WHERE: a deletion-vector commit, zero rewrites
+    spark.sql("DELETE FROM snapdml.t WHERE id IN (2, 100)")
+    assert(SnapshotLog.state(spark, s"$root/t").dvs.nonEmpty,
+      "SQL DELETE should commit deletion vectors, not rewrite")
+    assert(spark.sql("SELECT id FROM snapdml.t").as[Long].collect().toSet ==
+      Set(0L, 1L, 3L, 4L, 5L, 101L))
+    // time travel still sees the pre-delete rows
+    assert(spark.sql("SELECT count(*) FROM snapdml.t VERSION AS OF 1").as[Long].head() == 8L)
+    // a second DML on the DV'd head composes (delete by range)
+    spark.sql("DELETE FROM snapdml.t WHERE id >= 101")
+    assert(spark.sql("SELECT count(*) FROM snapdml.t").as[Long].head() == 5L)
+
+    // INSERT OVERWRITE: one overwrite commit replacing the live set
+    spark.sql("INSERT OVERWRITE snapdml.t VALUES (7, 'z')")
+    assert(spark.sql("SELECT id, s FROM snapdml.t").as[(Long, String)]
+      .collect().toSeq == Seq((7L, "z")))
+    // history intact underneath: the DV'd version still time-travels
+    assert(spark.sql("SELECT count(*) FROM snapdml.t VERSION AS OF 2").as[Long].head() == 6L)
+
+    // a pinned version refuses writes
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO snapdml.t VERSION AS OF 1 VALUES (1, 'no')"))
+    assert(e != null) // parser/analyzer refuses time-travel writes
+  }
+
+  test("CTAS creates a snapshot table: empty v0 + append, readable back") {
+    val root = tmpDir("snapcat_ctas")
+    // seed something so the namespace dir exists
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), s"$root/seed", "overwrite")
+    register("snapctas", root)
+    spark.sql(
+      "CREATE TABLE snapctas.derived AS SELECT id * 10 AS id10, s FROM snapctas.seed")
+    assert(spark.sql("SELECT id10, s FROM snapctas.derived")
+      .as[(Long, String)].collect().toSeq == Seq((10L, "a")))
+    // the log shape: v0 create (empty), v1 append with the rows
+    assert(SnapshotLog.history(spark, s"$root/derived")
+      .select("op").as[String].collect().toSeq == Seq("append", "create"))
+    // and it is a real snapshot table: DML composes on it
+    spark.sql("DELETE FROM snapctas.derived WHERE id10 = 10")
+    assert(spark.sql("SELECT count(*) FROM snapctas.derived").as[Long].head() == 0L)
+    // PARTITIONED BY is refused with a pointer to clustering
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE snapctas.p (id BIGINT) PARTITIONED BY (id)"))
+    assert(e.getMessage.contains("cluster at write time") ||
+      e.getMessage.toLowerCase.contains("partition"))
+  }
+
+  test("ALTER/DROP/RENAME refused; listTables sees only snapshot tables") {
     val root = tmpDir("snapcat_ro")
     SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), s"$root/t1", "overwrite")
     Seq((1L, "x")).toDF("id", "s").write.parquet(s"$root/plain") // no _log
     register("snapro", root)
     assert(spark.sql("SHOW TABLES IN snapro").select("tableName")
       .as[String].collect().toSet == Set("t1"))
-    intercept[Exception](
-      spark.sql("CREATE TABLE snapro.t2 (id BIGINT) USING parquet"))
     intercept[Exception](spark.sql("DROP TABLE snapro.t1"))
+    intercept[Exception](spark.sql("ALTER TABLE snapro.t1 ADD COLUMN x BIGINT"))
     // missing table: the standard error, not a crash
     val e = intercept[Exception](spark.sql("SELECT * FROM snapro.nope").collect())
     assert(e.getMessage.toLowerCase.contains("table"))
