@@ -49,6 +49,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * immutable; `ALTER`/`DROP`/`RENAME` throw (retention and schema
   * evolution are API-side maintenance decisions, not query-side ones).
   *
+  * BRANCHES ride the same namespace → path mapping for free: a
+  * [[Branches]] log lives at `<table>/_branches/<name>`, so
+  * `snap.t.`_branches`.audit` reads it, `INSERT INTO`/`DELETE FROM` it
+  * stage work on the branch (shared pool, branch-local log — invisible
+  * on main), and `Branches.publish` lands the whole batch as one main
+  * commit: the write-audit-publish loop entirely in SQL (spec-pinned).
+  *
   * `TIMESTAMP AS OF` resolves to the NEWEST version whose commit
   * timestamp is ≤ the asked instant (micros, as Spark hands it over) —
   * the same contract Delta/Iceberg document.

@@ -184,6 +184,33 @@ class SnapshotCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("partition"))
   }
 
+  test("branches address through the catalog namespace: the WAP loop in SQL") {
+    val root = tmpDir("snapcat_branch")
+    SnapshotLog.write((0 until 6).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 2) // main v0
+    Branches.create(spark, s"$root/t", "audit")
+    register("snapbr", root)
+    // a branch log is a table at <table>/_branches/<name> — the catalog's
+    // namespace → path mapping serves it with zero extra code
+    assert(spark.sql("SELECT count(*) FROM snapbr.t.`_branches`.audit")
+      .as[Long].head() == 6L)
+    // WRITE stage: SQL INSERT lands on the branch (shared pool, branch
+    // log) — main readers never see it
+    spark.sql("INSERT INTO snapbr.t.`_branches`.audit VALUES (100, 'new')")
+    spark.sql("DELETE FROM snapbr.t.`_branches`.audit WHERE id = 0")
+    assert(spark.sql("SELECT count(*) FROM snapbr.t.`_branches`.audit")
+      .as[Long].head() == 6L) // 6 + 1 − 1
+    assert(spark.sql("SELECT count(*) FROM snapbr.t").as[Long].head() == 6L,
+      "unpublished branch work must be invisible on main")
+    // AUDIT in SQL against the branch, then PUBLISH: one main commit
+    assert(spark.sql(
+      "SELECT count(*) FROM snapbr.t.`_branches`.audit WHERE s IS NULL")
+      .as[Long].head() == 0L)
+    Branches.publish(spark, s"$root/t", "audit")
+    assert(spark.sql("SELECT id FROM snapbr.t").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L, 5L, 100L))
+  }
+
   test("ALTER/DROP/RENAME refused; listTables sees only snapshot tables") {
     val root = tmpDir("snapcat_ro")
     SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), s"$root/t1", "overwrite")
