@@ -32,6 +32,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     // aggregate functions register the same way: the analyzer wraps a
     // returned AggregateFunction in its AggregateExpression
+    // SQL UPDATE over snapshot-catalog tables: Spark has no built-in
+    // UPDATE execution path for plain connectors — this routes the
+    // resolved UpdateTable to SnapshotLog.update's atomic merge-on-read
+    // commit (see graft.lake.ResolveSnapshotUpdate)
+    ext.injectResolutionRule(session => graft.lake.ResolveSnapshotUpdate(session))
     ext.injectFunction((
       new FunctionIdentifier("geo_mean"),
       new ExpressionInfo(classOf[GeometricMean].getName, "geo_mean"),

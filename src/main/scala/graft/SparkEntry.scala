@@ -373,6 +373,20 @@ object SparkEntry {
       li.where(pmod(col("l_orderkey"), lit(3)) === 1).createOrReplaceTempView(src)
       s.sql(s"INSERT INTO $cat.lineitem SELECT * FROM $src") // v1 append
       s.sql(s"DELETE FROM $cat.lineitem WHERE l_orderkey IN (42, 43)") // v2 DVs
+      // v3: SQL UPDATE — ONE atomic merge-on-read commit (DVs for the
+      // matched rows + their updated copies appended)
+      s.sql(s"UPDATE $cat.lineitem SET l_quantity = l_quantity + 100 " +
+        "WHERE l_orderkey = 48")
+      // v4: SQL MERGE INTO — conditional arms, first-match-wins, one
+      // atomic DV+append commit (key 45's rows update, key 51's die)
+      s.sql(
+        s"""MERGE INTO $cat.lineitem AS t
+           |USING (SELECT 45 AS mk, CAST(1000 AS DOUBLE) AS bump
+           |       UNION ALL SELECT 51, CAST(-1 AS DOUBLE)) AS s
+           |ON t.l_orderkey = s.mk
+           |WHEN MATCHED AND s.bump < 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + s.bump
+           |""".stripMargin)
       cat
     }
 
@@ -1088,10 +1102,11 @@ object SparkEntry {
     }),
 
     // SQL DML end-to-end: the table's v1 append arrived via INSERT INTO
-    // (DSv2 BatchWrite — the driver-side commit IS the manifest claim)
-    // and its v2 deletes via DELETE FROM (a deletion-vector commit, zero
-    // files rewritten) — the head read back through SQL must equal the
-    // same population every API-built lifecycle produces. This is the
+    // (DSv2 BatchWrite — the driver-side commit IS the manifest claim),
+    // its v2 deletes via DELETE FROM (a deletion-vector commit, zero
+    // files rewritten), and its v3 via UPDATE (one atomic DV+append
+    // commit) — the head read back through SQL must equal the same
+    // population every API-built lifecycle produces. This is the
     // reference's query-the-lake surface promoted to a full read-WRITE
     // SQL table (lakeshack.py has no write SQL at all).
     "lake_sql_dml" -> ((s, dir) => {
@@ -1101,6 +1116,30 @@ object SparkEntry {
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
            |FROM $cat.lineitem
            |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // the SQL UPDATE's and MERGE's row-level effects, pinned key by
+    // key: 48 reads +100 (UPDATE), 45 reads +1000 (merge update arm),
+    // 51 is gone (merge delete arm), deleted keys stay gone, neighbors
+    // byte-exact
+    "lake_sql_update" -> ((s, dir) => {
+      val cat = sqlDmlCatalog(s, dir)
+      s.sql(
+        s"""SELECT l_orderkey, l_linenumber, l_quantity
+           |FROM $cat.lineitem
+           |WHERE l_orderkey BETWEEN 40 AND 60
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // the DML lifecycle's commit log: every SQL statement landed as
+    // exactly ONE snapshot commit with its op pinned — INSERT = append,
+    // DELETE = delete (vectors), UPDATE = update (atomic DV+append),
+    // MERGE = merge_into (atomic DV+append)
+    "lake_sql_merge" -> ((s, dir) => {
+      val cat = sqlDmlCatalog(s, dir)
+      val table = s"/tmp/graft_sqldml_${dirTag(dir)}/lineitem"
+      val _ = cat // fixture built (cat registration rides along)
+      SnapshotLog.history(s, table).select("version", "op").orderBy("version")
     }),
 
     // schema evolution: v1 appended a derived column under mergeSchema
@@ -3506,13 +3545,34 @@ object SparkEntry {
         |GROUP BY l_returnflag""".stripMargin,
 
     // the SQL-DML-built table: v0 thirds-0 + INSERT INTO third-1 +
-    // DELETE FROM 42/43 = thirds 0+1 minus the deleted keys
+    // DELETE FROM 42/43 + UPDATE key 48 (+100) + MERGE (45 +1000, 51 out)
     "lake_sql_dml" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  CAST(SUM(CAST(CASE WHEN l_orderkey = 48 THEN l_quantity + 100
+        |                     WHEN l_orderkey = 45 THEN l_quantity + 1000
+        |                     ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
         |FROM lineitem
-        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43)
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43, 51)
         |GROUP BY l_returnflag""".stripMargin,
+
+    // UPDATE and MERGE pinned row by row around the touched keys
+    "lake_sql_update" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey = 48 THEN l_quantity + 100
+        |       WHEN l_orderkey = 45 THEN l_quantity + 1000
+        |       ELSE l_quantity END AS l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43, 51)
+        |  AND l_orderkey BETWEEN 40 AND 60
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // one snapshot commit per SQL statement, ops pinned
+    "lake_sql_merge" ->
+      """SELECT CAST(version AS BIGINT) AS version, op
+        |FROM (VALUES (0, 'overwrite'), (1, 'append'), (2, 'delete'),
+        |             (3, 'update'), (4, 'merge_into')) AS t(version, op)
+        |ORDER BY version""".stripMargin,
 
     // post-purge head = the v3 population re-derived from raw lineitem
     // (delete 42/43, merge: 51 out, 48 at +100) and, by the purge

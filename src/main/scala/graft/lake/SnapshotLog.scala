@@ -950,6 +950,259 @@ object SnapshotLog {
     } finally hits.unpersist()
   }
 
+  /** Row-level UPDATE as ONE merge-on-read commit: the matched rows die
+    * via deletion vectors AND their updated copies land as appended
+    * files — one atomic manifest claim carries both halves, so readers
+    * see the old rows or the new, never neither nor both. Cost is
+    * O(matched rows) written with ZERO data files rewritten — contrast
+    * copy-on-write UPDATE, which at 100 TB rewrites every may-contain
+    * file for a point fix. Time travel keeps the pre-update rows;
+    * [[purgeDeletes]]/[[maintain]] fold the vectors as usual; the
+    * change feed shows the commit as bounded deletes + inserts (see
+    * [[readChanges]]'s `update` case), so incremental views maintain
+    * straight through it. `assignments` values are cast to the column's
+    * committed type. NOT idempotent by design (SQL semantics: re-running
+    * `SET x = x + 1` matches the updated rows and adds again); rows
+    * already dead under the head's vectors are excluded, so an UPDATE
+    * whose predicate overlaps a prior DELETE touches only live rows.
+    * Returns the new version, or the head unchanged when nothing
+    * matched. Lost-update safe like every non-append commit. */
+  def update(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column,
+             assignments: Map[String, org.apache.spark.sql.Column],
+             checkpointInterval: Int = DefaultCheckpointInterval,
+             dvRowsPerFile: Long = 8L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    if (cur.files.isEmpty) return head
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    assignments.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"unknown column '$c' in UPDATE of $table (schema: ${schema.fieldNames.mkString(",")})"))
+    Seq("_uf", "_up").foreach(c => require(!schema.fieldNames.contains(c),
+      s"input column '$c' clashes with the update working columns"))
+    val (fs, root) = fsOf(spark, table)
+    val abs = cur.files.map(f => new Path(dataRootOf(root), f).toString)
+
+    // ONE scan finds the matched rows with their positions AND payload
+    var hits = spark.read.schema(schema).parquet(abs: _*)
+      .where(predicate)
+      .select(relFileCol.as("_uf") +: col("_metadata.row_index").as("_up") +:
+        schema.fieldNames.toSeq.map(col): _*)
+    if (cur.dvs.nonEmpty) {
+      val dv = dvRows(spark, root, cur)
+      hits = hits.join(broadcast(dv),
+        hits("_uf") === dv("file") && hits("_up") === dv("pos"), "left_anti")
+    }
+    hits.persist()
+    try {
+      val nHit = hits.count()
+      if (nHit == 0) return head
+      // DV half: the matched rows' positions, count-aware layout like
+      // [[delete]]
+      val nParts = math.min(64L, nHit / dvRowsPerFile + 1).toInt
+      val dvToken = java.util.UUID.randomUUID().toString.take(12)
+      val dvDir = new Path(poolDir(root), dvToken)
+      hits.select(col("_uf").as("file"), col("_up").as("pos"))
+        .repartition(nParts).write.mode("errorifexists").parquet(dvDir.toString)
+      val dvRel = partFiles(fs, root, dvDir)
+      val affected = hits.select("_uf").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      val dvSets = affected.map(f => f -> (cur.dvs.getOrElse(f, Nil) ++ dvRel))
+      // APPEND half: the updated copies, each assignment cast back to
+      // the committed column type so the schema stays a fixed point
+      val updated = assignments.foldLeft(hits.drop("_uf", "_up")) {
+        case (d, (c, e)) => d.withColumn(c, e.cast(schema(c).dataType))
+      }.select(schema.fieldNames.toSeq.map(col): _*)
+      val addToken = java.util.UUID.randomUUID().toString.take(12)
+      val addDir = new Path(poolDir(root), addToken)
+      updated.write.mode("errorifexists").parquet(addDir.toString)
+      val adds = partFiles(fs, root, addDir)
+      commit(spark, table, "update", adds, Nil, cur.schemaJson, head,
+        dvSets = dvSets, checkpointInterval = checkpointInterval)
+    } finally hits.unpersist()
+  }
+
+  /** One WHEN MATCHED arm of [[mergeInto]]: `assignments = None` is
+    * DELETE, `Some(map)` is UPDATE SET. Columns reference the joined
+    * pair through the `_t` (target) and `_s` (source) aliases. */
+  final case class MatchedAction(condition: Option[org.apache.spark.sql.Column],
+                                 assignments: Option[Map[String, org.apache.spark.sql.Column]])
+
+  /** One WHEN NOT MATCHED arm: INSERT with `values` per target column
+    * (absent columns insert NULL). Columns reference `_s`. */
+  final case class NotMatchedAction(condition: Option[org.apache.spark.sql.Column],
+                                    values: Map[String, org.apache.spark.sql.Column])
+
+  /** MERGE INTO with full SQL semantics as ONE merge-on-read commit:
+    * matched target rows die via deletion vectors, their updated copies
+    * and the not-matched inserts land as appended files, and a single
+    * manifest claim carries all of it — O(changed rows) written, ZERO
+    * data files rewritten (contrast [[merge]], the copy-on-write
+    * key-upsert that REWRITES affected files; this is the general form
+    * with per-arm conditions, first-match-wins, and the standard
+    * duplicate-match error).
+    *
+    * The target is exposed as alias `_t`, the source as `_s` — build
+    * `condition` / arm columns against those names. First arm whose
+    * condition holds wins (SQL order semantics); a target row matched
+    * by MORE than one source row throws (the standard MERGE
+    * cardinality error) BEFORE anything commits.
+    *
+    * Scale: `pruneKey = Some((targetCol, sourceCol))` — an equi-pair
+    * from the merge condition — bounds the TARGET scan to the
+    * may-contain files of the source's distinct keys (footer zone maps,
+    * the [[merge]]/[[deleteByKeys]] prune), sound because a file whose
+    * interval excludes every source key can produce no match, so both
+    * the inner join AND the not-matched anti-join see identical rows.
+    * Batches beyond `maxProbeKeys` distinct keys fall back to the full
+    * scan (backfill regime — correct, just unpruned). */
+  def mergeInto(spark: SparkSession, table: String,
+                source: DataFrame, condition: org.apache.spark.sql.Column,
+                matched: Seq[MatchedAction], notMatched: Seq[NotMatchedAction],
+                pruneKey: Option[(String, String)] = None,
+                maxProbeKeys: Int = 100000,
+                checkpointInterval: Int = DefaultCheckpointInterval,
+                dvRowsPerFile: Long = 8L * 1024 * 1024): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE with no action arms")
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    Seq("_uf", "_up").foreach(c => require(!schema.fieldNames.contains(c),
+      s"input column '$c' clashes with the merge working columns"))
+    val (fs, root) = fsOf(spark, table)
+
+    // zone-map prune of the target scan by the source's key batch
+    val scanFiles: Seq[String] = pruneKey match {
+      case Some((tk, sk)) if cur.files.nonEmpty =>
+        require(schema.fieldNames.contains(tk), s"unknown prune column '$tk'")
+        val keys = source.select(sk).distinct().limit(maxProbeKeys + 1)
+          .collect().map(_.get(0)).filter(_ != null).toSeq
+        if (keys.size > maxProbeKeys) cur.files // backfill: full scan
+        else if (keys.isEmpty) Nil
+        else {
+          val absAll = cur.files.map(f =>
+            fs.makeQualified(new Path(dataRootOf(root), f)).toString)
+          val kstats = cachedHarvest(spark, absAll, tk, schema(tk).dataType)
+          val sorted = keys.toArray.sortWith(StatsAgg.cmp(_, _) < 0)
+          val keep = kstats.filter { r =>
+            (r.min, r.max) match {
+              case (Some(mn), Some(mx)) => StatsAgg.anyKeyInRange(sorted, mn, mx)
+              case _ => true
+            }
+          }.map(_.path).toSet
+          cur.files.filter(f =>
+            keep.contains(fs.makeQualified(new Path(dataRootOf(root), f)).toString))
+        }
+      case _ => cur.files
+    }
+
+    // live target rows with their physical positions, aliased `_t`
+    val tFrame: DataFrame = {
+      if (scanFiles.isEmpty) {
+        val fields = StructField("_uf", StringType) +:
+          StructField("_up", LongType) +: schema.fields
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(fields))
+      } else {
+        val abs = scanFiles.map(f => new Path(dataRootOf(root), f).toString)
+        var t = spark.read.schema(schema).parquet(abs: _*)
+          .select(relFileCol.as("_uf") +: col("_metadata.row_index").as("_up") +:
+            schema.fieldNames.toSeq.map(col): _*)
+        if (cur.dvs.nonEmpty) {
+          val dv = dvRows(spark, root, cur)
+          t = t.join(broadcast(dv),
+            t("_uf") === dv("file") && t("_up") === dv("pos"), "left_anti")
+        }
+        t
+      }
+    }
+    val tA = tFrame.alias("_t")
+    val sA = source.alias("_s")
+
+    /** First-arm-wins action index: 0 = no arm applies (row untouched). */
+    def actionIndex(conds: Seq[Option[org.apache.spark.sql.Column]]): org.apache.spark.sql.Column =
+      conds.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+        case (acc, (c, i)) =>
+          val arm = c.getOrElse(lit(true))
+          Some(acc.fold(when(arm, lit(i + 1)))(_.when(arm, lit(i + 1))))
+      }.fold(lit(0))(_.otherwise(lit(0)))
+
+    def castTo(f: StructField, c: org.apache.spark.sql.Column) = c.cast(f.dataType).as(f.name)
+
+    val parts = Seq.newBuilder[DataFrame]
+    var deadRows: Option[DataFrame] = None
+    var affectedPersisted: Option[DataFrame] = None
+    var notMPersisted: Option[DataFrame] = None
+    try {
+      if (matched.nonEmpty) {
+        val m = tA.join(sA, condition, "inner")
+        // standard MERGE cardinality rule, checked before ANY write: a
+        // target row matched by >1 source row is ambiguous
+        val dup = m.groupBy(col("_uf"), col("_up")).count()
+          .where(col("count") > 1).head(1)
+        if (dup.nonEmpty) throw new IllegalStateException(
+          "MERGE matched a target row with more than one source row — " +
+            "deduplicate the source on the merge keys first")
+        val affected = m.withColumn("_act", actionIndex(matched.map(_.condition)))
+          .where(col("_act") > 0)
+        affected.persist(); affectedPersisted = Some(affected)
+        deadRows = Some(affected.select(col("_uf").as("file"), col("_up").as("pos")))
+        matched.zipWithIndex.foreach {
+          case (MatchedAction(_, Some(asg)), i) =>
+            parts += affected.where(col("_act") === i + 1)
+              .select(schema.fields.toSeq.map(f =>
+                castTo(f, asg.getOrElse(f.name, col(s"_t.${f.name}")))): _*)
+          case _ => () // DELETE arm: dead positions only
+        }
+      }
+      if (notMatched.nonEmpty) {
+        val nm = sA.join(tA, condition, "left_anti")
+          .withColumn("_act", actionIndex(notMatched.map(_.condition)))
+          .where(col("_act") > 0)
+        nm.persist(); notMPersisted = Some(nm)
+        notMatched.zipWithIndex.foreach { case (NotMatchedAction(_, vals), i) =>
+          parts += nm.where(col("_act") === i + 1)
+            .select(schema.fields.toSeq.map(f =>
+              castTo(f, vals.getOrElse(f.name, lit(null)))): _*)
+        }
+      }
+
+      val nDead = deadRows.map(_.count()).getOrElse(0L)
+      val addsDf = parts.result().reduceOption(_ unionByName _)
+      val nAdds = addsDf.map(_.count()).getOrElse(0L)
+      if (nDead == 0 && nAdds == 0) return head
+
+      val dvSets: Seq[(String, Seq[String])] =
+        if (nDead == 0) Nil
+        else {
+          val nParts = math.min(64L, nDead / dvRowsPerFile + 1).toInt
+          val dvToken = java.util.UUID.randomUUID().toString.take(12)
+          val dvDir = new Path(poolDir(root), dvToken)
+          deadRows.get.repartition(nParts)
+            .write.mode("errorifexists").parquet(dvDir.toString)
+          val dvRel = partFiles(fs, root, dvDir)
+          val affectedFiles = deadRows.get.select("file").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          affectedFiles.map(f => f -> (cur.dvs.getOrElse(f, Nil) ++ dvRel))
+        }
+      val adds: Seq[String] =
+        if (nAdds == 0) Nil
+        else {
+          val addToken = java.util.UUID.randomUUID().toString.take(12)
+          val addDir = new Path(poolDir(root), addToken)
+          addsDf.get.write.mode("errorifexists").parquet(addDir.toString)
+          partFiles(fs, root, addDir)
+        }
+      commit(spark, table, "merge_into", adds, Nil, cur.schemaJson, head,
+        dvSets = dvSets, checkpointInterval = checkpointInterval)
+    } finally {
+      affectedPersisted.foreach(_.unpersist())
+      notMPersisted.foreach(_.unpersist())
+    }
+  }
+
   /** Key-batch DELETE with file-level pruning: footer stats on `keyCol`
     * are harvested for the head's live files ([[StatsAgg]], O(version
     * files) of KB footers) and only may-contain files are scanned —
@@ -1318,6 +1571,9 @@ object SnapshotLog {
     *  - `delete`: the NEW dead rows are materialized by ONE semi-join
     *    of the affected files against the commit's new DV (broadcast,
     *    positional) — affected-file volume, not table volume.
+    *  - `update` ([[update]]) / `merge_into` ([[mergeInto]]): the same
+    *    bounded deletes PLUS the commit's added files (updated copies /
+    *    merge inserts) as inserts.
     *  - `compact`: no row change by contract (a clustering rewrite).
     *  - `merge`: multiset except-diff over the affected files only
     *    (removed-side read applies the PRIOR version's DVs, so a dead
@@ -1385,7 +1641,12 @@ object SnapshotLog {
       p.entry.op match {
         case "append" =>
           if (p.adds.nonEmpty) parts += conform(readAdds(), "insert", v)
-        case "delete" =>
+        case op @ ("delete" | "update" | "merge_into") =>
+          // delete: the NEW dead rows only. update/merge_into: ONE
+          // atomic commit = those deletes PLUS the updated copies /
+          // inserts as added files — all bounded by affected-file
+          // volume, never the table, so incremental views maintain
+          // straight through SQL UPDATE and MERGE INTO
           val prev = prevState(v)
           val priorDv = prev.dvs.values.flatten.toSet
           val newDv = p.dvSets.flatMap(_._2).distinct.filterNot(priorDv)
@@ -1403,6 +1664,8 @@ object SnapshotLog {
               .select(schemaV.fieldNames.map(col): _*)
             parts += conform(dead, "delete", v)
           }
+          if (op != "delete" && p.adds.nonEmpty)
+            parts += conform(readAdds(), "insert", v)
         case "compact" => // clustering rewrite: same rows by contract
         case "purge" => // merge-on-read fold: same live rows by contract
         case op if op.startsWith("fork@") =>

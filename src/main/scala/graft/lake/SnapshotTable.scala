@@ -84,7 +84,7 @@ private[lake] class SnapshotReadTable(
 private[lake] class SnapshotParquetTable(
     tname: String, spark: SparkSession, filePaths: Seq[String],
     tableSchema: StructType, dead: Map[String, Array[Long]],
-    tablePath: String, writable: Boolean)
+    private[lake] val tablePath: String, private[lake] val writable: Boolean)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite

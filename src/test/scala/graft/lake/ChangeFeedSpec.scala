@@ -161,6 +161,21 @@ class ChangeFeedSpec extends SparkSpec {
     assert(mm() == full)
   }
 
+  test("incremental view maintains through an UPDATE commit (delete+insert feed)") {
+    val src = mkTable(); val mv = tmpDir("chfeed") + "/mvupd"
+    SnapshotLog.write((0 until 10).map(i => (i.toLong, if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("id", "g", "x"), src, "overwrite", clusterColumn = Some("id"), nFiles = 2) // v0
+    IncrementalView.create(spark, src, mv, Seq("g"), Seq("x"))
+    SnapshotLog.update(spark, src, col("id") < 4L, Map("x" -> (col("x") + 100L))) // v1
+    IncrementalView.refresh(spark, mv)
+    val st = IncrementalView.read(spark, mv).select("g", "n_rows", "sum_x")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val full = SnapshotLog.read(spark, src).groupBy("g")
+      .agg(count(lit(1)), sum(col("x")))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(st == full)
+  }
+
   test("min/max view: the NULL group's retraction rescans null-safely") {
     val src = mkTable(); val mv = tmpDir("chfeed") + "/mvnull"
     // groupBy treats NULL as a real group — a delete retracting ITS

@@ -410,6 +410,45 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, t).where(col("id") === 2L).count() == 1L)
   }
 
+  test("update: one atomic DV+append commit, zero rewrites, time travel intact") {
+    val t = mkTable()
+    SnapshotLog.write((0 until 20).map(i => (i.toLong, s"r$i", i * 1.0)).toDF("id", "s", "x"),
+      t, "overwrite", clusterColumn = Some("id"), nFiles = 4) // v0
+    val v0Files = SnapshotLog.state(spark, t).files.toSet
+    val v = SnapshotLog.update(spark, t, col("id") < 3L,
+      Map("x" -> (col("x") + 100), "s" -> concat(col("s"), lit("!"))))
+    assert(v == 1L)
+    val snap = SnapshotLog.state(spark, t)
+    // zero rewrites: every v0 file still live, vectors on the dirty ones
+    assert(v0Files.subsetOf(snap.files.toSet))
+    assert(snap.dvs.nonEmpty)
+    assert(SnapshotLog.history(spark, t).select("op").limit(1)
+      .as[String].head() == "update")
+    val byId = SnapshotLog.read(spark, t)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId.size == 20)
+    assert(byId(0L) == ("r0!", 100.0) && byId(2L) == ("r2!", 102.0))
+    assert(byId(3L) == ("r3", 3.0), "unmatched rows untouched")
+    // pre-update version still reads the old values
+    assert(SnapshotLog.read(spark, t, Some(0L)).where(col("id") === 0L)
+      .select("x").as[Double].head() == 0.0)
+    // an update overlapping a prior DELETE touches only live rows
+    SnapshotLog.delete(spark, t, col("id") === 5L) // v2
+    SnapshotLog.update(spark, t, col("id").between(4L, 6L),
+      Map("x" -> lit(-1.0))) // v3: 4 and 6 only — 5 is dead
+    val after = SnapshotLog.read(spark, t)
+      .as[(Long, String, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(!after.contains(5L) && after(4L) == -1.0 && after(6L) == -1.0)
+    assert(after.size == 19)
+    // update matching nothing: head unchanged
+    assert(SnapshotLog.update(spark, t, col("id") === 999L,
+      Map("x" -> lit(0.0))) == 3L)
+    // and purge folds everything with the same population
+    SnapshotLog.purgeDeletes(spark, t)
+    assert(SnapshotLog.state(spark, t).dvs.isEmpty)
+    assert(SnapshotLog.read(spark, t).count() == 19)
+  }
+
   test("expire rewrites a token-less horizon checkpoint before dropping manifests") {
     val t = mkTable()
     // build a log whose horizon checkpoint predates token indexing:
