@@ -47,14 +47,11 @@ case class ResolveSnapshotUpdate(spark: SparkSession) extends Rule[LogicalPlan] 
         (m.matchedActions ++ m.notMatchedActions ++ m.notMatchedBySourceActions)
           .forall(actionResolved) =>
       val tbl = SnapshotRel.unapply(m.targetTable).get
-      require(m.notMatchedBySourceActions.isEmpty,
-        "WHEN NOT MATCHED BY SOURCE is not supported on snapshot tables yet — " +
-          "express it as a separate UPDATE/DELETE with an anti-join predicate")
       require(!m.withSchemaEvolution,
         "MERGE WITH SCHEMA EVOLUTION is not supported — evolve first via " +
           "SnapshotLog.write(mergeSchema = true)")
       SnapshotMergeCommand(tbl, m.targetTable, m.sourceTable, m.mergeCondition,
-        m.matchedActions, m.notMatchedActions)
+        m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions)
   }
 
   private def actionResolved(a: MergeAction): Boolean = a match {
@@ -112,7 +109,8 @@ case class SnapshotMergeCommand(table: SnapshotParquetTable,
                                 targetPlan: LogicalPlan, sourcePlan: LogicalPlan,
                                 mergeCondition: Expression,
                                 matchedActions: Seq[MergeAction],
-                                notMatchedActions: Seq[MergeAction])
+                                notMatchedActions: Seq[MergeAction],
+                                notMatchedBySourceActions: Seq[MergeAction])
   extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -153,6 +151,13 @@ case class SnapshotMergeCommand(table: SnapshotParquetTable,
       case other => throw new UnsupportedOperationException(
         s"unsupported WHEN NOT MATCHED action: $other")
     }
+    val notMatchedBySource = notMatchedBySourceActions.map {
+      case UpdateAction(c, asg, _) =>
+        SnapshotLog.MatchedAction(c.map(colOf), Some(asgMap(asg)))
+      case DeleteAction(c) => SnapshotLog.MatchedAction(c.map(colOf), None)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
     // first top-level equi-pair (t.k = s.k) of the condition = the
     // zone-map prune key for the target scan
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -168,7 +173,8 @@ case class SnapshotMergeCommand(table: SnapshotParquetTable,
     }
     val source = GraftColumnBridge.ofRows(session, sourcePlan)
     SnapshotLog.mergeInto(session, table.tablePath, source,
-      colOf(mergeCondition), matched, notMatched, pruneKey)
+      colOf(mergeCondition), matched, notMatched, pruneKey,
+      notMatchedBySource = notMatchedBySource)
     Nil
   }
 }

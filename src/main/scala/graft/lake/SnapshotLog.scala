@@ -1057,16 +1057,24 @@ object SnapshotLog {
     * interval excludes every source key can produce no match, so both
     * the inner join AND the not-matched anti-join see identical rows.
     * Batches beyond `maxProbeKeys` distinct keys fall back to the full
-    * scan (backfill regime — correct, just unpruned). */
+    * scan (backfill regime — correct, just unpruned).
+    *
+    * `notMatchedBySource` arms (UPDATE/DELETE of target rows with no
+    * source match — columns reference `_t` only) DISABLE the prune:
+    * they touch exactly the rows outside the source's key range, so the
+    * scan is inherently table-wide — the same cost every engine pays
+    * for that clause. */
   def mergeInto(spark: SparkSession, table: String,
                 source: DataFrame, condition: org.apache.spark.sql.Column,
                 matched: Seq[MatchedAction], notMatched: Seq[NotMatchedAction],
                 pruneKey: Option[(String, String)] = None,
                 maxProbeKeys: Int = 100000,
                 checkpointInterval: Int = DefaultCheckpointInterval,
-                dvRowsPerFile: Long = 8L * 1024 * 1024): Long = {
+                dvRowsPerFile: Long = 8L * 1024 * 1024,
+                notMatchedBySource: Seq[MatchedAction] = Nil): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, when}
-    require(matched.nonEmpty || notMatched.nonEmpty, "MERGE with no action arms")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE with no action arms")
     val head = currentVersion(spark, table)
     val cur = state(spark, table, Some(head))
     val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
@@ -1074,9 +1082,13 @@ object SnapshotLog {
       s"input column '$c' clashes with the merge working columns"))
     val (fs, root) = fsOf(spark, table)
 
-    // zone-map prune of the target scan by the source's key batch
+    // zone-map prune of the target scan by the source's key batch —
+    // sound for matched arms AND the not-matched anti-join (a pruned
+    // file may-contains no source key, so none of its rows can match),
+    // but NOT with not-matched-by-source arms, which touch exactly the
+    // target rows OUTSIDE the source: those force the full scan
     val scanFiles: Seq[String] = pruneKey match {
-      case Some((tk, sk)) if cur.files.nonEmpty =>
+      case Some((tk, sk)) if cur.files.nonEmpty && notMatchedBySource.isEmpty =>
         require(schema.fieldNames.contains(tk), s"unknown prune column '$tk'")
         val keys = source.select(sk).distinct().limit(maxProbeKeys + 1)
           .collect().map(_.get(0)).filter(_ != null).toSeq
@@ -1132,9 +1144,8 @@ object SnapshotLog {
     def castTo(f: StructField, c: org.apache.spark.sql.Column) = c.cast(f.dataType).as(f.name)
 
     val parts = Seq.newBuilder[DataFrame]
-    var deadRows: Option[DataFrame] = None
-    var affectedPersisted: Option[DataFrame] = None
-    var notMPersisted: Option[DataFrame] = None
+    val deadParts = Seq.newBuilder[DataFrame]
+    val persisted = Seq.newBuilder[DataFrame]
     try {
       if (matched.nonEmpty) {
         val m = tA.join(sA, condition, "inner")
@@ -1147,8 +1158,8 @@ object SnapshotLog {
             "deduplicate the source on the merge keys first")
         val affected = m.withColumn("_act", actionIndex(matched.map(_.condition)))
           .where(col("_act") > 0)
-        affected.persist(); affectedPersisted = Some(affected)
-        deadRows = Some(affected.select(col("_uf").as("file"), col("_up").as("pos")))
+        affected.persist(); persisted += affected
+        deadParts += affected.select(col("_uf").as("file"), col("_up").as("pos"))
         matched.zipWithIndex.foreach {
           case (MatchedAction(_, Some(asg)), i) =>
             parts += affected.where(col("_act") === i + 1)
@@ -1161,14 +1172,32 @@ object SnapshotLog {
         val nm = sA.join(tA, condition, "left_anti")
           .withColumn("_act", actionIndex(notMatched.map(_.condition)))
           .where(col("_act") > 0)
-        nm.persist(); notMPersisted = Some(nm)
+        nm.persist(); persisted += nm
         notMatched.zipWithIndex.foreach { case (NotMatchedAction(_, vals), i) =>
           parts += nm.where(col("_act") === i + 1)
             .select(schema.fields.toSeq.map(f =>
               castTo(f, vals.getOrElse(f.name, lit(null)))): _*)
         }
       }
+      if (notMatchedBySource.nonEmpty) {
+        // target rows with NO source match: same arm machinery as
+        // matched (columns reference _t only); each target row appears
+        // once in the anti-join, so no cardinality check is needed
+        val tn = tA.join(sA, condition, "left_anti")
+          .withColumn("_act", actionIndex(notMatchedBySource.map(_.condition)))
+          .where(col("_act") > 0)
+        tn.persist(); persisted += tn
+        deadParts += tn.select(col("_uf").as("file"), col("_up").as("pos"))
+        notMatchedBySource.zipWithIndex.foreach {
+          case (MatchedAction(_, Some(asg)), i) =>
+            parts += tn.where(col("_act") === i + 1)
+              .select(schema.fields.toSeq.map(f =>
+                castTo(f, asg.getOrElse(f.name, col(s"_t.${f.name}")))): _*)
+          case _ => () // DELETE arm
+        }
+      }
 
+      val deadRows = deadParts.result().reduceOption(_ unionByName _)
       val nDead = deadRows.map(_.count()).getOrElse(0L)
       val addsDf = parts.result().reduceOption(_ unionByName _)
       val nAdds = addsDf.map(_.count()).getOrElse(0L)
@@ -1197,10 +1226,7 @@ object SnapshotLog {
         }
       commit(spark, table, "merge_into", adds, Nil, cur.schemaJson, head,
         dvSets = dvSets, checkpointInterval = checkpointInterval)
-    } finally {
-      affectedPersisted.foreach(_.unpersist())
-      notMPersisted.foreach(_.unpersist())
-    }
+    } finally persisted.result().foreach(_.unpersist())
   }
 
   /** Key-batch DELETE with file-level pruning: footer stats on `keyCol`

@@ -227,6 +227,22 @@ class SnapshotCatalogSpec extends SparkSpec {
       """MERGE INTO snapmrg.t AS t USING merge_dup AS s ON t.id = s.mid
         |WHEN MATCHED THEN UPDATE SET x = s.mx""".stripMargin))
     assert(e.getMessage.contains("more than one source row"))
+
+    // WHEN NOT MATCHED BY SOURCE: target rows outside the source get
+    // their own arms (prune disabled for this shape — table-wide by
+    // definition); keep ids < 3 and 50+, flag 4..9 as stale, drop none
+    Seq((1L, 0.0), (2L, 0.0), (50L, 0.0)).toDF("mid", "mx")
+      .createOrReplaceTempView("merge_keep")
+    spark.sql(
+      """MERGE INTO snapmrg.t AS t USING merge_keep AS s ON t.id = s.mid
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 9 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = 'stale'
+        |""".stripMargin)
+    val after = spark.sql("SELECT id, s FROM snapmrg.t")
+      .as[(Long, String)].collect().toMap
+    assert(!after.contains(9L), "delete arm on the unmatched side")
+    assert(after(4L) == "stale" && after(8L) == "stale")
+    assert(after(1L) == "u1" && after(50L) == "new", "matched rows untouched")
   }
 
   test("CTAS creates a snapshot table: empty v0 + append, readable back") {
