@@ -342,6 +342,39 @@ object Bench {
     try out.write(fp.getBytes("UTF-8")) finally out.close()
   }
 
+  /** LOAD CANARY: a fixed single-threaded CPU-bound loop, timed — a
+    * near-constant per host when the machine is quiet, stretching
+    * proportionally under CPU contention. Stamped into the base run and
+    * EVERY forked scale section, so a load-diluted artifact
+    * self-identifies: round-13's ×2.5 dilation needed a forensic diff
+    * of untimed cold passes across artifacts to spot; now the rule is
+    * "trust a section's numbers only at calib_ms ≈ the quiet-host
+    * constant (~150 ms here), discount them proportionally above it."
+    * `/proc/loadavg`'s 1-minute average rides along for context. */
+  private def loadCanaryJson(): String = {
+    val t0 = System.nanoTime()
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < 150000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (h == 42L) System.err.println("[bench] calibration fixpoint") // keep the loop live
+    val load = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ").head.toDouble
+    } catch { case _: Exception => -1.0 }
+    val msStr = String.format(java.util.Locale.ROOT, "%.0f", ms: java.lang.Double)
+    val loadStr = String.format(java.util.Locale.ROOT, "%.1f", load: java.lang.Double)
+    s""""calib_ms":$msStr,"loadavg":$loadStr"""
+  }
+
+  /** Accepted isolated-run bands (CPUS=32, quiet host — PLANS round-14)
+    * for probes with DOCUMENTED variance: q_skew_join's AQE skew-split
+    * divergence spans 10.0–21.1 s across reconciled runs. A value
+    * outside its band is stamped into the section JSON — read together
+    * with the canary: excursion + dilated calib_ms = machine load;
+    * excursion + quiet calib_ms = a real regression. */
+  private val acceptedBands = Map("q_skew_join" -> (8.0, 30.0))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -411,6 +444,9 @@ object Bench {
       (times.toMap, errors.toMap)
     }
 
+    // base-run load canary, stamped before the first query (file-line
+    // provenance: the stdout budget is spoken for)
+    val baseCanary = loadCanaryJson()
     // a forked section child ([[forkSection]]) runs ONLY its scale
     // section: the main scorecard + twins belong to the parent
     val isChild = sys.env.contains("SPARK_GRAFT_SECTION")
@@ -481,6 +517,7 @@ object Bench {
 
     /** One sf1 section run IN THIS JVM → (inner JSON object, errors). */
     def runSf1Section(): (String, Map[String, String]) = {
+      val canary = loadCanaryJson() // stamped BEFORE any work: section-entry load
       val tGen0 = System.nanoTime()
       scaleUp(spark, sfDir, sf1Dir)
       val genSec = (System.nanoTime() - tGen0) / 1e9
@@ -490,7 +527,7 @@ object Bench {
       // error strings truncated: per-query exceptions are unbounded,
       // and a broad sf1 failure (13 × full messages) would by itself
       // overflow the 2000-char stdout tail the JSON must fit
-      val inner = s"""{"scale":$copies,"gen":${sec2(genSec)},""" +
+      val inner = s"""{"scale":$copies,"gen":${sec2(genSec)},$canary,""" +
         s""""probe_mode":${jsonStr(probeMode)},"queries":${qsJson(sf1Warm)},""" +
         s""""cold_sec":${sec2(sf1Cold.values.sum)},""" +
         s""""total_sec":${sec2(sf1Warm.values.sum)}${errJsonOf(errs)}}"""
@@ -506,6 +543,7 @@ object Bench {
       * pass at the BASE dir (the sf1 section used to provide that warmth
       * in-session — same plans, 1/100 the data). */
     def runSf10Section(): (String, Map[String, String]) = {
+      val canary = loadCanaryJson() // stamped BEFORE any work: section-entry load
       val tGen0 = System.nanoTime()
       scaleUp100(spark, sfDir, sf10Dir)
       val genSec = (System.nanoTime() - tGen0) / 1e9
@@ -515,9 +553,19 @@ object Bench {
       val (sf10Ded, e10d) = run(keep(scale100Dedup), sf10Dir)
       val sf10Times = sf10Warm ++ sf10Ded
       val errs = e10cold ++ e10 ++ e10d
-      val inner = s"""{"scale":$copies100,"gen":${sec2(genSec)},""" +
+      // known-variance probes outside their reconciled band get flagged
+      // inline (read with the canary: dilated calib = load, quiet = real)
+      val excursions = sf10Times.toSeq.sortBy(_._1).collect {
+        case (k, v) if acceptedBands.get(k).exists { case (lo, hi) => v < lo || v > hi } =>
+          val (lo, hi) = acceptedBands(k)
+          s"${jsonStr(k)}:${jsonStr(s"${sec2(v)} outside $lo-$hi")}"
+      }
+      val bandJson =
+        if (excursions.isEmpty) ""
+        else s""","band_excursions":{${excursions.mkString(",")}}"""
+      val inner = s"""{"scale":$copies100,"gen":${sec2(genSec)},$canary,""" +
         s""""probe_mode":${jsonStr(probeMode)},"queries":${qsJson(sf10Times)},""" +
-        s""""total_sec":${sec2(sf10Times.values.sum)}${errJsonOf(errs)}}"""
+        s""""total_sec":${sec2(sf10Times.values.sum)}$bandJson${errJsonOf(errs)}}"""
       (inner, errs)
     }
 
@@ -692,7 +740,7 @@ object Bench {
         }
       } catch { case _: Exception => "unknown" }
       s""","probe_sha":${jsonStr(gitSha())},"probe_utc":${jsonStr(java.time.Instant.now.toString)}""" +
-        s""","probe_cpus":$cpus""" +
+        s""","probe_cpus":$cpus,$baseCanary""" +
         (if (only.nonEmpty) ""","filtered":true""" else "")
     }
     val fileLine = fullLine.dropRight(1) + provenance + "}"

@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolved UpdateTable to SnapshotLog.update's atomic merge-on-read
     // commit (see graft.lake.ResolveSnapshotUpdate)
     ext.injectResolutionRule(session => graft.lake.ResolveSnapshotUpdate(session))
+    // vectorized SQL reads of DV-carrying snapshot versions: replaces
+    // the row-based whole-version fallback scan with the pruned +
+    // pushed + columnar anti-join form (graft.lake.VectorizeSnapshotDvRead)
+    ext.injectResolutionRule(session => graft.lake.VectorizeSnapshotDvRead(session))
     ext.injectFunction((
       new FunctionIdentifier("geo_mean"),
       new ExpressionInfo(classOf[GeometricMean].getName, "geo_mean"),

@@ -357,6 +357,42 @@ object SparkEntry {
     * head back through SQL. */
   private val sqlDmlCache = new SessionCache[String]
 
+  /** The fixture's SQL statement sequence with the snapshot op each one
+    * must commit — the SINGLE source of truth: [[sqlDmlCatalog]]
+    * executes the statements in order, and `lake_sql_merge`'s oracle is
+    * GENERATED from the op column, so adding/reordering a statement
+    * here automatically restates the expected commit log (the oracle
+    * can no longer drift from the statements actually run). */
+  private def sqlDmlStatements(cat: String, src: String): Seq[(String, String)] = Seq(
+    // v1: DSv2 BatchWrite whose driver commit IS the manifest claim
+    s"INSERT INTO $cat.lineitem SELECT * FROM $src" -> "append",
+    // v2: deletion-vector commit, zero files rewritten
+    s"DELETE FROM $cat.lineitem WHERE l_orderkey IN (42, 43)" -> "delete",
+    // v3: ONE atomic merge-on-read commit (DVs + updated copies)
+    (s"UPDATE $cat.lineitem SET l_quantity = l_quantity + 100 " +
+      "WHERE l_orderkey = 48") -> "update",
+    // v4: conditional arms, first-match-wins, one atomic DV+append
+    // commit (key 45's rows update, key 51's die)
+    s"""MERGE INTO $cat.lineitem AS t
+       |USING (SELECT 45 AS mk, CAST(1000 AS DOUBLE) AS bump
+       |       UNION ALL SELECT 51, CAST(-1 AS DOUBLE)) AS s
+       |ON t.l_orderkey = s.mk
+       |WHEN MATCHED AND s.bump < 0 THEN DELETE
+       |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + s.bump
+       |""".stripMargin -> "merge_into",
+    // v5: an UNCORRELATED scalar subquery in SET — folded to a literal
+    // driver-side pre-commit (standard >1-row error / 0-row NULL
+    // semantics); correlated subqueries stay loudly refused
+    (s"UPDATE $cat.lineitem SET l_tax = (SELECT max(l_tax) FROM $src) " +
+      "WHERE l_orderkey = 54") -> "update")
+
+  /** The expected (version, op) log of the SQL-DML fixture, derived
+    * from [[sqlDmlStatements]] — v0 is the API overwrite that creates
+    * the table (it must exist before the catalog can address it). */
+  private def sqlDmlExpectedOps: Seq[(Int, String)] =
+    ("overwrite" +: sqlDmlStatements("cat", "src").map(_._2)).zipWithIndex
+      .map { case (op, v) => (v, op) }
+
   private def sqlDmlCatalog(s: SparkSession, dir: String): String =
     sqlDmlCache.getOrElseUpdate(s, dir) {
       val base = s"/tmp/graft_sqldml_${dirTag(dir)}"
@@ -371,22 +407,52 @@ object SparkEntry {
       s.conf.set(s"spark.sql.catalog.$cat.root", base)
       val src = s"graft_sqldml_src_${dirTag(dir)}"
       li.where(pmod(col("l_orderkey"), lit(3)) === 1).createOrReplaceTempView(src)
-      s.sql(s"INSERT INTO $cat.lineitem SELECT * FROM $src") // v1 append
-      s.sql(s"DELETE FROM $cat.lineitem WHERE l_orderkey IN (42, 43)") // v2 DVs
-      // v3: SQL UPDATE — ONE atomic merge-on-read commit (DVs for the
-      // matched rows + their updated copies appended)
-      s.sql(s"UPDATE $cat.lineitem SET l_quantity = l_quantity + 100 " +
-        "WHERE l_orderkey = 48")
-      // v4: SQL MERGE INTO — conditional arms, first-match-wins, one
-      // atomic DV+append commit (key 45's rows update, key 51's die)
-      s.sql(
-        s"""MERGE INTO $cat.lineitem AS t
-           |USING (SELECT 45 AS mk, CAST(1000 AS DOUBLE) AS bump
-           |       UNION ALL SELECT 51, CAST(-1 AS DOUBLE)) AS s
-           |ON t.l_orderkey = s.mk
-           |WHEN MATCHED AND s.bump < 0 THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + s.bump
-           |""".stripMargin)
+      for (((stmt, expectedOp), i) <- sqlDmlStatements(cat, src).zipWithIndex) {
+        s.sql(stmt)
+        // per-statement claim check: each statement must land as exactly
+        // ONE commit carrying its op — a statement that silently split
+        // into two commits (or committed the wrong op) fails HERE, at
+        // the fixture, not just at the oracle diff
+        val expectedV = i + 1L
+        val (v, op) = SnapshotLog.history(s, table)
+          .select("version", "op").orderBy(col("version").desc).limit(1)
+          .collect().map(r => (r.getLong(0), r.getString(1))).head
+        require(v == expectedV && op == expectedOp,
+          s"SQL-DML fixture statement $i committed (v=$v, op=$op), " +
+            s"expected (v=$expectedV, op=$expectedOp): $stmt")
+      }
+      cat
+    }
+
+  /** lake_sql_evolve's table, built end-to-end IN SQL: CTAS of the even
+    * orderkeys (3 columns), `ALTER TABLE ADD COLUMN` (a metadata-only
+    * schema-evolution commit through the claim protocol), then an
+    * INSERT of the odd keys CARRYING the new column — the SQL twin of
+    * lake_schema_evo's API-side `write(mergeSchema = true)`. The head
+    * read null-fills v0's rows (the reference validates schemas
+    * column-by-column on reconnect, metastore.py:128-204; here
+    * evolution is an explicit versioned commit). */
+  private val sqlEvolveCache = new SessionCache[String]
+
+  private def sqlEvolveCatalog(s: SparkSession, dir: String): String =
+    sqlEvolveCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqlevo_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true); fs.mkdirs(root)
+      val cat = s"snapevo_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val o = t(s, dir, "orders")
+      val ev = s"graft_sqlevo_even_${dirTag(dir)}"
+      val od = s"graft_sqlevo_odd_${dirTag(dir)}"
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0).createOrReplaceTempView(ev)
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1).createOrReplaceTempView(od)
+      s.sql(s"CREATE TABLE $cat.orders AS " +
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice FROM $ev") // v0+v1 (CTAS)
+      s.sql(s"ALTER TABLE $cat.orders ADD COLUMN prio_class STRING") // v2
+      s.sql(s"INSERT INTO $cat.orders SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice, substring(o_orderpriority, 1, 1) FROM $od") // v3
       cat
     }
 
@@ -1140,6 +1206,31 @@ object SparkEntry {
       val table = s"/tmp/graft_sqldml_${dirTag(dir)}/lineitem"
       val _ = cat // fixture built (cat registration rides along)
       SnapshotLog.history(s, table).select("version", "op").orderBy("version")
+    }),
+
+    // the subquery-UPDATE's effect pinned row by row: key 54's l_tax
+    // reads the folded scalar (max over the INSERTed third), neighbors
+    // byte-exact, the merge-deleted key still gone
+    "lake_sql_subq" -> ((s, dir) => {
+      val cat = sqlDmlCatalog(s, dir)
+      s.sql(
+        s"""SELECT l_orderkey, l_linenumber, l_tax
+           |FROM $cat.lineitem
+           |WHERE l_orderkey BETWEEN 50 AND 60
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
+    // SQL schema evolution end-to-end: CTAS (even keys, 3 cols), ALTER
+    // TABLE ADD COLUMN (metadata-only commit), INSERT carrying the new
+    // column — the head null-fills v0's rows exactly like the
+    // API-side mergeSchema write
+    "lake_sql_evolve" -> ((s, dir) => {
+      val cat = sqlEvolveCatalog(s, dir)
+      s.sql(
+        s"""SELECT prio_class, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           |FROM $cat.orders
+           |GROUP BY prio_class""".stripMargin)
     }),
 
     // schema evolution: v1 appended a derived column under mergeSchema
@@ -3567,12 +3658,14 @@ object SparkEntry {
         |  AND l_orderkey BETWEEN 40 AND 60
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
-    // one snapshot commit per SQL statement, ops pinned
+    // one snapshot commit per SQL statement — the VALUES rows are
+    // GENERATED from sqlDmlStatements (the list the fixture executes),
+    // so the oracle restates itself when the statement sequence changes
     "lake_sql_merge" ->
-      """SELECT CAST(version AS BIGINT) AS version, op
-        |FROM (VALUES (0, 'overwrite'), (1, 'append'), (2, 'delete'),
-        |             (3, 'update'), (4, 'merge_into')) AS t(version, op)
-        |ORDER BY version""".stripMargin,
+      s"""SELECT CAST(version AS BIGINT) AS version, op
+         |FROM (VALUES ${sqlDmlExpectedOps.map { case (v, op) => s"($v, '$op')" }
+              .mkString(", ")}) AS t(version, op)
+         |ORDER BY version""".stripMargin,
 
     // post-purge head = the v3 population re-derived from raw lineitem
     // (delete 42/43, merge: 51 out, 48 at +100) and, by the purge
@@ -3628,6 +3721,31 @@ object SparkEntry {
         |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty
         |FROM pop WHERE l_orderkey NOT IN (SELECT l_orderkey FROM top2)
         |GROUP BY l_returnflag""".stripMargin,
+
+    // the folded scalar subquery, re-derived by the oracle itself: key
+    // 54's l_tax = max(l_tax) over the INSERTed third (51 stays dead)
+    "lake_sql_subq" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey = 54 THEN
+        |    (SELECT max(l_tax) FROM lineitem WHERE l_orderkey % 3 = 1)
+        |  ELSE l_tax END AS l_tax
+        |FROM lineitem
+        |WHERE l_orderkey % 3 < 2 AND l_orderkey NOT IN (42, 43, 51)
+        |  AND l_orderkey BETWEEN 50 AND 60
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // SQL CTAS + ALTER + INSERT = the same population as the API
+    // mergeSchema evolution: NULL branch for pre-evolution rows
+    "lake_sql_evolve" ->
+      """SELECT prio_class, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT NULL AS prio_class, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT substring(o_orderpriority, 1, 1), o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 1)
+        |GROUP BY prio_class""".stripMargin,
 
     // head after evolution = even keys with NULL prio_class ∪ odd keys
     // with the derived column

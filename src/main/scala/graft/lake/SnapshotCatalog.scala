@@ -152,15 +152,15 @@ class SnapshotCatalog extends TableCatalog {
     val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
     val dataRoot = SnapshotLog.dataRootOf(rootP)
     val paths = snap.files.map(f => fs.makeQualified(new Path(dataRoot, f)).toString)
-    // dead-position map (empty for a clean version): the scan applies
-    // the version's deletion vectors row-by-row — see SnapshotTable's
-    // scaladoc for the exact read tax and why it is bounded
-    val dead = SnapshotLog.deadPositions(s, rootP, snap)
     // a pinned version is immutable by definition — only the HEAD load
     // (no AS OF) accepts INSERT/DELETE, and those commit through the
-    // claim protocol like every other writer
+    // claim protocol like every other writer. The driver-side dead map
+    // stays a THUNK: with GraftExtensions active, a DV version reads
+    // through the vectorized anti-join rewrite and never builds it.
     new SnapshotParquetTable(s"$catalogName.${ident.toString}@v${snap.version}",
-      s, paths, schema, dead, tablePath = p, writable = asOf.isEmpty)
+      s, paths, schema, dvFiles = snap.dvs,
+      deadFn = () => SnapshotLog.deadPositions(s, rootP, snap),
+      tablePath = p, writable = asOf.isEmpty)
   }
 
   private def readOnly(op: String): Nothing =
@@ -182,12 +182,52 @@ class SnapshotCatalog extends TableCatalog {
     require(partitions.isEmpty,
       s"$catalogName tables take no PARTITIONED BY — cluster at write " +
         "time instead (SnapshotLog.write clusterColumn / compactZ)")
+    // TBLPROPERTIES are not stored by this format — refuse loudly
+    // (mirroring the PARTITIONED BY refusal) rather than silently
+    // dropping them. Spark itself stuffs a few reserved keys into the
+    // map for a plain CREATE/CTAS; those carry no user intent.
+    val reserved = Set("provider", "owner", "location", "external", "comment",
+      "option.path", "path")
+    val custom = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.keys.filterNot(k =>
+        reserved.contains(k.toLowerCase) || k.startsWith("option.")).toSeq.sorted
+    }
+    require(custom.isEmpty,
+      s"$catalogName tables store no TBLPROPERTIES (got: ${custom.mkString(", ")}) " +
+        "— the snapshot manifest is the only table metadata")
     SnapshotLog.createEmpty(spark, tablePath(ident), schema.json)
     tableAt(ident, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
+  /** `ALTER TABLE … ADD COLUMN(S)`: a metadata-only schema-evolution
+    * commit through the claim protocol ([[SnapshotLog.addColumns]]) —
+    * zero data files touched, old files read the new columns as null,
+    * time travel below the commit keeps the old schema. Only top-level
+    * nullable ADD COLUMN (at the default position) is supported; every
+    * other change shape throws — renames/drops/type changes would
+    * silently re-type files already committed. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val cols = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"ADD COLUMN of nested field '${add.fieldNames.mkString(".")}' is " +
+            "not supported — add a top-level column")
+        require(add.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported — new columns append " +
+            "at the end (the parquet reader resolves by name, not position)")
+        require(add.isNullable,
+          s"ADD COLUMN ${add.fieldNames.head} NOT NULL is impossible: rows " +
+            "already committed have no value to give it — add it nullable")
+        org.apache.spark.sql.types.StructField(add.fieldNames.head, add.dataType,
+          nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName supports ALTER TABLE ADD COLUMN(S) only (got: $other) — " +
+          "other schema changes would re-type files already committed")
+    }
+    SnapshotLog.addColumns(spark, tablePath(ident), cols)
+    tableAt(ident, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
 

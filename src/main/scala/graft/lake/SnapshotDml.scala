@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.{Column, GraftColumnBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, Literal, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -64,11 +64,43 @@ case class ResolveSnapshotUpdate(spark: SparkSession) extends Rule[LogicalPlan] 
   }
 }
 
+private[lake] object SnapshotDml {
+
+  /** Fold every UNCORRELATED scalar subquery in `e` to the literal it
+    * evaluates to — driver-side, BEFORE the command's own scan, so
+    * `UPDATE t SET x = (SELECT max(y) FROM other)` works with standard
+    * semantics (error on >1 row, NULL on 0 rows). The one SQL-snapshot
+    * consistency caveat is documented loudly: the subquery reads the
+    * state at evaluation time, the same behavior every
+    * read-evaluate-commit engine gives an uncorrelated subquery.
+    * CORRELATED subqueries (outer references into the target row) stay
+    * refused — they would need a per-row join rewrite, a different
+    * operator. */
+  private[lake] def foldScalarSubqueries(session: SparkSession, e: Expression,
+                                         stmt: String): Expression = {
+    val folded = e.transform {
+      case s: ScalarSubquery if s.outerAttrs.isEmpty =>
+        val rows = GraftColumnBridge.ofRows(session, s.plan).limit(2).collect()
+        if (rows.length > 1) throw new IllegalStateException(
+          s"scalar subquery in $stmt returned more than one row")
+        val value = if (rows.isEmpty) null else rows.head.get(0)
+        Literal.create(value, s.dataType)
+    }
+    require(!SubqueryExpression.hasSubquery(folded),
+      s"$stmt with a CORRELATED subquery is not supported on snapshot tables — " +
+        "only uncorrelated scalar subqueries fold (rewrite the correlation as " +
+        "a MERGE source join)")
+    folded
+  }
+}
+
 /** The driver-side command [[ResolveSnapshotUpdate]] plans: compiles
   * the resolved condition/assignments back to name-based Columns (the
   * update runs its own scan, so the original plan's attribute ids
-  * would dangle) and delegates to [[SnapshotLog.update]]. Subqueries
-  * and nested-field assignments are refused loudly. */
+  * would dangle) and delegates to [[SnapshotLog.update]]. Uncorrelated
+  * scalar subqueries fold to literals first
+  * ([[SnapshotDml.foldScalarSubqueries]]); correlated subqueries and
+  * nested-field assignments are refused loudly. */
 case class SnapshotUpdateCommand(table: SnapshotParquetTable,
                                  assignments: Seq[Assignment],
                                  condition: Option[Expression])
@@ -78,9 +110,8 @@ case class SnapshotUpdateCommand(table: SnapshotParquetTable,
     require(table.writable,
       s"${table.name()} is a time-travel pin — UPDATE the table head (no AS OF)")
     def nameBased(e: Expression): Expression = {
-      require(!SubqueryExpression.hasSubquery(e),
-        "UPDATE with a subquery in SET/WHERE is not supported on snapshot tables")
-      e.transform { case a: AttributeReference => UnresolvedAttribute.quoted(a.name) }
+      val folded = SnapshotDml.foldScalarSubqueries(session, e, "UPDATE")
+      folded.transform { case a: AttributeReference => UnresolvedAttribute.quoted(a.name) }
     }
     val cond = condition.map(e => GraftColumnBridge.column(nameBased(e)))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -119,9 +150,8 @@ case class SnapshotMergeCommand(table: SnapshotParquetTable,
     val tIds = AttributeSet(targetPlan.output)
     val sIds = AttributeSet(sourcePlan.output)
     def prefixed(e: Expression): Expression = {
-      require(!SubqueryExpression.hasSubquery(e),
-        "MERGE with a subquery in its clauses is not supported on snapshot tables")
-      e.transform {
+      val folded = SnapshotDml.foldScalarSubqueries(session, e, "MERGE")
+      folded.transform {
         case a: AttributeReference if tIds.contains(a) =>
           UnresolvedAttribute(Seq("_t", a.name))
         case a: AttributeReference if sIds.contains(a) =>

@@ -556,6 +556,55 @@ object SnapshotLog {
     }
   }
 
+  /** Metadata-only SCHEMA EVOLUTION commit: append new nullable columns
+    * to the head schema without touching one data file — the `ALTER
+    * TABLE ADD COLUMNS` half of [[write]]`(mergeSchema = true)` (which
+    * evolves-and-appends in one commit; this evolves alone, so a SQL
+    * user can ALTER then INSERT). Every existing file reads the new
+    * columns as null (the parquet reader null-fills missing columns —
+    * the same contract `lake_schema_evo` pins), live files and deletion
+    * vectors carry over untouched, and time travel below the commit
+    * still reads the OLD schema. Duplicate or nested names are refused;
+    * columns are forced nullable (rows already committed have no value
+    * to give a NOT NULL column). The reference re-validates schemas
+    * column-by-column on reconnect (lakeshack/metastore.py:128-204);
+    * here evolution is an explicit, versioned commit instead. */
+  def addColumns(spark: SparkSession, table: String,
+                 cols: Seq[StructField],
+                 checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    require(cols.nonEmpty, "ALTER TABLE ADD COLUMNS with no columns")
+    val head = currentVersion(spark, table)
+    require(head >= 0, s"no snapshot table at $table")
+    val cur = state(spark, table, Some(head))
+    val schema = DataType.fromJson(cur.schemaJson).asInstanceOf[StructType]
+    cols.foreach(f => require(!schema.fieldNames.contains(f.name),
+      s"column '${f.name}' already exists in $table"))
+    require(cols.map(_.name).distinct.size == cols.size,
+      s"duplicate column names in ADD COLUMNS: ${cols.map(_.name).mkString(", ")}")
+    val evolved = StructType(schema.fields ++ cols.map(_.copy(nullable = true)))
+    commit(spark, table, "evolve_schema", adds = Nil, removes = Nil,
+      schemaJson = evolved.json, expected = head,
+      checkpointInterval = checkpointInterval)
+  }
+
+  /** Manifest delta of ONE committed version: (op, added files,
+    * n_removes, n_dvSets) — the streaming source's per-version planning
+    * handle (O(1): one small manifest read, no data touched). Throws a
+    * clear error when the version expired below the retention horizon
+    * (a lagging stream must restart from current state, never silently
+    * skip). */
+  private[lake] def versionDelta(spark: SparkSession, table: String,
+                                 v: Long): (String, Seq[String], Int, Int) = {
+    val (fs, root) = fsOf(spark, table)
+    val mp = manifestPath(root, v)
+    if (!fs.exists(mp)) throw new IllegalStateException(
+      s"version $v of $table expired below the retention horizon — " +
+        "restart the stream from the table's current state")
+    val p = parse(readFile(fs, mp)).getOrElse(
+      throw new IllegalStateException(s"torn manifest v$v at $table"))
+    (p.entry.op, p.adds, p.removes.size, p.dvSets.size)
+  }
+
   /** Create an EMPTY table at v0 with the given schema — the catalog's
     * `CREATE TABLE` half (CTAS then appends into it). Fails if the
     * table already has a log. */
@@ -1010,11 +1059,17 @@ object SnapshotLog {
       val affected = hits.select("_uf").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       val dvSets = affected.map(f => f -> (cur.dvs.getOrElse(f, Nil) ++ dvRel))
-      // APPEND half: the updated copies, each assignment cast back to
-      // the committed column type so the schema stays a fixed point
-      val updated = assignments.foldLeft(hits.drop("_uf", "_up")) {
-        case (d, (c, e)) => d.withColumn(c, e.cast(schema(c).dataType))
-      }.select(schema.fieldNames.toSeq.map(col): _*)
+      // APPEND half: the updated copies as ONE simultaneous projection —
+      // SQL UPDATE semantics require every SET right-hand side to read
+      // the PRE-update row, so `SET a = b, b = a` swaps and
+      // `SET a = a + b, b = 0` uses the old b. A sequential
+      // withColumn-per-assignment would feed later assignments the
+      // already-updated columns (in unordered Map iteration order, no
+      // less). Each value is cast back to the committed column type so
+      // the schema stays a fixed point.
+      val updated = hits.select(schema.fields.toSeq.map(f =>
+        assignments.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
+          .as(f.name)): _*)
       val addToken = java.util.UUID.randomUUID().toString.take(12)
       val addDir = new Path(poolDir(root), addToken)
       updated.write.mode("errorifexists").parquet(addDir.toString)
@@ -1072,7 +1127,6 @@ object SnapshotLog {
                 checkpointInterval: Int = DefaultCheckpointInterval,
                 dvRowsPerFile: Long = 8L * 1024 * 1024,
                 notMatchedBySource: Seq[MatchedAction] = Nil): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, when}
     require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
       "MERGE with no action arms")
     val head = currentVersion(spark, table)
@@ -1081,6 +1135,33 @@ object SnapshotLog {
     Seq("_uf", "_up").foreach(c => require(!schema.fieldNames.contains(c),
       s"input column '$c' clashes with the merge working columns"))
     val (fs, root) = fsOf(spark, table)
+
+    // Pin the source to ONE materialization before anything reads it:
+    // the prune-key collect, the cardinality check, the matched join,
+    // and both anti-joins must all see the SAME rows. A
+    // non-deterministic source (rand(), LIMIT, sampling) re-evaluated
+    // per consumer could pass the duplicate-match check yet produce
+    // duplicate matches in the evaluation that writes — or land a row
+    // as both an update and an insert.
+    source.persist()
+    try {
+      mergeIntoPinned(spark, table, source, condition, matched, notMatched,
+        pruneKey, maxProbeKeys, checkpointInterval, dvRowsPerFile,
+        notMatchedBySource, head, cur, schema, fs, root)
+    } finally { source.unpersist(); () }
+  }
+
+  private def mergeIntoPinned(spark: SparkSession, table: String,
+                source: DataFrame, condition: org.apache.spark.sql.Column,
+                matched: Seq[MatchedAction], notMatched: Seq[NotMatchedAction],
+                pruneKey: Option[(String, String)],
+                maxProbeKeys: Int,
+                checkpointInterval: Int,
+                dvRowsPerFile: Long,
+                notMatchedBySource: Seq[MatchedAction],
+                head: Long, cur: Snapshot, schema: StructType,
+                fs: org.apache.hadoop.fs.FileSystem, root: Path): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, when}
 
     // zone-map prune of the target scan by the source's key batch —
     // sound for matched arms AND the not-matched anti-join (a pruned
@@ -1375,26 +1456,50 @@ object SnapshotLog {
     * append-only within a history branch (rollback restores aligned
     * prefixes across every file one commit touched) — so a pooled DV's
     * `f`-rows are in the pool exactly when `f`'s set contains it. */
-  private def dvRows(spark: SparkSession, root: Path, snap: Snapshot): DataFrame = {
+  private def dvRows(spark: SparkSession, root: Path, snap: Snapshot): DataFrame =
+    dvRowsFromPaths(spark, root, snap.dvs.values.flatten.toSeq.distinct)
+
+  private[lake] def dvRowsFromPaths(spark: SparkSession, root: Path,
+                                    relPaths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val paths = snap.dvs.values.flatten.toSeq.distinct.map(f => new Path(dataRootOf(root), f).toString)
+    val paths = relPaths.map(f => new Path(dataRootOf(root), f).toString)
     spark.read.parquet(paths: _*).select(col("file"), col("pos"))
   }
 
+  /** Hard cap on the dead-row map [[deadPositions]] will materialize on
+    * the driver. [[maintain]] folds vectors at 1M dead rows, so any
+    * well-kept table sits far below this; a table whose vectors grew
+    * unbounded (maintenance never ran after an unqualified UPDATE /
+    * DELETE trickle) gets a loud refusal instead of a driver OOM. */
+  private[lake] val MaxDriverDeadRows = 4000000L
+
   /** The snapshot's dead positions, collected to the driver as
     * pool-relative file → SORTED position array — the executor-side
-    * shape [[SnapshotCatalog]]'s DV-applying SQL scan filters with.
-    * Dead-row-sized by the DV contract ([[maintain]] bounds it); cached
-    * per (table, version) because a version's vector set is immutable.
-    * Pooling across files is sound for the same reason as [[dvRows]]. */
+    * shape [[SnapshotCatalog]]'s row-based DV fallback scan filters
+    * with. Dead-row-sized by the DV contract ([[maintain]] bounds it)
+    * and CAPPED at [[MaxDriverDeadRows]]: beyond that the collect is
+    * refused with the maintenance pointer — the vectorized read path
+    * (`GraftExtensions`' rewrite, or the API's anti-join) never builds
+    * this map at all, so only the extension-less SQL fallback can hit
+    * the cap. Cached per (table, version): a version's vector set is
+    * immutable. Pooling across files is sound for the same reason as
+    * [[dvRows]]. */
   private[lake] def deadPositions(spark: SparkSession, root: Path,
-                                  snap: Snapshot): Map[String, Array[Long]] = {
+                                  snap: Snapshot,
+                                  maxRows: Long = MaxDriverDeadRows): Map[String, Array[Long]] = {
     if (snap.dvs.isEmpty) return Map.empty
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val key = fs.makeQualified(root).toString + "@" + snap.version
     val cached = deadPositionsCache.get(key)
     if (cached != null) return cached
-    val out = dvRows(spark, root, snap).collect()
+    val rows = dvRows(spark, root, snap).limit(maxRows.toInt + 1).collect()
+    if (rows.length > maxRows) throw new IllegalStateException(
+      s"version ${snap.version} of $root carries more than $maxRows " +
+        "deletion-vector rows — too many to apply row-based on the driver. " +
+        "Run SnapshotLog.purgeDeletes/maintain to fold the vectors, or enable " +
+        "spark.sql.extensions=graft.GraftExtensions, whose vectorized rewrite " +
+        "applies vectors as a distributed anti-join without this map")
+    val out = rows
       .groupBy(_.getString(0))
       .map { case (f, rs) => f -> rs.map(_.getLong(1)).distinct.sorted }
     deadPositionsCache.put(key, out)
@@ -1551,6 +1656,50 @@ object SnapshotLog {
         dvRows(spark, root, sub), schema.fieldNames.toSeq)
     }
     parts.result().reduce(_ unionByName _)
+  }
+
+  /** The VECTORIZED form of a DV-carrying catalog read — what
+    * `GraftExtensions`' resolution rule substitutes for the row-based
+    * [[graft.lake.DvScanBuilder]] fallback. Clean files scan through a
+    * [[SnapshotFileIndex]] (zone-map file pruning + full parquet filter
+    * pushdown + splitting + columnar batches); dirty files scan the
+    * same way with their dead `(file, _metadata.row_index)` pairs
+    * dropped by ONE broadcast anti-join ([[minusDeleted]]). Sound under
+    * pushdown and splits because `_metadata.row_index` is INTRINSIC to
+    * the row (the reader derives it from footer offsets), not a count
+    * of delivered rows — row-group skipping cannot desynchronize it,
+    * which is exactly what the positional-counter fallback cannot
+    * claim. So one deleted row no longer devectorizes a 100 TB version:
+    * the DV tax becomes O(dead rows) broadcast + the dirty files'
+    * anti-join probe, with every file still pruned, split, and pushed.
+    */
+  private[lake] def vectorizedCatalogRead(spark: SparkSession, tablePath: String,
+                                          schema: StructType, absFiles: Seq[String],
+                                          dvs: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.functions.col
+    val root = new Path(tablePath)
+    val readSchema = StructType(schema.fields.map(relaxNullability))
+    def scan(paths: Seq[String]): DataFrame = {
+      val idx = new SnapshotFileIndex(spark, paths, readSchema)
+      val rel = HadoopFsRelation(idx, StructType(Nil), readSchema, None,
+        new ParquetFileFormat(), Map.empty[String, String])(spark)
+      org.apache.spark.sql.GraftColumnBridge.ofRows(spark,
+        LogicalRelation(rel, isStreaming = false))
+    }
+    val (dirty, clean) = absFiles.partition(p =>
+      dvs.contains(SnapshotTable.relOf(new Path(p).toUri.getPath)))
+    val parts = Seq.newBuilder[DataFrame]
+    if (clean.nonEmpty)
+      parts += scan(clean).select(readSchema.fieldNames.toSeq.map(col): _*)
+    if (dirty.nonEmpty)
+      parts += minusDeleted(scan(dirty),
+        dvRowsFromPaths(spark, root, dvs.values.flatten.toSeq.distinct),
+        readSchema.fieldNames.toSeq)
+    if (parts.result().isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], readSchema)
+    else parts.result().reduce(_ unionByName _)
   }
 
   /** Time travel WITH transparent zone-map pruning: harvest footer

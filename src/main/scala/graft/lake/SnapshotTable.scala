@@ -66,7 +66,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DSv2 write path. */
 private[lake] class SnapshotReadTable(
     tname: String, spark: SparkSession, filePaths: Seq[String],
-    tableSchema: StructType, dead: Map[String, Array[Long]])
+    tableSchema: StructType, hasDvs: Boolean,
+    deadFn: () => Map[String, Array[Long]],
+    tablePath: String, streamable: Boolean)
   extends ParquetTable(tname, spark, CaseInsensitiveStringMap.empty(), filePaths,
     Some(tableSchema), classOf[ParquetFileFormat]) {
 
@@ -75,15 +77,24 @@ private[lake] class SnapshotReadTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ParquetScanBuilder = {
     val b = super.newScanBuilder(options)
-    if (dead.isEmpty) b
+    if (!hasDvs)
+      new SnapshotScanBuilder(b.sparkSession, b.fileIndex, b.schema, b.dataSchema,
+        options, tablePath, tableSchema, streamable)
+    // deadFn materializes the driver-side dead map ONLY here — the
+    // row-based fallback for sessions without GraftExtensions (whose
+    // rewrite rule replaces this scan with the vectorized anti-join
+    // form and never builds the map). Capped by
+    // SnapshotLog.MaxDriverDeadRows with a loud refusal beyond it.
     else new DvScanBuilder(b.sparkSession, b.fileIndex, b.schema, b.dataSchema,
-      b.options, dead)
+      options, deadFn(), tablePath, tableSchema, streamable)
   }
 }
 
 private[lake] class SnapshotParquetTable(
     tname: String, spark: SparkSession, filePaths: Seq[String],
-    tableSchema: StructType, dead: Map[String, Array[Long]],
+    tableSchema: StructType,
+    private[lake] val dvFiles: Map[String, Seq[String]],
+    deadFn: () => Map[String, Array[Long]],
     private[lake] val tablePath: String, private[lake] val writable: Boolean)
   extends org.apache.spark.sql.connector.catalog.Table
   with org.apache.spark.sql.connector.catalog.SupportsRead
@@ -91,7 +102,14 @@ private[lake] class SnapshotParquetTable(
   with SupportsDelete {
 
   private val readTable =
-    new SnapshotReadTable(tname, spark, filePaths, tableSchema, dead)
+    new SnapshotReadTable(tname, spark, filePaths, tableSchema, dvFiles.nonEmpty,
+      deadFn, tablePath, streamable = writable)
+
+  /** The vectorized DV-applying read `VectorizeSnapshotDvRead`
+    * substitutes for this relation (see
+    * [[SnapshotLog.vectorizedCatalogRead]]). */
+  private[lake] def vectorizedRead(session: SparkSession): org.apache.spark.sql.DataFrame =
+    SnapshotLog.vectorizedCatalogRead(session, tablePath, tableSchema, filePaths, dvFiles)
 
   override def name(): String = tname
   override def schema(): StructType = tableSchema
@@ -99,6 +117,10 @@ private[lake] class SnapshotParquetTable(
     import org.apache.spark.sql.connector.catalog.TableCapability._
     val caps = new java.util.HashSet[org.apache.spark.sql.connector.catalog.TableCapability]()
     caps.add(BATCH_READ)
+    // readStream.table(...) — pure-insert versions stream as they
+    // commit (SnapshotMicroBatchStream); a pinned AS OF table refuses
+    // at stream build with a clear message
+    caps.add(MICRO_BATCH_READ)
     if (writable) { caps.add(BATCH_WRITE); caps.add(TRUNCATE) }
     caps
   }
@@ -230,8 +252,23 @@ private[lake] class SnapshotFileIndex(
     Map.empty[String, String], Some(schema),
     FileStatusCache.getOrCreate(spark), None, None) {
 
-  private val colIntervals =
-    scala.collection.mutable.HashMap.empty[String, Map[String, (Literal, Literal)]]
+  // per-COLUMN memo (ConcurrentHashMap.computeIfAbsent): concurrent
+  // first-planning of many queries on one huge version serializes only
+  // per contended column — a coarse synchronized block here was a
+  // measured convoy risk on the driver (every first query of a session
+  // queuing behind one column's footer sweep)
+  private val colIntervals = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, (Literal, Literal)]]()
+
+  private def intervalsOf(c: String): Map[String, (Literal, Literal)] =
+    colIntervals.computeIfAbsent(c, { c =>
+      val dt = schema(c).dataType
+      SnapshotLog.cachedHarvest(spark, absFiles, c, dt).flatMap { st =>
+        for (mn <- st.min; mx <- st.max) yield
+          new Path(st.path).toString ->
+            (Literal.create(mn, dt), Literal.create(mx, dt))
+      }.toMap
+    })
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -241,18 +278,7 @@ private[lake] class SnapshotFileIndex(
       .filter(c => schema.fieldNames.contains(c) &&
         Metastore.isOrderable(schema(c).dataType))
     if (cols.isEmpty) return base
-    val byCol = synchronized {
-      cols.map { c =>
-        c -> colIntervals.getOrElseUpdate(c, {
-          val dt = schema(c).dataType
-          SnapshotLog.cachedHarvest(spark, absFiles, c, dt).flatMap { st =>
-            for (mn <- st.min; mx <- st.max) yield
-              new Path(st.path).toString ->
-                (Literal.create(mn, dt), Literal.create(mx, dt))
-          }.toMap
-        })
-      }
-    }
+    val byCol = cols.map(c => c -> intervalsOf(c))
     var total = 0; var kept = 0
     val out = base.map { pd =>
       pd.copy(files = pd.files.filter { f =>
@@ -270,6 +296,47 @@ private[lake] class SnapshotFileIndex(
   }
 }
 
+/** The clean-version scan builder: stock parquet pushdown + a scan
+  * that additionally serves [[SnapshotMicroBatchStream]] for
+  * `readStream.table(...)`. */
+private[lake] class SnapshotScanBuilder(
+    spark: SparkSession, idx: PartitioningAwareFileIndex,
+    tblSchema: StructType, dSchema: StructType,
+    opts: CaseInsensitiveStringMap,
+    tablePath: String, baseSchema: StructType, streamable: Boolean)
+  extends ParquetScanBuilder(spark, idx, tblSchema, dSchema, opts) {
+
+  override def build(): ParquetScan = {
+    val s = super.build()
+    new StreamableParquetScan(s.sparkSession, s.hadoopConf, s.fileIndex,
+      s.dataSchema, s.readDataSchema, s.readPartitionSchema, s.pushedFilters,
+      s.options, s.pushedAggregate, s.partitionFilters, s.dataFilters,
+      s.pushedVariantExtractions, tablePath, baseSchema, streamable)
+  }
+}
+
+/** `ParquetScan` + the snapshot streaming source. Batch reads are the
+  * stock scan untouched. */
+private[lake] class StreamableParquetScan(
+    ss: SparkSession, hconf: org.apache.hadoop.conf.Configuration,
+    idx: PartitioningAwareFileIndex, dSchema: StructType,
+    rdSchema: StructType, rpSchema: StructType,
+    pFilters: Array[Filter], opts: CaseInsensitiveStringMap,
+    pAgg: Option[Aggregation], partFilters: Seq[Expression],
+    dFilters: Seq[Expression], pVar: Array[VariantExtraction],
+    tablePath: String, baseSchema: StructType, streamable: Boolean)
+  extends ParquetScan(ss, hconf, idx, dSchema, rdSchema, rpSchema, pFilters,
+    opts, pAgg, partFilters, dFilters, pVar) {
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(streamable,
+      s"a time-travel pin cannot be streamed — readStream the table head " +
+        "(no AS OF); the stream follows commits as they land")
+    SnapshotMicroBatchStream.fromOptions(sparkSession, tablePath, baseSchema, opts)
+  }
+}
+
 /** Scan builder for DV-carrying versions. Pushes NOTHING into the
   * parquet reader (filters would row-group-skip and desync the
   * physical position counter; a pushed aggregate would aggregate dead
@@ -278,7 +345,8 @@ private[lake] class SnapshotFileIndex(
 private[lake] class DvScanBuilder(
     spark: SparkSession, idx: PartitioningAwareFileIndex,
     tblSchema: StructType, dSchema: StructType,
-    opts: CaseInsensitiveStringMap, dead: Map[String, Array[Long]])
+    opts: CaseInsensitiveStringMap, dead: Map[String, Array[Long]],
+    tablePath: String, baseSchema: StructType, streamable: Boolean)
   extends ParquetScanBuilder(spark, idx, tblSchema, dSchema, opts) {
 
   override def pushDataFilters(dataFilters: Array[Filter]): Array[Filter] =
@@ -291,13 +359,15 @@ private[lake] class DvScanBuilder(
     new DvParquetScan(s.sparkSession, s.hadoopConf, s.fileIndex, s.dataSchema,
       s.readDataSchema, s.readPartitionSchema, s.pushedFilters, s.options,
       s.pushedAggregate, s.partitionFilters, s.dataFilters,
-      s.pushedVariantExtractions, dead)
+      s.pushedVariantExtractions, dead, tablePath, baseSchema, streamable)
   }
 }
 
 /** `ParquetScan` that drops each dirty file's dead positions. Dirty
   * files are kept unsplit (one task sees the whole file, positions
-  * 0..n−1 in order); clean files split and vectorize as usual. */
+  * 0..n−1 in order); clean files split and vectorize as usual.
+  * Streaming rides [[StreamableParquetScan]] (the stream plans its own
+  * per-version scans, so the DV batch tax never applies to it). */
 private[lake] class DvParquetScan(
     ss: SparkSession, hconf: org.apache.hadoop.conf.Configuration,
     idx: PartitioningAwareFileIndex, dSchema: StructType,
@@ -305,9 +375,11 @@ private[lake] class DvParquetScan(
     pFilters: Array[Filter], opts: CaseInsensitiveStringMap,
     pAgg: Option[Aggregation], partFilters: Seq[Expression],
     dFilters: Seq[Expression], pVar: Array[VariantExtraction],
-    dead: Map[String, Array[Long]])
-  extends ParquetScan(ss, hconf, idx, dSchema, rdSchema, rpSchema, pFilters,
-    opts, pAgg, partFilters, dFilters, pVar) {
+    dead: Map[String, Array[Long]],
+    tablePath: String, baseSchema: StructType, streamable: Boolean)
+  extends StreamableParquetScan(ss, hconf, idx, dSchema, rdSchema, rpSchema,
+    pFilters, opts, pAgg, partFilters, dFilters, pVar,
+    tablePath, baseSchema, streamable) {
 
   override def isSplitable(path: Path): Boolean =
     !dead.contains(SnapshotTable.relOf(path.toUri.getPath)) && super.isSplitable(path)

@@ -86,8 +86,9 @@ class SnapshotCatalogSpec extends SparkSpec {
     SnapshotLog.delete(spark, s"$root/t", col("id") >= 7L) // v2
     assert(spark.sql("SELECT id FROM snapdv.t").as[Long].collect().toSet ==
       Set(0L, 1L, 2L, 4L, 5L, 6L))
-    // predicates still apply (post-scan — nothing pushed into parquet on
-    // a DV'd version) and aggregate answers match the API read
+    // predicates still apply (pushed into parquet by the vectorized
+    // rewrite; re-applied above the scan on the row-based fallback)
+    // and aggregate answers match the API read
     assert(spark.sql("SELECT count(*) FROM snapdv.t WHERE id > 2").as[Long].head() ==
       SnapshotLog.read(spark, s"$root/t").where(col("id") > 2).count())
     // purge folds the vectors; the clean head reads the same rows
@@ -98,17 +99,95 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM snapdv.t VERSION AS OF 1").as[Long].head() == 9L)
   }
 
+  test("DV-carrying SQL reads stay vectorized with pushed filters (rewrite rule)") {
+    val root = tmpDir("snapcat_dvvec")
+    SnapshotLog.write((0 until 4000).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 8) // v0
+    SnapshotLog.delete(spark, s"$root/t", col("id") === 1L) // v1: DVs on one file
+    register("snapdvvec", root)
+    val df = spark.sql("SELECT id, s FROM snapdvvec.t WHERE id > 3990")
+    assert(df.as[(Long, String)].collect().toSet ==
+      (3991L until 4000L).map(i => (i, s"r$i")).toSet)
+    val phys = df.queryExecution.executedPlan.toString
+    // the rewrite fired: no DSv2 row-based fallback anywhere in the plan
+    assert(!phys.contains("BatchScan"),
+      s"DV version must not plan the row-based DSv2 fallback:\n$phys")
+    // columnar batches survive the DV (one deleted row must not
+    // devectorize the version) and the predicate reaches parquet
+    assert(phys.contains("Batched: true"), s"scan lost vectorization:\n$phys")
+    assert(!phys.contains("Batched: false"), s"a scan fell off the vectorized reader:\n$phys")
+    assert(phys.contains("GreaterThan(id,3990)"),
+      s"filter not pushed into the parquet scan:\n$phys")
+    // dead rows stay dead through the vectorized path — including under
+    // a pushed point filter on the dirty file itself
+    assert(spark.sql("SELECT * FROM snapdvvec.t WHERE id = 1").collect().isEmpty)
+    assert(spark.sql("SELECT count(*) FROM snapdvvec.t").as[Long].head() == 3999L)
+    // the row-based fallback stays available and agrees (escape hatch +
+    // the path a session without GraftExtensions gets)
+    spark.conf.set("spark.graft.dvRead.vectorized", "false")
+    try {
+      val fb = spark.sql("SELECT id FROM snapdvvec.t WHERE id <= 2")
+      assert(fb.as[Long].collect().toSet == Set(0L, 2L))
+      assert(fb.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "with the rewrite disabled the DSv2 fallback must serve the scan")
+    } finally spark.conf.unset("spark.graft.dvRead.vectorized")
+  }
+
+  test("SQL UPDATE evaluates SET right-hand sides against the pre-update row") {
+    val root = tmpDir("snapcat_updswap")
+    SnapshotLog.write(Seq((1L, 10.0, 20.0), (2L, 3.0, 4.0)).toDF("id", "a", "b"),
+      s"$root/t", "overwrite") // v0
+    register("snapswap", root)
+    spark.sql("UPDATE snapswap.t SET a = b, b = a WHERE id = 1")
+    assert(spark.sql("SELECT a, b FROM snapswap.t WHERE id = 1")
+      .as[(Double, Double)].head() == ((20.0, 10.0)))
+    spark.sql("UPDATE snapswap.t SET a = a + b, b = 0 WHERE id = 2")
+    assert(spark.sql("SELECT a, b FROM snapswap.t WHERE id = 2")
+      .as[(Double, Double)].head() == ((7.0, 0.0)))
+  }
+
+  test("CREATE TABLE refuses TBLPROPERTIES loudly instead of dropping them") {
+    val root = tmpDir("snapcat_props")
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), s"$root/seed", "overwrite")
+    register("snapprops", root)
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE snapprops.p (id BIGINT, s STRING) TBLPROPERTIES ('k'='v')"))
+    assert(e.getMessage.contains("TBLPROPERTIES"), e.getMessage)
+    // a plain CREATE (only Spark's reserved keys in the map) still works
+    spark.sql("CREATE TABLE snapprops.q (id BIGINT, s STRING)")
+    assert(spark.sql("SELECT count(*) FROM snapprops.q").as[Long].head() == 0L)
+  }
+
   test("catalog scans zone-map prune files on WHERE (physical numFiles)") {
     import org.apache.spark.sql.execution.datasources.FilePartition
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val root = tmpDir("snapcat_prune")
     SnapshotLog.write((0 until 4000).map(i => (i.toLong, i.toString)).toDF("id", "s"),
       s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 8) // v0
     register("snappr", root)
-    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
-      df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec =>
-        b.inputPartitions.collect { case fp: FilePartition => fp.files.length }.sum
-      }.getOrElse(fail("no BatchScanExec in the plan"))
+    // physical file count across BOTH scan shapes: the DSv2 BatchScan
+    // (clean versions) and the V1 scans the DV-vectorizing rewrite
+    // plans (walks into AQE stages — the DV form joins, so AQE wraps)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      var n = 0L
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case b: BatchScanExec =>
+            n += b.inputPartitions.collect { case fp: FilePartition => fp.files.length }.sum
+          case f: FileSourceScanExec => n += f.metrics("numFiles").value
+          case _ => ()
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(n > 0, "no scan found in the plan")
+      n
+    }
     val point = spark.sql("SELECT * FROM snappr.t WHERE id = 42")
     assert(point.as[(Long, String)].collect().toSeq == Seq((42L, "42")))
     val pruned = scannedFiles(point)
@@ -245,6 +324,106 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(after(1L) == "u1" && after(50L) == "new", "matched rows untouched")
   }
 
+  test("UPDATE/MERGE fold uncorrelated scalar subqueries; correlated stays refused") {
+    val root = tmpDir("snapcat_subq")
+    SnapshotLog.write((0 until 6).map(i => (i.toLong, i * 1.0)).toDF("id", "x"),
+      s"$root/t", "overwrite") // v0
+    Seq((100L, 7.5), (200L, 2.5)).toDF("rid", "rx")
+      .createOrReplaceTempView("ref_vals")
+    register("snapsq", root)
+    // SET from a scalar subquery, WHERE from another
+    spark.sql(
+      """UPDATE snapsq.t SET x = (SELECT max(rx) FROM ref_vals)
+        |WHERE id >= (SELECT count(*) FROM ref_vals) + 2""".stripMargin)
+    val byId = spark.sql("SELECT id, x FROM snapsq.t")
+      .as[(Long, Double)].collect().toMap
+    assert(byId(4L) == 7.5 && byId(5L) == 7.5 && byId(3L) == 3.0, byId.toString)
+    // MERGE arm values fold too
+    Seq(0L, 1L).toDF("mid").createOrReplaceTempView("subq_src")
+    spark.sql(
+      """MERGE INTO snapsq.t AS t USING subq_src AS s ON t.id = s.mid
+        |WHEN MATCHED THEN UPDATE SET x = (SELECT min(rx) FROM ref_vals)
+        |""".stripMargin)
+    val after = spark.sql("SELECT id, x FROM snapsq.t")
+      .as[(Long, Double)].collect().toMap
+    assert(after(0L) == 2.5 && after(1L) == 2.5 && after(2L) == 2.0)
+    // >1-row scalar subquery: the standard cardinality error
+    val multi = intercept[Exception](spark.sql(
+      "UPDATE snapsq.t SET x = (SELECT rx FROM ref_vals) WHERE id = 0"))
+    assert(multi.getMessage.contains("more than one row"), multi.getMessage)
+    // correlated: still refused, loudly
+    val corr = intercept[Exception](spark.sql(
+      "UPDATE snapsq.t SET x = (SELECT max(rx) FROM ref_vals WHERE rid = t.id)"))
+    assert(corr.getMessage.toUpperCase.contains("CORRELATED"), corr.getMessage)
+  }
+
+  test("SQL schema evolution: ALTER TABLE ADD COLUMN then INSERT, time travel keeps the old schema") {
+    val root = tmpDir("snapcat_evolve")
+    SnapshotLog.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      s"$root/t", "overwrite") // v0
+    register("snapevo", root)
+    spark.sql("ALTER TABLE snapevo.t ADD COLUMN note STRING") // v1: metadata-only
+    assert(SnapshotLog.history(spark, s"$root/t").select("op").limit(1)
+      .as[String].head() == "evolve_schema")
+    // old rows null-fill; the INSERT now validates against the evolved head
+    spark.sql("INSERT INTO snapevo.t VALUES (3, 'c', 'fresh')") // v2
+    assert(spark.sql("SELECT id, s, note FROM snapevo.t")
+      .as[(Long, String, Option[String])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some("fresh"))))
+    // time travel below the evolution commit reads the OLD schema
+    assert(spark.sql("SELECT * FROM snapevo.t VERSION AS OF 0").columns.toSeq ==
+      Seq("id", "s"))
+    // multi-column form + duplicate refusal
+    spark.sql("ALTER TABLE snapevo.t ADD COLUMNS (x DOUBLE, y BIGINT)")
+    assert(spark.sql("SELECT * FROM snapevo.t").columns.toSeq ==
+      Seq("id", "s", "note", "x", "y"))
+    val dup = intercept[Exception](
+      spark.sql("ALTER TABLE snapevo.t ADD COLUMN id BIGINT"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    // positioned adds are refused loudly (name-resolved format)
+    val pos = intercept[Exception](
+      spark.sql("ALTER TABLE snapevo.t ADD COLUMN z BIGINT FIRST"))
+    assert(pos.getMessage.contains("FIRST/AFTER"), pos.getMessage)
+  }
+
+  test("SnapshotFileIndex builds per-column intervals concurrently (no convoy)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal => CLit}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = tmpDir("snapcat_conc")
+    SnapshotLog.write(
+      (0 until 4000).map(i => (i.toLong, (i % 4).toLong, i.toString)).toDF("id", "g", "s"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 8) // v0
+    val snap = SnapshotLog.state(spark, s"$root/t")
+    val dataRoot = SnapshotLog.dataRootOf(new Path(s"$root/t"))
+    // fs-qualified like tableAt builds them — the interval map keys by
+    // the index's listed URIs
+    val fsys = dataRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val abs = snap.files.map(f => fsys.makeQualified(new Path(dataRoot, f)).toString)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", LongType), StructField("s", StringType)))
+    val idx = new SnapshotFileIndex(spark, abs, schema)
+    def eq(c: String, v: Long) = EqualTo(AttributeReference(c, LongType)(), CLit(v))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 16 planners race the FIRST interval build of two different
+      // columns on one shared index — per-column memoization must give
+      // every one the same (correct) pruning, with no lost update and
+      // no coarse-lock deadlock
+      val res = Await.result(Future.sequence((0 until 16).map { i => Future {
+        if (i % 2 == 0) idx.listFiles(Nil, Seq(eq("id", 42L))).map(_.files.length).sum
+        else idx.listFiles(Nil, Seq(eq("g", 1L))).map(_.files.length).sum
+      }}), 2.minutes)
+      val (idScans, gScans) = (res.indices.filter(_ % 2 == 0).map(res),
+        res.indices.filter(_ % 2 == 1).map(res))
+      assert(idScans.forall(_ == 1), s"id=42 is clustered into one file: $idScans")
+      assert(gScans.forall(_ == 8), s"g spans every file (no prune): $gScans")
+    } finally pool.shutdown()
+  }
+
   test("CTAS creates a snapshot table: empty v0 + append, readable back") {
     val root = tmpDir("snapcat_ctas")
     // seed something so the namespace dir exists
@@ -302,7 +481,10 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN snapro").select("tableName")
       .as[String].collect().toSet == Set("t1"))
     intercept[Exception](spark.sql("DROP TABLE snapro.t1"))
-    intercept[Exception](spark.sql("ALTER TABLE snapro.t1 ADD COLUMN x BIGINT"))
+    // ALTER beyond ADD COLUMN stays refused (renames/drops/type changes
+    // would silently re-type files already committed)
+    intercept[Exception](spark.sql("ALTER TABLE snapro.t1 DROP COLUMN s"))
+    intercept[Exception](spark.sql("ALTER TABLE snapro.t1 RENAME COLUMN s TO z"))
     // missing table: the standard error, not a crash
     val e = intercept[Exception](spark.sql("SELECT * FROM snapro.nope").collect())
     assert(e.getMessage.toLowerCase.contains("table"))

@@ -449,6 +449,62 @@ class SnapshotLogSpec extends SparkSpec {
     assert(SnapshotLog.read(spark, t).count() == 19)
   }
 
+  test("update evaluates every SET right-hand side against the PRE-update row") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, 10.0, 20.0), (2L, 3.0, 4.0)).toDF("id", "a", "b"),
+      t, "overwrite") // v0
+    // the classic swap: sequential assignment application would write
+    // a = b = 20 into BOTH columns
+    SnapshotLog.update(spark, t, col("id") === 1L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val r1 = SnapshotLog.read(spark, t).where(col("id") === 1L)
+      .select("a", "b").as[(Double, Double)].head()
+    assert(r1 == ((20.0, 10.0)), s"SET a = b, b = a must swap, got $r1")
+    // self-and-other reference: a reads both OLD values, b resets
+    SnapshotLog.update(spark, t, col("id") === 2L,
+      Map("a" -> (col("a") + col("b")), "b" -> lit(0.0)))
+    val r2 = SnapshotLog.read(spark, t).where(col("id") === 2L)
+      .select("a", "b").as[(Double, Double)].head()
+    assert(r2 == ((7.0, 0.0)), s"SET a = a + b, b = 0 must use old b, got $r2")
+  }
+
+  test("deadPositions refuses beyond the driver cap with the maintenance pointer") {
+    val t = mkTable()
+    SnapshotLog.write((0 until 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      t, "overwrite") // v0
+    SnapshotLog.delete(spark, t, col("id") < 10L) // v1: 10 dead rows
+    val snap = SnapshotLog.state(spark, t)
+    val e = intercept[IllegalStateException](
+      SnapshotLog.deadPositions(spark, new Path(t), snap, maxRows = 5L))
+    assert(e.getMessage.contains("purgeDeletes"), e.getMessage)
+    // under the cap the map builds (and caches) fine
+    assert(SnapshotLog.deadPositions(spark, new Path(t), snap)
+      .values.map(_.length).sum == 10)
+  }
+
+  test("mergeInto pins the source to ONE materialization") {
+    val t = mkTable()
+    SnapshotLog.write((0 until 10).map(i => (i.toLong, i * 1.0)).toDF("id", "x"),
+      t, "overwrite", clusterColumn = Some("id"), nFiles = 2) // v0
+    SnapshotLogSpec.sourceEvals.set(0)
+    val counting = udf { (i: Long) =>
+      SnapshotLogSpec.sourceEvals.incrementAndGet(); i }
+    val src = (0 until 4).map(i => (i.toLong, 100.0)).toDF("mid", "mx")
+      .withColumn("mid", counting(col("mid")))
+    SnapshotLog.mergeInto(spark, t, src, col("_t.id") === col("_s.mid"),
+      matched = Seq(SnapshotLog.MatchedAction(None, Some(Map("x" -> col("_s.mx"))))),
+      notMatched = Seq(SnapshotLog.NotMatchedAction(None,
+        Map("id" -> col("_s.mid"), "x" -> col("_s.mx")))))
+    // the cardinality check, the matched join, and the not-matched
+    // anti-join all consume the source — but it must be EVALUATED
+    // exactly once (4 rows), or a non-deterministic source could pass
+    // the duplicate check yet write duplicates
+    assert(SnapshotLogSpec.sourceEvals.get() == 4,
+      s"source evaluated ${SnapshotLogSpec.sourceEvals.get()} row-times, expected 4")
+    val byId = SnapshotLog.read(spark, t).as[(Long, Double)].collect().toMap
+    assert(byId.size == 10 && byId(0L) == 100.0 && byId(3L) == 100.0 && byId(4L) == 4.0)
+  }
+
   test("expire rewrites a token-less horizon checkpoint before dropping manifests") {
     val t = mkTable()
     // build a log whose horizon checkpoint predates token indexing:
@@ -558,4 +614,11 @@ class SnapshotLogSpec extends SparkSpec {
     assert(byId(5L) == "r5-new" && byId(6L) == "r6-new" && byId(100L) == "x")
     assert(byId.size == 41)
   }
+}
+
+object SnapshotLogSpec {
+  /** Row-level evaluation counter for the merge source-pinning test —
+    * a companion-object field so the UDF closure stays serializable
+    * (local-mode executors share the JVM, so increments are visible). */
+  val sourceEvals = new java.util.concurrent.atomic.AtomicInteger(0)
 }
