@@ -456,6 +456,103 @@ object SparkEntry {
       cat
     }
 
+  /** lake_sql_call's table, maintained end-to-end through the SQL
+    * `CALL` surface ([[graft.lake.SnapshotProcedures]]): v0 an
+    * UNCLUSTERED write (5 arbitrary files), then `CALL compact` (the
+    * OPTIMIZE rewrite, one commit, zone maps start pruning), `DELETE
+    * FROM` (DV commit), `CALL maintain(0.0)` (the purge policy fires),
+    * `CALL create_tag` — the full maintenance lifecycle a 100 TB
+    * operator runs on a cadence, with every step's commit op pinned at
+    * the fixture like the DML lifecycle's. */
+  private val sqlCallCache = new SessionCache[String]
+
+  private def sqlCallCatalog(s: SparkSession, dir: String): String =
+    sqlCallCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqlcall_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"
+      val li = t(s, dir, "lineitem")
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) === 0)
+        .repartition(5), table, "overwrite") // v0: unclustered
+      val cat = s"snapcall_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val steps = Seq(
+        s"CALL $cat.system.compact(table => 'lineitem', " +
+          "cluster_by => 'l_orderkey', n_files => 4)" -> "compact",
+        s"DELETE FROM $cat.lineitem WHERE l_orderkey IN (42, 45)" -> "delete",
+        s"CALL $cat.system.maintain('lineitem', max_dirty_fraction => 0.0D)" -> "purge")
+      for (((stmt, expectedOp), i) <- steps.zipWithIndex) {
+        s.sql(stmt).collect()
+        val expectedV = i + 1L
+        val (v, op) = SnapshotLog.history(s, table)
+          .select("version", "op").orderBy(col("version").desc).limit(1)
+          .collect().map(r => (r.getLong(0), r.getString(1))).head
+        require(v == expectedV && op == expectedOp,
+          s"SQL-CALL fixture step $i committed (v=$v, op=$op), " +
+            s"expected (v=$expectedV, op=$expectedOp): $stmt")
+      }
+      s.sql(s"CALL $cat.system.create_tag('lineitem', 'post-maintenance')").collect()
+      require(graft.lake.Branches.tagVersion(s, table, "post-maintenance") == 3L,
+        "SQL-CALL fixture: tag must pin the post-maintenance head (v3)")
+      cat
+    }
+
+  /** lake_sql_cluster_write's table: CTAS carrying the ONE stored
+    * table property — `cluster_by` — so the CTAS rows themselves
+    * arrive through the `RequiresDistributionAndOrdering` write path
+    * (range-distributed + sorted on l_orderkey) and every later plain
+    * `INSERT INTO` keeps the layout. The declared layout is what makes
+    * SQL writes zone-map-sound at 100 TB: without it every insert of
+    * shuffled rows writes full-keyspace files and pruning decays until
+    * the next OPTIMIZE. */
+  private val sqlClusterCache = new SessionCache[String]
+
+  private def sqlClusterCatalog(s: SparkSession, dir: String): String =
+    sqlClusterCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqlclu_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true); fs.mkdirs(root)
+      val cat = s"snapclu_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val src = s"graft_sqlclu_src_${dirTag(dir)}"
+      // a deliberately shuffled source: the declared layout, not the
+      // incoming order, must decide the file ranges
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .repartition(7).createOrReplaceTempView(src)
+      s.sql(s"CREATE TABLE $cat.lineitem_c TBLPROPERTIES ('cluster_by'='l_orderkey') " +
+        s"AS SELECT * FROM $src")
+      cat
+    }
+
+  /** Per-file [min,max] disjointness of the cluster column — TRUE iff
+    * consecutive file ranges never overlap (ties at the boundary
+    * allowed: repartitionByRange splits equal keys across adjacent
+    * partitions). */
+  private def filesDisjoint(s: SparkSession, table: String, column: String): Boolean = {
+    val snap = SnapshotLog.state(s, table)
+    val rootP = new org.apache.hadoop.fs.Path(table)
+    val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // pool paths are table-root-relative (this fixture is never a
+    // branch, so the pool root IS the table root)
+    val abs = snap.files.map(f =>
+      fs.makeQualified(new org.apache.hadoop.fs.Path(rootP, f)).toString)
+    val ranges = graft.lake.StatsAgg
+      .harvest(s, abs, column, org.apache.spark.sql.types.LongType)
+      .flatMap(st => for (mn <- st.min; mx <- st.max) yield
+        (mn.asInstanceOf[Long], mx.asInstanceOf[Long]))
+      .sortBy(_._1)
+    ranges.size == abs.size &&
+      ranges.sliding(2).forall {
+        case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+        case _ => true
+      }
+  }
+
   /** lake_join_view_mm's star pair + MIN/MAX join view, once per
     * (session, dir): the same star construction as lake_join_view plus
     * a fact DV delete of the two orderkeys holding the highest per-key
@@ -1231,6 +1328,74 @@ object SparkEntry {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
            |FROM $cat.orders
            |GROUP BY prio_class""".stripMargin)
+    }),
+
+    // the SQL CALL maintenance lifecycle (compact → DELETE → maintain
+    // → tag): the head must hold exactly the post-delete population —
+    // compaction and the purge are row-content no-ops, the DV delete
+    // is not — and the zone maps the CALL compact rebuilt must prune
+    // the BETWEEN read (spec-pinned; here the rows prove the rewrite
+    // lost and invented nothing)
+    "lake_sql_call" -> ((s, dir) => {
+      val cat = sqlCallCatalog(s, dir)
+      s.sql(
+        s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.lineitem
+           |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // manifest-backed aggregate pushdown: count/min/max over the
+    // post-maintenance table must be answered from cached footer stats
+    // as a LocalTableScan — manifest_served pins that the zero-
+    // file-read path actually served (a silent fallback to the scan
+    // would return the same numbers and hide the regression)
+    "lake_sql_agg_push" -> ((s, dir) => {
+      val cat = sqlCallCatalog(s, dir)
+      val before = graft.lake.ManifestAgg.served.get()
+      val agg = s.sql(
+        s"""SELECT count(*) AS n_rows, count(l_returnflag) AS n_flags,
+           |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+           |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+           |FROM $cat.lineitem""".stripMargin)
+      agg.collect() // force planning: the manifest path serves (or not) HERE
+      agg.withColumn("manifest_served",
+        lit(graft.lake.ManifestAgg.served.get() > before))
+    }),
+
+    // declared CLUSTER BY layout: the CTAS arrived through the
+    // range-distribute+sort write path, so the population must be
+    // intact AND the per-file key ranges disjoint (files_disjoint —
+    // the layout claim itself, falsifiable at the hash)
+    "lake_sql_cluster_write" -> ((s, dir) => {
+      val cat = sqlClusterCatalog(s, dir)
+      val disjoint = filesDisjoint(s,
+        s"/tmp/graft_sqlclu_${dirTag(dir)}/lineitem_c", "l_orderkey")
+      s.sql(
+        s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.lineitem_c
+           |WHERE l_orderkey BETWEEN 100 AND 700
+           |GROUP BY l_returnflag""".stripMargin)
+        .withColumn("files_disjoint", lit(disjoint))
+    }),
+
+    // join-driven runtime file pruning (the unpartitioned table's DPP):
+    // a broadcast join against a filtered orders dim must return the
+    // exact join population — the fact side's zone-map runtime filter
+    // may drop files but can never drop rows (may-contain); the spec
+    // pins that it DOES drop files
+    "lake_sql_dfp" -> ((s, dir) => {
+      val cat = sqlClusterCatalog(s, dir)
+      val dimV = s"graft_dfp_dim_${dirTag(dir)}"
+      t(s, dir, "orders").createOrReplaceTempView(dimV)
+      s.sql(
+        s"""SELECT f.l_returnflag, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.lineitem_c f
+           |JOIN $dimV o ON f.l_orderkey = o.o_orderkey
+           |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey < 500
+           |GROUP BY f.l_returnflag""".stripMargin)
     }),
 
     // schema evolution: v1 appended a derived column under mergeSchema
@@ -3746,6 +3911,43 @@ object SparkEntry {
         |  SELECT substring(o_orderpriority, 1, 1), o_totalprice FROM orders
         |  WHERE o_orderkey % 2 = 1)
         |GROUP BY prio_class""".stripMargin,
+
+    // after CALL compact + DELETE FROM + CALL maintain: the same
+    // population algebra as lake_maintain, arrived at purely in SQL
+    "lake_sql_call" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 0 AND l_orderkey NOT IN (42, 45)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // the manifest-served aggregate must equal the scan's own answer
+    // over the same population
+    "lake_sql_agg_push" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(l_returnflag) AS n_flags,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  TRUE AS manifest_served
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 0 AND l_orderkey NOT IN (42, 45)""".stripMargin,
+
+    // CTAS through the declared-layout write path: same rows as the
+    // raw table, and the layout claim holds (files_disjoint TRUE)
+    "lake_sql_cluster_write" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  TRUE AS files_disjoint
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 700
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // runtime-pruned broadcast join = the plain join, row for row
+    "lake_sql_dfp" ->
+      """SELECT l.l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey < 500
+        |GROUP BY l.l_returnflag""".stripMargin,
 
     // head after evolution = even keys with NULL prio_class ∪ odd keys
     // with the derived column

@@ -64,7 +64,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reads on the driver ([[SnapshotLog.state]]); the scan itself is a
   * stock distributed parquet read over exactly the version's files.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -181,22 +182,38 @@ class SnapshotCatalog extends TableCatalog {
                            properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       s"$catalogName tables take no PARTITIONED BY — cluster at write " +
-        "time instead (SnapshotLog.write clusterColumn / compactZ)")
-    // TBLPROPERTIES are not stored by this format — refuse loudly
-    // (mirroring the PARTITIONED BY refusal) rather than silently
-    // dropping them. Spark itself stuffs a few reserved keys into the
-    // map for a plain CREATE/CTAS; those carry no user intent.
+        "time instead (TBLPROPERTIES('cluster_by'='col[,col…]') / compactZ)")
+    // TBLPROPERTIES: exactly ONE is understood — `cluster_by`, the
+    // table's declared layout (see SnapshotLog.setClusterBy; every SQL
+    // INSERT then range-distributes + sorts on it, keeping zone maps
+    // disjoint). Every other property is refused loudly (mirroring
+    // the PARTITIONED BY refusal) rather than silently dropped. Spark
+    // itself stuffs a few reserved keys into the map for a plain
+    // CREATE/CTAS; those carry no user intent.
     val reserved = Set("provider", "owner", "location", "external", "comment",
       "option.path", "path")
+    val clusterBy = Option(properties.get("cluster_by"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    clusterBy.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"cluster_by column '$c' is not in the schema " +
+            s"(${schema.fieldNames.mkString(", ")})"))
+      require(Metastore.isOrderable(f.dataType),
+        s"cluster_by column '$c' has non-orderable type ${f.dataType.sql} — " +
+          "range clustering needs an ordered type")
+    }
     val custom = {
       import scala.jdk.CollectionConverters._
       properties.asScala.keys.filterNot(k =>
-        reserved.contains(k.toLowerCase) || k.startsWith("option.")).toSeq.sorted
+        reserved.contains(k.toLowerCase) || k.toLowerCase == "cluster_by" ||
+          k.startsWith("option.")).toSeq.sorted
     }
     require(custom.isEmpty,
-      s"$catalogName tables store no TBLPROPERTIES (got: ${custom.mkString(", ")}) " +
-        "— the snapshot manifest is the only table metadata")
+      s"$catalogName tables store no TBLPROPERTIES beyond 'cluster_by' " +
+        s"(got: ${custom.mkString(", ")})")
     SnapshotLog.createEmpty(spark, tablePath(ident), schema.json)
+    if (clusterBy.nonEmpty) SnapshotLog.setClusterBy(spark, tablePath(ident), clusterBy)
     tableAt(ident, None)
   }
 
@@ -228,6 +245,18 @@ class SnapshotCatalog extends TableCatalog {
     SnapshotLog.addColumns(spark, tablePath(ident), cols)
     tableAt(ident, None)
   }
+
+  /** `CALL <catalog>.system.<proc>(…)` — the maintenance surface
+    * ([[SnapshotProcedures]]): compact/zorder, purge_deletes/maintain,
+    * expire/expire_orphans, rollback, history, tags and branches. Each
+    * delegates to the API implementation and commits through the same
+    * claim protocol; the procedure layer adds a name binding only. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapshotProcedures.load(catalogName, root, () => spark, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
 
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
 

@@ -614,6 +614,40 @@ object SnapshotLog {
     commit(spark, table, "create", Nil, Nil, schemaJson, expected = -1L)
   }
 
+  // ── declared layout: CLUSTER BY ──────────────────────────────────
+  // The table's declared cluster columns, stored as a side file
+  // `_log/_cluster` (a layout PREFERENCE like Iceberg's sort order,
+  // not data semantics — so it lives beside the log, not inside the
+  // versioned manifests). The SQL write path reads it to request a
+  // range distribution + sort from Spark (`RequiresDistributionAndOrdering`),
+  // so plain `INSERT INTO` keeps producing zone-map-disjoint files —
+  // without it, every SQL insert of shuffled rows writes overlapping
+  // ranges and pruning decays until the next OPTIMIZE.
+  private val ClusterMagic = "graft-cluster-v1"
+
+  def setClusterBy(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.forall(_.nonEmpty), "cluster columns must be non-empty")
+    val (fs, rootP) = fsOf(spark, table)
+    val p = new Path(logDir(rootP), "_cluster")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(s"$ClusterMagic\n${cols.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The declared cluster columns, or Nil. Torn/missing files read as
+    * Nil (unclustered) — never an error on the write path. */
+  def clusterByOf(spark: SparkSession, table: String): Seq[String] = {
+    val (fs, rootP) = fsOf(spark, table)
+    val p = new Path(logDir(rootP), "_cluster")
+    if (!fs.exists(p)) return Nil
+    val lines = readFile(fs, p).split('\n')
+    if (lines.length >= 2 && lines(0) == ClusterMagic)
+      lines(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    else Nil
+  }
+
   /** Exactly-once APPEND for streaming/retried writers: the caller
     * names the batch (e.g. `s"batch-$batchId"` from foreachBatch), the
     * name becomes the token dir, and a batch whose token any manifest

@@ -145,7 +145,26 @@ private[lake] class SnapshotParquetTable(
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // declared CLUSTER BY layout: ask Spark to range-distribute +
+        // sort the incoming rows, so a plain SQL INSERT writes
+        // zone-map-disjoint files (ordered distribution = the same
+        // repartitionByRange + sortWithinPartitions shape as
+        // SnapshotLog.write's clusterColumn path); unclustered tables
+        // keep the query's own partitioning untouched
+        private val clusterSort: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          SnapshotLog.clusterByOf(spark, tablePath).toArray.map { c =>
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+          }
+        override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+          if (clusterSort.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          else org.apache.spark.sql.connector.distributions.Distributions.ordered(clusterSort)
+        override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          clusterSort
         override def toBatch: BatchWrite = {
           val token = java.util.UUID.randomUUID().toString.take(12)
           val tokenDir = new Path(
@@ -298,7 +317,19 @@ private[lake] class SnapshotFileIndex(
 
 /** The clean-version scan builder: stock parquet pushdown + a scan
   * that additionally serves [[SnapshotMicroBatchStream]] for
-  * `readStream.table(...)`. */
+  * `readStream.table(...)` + MANIFEST-BACKED AGGREGATE PUSHDOWN —
+  * `SELECT count(*) / min(c) / max(c) FROM snap.t` is answered from
+  * the per-file footer-stats cache as a driver-local row, ZERO data
+  * files read, no Spark job. At 100 TB that is the difference between
+  * a sub-second catalog answer and a full-table scan. Soundness gates
+  * (any miss falls back to the stock distributed scan, never a wrong
+  * answer): no GROUP BY, no filters of any kind, COUNT exact only when
+  * every footer's row count is known, COUNT(col)/MIN/MAX only when
+  * every file's column stats are complete, and MIN/MAX only on
+  * integral/temporal types — parquet float/double footer order bends
+  * at ±0.0 (writers widen the bound for sort-order safety) and string
+  * maxima may be truncated-then-incremented, both fine for
+  * may-contain pruning but not for an EXACT aggregate. */
 private[lake] class SnapshotScanBuilder(
     spark: SparkSession, idx: PartitioningAwareFileIndex,
     tblSchema: StructType, dSchema: StructType,
@@ -306,12 +337,170 @@ private[lake] class SnapshotScanBuilder(
     tablePath: String, baseSchema: StructType, streamable: Boolean)
   extends ParquetScanBuilder(spark, idx, tblSchema, dSchema, opts) {
 
+  private var manifestAgg: Option[(StructType, InternalRow)] = None
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = {
+    tryManifestAgg(agg)
+    manifestAgg.isDefined || super.supportCompletePushDown(agg)
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    tryManifestAgg(agg)
+    manifestAgg.isDefined || super.pushAggregation(agg)
+  }
+
+  private def tryManifestAgg(agg: Aggregation): Unit =
+    if (manifestAgg.isEmpty &&
+        spark.conf.get("spark.graft.aggPushdown.enabled", "true").toBoolean &&
+        partitionFilters.isEmpty && dataFilters.isEmpty &&
+        pushedDataFilters.isEmpty)
+      manifestAgg = ManifestAgg.tryAnswer(spark, idx.inputFiles.toSeq, tblSchema, agg)
+
   override def build(): ParquetScan = {
     val s = super.build()
-    new StreamableParquetScan(s.sparkSession, s.hadoopConf, s.fileIndex,
-      s.dataSchema, s.readDataSchema, s.readPartitionSchema, s.pushedFilters,
-      s.options, s.pushedAggregate, s.partitionFilters, s.dataFilters,
-      s.pushedVariantExtractions, tablePath, baseSchema, streamable)
+    manifestAgg match {
+      case Some((out, row)) => new ManifestAggScan(s, out, row)
+      case None =>
+        new StreamableParquetScan(s.sparkSession, s.hadoopConf, s.fileIndex,
+          s.dataSchema, s.readDataSchema, s.readPartitionSchema, s.pushedFilters,
+          s.options, s.pushedAggregate, s.partitionFilters, s.dataFilters,
+          s.pushedVariantExtractions, tablePath, baseSchema, streamable)
+    }
+  }
+}
+
+/** A fully-pushed-down aggregate answered from manifests + cached
+  * footers: one driver row. Extends `ParquetScan` only because the
+  * builder's `build()` is typed to it; the `LocalScan` mixin is what
+  * plans — `DataSourceV2Strategy`'s LocalScan branch precedes the
+  * batch-scan branch, so this executes as a `LocalTableScan`: no job,
+  * no file read. */
+private[lake] final class ManifestAggScan(base: ParquetScan, out: StructType,
+                                          row: InternalRow)
+  extends ParquetScan(base.sparkSession, base.hadoopConf, base.fileIndex,
+    base.dataSchema, out, base.readPartitionSchema, base.pushedFilters,
+    base.options, None, base.partitionFilters, base.dataFilters,
+    base.pushedVariantExtractions)
+  with org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"GraftManifestAggScan[${out.fieldNames.mkString(", ")}]"
+}
+
+object ManifestAgg {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+  import org.apache.spark.sql.types._
+
+  /** Specs pin zero-file-read service with this counter. */
+  val served = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** MIN/MAX-exact types: integral + temporal, whose parquet footer
+    * min/max equal the true column extrema. Excludes float/double
+    * (±0.0 sort-order widening) and strings/binary (truncation) —
+    * those stay sound for pruning, not for exact answers. */
+  private def exactMinMax(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: DateType | _: TimestampType | _: TimestampNTZType | _: BooleanType => true
+    case _ => false
+  }
+
+  private def colOf(e: V2Expression): Option[String] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+    case _ => None
+  }
+
+  /** Compute the aggregation from cached footer stats, or None when
+    * any soundness gate misses (the caller then plans the stock scan).
+    * Cost: one cached footer sweep per referenced column over the
+    * version's files — the identical cost shape as first-query
+    * zone-map pruning, and cache-shared with it. */
+  def tryAnswer(spark: SparkSession, files: Seq[String], schema: StructType,
+                agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    // output schema built here, positionally matching the aggregate
+    // list — V2ScanRelationPushDown maps scan output onto the
+    // aggregate expressions by POSITION (complete pushdown becomes a
+    // Project over this scan), so types must match: counts are LONG,
+    // extrema carry the column's own type. (Spark's
+    // AggregatePushDownUtils is not reused: it encodes PARQUET's
+    // execution limits, e.g. no timestamp extrema — footer stats via
+    // the harvest path have no such limit.)
+    val out = StructType(agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case c: Count if !c.isDistinct =>
+        val n = colOf(c.column).getOrElse(return None)
+        StructField(s"count($n)", LongType, nullable = false)
+      case m: Min =>
+        val n = colOf(m.column).getOrElse(return None)
+        StructField(s"min($n)", schema.fields.find(_.name == n).getOrElse(return None).dataType)
+      case m: Max =>
+        val n = colOf(m.column).getOrElse(return None)
+        StructField(s"max($n)", schema.fields.find(_.name == n).getOrElse(return None).dataType)
+      case _ => return None
+    })
+
+    // memoized per-column harvest; None = stats incomplete somewhere
+    val statsBy = scala.collection.mutable.Map.empty[String, Option[Seq[StatsAgg.FileStats]]]
+    def statsFor(c: String): Option[Seq[StatsAgg.FileStats]] =
+      statsBy.getOrElseUpdate(c, {
+        if (!schema.fieldNames.contains(c)) None
+        else {
+          val st = SnapshotLog.cachedHarvest(spark, files, c, schema(c).dataType)
+          if (st.forall(s => s.rows >= 0L && s.nulls.isDefined)) Some(st) else None
+        }
+      })
+
+    def countStarValue: Option[Long] =
+      if (files.isEmpty) Some(0L)
+      else {
+        // any column's harvest carries exact per-file row counts (the
+        // footer block counts, independent of that column's stats)
+        val st = SnapshotLog.cachedHarvest(spark, files, schema.fields.head.name,
+          schema.fields.head.dataType)
+        if (st.forall(_.rows >= 0L)) Some(st.map(_.rows).sum) else None
+      }
+
+    def extremum(c: String, wantMax: Boolean): Option[Any] = {
+      val dt = schema.fields.find(_.name == c).map(_.dataType).getOrElse(return None)
+      if (!exactMinMax(dt)) return None
+      statsFor(c).map { st =>
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(dt)
+        // all-null files carry Some(nulls) but no extrema — they
+        // contribute nothing, exactly like MIN/MAX's null-skipping
+        val vals = st.flatMap(s => if (wantMax) s.max else s.min).map(conv)
+        if (vals.isEmpty) null
+        else {
+          // integral/temporal catalyst values are all AnyVal numbers
+          def n(a: Any): Long = a match {
+            case b: Boolean => if (b) 1L else 0L
+            case x: Byte => x.toLong; case x: Short => x.toLong
+            case x: Int => x.toLong; case x: Long => x
+          }
+          if (wantMax) vals.maxBy(n) else vals.minBy(n)
+        }
+      }
+    }
+
+    val values = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => countStarValue.getOrElse(return None)
+      case c: Count if !c.isDistinct =>
+        val col = colOf(c.column).getOrElse(return None)
+        val st = statsFor(col).getOrElse(return None)
+        st.map(s => s.rows - s.nulls.get).sum
+      case m: Min =>
+        val col = colOf(m.column).getOrElse(return None)
+        extremum(col, wantMax = false).getOrElse(return None)
+      case m: Max =>
+        val col = colOf(m.column).getOrElse(return None)
+        extremum(col, wantMax = true).getOrElse(return None)
+      case _ => return None
+    }
+    served.incrementAndGet()
+    Some((out,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values.toArray)))
   }
 }
 
@@ -326,7 +515,8 @@ private[lake] class StreamableParquetScan(
     dFilters: Seq[Expression], pVar: Array[VariantExtraction],
     tablePath: String, baseSchema: StructType, streamable: Boolean)
   extends ParquetScan(ss, hconf, idx, dSchema, rdSchema, rpSchema, pFilters,
-    opts, pAgg, partFilters, dFilters, pVar) {
+    opts, pAgg, partFilters, dFilters, pVar)
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -335,6 +525,79 @@ private[lake] class StreamableParquetScan(
         "(no AS OF); the stream follows commits as they land")
     SnapshotMicroBatchStream.fromOptions(sparkSession, tablePath, baseSchema, opts)
   }
+
+  // ── RUNTIME file pruning (DPP over DATA columns via zone maps) ────
+  // Dynamic partition pruning exists for hive-partitioned layouts; a
+  // snapshot table is deliberately unpartitioned (clustered instead),
+  // so the equivalent 100 TB win — "join against a filtered dim scans
+  // only the fact files whose key range can match" — comes from
+  // declaring every stats-bearing column runtime-filterable and
+  // zone-map-testing the join keys Spark hands over at execution. The
+  // exact mechanics: the optimizer plants a DynamicPruningSubquery on
+  // the fact scan's join key (the dim side's broadcast is reused, so
+  // the subquery is free), BatchScanExec evaluates it, calls
+  // `filter(...)` with the key IN-list, and re-plans input partitions
+  // — `partitions` below then drops every file whose [min,max] proves
+  // the keys absent. May-contain semantics, never over-prunes; a path
+  // representation mismatch degrades to scanning (sound), never to
+  // dropping.
+  @volatile private var runtimePruneExprs: Seq[Expression] = Nil
+
+  // restricted to the READ schema: Spark resolves these against the
+  // scan's pruned output, so naming a projected-away column would
+  // throw at planning, not just skip
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    rdSchema.fields
+      .filter(f => Metastore.isOrderable(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In => CIn, EqualTo => CEq}
+    def attr(name: String): Option[AttributeReference] =
+      baseSchema.fields.find(_.name == name)
+        .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
+    runtimePruneExprs = filters.toSeq.flatMap {
+      case org.apache.spark.sql.sources.In(a, vs) =>
+        attr(a).map(ar => CIn(ar, vs.toSeq.map(v => Literal.create(v, ar.dataType))))
+      case org.apache.spark.sql.sources.EqualTo(a, v) =>
+        attr(a).map(ar => CEq(ar, Literal.create(v, ar.dataType)))
+      case _ => None // unknown shapes never prune — sound
+    }
+  }
+
+  override def partitions: Seq[org.apache.spark.sql.execution.datasources.FilePartition] = {
+    val base = super.partitions
+    val exprs = runtimePruneExprs
+    if (exprs.isEmpty) return base
+    // every path string normalized through hadoop Path (inputFiles
+    // says `file:///t`, a listed status says `file:/t` — Path folds
+    // both to one form); a residual drift can then only make
+    // prunedSet MISS, i.e. degrade to scanning, never to losing rows
+    def norm(s: String): String = new Path(s).toString
+    val survivors: Set[String] = fileIndex.listFiles(Nil, exprs)
+      .flatMap(_.files.map(f => f.getPath.toString)).toSet
+    val all: Set[String] = fileIndex.inputFiles.toSet.map(norm)
+    val prunedSet = all -- survivors
+    if (prunedSet.isEmpty) return base
+    var dropped = 0
+    val out = base.map { fp =>
+      val kept = fp.files.filter { pf =>
+        val keep = !prunedSet.contains(norm(pf.filePath.toString))
+        if (!keep) dropped += 1
+        keep
+      }
+      org.apache.spark.sql.execution.datasources.FilePartition(fp.index, kept)
+    }
+    if (dropped > 0) StreamableParquetScan.runtimePrunedSplits.addAndGet(dropped)
+    MetastoreFileIndex.log.info(
+      s"snapshot runtime prune: files_pruned=${prunedSet.size}/${all.size} splits_dropped=$dropped")
+    out
+  }
+}
+
+private[lake] object StreamableParquetScan {
+  /** Specs pin join-driven runtime pruning with this counter. */
+  val runtimePrunedSplits = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** Scan builder for DV-carrying versions. Pushes NOTHING into the
