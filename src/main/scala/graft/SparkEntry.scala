@@ -553,6 +553,50 @@ object SparkEntry {
       }
   }
 
+  /** lake_sql_stream_write's table, fed by a REAL streaming query:
+    * `readStream.parquet(src) → writeStream.toTable("snap.t")` — the
+    * DSv2 STREAMING_WRITE path, where each micro-batch is one append
+    * commit claimed under the deterministic `stream-<queryId>-e<epoch>`
+    * token (replay-safe, the appendBatch contract). The fixture pins
+    * that every post-create commit is an `append` carrying a stream
+    * token in the pool. */
+  private val streamWriteCache = new SessionCache[String]
+
+  private def streamWriteCatalog(s: SparkSession, dir: String): String =
+    streamWriteCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_stwrite_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true); fs.mkdirs(root)
+      val cat = s"snapstw_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val pop = t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(3)) === 2)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      pop.write.parquet(s"$base/src")
+      val srcSchema = s.read.parquet(s"$base/src").schema
+      val srcView = s"graft_stwrite_src_${dirTag(dir)}"
+      pop.limit(0).createOrReplaceTempView(srcView)
+      s.sql(s"CREATE TABLE $cat.lineitem_s AS SELECT * FROM $srcView") // empty v0(+v1)
+      val q = s.readStream.schema(srcSchema).parquet(s"$base/src")
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .toTable(s"$cat.lineitem_s")
+      try q.processAllAvailable() finally q.stop()
+      val table = s"$base/lineitem_s"
+      val hist = SnapshotLog.history(s, table)
+        .select("version", "op").collect().map(r => (r.getLong(0), r.getString(1)))
+      require(hist.exists(_._2 == "create") && hist.count(_._2 == "append") >= 1,
+        s"stream-write fixture: unexpected commit log ${hist.toSeq}")
+      val pool = new org.apache.hadoop.fs.Path(s"$table/data")
+      val tokens = fs.listStatus(pool).map(_.getPath.getName)
+      require(tokens.exists(_.startsWith("stream-")),
+        s"stream-write fixture: no stream epoch token in the pool (${tokens.toSeq})")
+      require(!tokens.exists(_.startsWith("staging-")),
+        "stream-write fixture: staging dir leaked")
+      cat
+    }
+
   /** lake_join_view_mm's star pair + MIN/MAX join view, once per
     * (session, dir): the same star construction as lake_join_view plus
     * a fact DV delete of the two orderkeys holding the highest per-key
@@ -1396,6 +1440,18 @@ object SparkEntry {
            |JOIN $dimV o ON f.l_orderkey = o.o_orderkey
            |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey < 500
            |GROUP BY f.l_returnflag""".stripMargin)
+    }),
+
+    // writeStream.toTable: the streamed-in population read back
+    // through SQL must equal the source population — every micro-batch
+    // landed as one exactly-once append commit (fixture-pinned)
+    "lake_sql_stream_write" -> ((s, dir) => {
+      val cat = streamWriteCatalog(s, dir)
+      s.sql(
+        s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.lineitem_s
+           |GROUP BY l_returnflag""".stripMargin)
     }),
 
     // schema evolution: v1 appended a derived column under mergeSchema
@@ -3948,6 +4004,14 @@ object SparkEntry {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderkey < 500
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    // the streamed population = the source population, row for row
+    "lake_sql_stream_write" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 2
+        |GROUP BY l_returnflag""".stripMargin,
 
     // head after evolution = even keys with NULL prio_class ∪ odd keys
     // with the derived column

@@ -556,6 +556,63 @@ object SnapshotLog {
     }
   }
 
+  /** TRUNCATE: one metadata-only commit restating an empty live set —
+    * O(1) regardless of table size, history stays time-travelable
+    * below it (the rows come back with `rollback`). Lost-update safe
+    * like every overwrite. */
+  def truncate(spark: SparkSession, table: String,
+               checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    val head = currentVersion(spark, table)
+    require(head >= 0, s"no snapshot table at $table")
+    val cur = state(spark, table, Some(head))
+    commit(spark, table, "overwrite", Nil, cur.files, cur.schemaJson, head,
+      checkpointInterval = checkpointInterval)
+  }
+
+  /** Exactly-once commit of a STREAMING epoch whose parquet files
+    * Spark's stock writers already materialized under `stagedDir` (a
+    * random pool staging dir — the epoch number is unknown at factory
+    * creation, so staging is anonymous and the DETERMINISTIC name
+    * arrives here): the staged dir is renamed to the epoch token and
+    * claimed as one append. Replay safety, the [[appendBatch]]
+    * contract: a token any manifest already references commits nothing
+    * (the restarted query's re-run of a committed epoch deletes its
+    * staging and walks away); a torn rename target from a crashed
+    * attempt is unreferenced by definition and is replaced. */
+  private[graft] def commitStreamEpoch(spark: SparkSession, table: String,
+      stagedDir: Path, streamToken: String, batchSchema: StructType,
+      checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    require(streamToken.nonEmpty && !streamToken.contains('/'),
+      s"bad stream token '$streamToken'")
+    val (fs, root) = fsOf(spark, table)
+    if (tokensReferenced(fs, root).contains(streamToken)) {
+      fs.delete(stagedDir, true)
+      return -1L
+    }
+    val target = new Path(poolDir(root), streamToken)
+    if (fs.exists(target)) fs.delete(target, true) // torn prior attempt
+    require(fs.rename(stagedDir, target),
+      s"rename $stagedDir -> $target failed (concurrent duplicate epoch writer?)")
+    val adds = partFiles(fs, root, target)
+    var attempts = 0
+    while (true) {
+      if (tokensReferenced(fs, root).contains(streamToken)) return -1L
+      val head = currentVersion(spark, table)
+      val schemaJson =
+        if (head >= 0) {
+          val hs = DataType.fromJson(state(spark, table, Some(head)).schemaJson)
+            .asInstanceOf[StructType]
+          resolveAppendSchema(hs, batchSchema, mergeSchema = false).json
+        } else batchSchema.json
+      try return commit(spark, table, "append", adds, Nil, schemaJson, head,
+        checkpointInterval = checkpointInterval)
+      catch {
+        case _: java.util.ConcurrentModificationException if attempts < 20 => attempts += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Metadata-only SCHEMA EVOLUTION commit: append new nullable columns
     * to the head schema without touching one data file — the `ALTER
     * TABLE ADD COLUMNS` half of [[write]]`(mergeSchema = true)` (which

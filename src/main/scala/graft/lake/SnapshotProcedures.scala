@@ -168,7 +168,27 @@ private[lake] object SnapshotProcedures {
       "Delete the branch log; files it alone referenced become orphans for expire_orphans",
       Seq(in("table", StringType), in("name", StringType)),
       DroppedOut,
-      (s, p, r) => { Branches.drop(s, p, str(r, 1)); one(true) }))
+      (s, p, r) => { Branches.drop(s, p, str(r, 1)); one(true) }),
+
+    ProcDef("set_cluster_by",
+      "Declare (or replace) the table's cluster columns — SQL INSERTs then range-distribute + sort on them",
+      Seq(in("table", StringType), in("columns", StringType)),
+      StructType(Seq(StructField("cluster_by", StringType, nullable = false))),
+      (s, p, r) => {
+        val cols = str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(SnapshotLog.state(s, p).schemaJson).asInstanceOf[StructType]
+        cols.foreach { c =>
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"cluster_by column '$c' is not in the schema " +
+                s"(${schema.fieldNames.mkString(", ")})"))
+          require(Metastore.isOrderable(f.dataType),
+            s"cluster_by column '$c' has non-orderable type ${f.dataType.sql}")
+        }
+        SnapshotLog.setClusterBy(s, p, cols)
+        one(UTF8String.fromString(cols.mkString(",")))
+      }))
 
   private val byName: Map[String, ProcDef] = defs.map(d => d.name -> d).toMap
 

@@ -113,6 +113,25 @@ private[lake] class SnapshotParquetTable(
 
   override def name(): String = tname
   override def schema(): StructType = tableSchema
+
+  /** SHOW TBLPROPERTIES: the one stored property, when declared. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    val cb = SnapshotLog.clusterByOf(spark, tablePath)
+    if (cb.nonEmpty) m.put("cluster_by", cb.mkString(","))
+    m
+  }
+
+  /** `TRUNCATE TABLE`: one O(1) overwrite-to-empty commit. Without
+    * this override the `SupportsDelete` default would route through
+    * `deleteWhere(true)` — a deletion vector for EVERY live row, a
+    * table-sized write for a statement that should cost nothing. */
+  override def truncateTable(): Boolean = {
+    require(writable,
+      s"$tname is a time-travel pin — truncate the table head (no AS OF)")
+    SnapshotLog.truncate(spark, tablePath)
+    true
+  }
   override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
     import org.apache.spark.sql.connector.catalog.TableCapability._
     val caps = new java.util.HashSet[org.apache.spark.sql.connector.catalog.TableCapability]()
@@ -121,7 +140,12 @@ private[lake] class SnapshotParquetTable(
     // commit (SnapshotMicroBatchStream); a pinned AS OF table refuses
     // at stream build with a clear message
     caps.add(MICRO_BATCH_READ)
-    if (writable) { caps.add(BATCH_WRITE); caps.add(TRUNCATE) }
+    if (writable) {
+      caps.add(BATCH_WRITE); caps.add(TRUNCATE)
+      // writeStream.toTable(...) — each micro-batch is one append
+      // commit, exactly-once under deterministic epoch tokens
+      caps.add(STREAMING_WRITE)
+    }
     caps
   }
 
@@ -165,14 +189,17 @@ private[lake] class SnapshotParquetTable(
           else org.apache.spark.sql.connector.distributions.Distributions.ordered(clusterSort)
         override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
           clusterSort
+        private def innerBatch(tokenDir: Path): BatchWrite =
+          ParquetTable(s"$tname#write", spark,
+            CaseInsensitiveStringMap.empty(), Seq(tokenDir.toString),
+            Some(info.schema()), classOf[ParquetFileFormat])
+            .newWriteBuilder(info).build().toBatch
+
         override def toBatch: BatchWrite = {
           val token = java.util.UUID.randomUUID().toString.take(12)
           val tokenDir = new Path(
             SnapshotLog.poolDir(new Path(tablePath)), token)
-          val inner = ParquetTable(s"$tname#write", spark,
-            CaseInsensitiveStringMap.empty(), Seq(tokenDir.toString),
-            Some(info.schema()), classOf[ParquetFileFormat])
-            .newWriteBuilder(info).build().toBatch
+          val inner = innerBatch(tokenDir)
           val ow = overwrite
           new BatchWrite {
             override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
@@ -186,6 +213,56 @@ private[lake] class SnapshotParquetTable(
             }
             override def abort(messages: Array[WriterCommitMessage]): Unit =
               inner.abort(messages)
+          }
+        }
+
+        // ── writeStream.toTable(...) ───────────────────────────────
+        // One manifest claim per micro-batch. Spark constructs a fresh
+        // MicroBatchWrite per epoch, calling createStreamingWriterFactory
+        // then commit(epochId, …) sequentially on the driver — so the
+        // anonymous staging dir created here is consumed by exactly
+        // that epoch's commit, which renames it to the DETERMINISTIC
+        // token `stream-<queryId>-e<epoch>` and claims it exactly-once
+        // (a restarted query's replay of a committed epoch is a no-op,
+        // the appendBatch contract). The data path is Spark's stock
+        // parquet batch writer factory — task-attempt isolation and
+        // speculative-duplicate handling are stock.
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!overwrite,
+            s"$tname streams in APPEND mode only — complete/truncate " +
+              "outputs would rewrite the table every micro-batch")
+          new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+            @volatile private var staged: Path = _
+            @volatile private var inner: BatchWrite = _
+            override def createStreamingWriterFactory(p: PhysicalWriteInfo)
+                : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+              staged = new Path(SnapshotLog.poolDir(new Path(tablePath)),
+                "staging-" + java.util.UUID.randomUUID().toString.take(12))
+              inner = innerBatch(staged)
+              val f = inner.createBatchWriterFactory(p)
+              new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+                override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+                    : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+                  f.createWriter(partitionId, taskId)
+              }
+            }
+            // the stock file writers coordinate task commits through
+            // the hadoop commit protocol themselves — enabling the V2
+            // coordinator here double-books (stage, partition) and the
+            // second registration is denied
+            override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+            override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+              inner.commit(messages) // parquet lands under the staging dir
+              SnapshotLog.commitStreamEpoch(spark, tablePath, staged,
+                s"stream-${info.queryId()}-e$epochId", info.schema())
+              ()
+            }
+            override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+              inner.abort(messages)
+              val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              fs.delete(staged, true)
+              ()
+            }
           }
         }
       }

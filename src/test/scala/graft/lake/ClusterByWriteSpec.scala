@@ -66,5 +66,35 @@ class ClusterByWriteSpec extends SparkSpec {
     spark.sql("CREATE TABLE cbyb.plain (id BIGINT)")
     spark.sql("INSERT INTO cbyb.plain VALUES (1), (2)")
     assert(spark.sql("SELECT count(*) FROM cbyb.plain").as[Long].head() == 2L)
+    // CALL set_cluster_by adopts the layout on an existing table, and
+    // SHOW TBLPROPERTIES reports it
+    assert(spark.sql("CALL cbyb.system.set_cluster_by('plain', 'id')")
+      .as[String].head() == "id")
+    assert(SnapshotLog.clusterByOf(spark, s"$root/plain") == Seq("id"))
+    val props = spark.sql("SHOW TBLPROPERTIES cbyb.plain")
+      .as[(String, String)].collect().toMap
+    assert(props.get("cluster_by").contains("id"))
+    val eBad = intercept[Exception](
+      spark.sql("CALL cbyb.system.set_cluster_by('plain', 'missing')").collect())
+    assert(eBad.getMessage.contains("not in the schema"))
+  }
+
+  test("TRUNCATE TABLE is one O(1) empty-overwrite commit; rollback restores") {
+    val root = tmpDir("cby_trunc")
+    register("cbyt", root)
+    spark.sql("CREATE TABLE cbyt.t (id BIGINT)")
+    spark.sql("INSERT INTO cbyt.t VALUES (1), (2), (3)")
+    spark.sql("TRUNCATE TABLE cbyt.t")
+    assert(spark.sql("SELECT count(*) FROM cbyt.t").as[Long].head() == 0L)
+    val hist = SnapshotLog.history(spark, s"$root/t")
+      .select("version", "op", "n_adds", "n_removes")
+      .as[(Long, String, Long, Long)].collect()
+      .map { case (v, o, a, rm) => v -> ((o, a, rm)) }.toMap
+    // the truncate commit added NOTHING (no DV files, no data) and
+    // removed the live set — O(1) metadata, not O(rows) vectors
+    val (op, adds, removes) = hist(hist.keys.max)
+    assert(op == "overwrite" && adds == 0L && removes >= 1L)
+    spark.sql("CALL cbyt.system.rollback('t', 1)") // v0 create, v1 insert, v2 truncate
+    assert(spark.sql("SELECT count(*) FROM cbyt.t").as[Long].head() == 3L)
   }
 }
