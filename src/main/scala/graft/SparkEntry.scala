@@ -597,6 +597,87 @@ object SparkEntry {
       cat
     }
 
+  /** lake_compact_bin's table: lineitem third-0 as ONE big clustered
+    * file, six tiny appends (the micro-batch crumbs a streaming ingest
+    * leaves), a DV delete of two keys living in the crumbs, then
+    * `compactBin` — the routine bin-pack OPTIMIZE. The fixture pins
+    * the 100 TB claims that don't fit a row hash: the big file stayed
+    * byte-identical (len+mtime), the crumbs packed, the vectors
+    * folded. */
+  private val compactBinCache = new SessionCache[(String, Boolean)]
+
+  private def compactBinTable(s: SparkSession, dir: String): (String, Boolean) =
+    compactBinCache.getOrElseUpdate(s, dir) {
+      val table = s"/tmp/graft_cbin_${dirTag(dir)}/lineitem"
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val li = t(s, dir, "lineitem")
+      SnapshotLog.write(li.where(pmod(col("l_orderkey"), lit(3)) === 0),
+        table, "overwrite", clusterColumn = Some("l_orderkey"), nFiles = 1) // v0 big
+      // crumbs: the 6 first rows of the population under a total order
+      // (l_orderkey, l_linenumber is a TPC-H unique key), re-keyed to
+      // 900000+b — deterministic at any scale factor, oracle-derivable
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("l_orderkey", "l_linenumber")
+      val crumbs = li.where(pmod(col("l_orderkey"), lit(3)) === 0)
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") <= 6)
+        .withColumn("l_orderkey", lit(900000L) + col("_rn")).drop("_rn")
+        .collect()
+      val crumbSchema = li.schema
+      for (b <- 1 to 6)
+        SnapshotLog.write(
+          s.createDataFrame(java.util.List.of(crumbs(b - 1)), crumbSchema),
+          table, "append") // v1..v6: tiny crumbs with fresh keys
+      SnapshotLog.deleteByKeys(s, table, "l_orderkey", Seq(900002L, 900005L)) // v7 DVs
+      def sizes: Map[String, (Long, Long)] = {
+        val snap = SnapshotLog.state(s, table)
+        snap.files.map { f =>
+          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p, f))
+          f -> (st.getLen, st.getModificationTime)
+        }.toMap
+      }
+      val before = sizes
+      val big = before.maxBy(_._2._1)
+      // small-bound = the big file's own length: the bound is strict,
+      // so the big file is excluded and every crumb (KBs) is included,
+      // at ANY scale factor
+      val v = SnapshotLog.compactBin(s, table,
+        targetBytes = 64L * 1024 * 1024, smallBytes = big._2._1)
+      require(v == 8L, s"compactBin committed v$v, expected 8")
+      val after = sizes
+      val bigUntouched = after.get(big._1).contains(big._2)
+      require(SnapshotLog.state(s, table).dvs.isEmpty,
+        "compactBin fixture: rewritten crumbs must drop their DV sets")
+      (table, bigUntouched)
+    }
+
+  /** lake_sql_bloom's table: full lineitem + `row_uid`, a SCRAMBLED
+    * unique key ((l_orderkey·2654435761) mod 1e9 + l_linenumber) —
+    * clustered by l_orderkey, so every file's [row_uid min,max] spans
+    * the domain and zone maps provably cannot prune a row_uid point
+    * lookup; only the Bloom sidecar can. Built once per (session, dir)
+    * with `CALL build_bloom`. */
+  private val sqlBloomCache = new SessionCache[String]
+
+  private def sqlBloomCatalog(s: SparkSession, dir: String): String =
+    sqlBloomCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqlbloom_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val lu = t(s, dir, "lineitem").withColumn("row_uid",
+        (col("l_orderkey") * lit(2654435761L)) % lit(1000000000L) + col("l_linenumber"))
+      SnapshotLog.write(lu, s"$base/lineitem_u", "overwrite",
+        clusterColumn = Some("l_orderkey"), nFiles = 4)
+      val cat = s"snapbloom_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val n = s.sql(s"CALL $cat.system.build_bloom('lineitem_u', 'row_uid', " +
+        "expected_items => 200000)").collect().head.getLong(0)
+      require(n == 4L, s"bloom fixture indexed $n files, expected 4")
+      cat
+    }
+
   /** lake_join_view_mm's star pair + MIN/MAX join view, once per
     * (session, dir): the same star construction as lake_join_view plus
     * a fact DV delete of the two orderkeys holding the highest per-key
@@ -1452,6 +1533,38 @@ object SparkEntry {
            |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
            |FROM $cat.lineitem_s
            |GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    // bin-pack OPTIMIZE: population = big third + the 4 surviving
+    // crumbs (2 DV-deleted rows folded away by the rewrite), the big
+    // file untouched byte-for-byte, zero dirty files — the routine
+    // maintenance op at O(small bytes)
+    "lake_compact_bin" -> ((s, dir) => {
+      val (table, bigUntouched) = compactBinTable(s, dir)
+      SnapshotLog.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(when(col("l_orderkey") >= 900000L, 1)).as("n_crumbs"))
+        .withColumn("big_untouched", lit(bigUntouched))
+    }),
+
+    // Bloom sidecar point lookup in SQL: the probe rows come back
+    // exactly, and bloom_pruned pins that the sidecar actually DROPPED
+    // files (zone maps cannot, by construction — the probed column is
+    // scrambled against the cluster order)
+    "lake_sql_bloom" -> ((s, dir) => {
+      val cat = sqlBloomCatalog(s, dir)
+      val u1 = (1L * 2654435761L) % 1000000000L + 1L
+      val u7 = (7L * 2654435761L) % 1000000000L + 1L
+      val before = graft.lake.SnapshotFileIndex.bloomPrunedFiles.get()
+      val q = s.sql(
+        s"""SELECT l_orderkey, l_linenumber, l_quantity
+           |FROM $cat.lineitem_u
+           |WHERE row_uid IN ($u1, $u7)
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      q.collect() // force planning+pruning HERE so the counter reads true
+      q.withColumn("bloom_pruned",
+        lit(graft.lake.SnapshotFileIndex.bloomPrunedFiles.get() > before))
     }),
 
     // schema evolution: v1 appended a derived column under mergeSchema
@@ -4012,6 +4125,30 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey % 3 = 2
         |GROUP BY l_returnflag""".stripMargin,
+
+    // bin-pack: base population + crumbs 1,3,4,6 (2 and 5 DV-deleted,
+    // folded by the rewrite); the big-file-untouched claim rides as a
+    // pinned TRUE
+    "lake_compact_bin" ->
+      """WITH pop AS (SELECT * FROM lineitem WHERE l_orderkey % 3 = 0),
+        |crumbs AS (SELECT l_quantity,
+        |  row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn FROM pop)
+        |SELECT (SELECT count(*) FROM pop) + 4 AS n_rows,
+        |  CAST((SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM pop)
+        |    + (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM crumbs
+        |       WHERE rn IN (1,3,4,6)) AS DOUBLE) AS sum_qty,
+        |  CAST(4 AS BIGINT) AS n_crumbs,
+        |  TRUE AS big_untouched""".stripMargin,
+
+    // the bloom-pruned point lookup = the same uid predicate over raw
+    // lineitem (identical arithmetic, so even a uid collision matches)
+    "lake_sql_bloom" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, TRUE AS bloom_pruned
+        |FROM lineitem
+        |WHERE (l_orderkey * 2654435761) % 1000000000 + l_linenumber IN (
+        |  (1 * 2654435761) % 1000000000 + 1,
+        |  (7 * 2654435761) % 1000000000 + 1)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // head after evolution = even keys with NULL prio_class ∪ odd keys
     // with the derived column

@@ -85,11 +85,18 @@ object BloomIndex {
     * Sizing: ~1.2 MB per file at 1M distinct values and 1% fpp — KBs at
     * typical file sizes; the build shuffles only (file, word, bits). */
   def build(spark: SparkSession, dataPath: String, column: String,
-            expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame = {
+            expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame =
+    buildFrom(spark.read.option("recursiveFileLookup", "true").parquet(dataPath),
+      column, expectedItemsPerFile, fpp)
+
+  /** [[build]] over an explicit relation — the form a snapshot table
+    * uses to index exactly one version's LIVE files instead of a whole
+    * directory (the pool also holds dead and staged files). */
+  def buildFrom(data: DataFrame, column: String,
+                expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame = {
     val m = optimalBits(expectedItemsPerFile, fpp)
     val k = optimalHashes(m, expectedItemsPerFile)
-    val data = spark.read.option("recursiveFileLookup", "true").parquet(dataPath)
-    require(data.columns.contains(column), s"no column '$column' in $dataPath")
+    require(data.columns.contains(column), s"no column '$column' in the input")
     val colType = data.schema(column).dataType
     val rows = data
       .select(col("_metadata.file_path").as("filepath"), col(column).as("_v"))

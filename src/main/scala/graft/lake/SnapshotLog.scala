@@ -34,15 +34,19 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, 
   *    (`_log/v%012d.cp`, the full live set, written every
   *    [[checkpointInterval]] commits) — so reconstruction cost is
   *    O(interval), not O(commits since creation);
-  *  - commit atomicity is `fs.create(path, overwrite = false)` on the
-  *    manifest: atomic version claim on HDFS; on an object store
-  *    without conditional put, front the log with a lock service (the
-  *    same caveat Delta documents for S3) — the seam is exactly
+  *  - commit atomicity is an exclusive create of the manifest: atomic
+  *    version claim on HDFS via `fs.create(path, overwrite = false)`;
+  *    on `file:` via POSIX O_EXCL (hadoop's local create is
+  *    check-then-act — see [[tryClaim]]); on an object store without
+  *    conditional put, front the log with a lock service (the same
+  *    caveat Delta documents for S3) — the seam is exactly
   *    [[tryClaim]]. A writer that dies mid-write leaves a manifest
   *    without its `end=` trailer; the next claim of that version
-  *    detects the torn file and replaces it ([[nextVersionReclaiming]]),
-  *    and readers refuse it with a clear message rather than serving a
-  *    partial commit.
+  *    detects the torn file and — after [[TornReclaimGraceMs]], so a
+  *    LIVE claimant's milliseconds-long write window is never raided —
+  *    replaces it ([[nextVersionReclaiming]]); readers refuse a torn
+  *    manifest with a clear message rather than serving a partial
+  *    commit.
   *
   * Concurrency: appends are optimistic-retry (two appends never
   * conflict logically — the loser re-reads the head and re-claims);
@@ -204,24 +208,66 @@ object SnapshotLog {
   }
 
   private def readFile(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      new String(out.toByteArray, StandardCharsets.UTF_8)
-    } finally in.close()
+    // Transient-read retry: on a CHECKSUMMED local/NFS filesystem the
+    // claim's create-no-overwrite reserves the NAME atomically but the
+    // content lands through the open stream, so a reader racing the
+    // few-microsecond write window can hit a CRC-lag ChecksumException
+    // or a short read — resolved by the writer's close, so retry
+    // briefly. Persisting failure (real corruption, dead disks)
+    // rethrows loudly; a writer that DIED mid-write leaves consistent
+    // checksums for the bytes it flushed, reads fine, and is handled
+    // as a torn manifest by `parse`'s magic/trailer checks — this
+    // retry never masks that path. Object stores (atomic PUT
+    // visibility) never take a retry.
+    var attempts = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          return new String(out.toByteArray, StandardCharsets.UTF_8)
+        } finally in.close()
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.EOFException) =>
+          if (attempts >= 20) throw e
+          attempts += 1
+          Thread.sleep(25L * attempts)
+      }
+    }
+    "" // unreachable
   }
 
   /** Atomic version claim: create-no-overwrite of the manifest file and
     * a full write through that single stream. Returns false when the
     * version is already claimed. THE commit point of the whole module —
     * an object-store port swaps conditional-put in here and nothing
-    * else changes. */
+    * else changes.
+    *
+    * On the `file:` scheme hadoop's `create(p, overwrite = false)` is
+    * CHECK-THEN-ACT (ChecksumFileSystem tests existence, then creates)
+    * — two same-version claimants racing through the window both
+    * "win" and the second SILENTLY OVERWRITES the first: a lost
+    * commit. There the name is claimed through POSIX O_EXCL
+    * (`Files.createFile`, atomic), and the body lands through the
+    * normal checksummed stream over the placeholder we now own; a
+    * reader of the empty placeholder sees a torn manifest (magic check)
+    * exactly like any mid-write read. HDFS `create` and object-store
+    * conditional-put are atomic already and take the plain path. */
   private def tryClaim(fs: FileSystem, p: Path, body: String): Boolean = {
+    val localExclusive = fs.getScheme == "file"
+    if (localExclusive) {
+      try java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => return false
+        case _: java.io.IOException => return false
+      }
+    }
     val out =
-      try fs.create(p, false)
+      try fs.create(p, localExclusive) // we own the placeholder; else exclusive
       catch { case _: java.io.IOException => return false }
     try { out.write(body.getBytes(StandardCharsets.UTF_8)); true }
     finally out.close()
@@ -256,13 +302,39 @@ object SnapshotLog {
     * the claim below would otherwise be blocked forever). Interior torn
     * manifests are impossible by construction (a writer only ever
     * claims head+1) and [[replay]] hard-fails on them. */
+  /** Grace before a TORN head manifest is reclaimed: a claimant holds
+    * the manifest stream open for milliseconds between winning the
+    * name and the content landing, and during that window the file
+    * parses as torn — reclaiming it immediately would DELETE a live
+    * writer's just-won commit and reissue its version (a silently lost
+    * commit; hadoop `create` makes the file visible EMPTY on both
+    * file:// and HDFS, so the window is real). Younger-than-grace torn
+    * heads throw `ConcurrentModificationException` instead — the
+    * retrying-append loops back off past the grace, so a writer that
+    * genuinely DIED mid-manifest is still reclaimed within one call. */
+  private[lake] val TornReclaimGraceMs = 5000L
+
   private def nextVersionReclaiming(fs: FileSystem, root: Path): Long = {
     val ms = listLog(fs, root).manifests
     ms.lastOption match {
       case None => 0L
       case Some(last) =>
-        if (parse(readFile(fs, manifestPath(root, last))).isEmpty) {
-          fs.delete(manifestPath(root, last), false)
+        val p = manifestPath(root, last)
+        if (parse(readFile(fs, p)).isEmpty) {
+          val age =
+            try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+            catch {
+              // a concurrent reclaimer deleted it first — the head is
+              // moving; let the caller re-plan
+              case _: java.io.FileNotFoundException =>
+                throw new java.util.ConcurrentModificationException(
+                  s"v$last of $root reclaimed by a concurrent committer")
+            }
+          if (age < TornReclaimGraceMs)
+            throw new java.util.ConcurrentModificationException(
+              s"v$last of $root is mid-write (torn, ${age}ms old) — " +
+                "a concurrent claimant owns it")
+          fs.delete(p, false)
           last
         } else last + 1
     }
@@ -407,7 +479,11 @@ object SnapshotLog {
       try return commit(spark, table, op, adds, Nil, schemaFor(head), head,
         checkpointInterval = checkpointInterval)
       catch {
-        case _: java.util.ConcurrentModificationException if attempts < 20 => attempts += 1
+        case _: java.util.ConcurrentModificationException if attempts < 30 =>
+          // backoff past TornReclaimGraceMs in the worst case, so a
+          // dead writer's torn head self-heals within one call; the
+          // common claim-race retry stays tens of ms
+          attempts += 1; Thread.sleep(25L * math.min(attempts, 10))
       }
     }
     -1L // unreachable
@@ -607,7 +683,11 @@ object SnapshotLog {
       try return commit(spark, table, "append", adds, Nil, schemaJson, head,
         checkpointInterval = checkpointInterval)
       catch {
-        case _: java.util.ConcurrentModificationException if attempts < 20 => attempts += 1
+        case _: java.util.ConcurrentModificationException if attempts < 30 =>
+          // backoff past TornReclaimGraceMs in the worst case, so a
+          // dead writer's torn head self-heals within one call; the
+          // common claim-race retry stays tens of ms
+          attempts += 1; Thread.sleep(25L * math.min(attempts, 10))
       }
     }
     -1L // unreachable
@@ -751,7 +831,11 @@ object SnapshotLog {
       try return commit(spark, table, "append", adds, Nil, schemaJson, head,
         checkpointInterval = checkpointInterval)
       catch {
-        case _: java.util.ConcurrentModificationException if attempts < 20 => attempts += 1
+        case _: java.util.ConcurrentModificationException if attempts < 30 =>
+          // backoff past TornReclaimGraceMs in the worst case, so a
+          // dead writer's torn head self-heals within one call; the
+          // common claim-race retry stays tens of ms
+          attempts += 1; Thread.sleep(25L * math.min(attempts, 10))
       }
     }
     -1L // unreachable
@@ -838,6 +922,97 @@ object SnapshotLog {
       .write.mode("errorifexists").parquet(tokenDir.toString)
     val adds = partFiles(fs, rootP, tokenDir)
     commit(spark, table, "compact", adds, cur.files, cur.schemaJson, head,
+      checkpointInterval = checkpointInterval)
+  }
+
+  // ── per-file Bloom sidecar ────────────────────────────────────────
+  // The point-lookup complement to zone maps on the SNAPSHOT format:
+  // [min,max] prunes nothing for a high-cardinality column the table
+  // is not clustered by, so an unclustered point lookup scans every
+  // file. The sidecar lives at `<root>/_bloom/<column>/` keyed by
+  // ABSOLUTE file path — pool files are immutable, so a row can never
+  // go stale; files written after the build are simply absent and are
+  // never pruned (may-contain). [[SnapshotFileIndex]] consults it
+  // transparently for `=`/`IN` filters on both the SQL and vectorized
+  // read paths.
+  private[lake] def bloomDir(root: Path, column: String): Path =
+    new Path(logDir(root).getParent, s"_bloom/$column")
+
+  /** Build (or refresh) the Bloom sidecar for `column` over the HEAD's
+    * live files. Returns the number of files indexed. Cost: one
+    * distributed pass over the live data (the filter build is
+    * DataFrame aggregates; only (file, word, bits) rows shuffle). */
+  def buildBloom(spark: SparkSession, table: String, column: String,
+                 expectedItemsPerFile: Long = 1000000L,
+                 fpp: Double = 0.01): Long = {
+    val head = currentVersion(spark, table)
+    require(head >= 0, s"no snapshot table at $table")
+    val cur = state(spark, table, Some(head))
+    if (cur.files.isEmpty) return 0L
+    val (fs, rootP) = fsOf(spark, table)
+    val dataRoot = dataRootOf(rootP)
+    val abs = cur.files.map(f => fs.makeQualified(new Path(dataRoot, f)).toString)
+    val df = BloomIndex.buildFrom(spark.read.parquet(abs: _*), column,
+      expectedItemsPerFile, fpp)
+    val dir = bloomDir(rootP, column)
+    df.write.mode("overwrite").parquet(dir.toString)
+    spark.read.parquet(dir.toString).count()
+  }
+
+  /** The sidecar's filter table for `column`, if one was built. */
+  private[lake] def bloomFor(spark: SparkSession, tablePath: String,
+                             column: String): Option[DataFrame] = {
+    val (fs, rootP) = fsOf(spark, tablePath)
+    val dir = bloomDir(rootP, column)
+    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
+  /** OPTIMIZE (BIN-PACK): rewrite ONLY the head's small files into
+    * ~`targetBytes` outputs as one commit — the routine maintenance op
+    * a continuously-ingested table needs, where [[compact]]'s
+    * whole-head rewrite would be a 100 TB job to fix a few thousand
+    * micro-batch crumbs. Files at or above `smallBytes` are NOT read,
+    * NOT rewritten, and stay byte-identical (keeping their zone-map
+    * stats, bloom entries, and page-cache residency). A small file
+    * that carries deletion vectors rewrites through them — its dead
+    * rows drop and its vector set dies with the removed file, so
+    * bin-packing doubles as a partial purge. Output layout follows the
+    * table's declared cluster columns ([[clusterByOf]]) when present —
+    * range-distributed + sorted, so the packed files prune — else a
+    * plain coalesce-shaped repartition. Commits as `compact` (a
+    * row-content no-op by contract; the change feed skips it). Returns
+    * the new version, or the head unchanged when fewer than `minFiles`
+    * small files exist. Cost: O(small-file bytes) read + written, one
+    * driver listing for sizes. Lost-update safe like every non-append
+    * commit. */
+  def compactBin(spark: SparkSession, table: String,
+                 targetBytes: Long = 128L * 1024 * 1024,
+                 smallBytes: Long = -1L, minFiles: Int = 2,
+                 checkpointInterval: Int = DefaultCheckpointInterval): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val smallBound = if (smallBytes > 0) smallBytes else targetBytes / 2
+    val head = currentVersion(spark, table)
+    val cur = state(spark, table, Some(head))
+    val (fs, rootP) = fsOf(spark, table)
+    val dataRoot = dataRootOf(rootP)
+    val sized = cur.files.map(f => f -> fs.getFileStatus(new Path(dataRoot, f)).getLen)
+    val small = sized.filter(_._2 < smallBound)
+    if (small.size < math.max(2, minFiles)) return head
+    val smallFiles = small.map(_._1)
+    val nOut = math.max(1, math.ceil(small.map(_._2).sum.toDouble / targetBytes).toInt)
+    val df = readSnapshot(spark, table, cur, onlyFiles = Some(smallFiles))
+    val token = java.util.UUID.randomUUID().toString.take(12)
+    val tokenDir = new Path(poolDir(rootP), token)
+    val shaped = clusterByOf(spark, table) match {
+      case c if c.nonEmpty =>
+        df.repartitionByRange(nOut, c.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(c.head, c.tail: _*)
+      case _ => df.repartition(nOut)
+    }
+    shaped.write.mode("errorifexists").parquet(tokenDir.toString)
+    val adds = partFiles(fs, rootP, tokenDir)
+    // removed files drop their DV sets in the same replay step
+    commit(spark, table, "compact", adds, smallFiles, cur.schemaJson, head,
       checkpointInterval = checkpointInterval)
   }
 
@@ -1773,7 +1948,7 @@ object SnapshotLog {
     val root = new Path(tablePath)
     val readSchema = StructType(schema.fields.map(relaxNullability))
     def scan(paths: Seq[String]): DataFrame = {
-      val idx = new SnapshotFileIndex(spark, paths, readSchema)
+      val idx = new SnapshotFileIndex(spark, paths, readSchema, Some(tablePath))
       val rel = HadoopFsRelation(idx, StructType(Nil), readSchema, None,
         new ParquetFileFormat(), Map.empty[String, String])(spark)
       org.apache.spark.sql.GraftColumnBridge.ofRows(spark,

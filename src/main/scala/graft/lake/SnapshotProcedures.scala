@@ -90,6 +90,18 @@ private[lake] object SnapshotProcedures {
       (s, p, r) => one(SnapshotLog.compactZ(s, p,
         str(r, 1).split(',').map(_.trim).filter(_.nonEmpty).toSeq, r.getInt(2), r.getInt(3)))),
 
+    ProcDef("compact_small",
+      "OPTIMIZE (bin-pack): rewrite only files under small_mb into ~target_mb outputs; big files untouched",
+      Seq(in("table", StringType),
+        inDefault("target_mb", IntegerType, "128"),
+        inDefault("small_mb", IntegerType, "-1"),
+        inDefault("min_files", IntegerType, "2")),
+      VersionOut,
+      (s, p, r) => one(SnapshotLog.compactBin(s, p,
+        targetBytes = r.getInt(1).toLong * 1024 * 1024,
+        smallBytes = if (r.getInt(2) > 0) r.getInt(2).toLong * 1024 * 1024 else -1L,
+        minFiles = r.getInt(3)))),
+
     ProcDef("purge_deletes",
       "Materialize merge-on-read deletes: rewrite ONLY the DV-carrying files as one commit",
       Seq(in("table", StringType)),
@@ -169,6 +181,14 @@ private[lake] object SnapshotProcedures {
       Seq(in("table", StringType), in("name", StringType)),
       DroppedOut,
       (s, p, r) => { Branches.drop(s, p, str(r, 1)); one(true) }),
+
+    ProcDef("build_bloom",
+      "Build/refresh the per-file Bloom sidecar for a column — point lookups on it then prune files",
+      Seq(in("table", StringType), in("column", StringType),
+        inDefault("expected_items", LongType, "1000000"),
+        inDefault("fpp", DoubleType, "0.01")),
+      StructType(Seq(StructField("files_indexed", LongType, nullable = false))),
+      (s, p, r) => one(SnapshotLog.buildBloom(s, p, str(r, 1), r.getLong(2), r.getDouble(3)))),
 
     ProcDef("set_cluster_by",
       "Declare (or replace) the table's cluster columns — SQL INSERTs then range-distribute + sort on them",

@@ -73,7 +73,7 @@ private[lake] class SnapshotReadTable(
     Some(tableSchema), classOf[ParquetFileFormat]) {
 
   override lazy val fileIndex: PartitioningAwareFileIndex =
-    new SnapshotFileIndex(spark, filePaths, tableSchema)
+    new SnapshotFileIndex(spark, filePaths, tableSchema, Some(tablePath))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ParquetScanBuilder = {
     val b = super.newScanBuilder(options)
@@ -343,7 +343,8 @@ private[lake] object SnapshotTable {
   * sound); files are immutable by the pool protocol, so the memo never
   * goes stale. */
 private[lake] class SnapshotFileIndex(
-    spark: SparkSession, absFiles: Seq[String], schema: StructType)
+    spark: SparkSession, absFiles: Seq[String], schema: StructType,
+    tablePath: Option[String] = None)
   extends InMemoryFileIndex(spark, absFiles.map(new Path(_)),
     Map.empty[String, String], Some(schema),
     FileStatusCache.getOrCreate(spark), None, None) {
@@ -388,8 +389,64 @@ private[lake] class SnapshotFileIndex(
     }
     MetastoreFileIndex.log.info(
       s"snapshot catalog prune: files_scanned=$kept/$total files_pruned=${total - kept}")
+    bloomPrune(out, dataFilters)
+  }
+
+  // ── Bloom sidecar pruning (point lookups on unclustered columns) ──
+  // `=`/`IN` conjuncts on a column with a built sidecar
+  // (`SnapshotLog.buildBloom`) drop every file whose filter proves the
+  // probe values absent. Files the sidecar does not index are NEVER
+  // dropped (may-contain: a post-build file costs a false positive,
+  // never a lost row), and unknown filter shapes probe nothing.
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[org.apache.spark.sql.DataFrame]]()
+
+  private def bloomOf(c: String): Option[org.apache.spark.sql.DataFrame] =
+    tablePath match {
+      case None => None
+      case Some(tp) =>
+        bloomCache.computeIfAbsent(c, c => SnapshotLog.bloomFor(spark, tp, c))
+    }
+
+  private def bloomPrune(base: Seq[PartitionDirectory],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, In, InSet}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    if (tablePath.isEmpty) return base
+    val probes: Seq[(String, Seq[Any])] = dataFilters.flatMap {
+      case EqualTo(a: Attribute, l: Literal) =>
+        Some(a.name -> Seq(convertToScala(l.value, l.dataType)))
+      case EqualTo(l: Literal, a: Attribute) =>
+        Some(a.name -> Seq(convertToScala(l.value, l.dataType)))
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(a.name -> vs.map { case l: Literal => convertToScala(l.value, l.dataType) })
+      case InSet(a: Attribute, vs) =>
+        Some(a.name -> vs.toSeq.map(v => convertToScala(v, a.dataType)))
+      case _ => None
+    }.filter(_._2.nonEmpty)
+    if (probes.isEmpty) return base
+    var out = base
+    probes.foreach { case (c, values) =>
+      bloomOf(c).foreach { bloomDf =>
+        val candidates = out.flatMap(_.files.map(f => f.getPath.toString))
+        val keep = BloomIndex.mayContainFiles(bloomDf, values, candidates).toSet
+        val dropped = candidates.size - keep.size
+        if (dropped > 0) {
+          SnapshotFileIndex.bloomPrunedFiles.addAndGet(dropped)
+          out = out.map(pd => pd.copy(files = pd.files.filter(f =>
+            keep.contains(f.getPath.toString))))
+        }
+        MetastoreFileIndex.log.info(
+          s"snapshot bloom prune[$c]: files_pruned=$dropped/${candidates.size}")
+      }
+    }
     out
   }
+}
+
+object SnapshotFileIndex {
+  /** Specs pin sidecar point-lookup pruning with this counter. */
+  val bloomPrunedFiles = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** The clean-version scan builder: stock parquet pushdown + a scan
