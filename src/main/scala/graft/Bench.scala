@@ -750,9 +750,15 @@ object Bench {
     // A SPARK_GRAFT_ONLY-filtered run lands in BENCH_FILTERED.json
     // instead: a probe-isolation experiment must never masquerade as
     // the full artifact of record.
+    // …and a quick contract check (tiny SF dir or SPARK_GRAFT_NO_SF1)
+    // must not clobber the committed artifact either — round 14 lost a
+    // head BENCH_FULL to an sf0.001 smoke and had to git-restore it
+    val artifactCondition = sys.env.get("SPARK_GRAFT_NO_SF1").isEmpty &&
+      new java.io.File(sfDir).getName == "sf0.1"
     val artifacts =
-      if (only.isEmpty) Seq("BENCH_LOCAL.json", "BENCH_FULL.json")
-      else Seq("BENCH_FILTERED.json")
+      if (only.nonEmpty) Seq("BENCH_FILTERED.json")
+      else if (artifactCondition) Seq("BENCH_LOCAL.json", "BENCH_FULL.json")
+      else Seq("BENCH_LOCAL.json")
     for (f <- artifacts)
       try java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (fileLine + "\n").getBytes("UTF-8"))
@@ -778,7 +784,7 @@ object Bench {
         val fixed =
           s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${warm.size},""" +
             s""""cold_total_sec":${sec2(coldTotal)},"op_total_sec":${sec3(opTotal)},""" +
-            s""""sf":"$sfDir"$scalePart$errJ,"path":"BENCH_FULL.json""""
+            s""""sf":"$sfDir"$scalePart$errJ,"path":"${artifacts.last}""""
         val sorted = warm.toSeq.sortBy { case (k, v) => (-v, k) }
         val budget = 1845 - fixed.length // room for the wrapper + rest fields
         val entries = List.newBuilder[String]
