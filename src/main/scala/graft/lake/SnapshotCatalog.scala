@@ -164,11 +164,9 @@ class SnapshotCatalog extends TableCatalog
       tablePath = p, writable = asOf.isEmpty)
   }
 
-  private def readOnly(op: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"$catalogName is read-only ($op unsupported) — commit through " +
-        "SnapshotLog.write/merge/delete, whose manifest claim is the one " +
-        "write path with ACID semantics")
+  // (the old blanket read-only refusal is gone — the catalog has been
+  // a full read-write surface since the DML rounds; DROP and RENAME
+  // below are the last lifecycle statements)
 
   /** `CREATE TABLE` / the create half of CTAS: commits an EMPTY v0
     * carrying the schema; CTAS's rows then arrive as the v1 append
@@ -258,8 +256,38 @@ class SnapshotCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     SnapshotProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** `DROP TABLE`: delete the table root — log, pool, branches, tags,
+    * sidecars. Destructive by definition (that is what the statement
+    * means; history and time travel go with it), which is why it is
+    * the STATEMENT and not a maintenance op: retention trims history
+    * via `CALL expire`, DROP removes the table. Returns false for a
+    * missing table (Spark raises its own NoSuchTable for DROP without
+    * IF EXISTS). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val s = spark
+    val p = new Path(tablePath(ident))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (SnapshotLog.currentVersion(s, tablePath(ident)) < 0) false
+    else fs.delete(p, true)
+  }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+  /** `ALTER TABLE … RENAME TO`: one directory rename. Manifests store
+    * POOL-RELATIVE paths precisely so the table can be relocated
+    * wholesale — the log replays identically under the new root. Same
+    * namespace only (a cross-namespace move is a data migration, not a
+    * rename). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace.sameElements(newIdent.namespace),
+      s"RENAME across namespaces is not supported " +
+        s"(${oldIdent.namespace.mkString(".")} -> ${newIdent.namespace.mkString(".")})")
+    val s = spark
+    val src = new Path(tablePath(oldIdent))
+    val dst = new Path(tablePath(newIdent))
+    if (SnapshotLog.currentVersion(s, tablePath(oldIdent)) < 0)
+      throw new NoSuchTableException(oldIdent)
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.exists(dst),
+      s"${newIdent.toString} already exists — DROP it first or pick another name")
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
 }

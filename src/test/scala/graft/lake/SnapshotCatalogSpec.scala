@@ -473,14 +473,13 @@ class SnapshotCatalogSpec extends SparkSpec {
       Set(1L, 2L, 3L, 4L, 5L, 100L))
   }
 
-  test("ALTER/DROP/RENAME refused; listTables sees only snapshot tables") {
+  test("column ALTERs beyond ADD refused; listTables sees only snapshot tables") {
     val root = tmpDir("snapcat_ro")
     SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), s"$root/t1", "overwrite")
     Seq((1L, "x")).toDF("id", "s").write.parquet(s"$root/plain") // no _log
     register("snapro", root)
     assert(spark.sql("SHOW TABLES IN snapro").select("tableName")
       .as[String].collect().toSet == Set("t1"))
-    intercept[Exception](spark.sql("DROP TABLE snapro.t1"))
     // ALTER beyond ADD COLUMN stays refused (renames/drops/type changes
     // would silently re-type files already committed)
     intercept[Exception](spark.sql("ALTER TABLE snapro.t1 DROP COLUMN s"))
@@ -488,5 +487,33 @@ class SnapshotCatalogSpec extends SparkSpec {
     // missing table: the standard error, not a crash
     val e = intercept[Exception](spark.sql("SELECT * FROM snapro.nope").collect())
     assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("DROP TABLE removes the table; RENAME TO relocates it with history intact") {
+    val root = tmpDir("snapcat_lc")
+    register("snaplc", root)
+    spark.sql("CREATE TABLE snaplc.a (id BIGINT)")
+    spark.sql("INSERT INTO snaplc.a VALUES (1), (2)")
+    spark.sql("INSERT INTO snaplc.a VALUES (3)")
+    // rename: pool-relative manifest paths mean the log replays
+    // identically under the new root — data, history, time travel all
+    // survive the move
+    spark.sql("ALTER TABLE snaplc.a RENAME TO b")
+    assert(spark.sql("SELECT count(*) FROM snaplc.b").as[Long].head() == 3L)
+    assert(spark.sql("SELECT count(*) FROM snaplc.b VERSION AS OF 1").as[Long].head() == 2L)
+    assert(SnapshotLog.history(spark, s"$root/b").count() == 3L) // create + 2 appends
+    intercept[Exception](spark.sql("SELECT * FROM snaplc.a").collect())
+    // rename onto an existing table refuses
+    spark.sql("CREATE TABLE snaplc.c (id BIGINT)")
+    val e = intercept[Exception](spark.sql("ALTER TABLE snaplc.b RENAME TO c"))
+    assert(e.getMessage.contains("already exists"))
+    // drop: the dir is gone, SHOW TABLES agrees, IF EXISTS is quiet
+    spark.sql("DROP TABLE snaplc.b")
+    assert(spark.sql("SHOW TABLES IN snaplc").select("tableName")
+      .as[String].collect().toSet == Set("c"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/b")))
+    spark.sql("DROP TABLE IF EXISTS snaplc.b") // no-op, no error
   }
 }
