@@ -342,29 +342,59 @@ object Bench {
     try out.write(fp.getBytes("UTF-8")) finally out.close()
   }
 
-  /** LOAD CANARY: a fixed single-threaded CPU-bound loop, timed — a
-    * near-constant per host when the machine is quiet, stretching
-    * proportionally under CPU contention. Stamped into the base run and
-    * EVERY forked scale section, so a load-diluted artifact
-    * self-identifies: round-13's ×2.5 dilation needed a forensic diff
-    * of untimed cold passes across artifacts to spot; now the rule is
-    * "trust a section's numbers only at calib_ms ≈ the quiet-host
-    * constant (~150 ms here), discount them proportionally above it."
-    * `/proc/loadavg`'s 1-minute average rides along for context. */
-  private def loadCanaryJson(): String = {
-    val t0 = System.nanoTime()
+  /** LOAD CANARY: a fixed CPU-bound loop, timed — a near-constant per
+    * host when the machine is quiet, stretching proportionally under
+    * CPU contention. Stamped into the base run and EVERY forked scale
+    * section at BOTH section entry and section exit (`…_exit` keys), so
+    * a load-diluted artifact self-identifies even when contention
+    * arrives MID-section: round-14's head run read a quiet entry calib
+    * (215 ms) under loadavg 10.4 because the load landed after the
+    * stamp — the exit stamp closes that blind spot.
+    *
+    * TWO variants ride every stamp:
+    *  - `calib_ms`: the single-threaded loop — dilates only when the
+    *    scheduler can't find ONE free core;
+    *  - `calib_mt_ms`: the same loop on one thread PER CORE — on a
+    *    quiet host all loops run in parallel and the wall time ≈ the
+    *    single-thread constant, while N extra runnables on a C-core
+    *    host dilate it by ≈ (C+N)/C. The probes themselves are C-way
+    *    parallel, so THIS is the dilation factor they experience: a
+    *    10-runnable background load on 32 cores leaves the 1-thread
+    *    calib quiet (a free core always exists) but stretches
+    *    calib_mt_ms ×1.3 — exactly the round-14 signature the
+    *    single-thread canary could not see.
+    *
+    * Adjudication rule: excursion + dilated calib (either variant,
+    * either stamp) = machine load; excursion + quiet entry AND exit
+    * calibs = a real regression. `/proc/loadavg`'s 1-minute average
+    * rides along for context. */
+  private def fnvLoop(): Unit = {
     var h = 1469598103934665603L
     var i = 0
     while (i < 150000000) { h = (h ^ i) * 1099511628211L; i += 1 }
-    val ms = (System.nanoTime() - t0) / 1e6
     if (h == 42L) System.err.println("[bench] calibration fixpoint") // keep the loop live
+  }
+
+  private def calibMs(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    if (threads <= 1) fnvLoop()
+    else {
+      val ts = (0 until threads).map(_ => new Thread(() => fnvLoop()))
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private def loadCanaryJson(suffix: String = ""): String = {
+    val st = calibMs(1)
+    val mt = calibMs(Runtime.getRuntime.availableProcessors())
     val load = try {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ").head.toDouble
     } catch { case _: Exception => -1.0 }
-    val msStr = String.format(java.util.Locale.ROOT, "%.0f", ms: java.lang.Double)
+    def f0(v: Double) = String.format(java.util.Locale.ROOT, "%.0f", v: java.lang.Double)
     val loadStr = String.format(java.util.Locale.ROOT, "%.1f", load: java.lang.Double)
-    s""""calib_ms":$msStr,"loadavg":$loadStr"""
+    s""""calib_ms$suffix":${f0(st)},"calib_mt_ms$suffix":${f0(mt)},"loadavg$suffix":$loadStr"""
   }
 
   /** Accepted isolated-run bands (CPUS=32, quiet host — PLANS round-14)
@@ -524,10 +554,11 @@ object Bench {
       val (sf1Cold, e1) = run(keep(scaleQueries), sf1Dir)
       val (sf1Warm, e2) = run(keep(scaleQueries), sf1Dir)
       val errs = e1 ++ e2
+      val exitCanary = loadCanaryJson("_exit") // load that arrived MID-section
       // error strings truncated: per-query exceptions are unbounded,
       // and a broad sf1 failure (13 × full messages) would by itself
       // overflow the 2000-char stdout tail the JSON must fit
-      val inner = s"""{"scale":$copies,"gen":${sec2(genSec)},$canary,""" +
+      val inner = s"""{"scale":$copies,"gen":${sec2(genSec)},$canary,$exitCanary,""" +
         s""""probe_mode":${jsonStr(probeMode)},"queries":${qsJson(sf1Warm)},""" +
         s""""cold_sec":${sec2(sf1Cold.values.sum)},""" +
         s""""total_sec":${sec2(sf1Warm.values.sum)}${errJsonOf(errs)}}"""
@@ -553,6 +584,7 @@ object Bench {
       val (sf10Ded, e10d) = run(keep(scale100Dedup), sf10Dir)
       val sf10Times = sf10Warm ++ sf10Ded
       val errs = e10cold ++ e10 ++ e10d
+      val exitCanary = loadCanaryJson("_exit") // load that arrived MID-section
       // known-variance probes outside their reconciled band get flagged
       // inline (read with the canary: dilated calib = load, quiet = real)
       val excursions = sf10Times.toSeq.sortBy(_._1).collect {
@@ -563,7 +595,7 @@ object Bench {
       val bandJson =
         if (excursions.isEmpty) ""
         else s""","band_excursions":{${excursions.mkString(",")}}"""
-      val inner = s"""{"scale":$copies100,"gen":${sec2(genSec)},$canary,""" +
+      val inner = s"""{"scale":$copies100,"gen":${sec2(genSec)},$canary,$exitCanary,""" +
         s""""probe_mode":${jsonStr(probeMode)},"queries":${qsJson(sf10Times)},""" +
         s""""total_sec":${sec2(sf10Times.values.sum)}$bandJson${errJsonOf(errs)}}"""
       (inner, errs)

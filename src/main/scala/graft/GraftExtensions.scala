@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the row-based whole-version fallback scan with the pruned +
     // pushed + columnar anti-join form (graft.lake.VectorizeSnapshotDvRead)
     ext.injectResolutionRule(session => graft.lake.VectorizeSnapshotDvRead(session))
+    // FILTERED aggregate pushdown: `SELECT count/min/max … WHERE c
+    // BETWEEN lo AND hi` over a snapshot table answers covered files
+    // from cached footers and scans only the boundary files
+    // (graft.lake.PushFilteredAggToManifest — the SQL surface of the
+    // API's StatsAgg.rangeAggFiles)
+    ext.injectResolutionRule(session => graft.lake.PushFilteredAggToManifest(session))
     ext.injectFunction((
       new FunctionIdentifier("geo_mean"),
       new ExpressionInfo(classOf[GeometricMean].getName, "geo_mean"),

@@ -499,6 +499,42 @@ object SparkEntry {
       cat
     }
 
+  /** lake_sql_subq_corr's table: lineitem third-2, clustered by
+    * l_orderkey, then ONE correlated-subquery UPDATE — `SET l_tax =
+    * (SELECT max(o_totalprice) … WHERE o_orderkey = l_orderkey AND
+    * priority URGENT)` over a key range. The rewrite routes through
+    * the MERGE join machinery (SnapshotDml.runCorrelated): matched
+    * rows take the per-key aggregate, rows whose order has no URGENT
+    * match take the empty-aggregate default (NULL for max) — both
+    * arms exercised because priorities are a mixture. */
+  private val sqlCorrCache = new SessionCache[String]
+
+  private def sqlCorrCatalog(s: SparkSession, dir: String): String =
+    sqlCorrCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqlcorr_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      SnapshotLog.write(t(s, dir, "lineitem").where(pmod(col("l_orderkey"), lit(3)) === 2),
+        s"$base/lineitem", "overwrite", clusterColumn = Some("l_orderkey"), nFiles = 4)
+      val cat = s"snapcorr_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      val dimV = s"ord_corr_${dirTag(dir)}"
+      t(s, dir, "orders").createOrReplaceTempView(dimV)
+      s.sql(
+        s"""UPDATE $cat.lineitem
+           |SET l_tax = (SELECT CAST(max(o.o_totalprice) AS DOUBLE) FROM $dimV o
+           |             WHERE o.o_orderkey = l_orderkey
+           |               AND o.o_orderpriority = '1-URGENT')
+           |WHERE l_orderkey BETWEEN 50 AND 400""".stripMargin).collect()
+      val (v, op) = SnapshotLog.history(s, s"$base/lineitem")
+        .select("version", "op").orderBy(col("version").desc).limit(1)
+        .collect().map(r => (r.getLong(0), r.getString(1))).head
+      require(v == 1L && op == "merge_into",
+        s"correlated UPDATE fixture committed (v=$v, op=$op), expected (1, merge_into)")
+      cat
+    }
+
   /** lake_sql_cluster_write's table: CTAS carrying the ONE stored
     * table property — `cluster_by` — so the CTAS rows themselves
     * arrive through the `RequiresDistributionAndOrdering` write path
@@ -1442,6 +1478,20 @@ object SparkEntry {
            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     }),
 
+    // the correlated-subquery UPDATE pinned row by row: keys 50–400 of
+    // the third carry max(URGENT o_totalprice) of their own order —
+    // NULL where the order has no URGENT row (the empty-aggregate
+    // default the MERGE rewrite's not-matched-by-source arm assigns) —
+    // neighbors outside the range byte-exact
+    "lake_sql_subq_corr" -> ((s, dir) => {
+      val cat = sqlCorrCatalog(s, dir)
+      s.sql(
+        s"""SELECT l_orderkey, l_linenumber, l_tax
+           |FROM $cat.lineitem
+           |WHERE l_orderkey BETWEEN 30 AND 450
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    }),
+
     // SQL schema evolution end-to-end: CTAS (even keys, 3 cols), ALTER
     // TABLE ADD COLUMN (metadata-only commit), INSERT carrying the new
     // column — the head null-fills v0's rows exactly like the
@@ -1486,6 +1536,33 @@ object SparkEntry {
       agg.collect() // force planning: the manifest path serves (or not) HERE
       agg.withColumn("manifest_served",
         lit(graft.lake.ManifestAgg.served.get() > before))
+    }),
+
+    // FILTERED aggregate pushdown (the shape ManifestAgg refuses):
+    // count/min/max under a range predicate answered from cached
+    // footers for every COVERED file plus a pushed scan of only the
+    // boundary files — footer_covered pins that interior files really
+    // were served from footers AND the boundary stayed ≤ 2 files (a
+    // silent fallback to the full scan would return the same numbers
+    // and hide the regression). Bounds are derived from the data by
+    // integer arithmetic the oracle repeats, so the range spans
+    // interior files at ANY scale factor.
+    "lake_sql_agg_filtered" -> ((s, dir) => {
+      val cat = sqlCallCatalog(s, dir)
+      val mm = s.sql(s"SELECT min(l_orderkey), max(l_orderkey) FROM $cat.lineitem").head()
+      val mn = mm.getAs[Number](0).longValue; val mx = mm.getAs[Number](1).longValue
+      val lo = mn + (mx - mn) / 10; val hi = mx - (mx - mn) / 10
+      val covBefore = graft.lake.PushFilteredAggToManifest.coveredFiles.get()
+      val scanBefore = graft.lake.PushFilteredAggToManifest.scannedFiles.get()
+      val agg = s.sql(
+        s"""SELECT count(*) AS n_rows, count(l_returnflag) AS n_flags,
+           |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+           |FROM $cat.lineitem
+           |WHERE l_orderkey BETWEEN $lo AND $hi""".stripMargin)
+      agg.collect() // analysis fires the rule; counters read after it
+      val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
+      val scn = graft.lake.PushFilteredAggToManifest.scannedFiles.get() - scanBefore
+      agg.withColumn("footer_covered", lit(cov > 0 && scn <= 2))
     }),
 
     // declared CLUSTER BY layout: the CTAS arrived through the
@@ -4068,6 +4145,18 @@ object SparkEntry {
         |  AND l_orderkey BETWEEN 50 AND 60
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // the correlated subquery re-derived by the oracle itself (DuckDB
+    // evaluates the same correlated aggregate, NULL on empty groups)
+    "lake_sql_subq_corr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey BETWEEN 50 AND 400 THEN
+        |    (SELECT CAST(max(o.o_totalprice) AS DOUBLE) FROM orders o
+        |     WHERE o.o_orderkey = l_orderkey AND o.o_orderpriority = '1-URGENT')
+        |  ELSE l_tax END AS l_tax
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 2 AND l_orderkey BETWEEN 30 AND 450
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     // SQL CTAS + ALTER + INSERT = the same population as the API
     // mergeSchema evolution: NULL branch for pre-evolution rows
     "lake_sql_evolve" ->
@@ -4099,6 +4188,22 @@ object SparkEntry {
         |  TRUE AS manifest_served
         |FROM lineitem
         |WHERE l_orderkey % 3 = 0 AND l_orderkey NOT IN (42, 45)""".stripMargin,
+
+    // the footer-served filtered aggregate must equal the plain
+    // filtered aggregate over the same population, bounds re-derived
+    // by the same p10/p90 integer arithmetic (DuckDB // floors like
+    // Scala / truncates — both positive here)
+    "lake_sql_agg_filtered" ->
+      """WITH pop AS (SELECT * FROM lineitem
+        |  WHERE l_orderkey % 3 = 0 AND l_orderkey NOT IN (42, 45)),
+        |b AS (SELECT min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 10 AS lo,
+        |             max(l_orderkey) - (max(l_orderkey) - min(l_orderkey)) // 10 AS hi
+        |      FROM pop)
+        |SELECT count(*) AS n_rows, count(l_returnflag) AS n_flags,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  TRUE AS footer_covered
+        |FROM pop, b
+        |WHERE l_orderkey BETWEEN b.lo AND b.hi""".stripMargin,
 
     // CTAS through the declared-layout write path: same rows as the
     // raw table, and the layout claim holds (files_disjoint TRUE)

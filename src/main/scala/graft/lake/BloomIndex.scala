@@ -96,6 +96,16 @@ object BloomIndex {
                 expectedItemsPerFile: Long, fpp: Double = 0.01): DataFrame = {
     val m = optimalBits(expectedItemsPerFile, fpp)
     val k = optimalHashes(m, expectedItemsPerFile)
+    buildFromWith(data, column, m, k)
+  }
+
+  /** [[buildFrom]] with EXPLICIT filter geometry — the incremental-
+    * maintenance form ([[SnapshotLog]]'s commit-time delta builds):
+    * delta rows must carry the SAME (m, k) as the sidecar they join,
+    * or probe positions computed against one geometry would be tested
+    * against the other's bit layout. */
+  def buildFromWith(data: DataFrame, column: String, m: Int, k: Int): DataFrame = {
+    require(m >= 64 && k >= 1 && k <= 8, s"bad bloom geometry (m=$m, k=$k)")
     require(data.columns.contains(column), s"no column '$column' in the input")
     val colType = data.schema(column).dataType
     val rows = data
@@ -147,10 +157,20 @@ object BloomIndex {
     * for a table whose files all carry index rows, e.g. right after a
     * build.) */
   def mayContainFiles(bloomStats: DataFrame, values: Seq[Any],
-                      candidates: Seq[String]): Seq[String] = {
+                      candidates: Seq[String]): Seq[String] =
+    mayContainFilesStats(bloomStats, values, candidates)._1
+
+  /** [[mayContainFiles]] + STALENESS TELEMETRY: also returns how many
+    * candidates the sidecar does not index at all — each one survives
+    * unpruned (sound) and pays its scan on every probe, so a growing
+    * unindexed count is the signal that sidecar maintenance stopped
+    * keeping up with ingest. */
+  def mayContainFilesStats(bloomStats: DataFrame, values: Seq[Any],
+                           candidates: Seq[String]): (Seq[String], Int) = {
     val indexed = bloomStats.select("filepath").collect().map(_.getString(0)).toSet
     val hit = prune(bloomStats, values).toSet
-    candidates.filter(f => !indexed.contains(f) || hit.contains(f))
+    (candidates.filter(f => !indexed.contains(f) || hit.contains(f)),
+      candidates.count(f => !indexed.contains(f)))
   }
 
   /** Zone-map ∩ Bloom pruning: the stats table bounds the CLUSTER

@@ -190,8 +190,15 @@ class SnapshotCatalog extends TableCatalog
     // CREATE/CTAS; those carry no user intent.
     val reserved = Set("provider", "owner", "location", "external", "comment",
       "option.path", "path")
-    val clusterBy = Option(properties.get("cluster_by"))
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // looked up CASE-INSENSITIVELY, matching the refuse-loudly exclusion
+    // below — TBLPROPERTIES('CLUSTER_BY'='x') must declare the layout,
+    // not silently create an unclustered table
+    val clusterBy = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.collectFirst {
+        case (k, v) if k.toLowerCase == "cluster_by" => v
+      }.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    }
     clusterBy.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(

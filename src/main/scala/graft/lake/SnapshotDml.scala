@@ -2,8 +2,9 @@ package graft.lake
 
 import org.apache.spark.sql.{Column, GraftColumnBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, EqualTo, Expression, Literal, ScalarSubquery, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, AttributeSet, EqualTo, Expression, Literal, OuterReference, ScalarSubquery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Assignment, DeleteAction, Filter, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -39,7 +40,12 @@ case class ResolveSnapshotUpdate(spark: SparkSession) extends Rule[LogicalPlan] 
         if u.childrenResolved &&
           assignments.forall(a => a.key.resolved && a.value.resolved) &&
           condition.forall(_.resolved) =>
-      SnapshotUpdateCommand(tbl, assignments, condition)
+      // expressions ride in an OPAQUE holder: everything is fully
+      // resolved by the guards above, and CheckAnalysis would otherwise
+      // reject a correlated assignment subquery because this command is
+      // not one of the blessed UPDATE/MERGE/DELETE node classes — the
+      // command validates and executes the trees itself
+      SnapshotUpdateCommand(tbl, new UpdateArgs(assignments, condition))
 
     case m: MergeIntoTable if m.childrenResolved &&
         SnapshotRel.unapply(m.targetTable).isDefined &&
@@ -65,6 +71,23 @@ case class ResolveSnapshotUpdate(spark: SparkSession) extends Rule[LogicalPlan] 
 }
 
 private[lake] object SnapshotDml {
+
+  /** Inline `With` common-expression wrappers (what `BETWEEN` resolves
+    * to) by substituting each `CommonExpressionRef` with its def's
+    * child. The DML commands re-compile expressions to NAME-based forms
+    * (attribute → UnresolvedAttribute), and a `With` node's own
+    * `withNewChildrenInternal` calls `dataType` on its defs — which
+    * explodes once a def's child is unresolved. Inlining first keeps
+    * the trees plain; semantics are identical (the sharing is a
+    * codegen-dedup optimization, not a meaning change). */
+  private[lake] def inlineWith(e: Expression): Expression = e.transformUp {
+    case w: org.apache.spark.sql.catalyst.expressions.With =>
+      val byId = w.defs.map(d => d.id -> d.child).toMap
+      w.child.transform {
+        case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+          byId.getOrElse(r.id, r)
+      }
+  }
 
   /** Fold every UNCORRELATED scalar subquery in `e` to the literal it
     * evaluates to — driver-side, BEFORE the command's own scan, so
@@ -94,21 +117,43 @@ private[lake] object SnapshotDml {
   }
 }
 
+/** Opaque (non-TreeNode-traversed) carrier for the UPDATE's resolved
+  * expression trees — see the construction-site comment in
+  * [[ResolveSnapshotUpdate]]. */
+final class UpdateArgs(val assignments: Seq[Assignment],
+                       val condition: Option[Expression]) extends Serializable
+
 /** The driver-side command [[ResolveSnapshotUpdate]] plans: compiles
   * the resolved condition/assignments back to name-based Columns (the
   * update runs its own scan, so the original plan's attribute ids
   * would dangle) and delegates to [[SnapshotLog.update]]. Uncorrelated
   * scalar subqueries fold to literals first
-  * ([[SnapshotDml.foldScalarSubqueries]]); correlated subqueries and
-  * nested-field assignments are refused loudly. */
+  * ([[SnapshotDml.foldScalarSubqueries]]); a correlated ASSIGNMENT
+  * subquery of the equality-join shape rewrites through
+  * [[SnapshotLog.mergeInto]] ([[runCorrelated]]); every other
+  * correlated shape and nested-field assignments refuse loudly. */
 case class SnapshotUpdateCommand(table: SnapshotParquetTable,
-                                 assignments: Seq[Assignment],
-                                 condition: Option[Expression])
+                                 args: UpdateArgs)
   extends LeafRunnableCommand {
+
+  // With-wrappers (BETWEEN) inlined once, up front — every downstream
+  // consumer re-compiles these trees to name-based forms
+  private lazy val assignments: Seq[Assignment] = args.assignments.map(a =>
+    a.copy(value = SnapshotDml.inlineWith(a.value)))
+  private lazy val condition: Option[Expression] =
+    args.condition.map(SnapshotDml.inlineWith)
 
   override def run(session: SparkSession): Seq[Row] = {
     require(table.writable,
       s"${table.name()} is a time-travel pin — UPDATE the table head (no AS OF)")
+    val corrInAssigns = assignments.flatMap(a => a.value.collect {
+      case s: ScalarSubquery if s.outerAttrs.nonEmpty => s
+    })
+    val corrInCond = condition.toSeq.flatMap(_.collect {
+      case s: ScalarSubquery if s.outerAttrs.nonEmpty => s
+    })
+    if (corrInAssigns.nonEmpty || corrInCond.nonEmpty)
+      return runCorrelated(session, corrInAssigns, corrInCond)
     def nameBased(e: Expression): Expression = {
       val folded = SnapshotDml.foldScalarSubqueries(session, e, "UPDATE")
       folded.transform { case a: AttributeReference => UnresolvedAttribute.quoted(a.name) }
@@ -124,6 +169,118 @@ case class SnapshotUpdateCommand(table: SnapshotParquetTable,
       name -> GraftColumnBridge.column(nameBased(a.value))
     }.toMap
     SnapshotLog.update(session, table.tablePath, cond, assigns)
+    Nil
+  }
+
+  /** CORRELATED-subquery UPDATE via the MERGE-shaped join machinery:
+    * `SET x = (SELECT <agg> FROM src WHERE src.k = t.k [AND …])`
+    * rewrites to
+    *
+    * {{{
+    *   MERGE INTO t USING (SELECT k…, <agg> AS _sq_val FROM src
+    *                       [WHERE residual] GROUP BY k…) s
+    *   ON t.k = s.k
+    *   WHEN MATCHED [AND <where>]  THEN UPDATE SET x = s._sq_val, …
+    *   WHEN NOT MATCHED BY SOURCE [AND <where>]
+    *                               THEN UPDATE SET x = <empty-agg>, …
+    * }}}
+    *
+    * — ONE atomic deletion-vector + append commit through
+    * [[SnapshotLog.mergeInto]], O(matched rows) written. The
+    * not-matched-by-source arm preserves SQL semantics for target rows
+    * with NO source match: their subquery evaluates to the aggregate
+    * over ZERO rows (NULL for max/min/sum/avg, 0 for count), computed
+    * once as `<empty-agg>` — the aggregate run over the empty source —
+    * and assigned as a literal. Correlation must be equality-only
+    * conjuncts (`src.k = t.k`); residual source-only conjuncts stay on
+    * the source scan. Unsupported shapes — correlation in WHERE,
+    * multiple correlated subqueries, non-equality correlation, outer
+    * references inside the aggregate, a non-aggregate subquery —
+    * refuse loudly (a silent mis-rewrite would corrupt rows). */
+  private def runCorrelated(session: SparkSession,
+                            inAssigns: Seq[ScalarSubquery],
+                            inCond: Seq[ScalarSubquery]): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"UPDATE with this correlated-subquery shape is not supported on snapshot " +
+        s"tables ($why) — supported: ONE assignment subquery of the form " +
+        "SET x = (SELECT <agg> FROM src WHERE src.k = t.k [AND source-only …])")
+    if (inCond.nonEmpty) refuse("correlated subquery in the WHERE clause")
+    if (inAssigns.size > 1) refuse("more than one correlated subquery")
+    val sub = inAssigns.head
+    val (aggAlias, fcond, srcPlan) = sub.plan match {
+      case Aggregate(Seq(), Seq(a: Alias), Filter(fc, src), _) => (a, fc, src)
+      case _ => refuse("subquery is not a single aggregate over a filtered source")
+    }
+    require(aggAlias.child.exists(_.isInstanceOf[AggregateExpression]),
+      "correlated subquery must compute an aggregate")
+    if (aggAlias.child.exists(_.isInstanceOf[OuterReference]))
+      refuse("outer reference inside the aggregate expression")
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val srcOut = AttributeSet(srcPlan.output)
+    val pairs = Seq.newBuilder[(AttributeReference, AttributeReference)]
+    val residual = Seq.newBuilder[Expression]
+    conjuncts(fcond).foreach {
+      case EqualTo(in: AttributeReference, OuterReference(out: AttributeReference))
+          if srcOut.contains(in) => pairs += ((in, out))
+      case EqualTo(OuterReference(out: AttributeReference), in: AttributeReference)
+          if srcOut.contains(in) => pairs += ((in, out))
+      case other if other.exists(_.isInstanceOf[OuterReference]) =>
+        refuse("non-equality correlation predicate")
+      case other => residual += other
+    }
+    val corrPairs = pairs.result()
+    if (corrPairs.isEmpty) refuse("no equality correlation found")
+
+    def nameBased(e: Expression): Column = GraftColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+    val srcBase = GraftColumnBridge.ofRows(session,
+      residual.result().foldLeft(srcPlan)((p, e) => Filter(e, p)))
+    val aggCol = nameBased(aggAlias.child)
+    val innerNames = corrPairs.map(_._1.name).distinct
+    require(!innerNames.contains("_sq_val") &&
+      !srcBase.columns.contains("_sq_val"),
+      "source column '_sq_val' clashes with the rewrite's working column")
+    val srcAgg = srcBase.groupBy(innerNames.map(col): _*).agg(aggCol.as("_sq_val"))
+    // the empty-group value: the aggregate over ZERO rows (NULL for
+    // max/min, 0 for count) — what SQL gives a target row with no match
+    val emptyVal = srcBase.limit(0).agg(aggCol.as("_sq_val")).head().get(0)
+
+    def targetPrefixed(e: Expression): Expression = e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq("_t", a.name))
+    }
+    def assignCols(subReplacement: Expression): Map[String, Column] =
+      assignments.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new UnsupportedOperationException(
+            s"UPDATE of nested field '$other' is not supported on snapshot tables")
+        }
+        val folded = SnapshotDml.foldScalarSubqueries(session,
+          a.value.transform { case s: ScalarSubquery if s eq sub => subReplacement },
+          "UPDATE")
+        name -> GraftColumnBridge.column(targetPrefixed(folded))
+      }.toMap
+    val armCond: Option[Column] = condition.map { c =>
+      val folded = SnapshotDml.foldScalarSubqueries(session, c, "UPDATE")
+      GraftColumnBridge.column(targetPrefixed(folded))
+    }
+    val mergeCond = corrPairs.map { case (in, out) =>
+      col(s"_t.${out.name}") === col(s"_s.${in.name}")
+    }.reduce(_ && _)
+    SnapshotLog.mergeInto(session, table.tablePath, srcAgg, mergeCond,
+      matched = Seq(SnapshotLog.MatchedAction(armCond,
+        Some(assignCols(UnresolvedAttribute(Seq("_s", "_sq_val")))))),
+      notMatched = Nil,
+      pruneKey = Some((corrPairs.head._2.name, corrPairs.head._1.name)),
+      notMatchedBySource = Seq(SnapshotLog.MatchedAction(armCond,
+        Some(assignCols(Literal.create(emptyVal, sub.dataType))))))
     Nil
   }
 }
@@ -150,7 +307,8 @@ case class SnapshotMergeCommand(table: SnapshotParquetTable,
     val tIds = AttributeSet(targetPlan.output)
     val sIds = AttributeSet(sourcePlan.output)
     def prefixed(e: Expression): Expression = {
-      val folded = SnapshotDml.foldScalarSubqueries(session, e, "MERGE")
+      val folded = SnapshotDml.foldScalarSubqueries(session,
+        SnapshotDml.inlineWith(e), "MERGE")
       folded.transform {
         case a: AttributeReference if tIds.contains(a) =>
           UnresolvedAttribute(Seq("_t", a.name))

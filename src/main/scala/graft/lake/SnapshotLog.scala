@@ -254,23 +254,55 @@ object SnapshotLog {
     * commit. There the name is claimed through POSIX O_EXCL
     * (`Files.createFile`, atomic), and the body lands through the
     * normal checksummed stream over the placeholder we now own; a
-    * reader of the empty placeholder sees a torn manifest (magic check)
+    * reader of the UUID placeholder sees a torn manifest (magic check)
     * exactly like any mid-write read. HDFS `create` and object-store
-    * conditional-put are atomic already and take the plain path. */
+    * conditional-put are atomic already and take the plain path.
+    *
+    * OWNERSHIP FENCE (local scheme): the placeholder carries this
+    * claimant's UUID, re-verified immediately before the body
+    * overwrite and the whole body re-verified after it — a claimant
+    * stalled past [[TornReclaimGraceMs]] between winning the name and
+    * writing the body can have its placeholder reclaimed and
+    * re-claimed by another committer; without the fence the stalled
+    * writer's late `create(overwrite = true)` would silently bury that
+    * committer's fully-written manifest (a lost commit). With it, the
+    * stalled writer sees a foreign UUID (or a foreign body) and loses
+    * loudly: `false` sends the caller back through the head re-read.
+    * The residual race window shrinks from the multi-second stall to
+    * the microseconds between verify and write — and entering it at
+    * all requires a >5 s stall inside a millisecond code path. */
   private def tryClaim(fs: FileSystem, p: Path, body: String): Boolean = {
     val localExclusive = fs.getScheme == "file"
+    val raw = java.nio.file.Paths.get(p.toUri.getPath)
+    val fence = java.util.UUID.randomUUID().toString
     if (localExclusive) {
-      try java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
-      catch {
+      try {
+        java.nio.file.Files.createFile(raw) // POSIX O_EXCL: the atomic claim
+        java.nio.file.Files.write(raw, fence.getBytes(StandardCharsets.UTF_8))
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException => return false
         case _: java.io.IOException => return false
       }
+      // fence check: the placeholder must still carry OUR uuid — a
+      // reclaimed-and-re-claimed name means another committer owns the
+      // version now (we stalled past the torn-reclaim grace)
+      val owned = try new String(java.nio.file.Files.readAllBytes(raw),
+        StandardCharsets.UTF_8) == fence
+      catch { case _: java.io.IOException => false }
+      if (!owned) return false
     }
     val out =
       try fs.create(p, localExclusive) // we own the placeholder; else exclusive
       catch { case _: java.io.IOException => return false }
-    try { out.write(body.getBytes(StandardCharsets.UTF_8)); true }
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (localExclusive) {
+      // post-write fence: the bytes on disk must be OUR body, not a
+      // concurrent re-claimant's — on mismatch the other writer won
+      try new String(java.nio.file.Files.readAllBytes(raw),
+        StandardCharsets.UTF_8) == body
+      catch { case _: java.io.IOException => false }
+    } else true
   }
 
   // ── log scanning ─────────────────────────────────────────────────
@@ -290,11 +322,21 @@ object SnapshotLog {
   }
 
   /** Current committed version, or -1 for a table with no log. A torn
-    * head manifest (crashed writer) is not a committed version. */
+    * head manifest (crashed writer) is not a committed version — and
+    * neither is one whose checksum persistently fails (a writer dead
+    * between the data flush and the .crc): both fall through to the
+    * newest READABLE version, so commits can reclaim the broken head
+    * ([[nextVersionReclaiming]]) instead of wedging the table. */
   def currentVersion(spark: SparkSession, table: String): Long = {
     val (fs, root) = fsOf(spark, table)
     val ms = listLog(fs, root).manifests
-    ms.reverse.find(v => parse(readFile(fs, manifestPath(root, v))).isDefined).getOrElse(-1L)
+    ms.reverse.find { v =>
+      (try parse(readFile(fs, manifestPath(root, v)))
+       catch {
+         case _: org.apache.hadoop.fs.ChecksumException |
+              _: java.io.EOFException => None
+       }).isDefined
+    }.getOrElse(-1L)
   }
 
   /** Next claimable version; deletes a TORN head manifest in passing
@@ -320,7 +362,18 @@ object SnapshotLog {
       case None => 0L
       case Some(last) =>
         val p = manifestPath(root, last)
-        if (parse(readFile(fs, p)).isEmpty) {
+        // a head manifest whose CHECKSUM still fails after readFile's
+        // ~5 s of retries is a writer that died after flushing data but
+        // before the local .crc caught up — treat it as TORN (subject to
+        // the same reclaim grace below) instead of rethrowing, which
+        // would block every future commit until manual cleanup
+        val headParsed =
+          try parse(readFile(fs, p))
+          catch {
+            case _: org.apache.hadoop.fs.ChecksumException |
+                 _: java.io.EOFException => None
+          }
+        if (headParsed.isEmpty) {
           val age =
             try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
             catch {
@@ -407,7 +460,63 @@ object SnapshotLog {
       throw new java.util.ConcurrentModificationException(
         s"lost the claim race for v$next of $table")
     maybeCheckpoint(spark, fs, root, table, next, checkpointInterval)
+    autoIndexBloomSidecars(spark, fs, root, adds)
     next
+  }
+
+  /** AUTO-MAINTENANCE of Bloom sidecars: after any commit that adds
+    * data files, append sidecar rows for exactly those files to every
+    * column sidecar the table carries — one distributed pass over the
+    * BATCH per indexed column, so `CALL build_bloom` is a one-time
+    * layout decision instead of a manual re-CALL treadmill. Without
+    * this, every file appended (or produced by `compact`/`compactBin`)
+    * after the build is absent from the sidecar: it is never pruned
+    * (sound) but every point probe pays its scan forever, an invisible
+    * perf decay under continuous ingest. Delta rows land under
+    * `_bloom/<col>/delta-<id>/` — a UNIQUE dir per commit, because two
+    * concurrent committers appending into one parquet dir would race
+    * each other's `_temporary` staging — and [[bloomFor]] reads the
+    * tree recursively with the same geometry (m, k) as the base build
+    * (read from the sidecar's own rows). Rows for files a compaction
+    * REMOVED stay behind as harmless orphans (pruning intersects the
+    * LIVE candidate list; a full `buildBloom` clears them).
+    *
+    * Best-effort by design: the manifest claim has already landed, so
+    * a failure here costs pruning freshness — visible in the
+    * probed-but-unindexed telemetry
+    * ([[SnapshotFileIndex.bloomUnindexedProbes]]) — never the commit.
+    * Disable with `spark.graft.bloom.autoIndex = false`. */
+  private def autoIndexBloomSidecars(spark: SparkSession, fs: FileSystem,
+                                     root: Path, adds: Seq[String]): Unit = {
+    if (adds.isEmpty) return
+    try {
+      if (!spark.conf.get("spark.graft.bloom.autoIndex", "true").toBoolean) return
+      // the same root anchor as [[bloomDir]] (branch logs keep their
+      // own sidecars beside their own _log)
+      val bloomRoot = new Path(logDir(root).getParent, "_bloom")
+      if (!fs.exists(bloomRoot)) return
+      val colDirs = fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory)
+      if (colDirs.isEmpty) return
+      val abs = adds.map(f => fs.makeQualified(new Path(dataRootOf(root), f)).toString)
+      for (cd <- colDirs) {
+        val existing = spark.read.option("recursiveFileLookup", "true")
+          .parquet(cd.getPath.toString)
+        val headRows = existing.select("colname", "m", "k").head(1)
+        if (headRows.nonEmpty) {
+          val column = headRows.head.getString(0)
+          val m = headRows.head.getInt(1); val k = headRows.head.getInt(2)
+          val batch = spark.read.parquet(abs: _*)
+          if (batch.columns.contains(column))
+            BloomIndex.buildFromWith(batch, column, m, k)
+              .write.mode("errorifexists").parquet(new Path(cd.getPath,
+                "delta-" + java.util.UUID.randomUUID().toString.take(12)).toString)
+        }
+      }
+    } catch { case e: Exception =>
+      MetastoreFileIndex.log.warn(
+        s"bloom sidecar auto-index failed for $root (pruning stays sound, " +
+          s"freshness decays — see bloomUnindexedProbes): ${e.getMessage}")
+    }
   }
 
   /** Write a checkpoint when the version lands on the interval. Crash
@@ -680,6 +789,19 @@ object SnapshotLog {
             .asInstanceOf[StructType]
           resolveAppendSchema(hs, batchSchema, mergeSchema = false).json
         } else batchSchema.json
+      // zombie fence: a dead driver's replay of the SAME epoch runs the
+      // torn-prior-attempt cleanup above (delete + rename of the token
+      // dir) unsynchronized with this live writer — if it replaced the
+      // dir after `partFiles` listed our adds, committing them would
+      // reference deleted files. Re-verify existence immediately before
+      // the claim and fail the epoch loudly instead (the replayer's own
+      // commit of the re-staged dir carries the rows).
+      val missing = adds.filterNot(a => fs.exists(new Path(dataRootOf(root), a)))
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"epoch token dir $target was replaced mid-commit " +
+          s"(${missing.size} staged file(s) vanished, e.g. ${missing.head}) — " +
+          "a concurrent replay of this epoch raced this writer; failing the " +
+          "epoch rather than committing dangling references")
       try return commit(spark, table, "append", adds, Nil, schemaJson, head,
         checkpointInterval = checkpointInterval)
       catch {
@@ -959,12 +1081,26 @@ object SnapshotLog {
     spark.read.parquet(dir.toString).count()
   }
 
-  /** The sidecar's filter table for `column`, if one was built. */
+  /** The sidecar's filter table for `column`, if one was built.
+    * RENAME-PROOF: rows store the filepath as written at build time
+    * (absolute), but `ALTER TABLE RENAME TO` relocates the whole pool —
+    * so every row's key is re-anchored at the CURRENT data root by its
+    * pool-relative `data/…` suffix (the same last-`/data/`-segment
+    * anchor manifests and DV keys use). A row whose path carries no
+    * such suffix keeps its stored form (never matches → never prunes —
+    * sound). Read recursively: incremental maintenance appends delta
+    * dirs under the sidecar root (see [[appendBloomSidecars]]). */
   private[lake] def bloomFor(spark: SparkSession, tablePath: String,
                              column: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, concat, lit, regexp_extract, when}
     val (fs, rootP) = fsOf(spark, tablePath)
     val dir = bloomDir(rootP, column)
-    if (fs.exists(dir)) Some(spark.read.parquet(dir.toString)) else None
+    if (!fs.exists(dir)) return None
+    val prefix = fs.makeQualified(dataRootOf(rootP)).toString + "/"
+    val rel = regexp_extract(col("filepath"), "^.*/(data/.*)$", 1)
+    Some(spark.read.option("recursiveFileLookup", "true").parquet(dir.toString)
+      .withColumn("filepath",
+        when(rel === lit(""), col("filepath")).otherwise(concat(lit(prefix), rel))))
   }
 
   /** OPTIMIZE (BIN-PACK): rewrite ONLY the head's small files into
@@ -994,8 +1130,8 @@ object SnapshotLog {
     val head = currentVersion(spark, table)
     val cur = state(spark, table, Some(head))
     val (fs, rootP) = fsOf(spark, table)
-    val dataRoot = dataRootOf(rootP)
-    val sized = cur.files.map(f => f -> fs.getFileStatus(new Path(dataRoot, f)).getLen)
+    val sizes = fileSizes(fs, rootP, cur.files)
+    val sized = cur.files.map(f => f -> sizes(f))
     val small = sized.filter(_._2 < smallBound)
     if (small.size < math.max(2, minFiles)) return head
     val smallFiles = small.map(_._1)
@@ -1014,6 +1150,40 @@ object SnapshotLog {
     // removed files drop their DV sets in the same replay step
     commit(spark, table, "compact", adds, smallFiles, cur.schemaJson, head,
       checkpointInterval = checkpointInterval)
+  }
+
+  /** Diagnostic: directory listings issued by [[fileSizes]] since JVM
+    * start — the spec pins the census at O(token dirs), not O(files). */
+  private[lake] val censusListings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** BATCHED size census for a live file set: ONE `listStatus` per pool
+    * token dir instead of one `getFileStatus` round-trip per file — on
+    * a million-file head the per-file loop is minutes of driver RPC
+    * time before any real work, and a token dir holds its whole
+    * commit's files, so the listing count is O(commits retained), not
+    * O(files). A wanted file missing from its dir's listing throws the
+    * same `FileNotFoundException` the per-file probe raised. */
+  private[lake] def fileSizes(fs: FileSystem, root: Path,
+                              relFiles: Seq[String]): Map[String, Long] = {
+    val dataRoot = dataRootOf(root)
+    val wanted = relFiles.toSet
+    val byDir = relFiles.groupBy(f => f.lastIndexOf('/') match {
+      case -1 => ""
+      case i => f.substring(0, i)
+    })
+    val out = Map.newBuilder[String, Long]
+    for (dir <- byDir.keys) {
+      censusListings.incrementAndGet()
+      val dirPath = if (dir.isEmpty) dataRoot else new Path(dataRoot, dir)
+      for (st <- fs.listStatus(dirPath) if st.isFile) {
+        val rel = if (dir.isEmpty) st.getPath.getName else dir + "/" + st.getPath.getName
+        if (wanted.contains(rel)) out += rel -> st.getLen
+      }
+    }
+    val res = out.result()
+    relFiles.find(f => !res.contains(f)).foreach(f =>
+      throw new java.io.FileNotFoundException(s"$f not found under $dataRoot"))
+    res
   }
 
   /** PURGE: materialize the head's merge-on-read deletes by rewriting
@@ -1870,7 +2040,7 @@ object SnapshotLog {
     * version with 10⁵ files this turns every read construction from
     * O(files) driver FS calls into cache hits — the metadata-ops term
     * the round-12 joinview_refresh reconciliation named. */
-  private def scanKnownFiles(spark: SparkSession, paths: Seq[String],
+  private[lake] def scanKnownFiles(spark: SparkSession, paths: Seq[String],
                              schema: StructType): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat

@@ -91,7 +91,8 @@ private[lake] class SnapshotReadTable(
 }
 
 private[lake] class SnapshotParquetTable(
-    tname: String, spark: SparkSession, filePaths: Seq[String],
+    tname: String, spark: SparkSession,
+    private[lake] val filePaths: Seq[String],
     tableSchema: StructType,
     private[lake] val dvFiles: Map[String, Seq[String]],
     deadFn: () => Map[String, Array[Long]],
@@ -429,15 +430,23 @@ private[lake] class SnapshotFileIndex(
     probes.foreach { case (c, values) =>
       bloomOf(c).foreach { bloomDf =>
         val candidates = out.flatMap(_.files.map(f => f.getPath.toString))
-        val keep = BloomIndex.mayContainFiles(bloomDf, values, candidates).toSet
+        val (keepSeq, unindexed) =
+          BloomIndex.mayContainFilesStats(bloomDf, values, candidates)
+        val keep = keepSeq.toSet
         val dropped = candidates.size - keep.size
         if (dropped > 0) {
           SnapshotFileIndex.bloomPrunedFiles.addAndGet(dropped)
           out = out.map(pd => pd.copy(files = pd.files.filter(f =>
             keep.contains(f.getPath.toString))))
         }
+        // staleness telemetry: unindexed candidates survive every probe
+        // unpruned — a growing count means sidecar maintenance stopped
+        // keeping up with ingest (SnapshotLog.autoIndexBloomSidecars)
+        if (unindexed > 0)
+          SnapshotFileIndex.bloomUnindexedProbes.addAndGet(unindexed)
         MetastoreFileIndex.log.info(
-          s"snapshot bloom prune[$c]: files_pruned=$dropped/${candidates.size}")
+          s"snapshot bloom prune[$c]: files_pruned=$dropped/${candidates.size} " +
+            s"unindexed=$unindexed")
       }
     }
     out
@@ -447,6 +456,11 @@ private[lake] class SnapshotFileIndex(
 object SnapshotFileIndex {
   /** Specs pin sidecar point-lookup pruning with this counter. */
   val bloomPrunedFiles = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Probed-but-unindexed file count — the sidecar STALENESS signal:
+    * each unit is one candidate file a point probe could not test
+    * (sound, scanned anyway). Flat under commit-time auto-indexing;
+    * growing when it is disabled or failing. */
+  val bloomUnindexedProbes = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** The clean-version scan builder: stock parquet pushdown + a scan
@@ -534,6 +548,8 @@ object ManifestAgg {
     * min/max equal the true column extrema. Excludes float/double
     * (±0.0 sort-order widening) and strings/binary (truncation) —
     * those stay sound for pruning, not for exact answers. */
+  private[lake] def exactMinMaxType(dt: DataType): Boolean = exactMinMax(dt)
+
   private def exactMinMax(dt: DataType): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
          _: DateType | _: TimestampType | _: TimestampNTZType | _: BooleanType => true

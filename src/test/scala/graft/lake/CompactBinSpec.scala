@@ -97,4 +97,34 @@ class CompactBinSpec extends SparkSpec {
     }
     assert(SnapshotLog.read(spark, table).count() == 1L + 6 * 50)
   }
+
+  test("file-size census is one listing per token dir, not one RPC per file") {
+    val root = tmpDir("cbin_census")
+    val table = s"$root/t"
+    // 3 commits → 3 token dirs holding 4 + 4 + 4 = 12 files: the census
+    // must issue exactly 3 dir listings, not 12 per-file getFileStatus
+    // round-trips (the O(files) driver stall at a million-file head)
+    SnapshotLog.write((0 until 400).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      table, "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    SnapshotLog.write((400 until 800).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      table, "append", clusterColumn = Some("id"), nFiles = 4)
+    SnapshotLog.write((800 until 1200).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      table, "append", clusterColumn = Some("id"), nFiles = 4)
+    val files = SnapshotLog.state(spark, table).files
+    assert(files.size == 12)
+    val dirs = files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(dirs.size == 3)
+    val before = SnapshotLog.censusListings.get()
+    // minFiles above the population → pure census, no rewrite: isolates
+    // the listing count from the compaction commit's own writes
+    val v = SnapshotLog.compactBin(spark, table, minFiles = 100)
+    assert(v == SnapshotLog.currentVersion(spark, table))
+    assert(SnapshotLog.censusListings.get() - before == 3L,
+      "census must list each token dir once")
+    // and the sizes it returns drive the same behavior: a real pack run
+    val packed = SnapshotLog.compactBin(spark, table,
+      targetBytes = 64L * 1024 * 1024, smallBytes = 1024L * 1024)
+    assert(packed > 2L)
+    assert(SnapshotLog.read(spark, table).count() == 1200L)
+  }
 }

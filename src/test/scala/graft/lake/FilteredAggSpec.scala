@@ -1,0 +1,134 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Filtered aggregate pushdown ([[PushFilteredAggToManifest]]):
+  * `SELECT count/min/max … WHERE c BETWEEN lo AND hi` over a snapshot
+  * table must answer covered files from cached footers + a scan of
+  * ONLY the boundary files, with the identical answer to the stock
+  * scan, and every soundness gate must fall back silently. */
+class FilteredAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(cat: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+  }
+
+  private def counters(): (Long, Long, Long) =
+    (PushFilteredAggToManifest.served.get(),
+      PushFilteredAggToManifest.coveredFiles.get(),
+      PushFilteredAggToManifest.scannedFiles.get())
+
+  test("range aggregate: covered files from footers, boundary files scanned") {
+    val root = tmpDir("fagg")
+    // 4 range-clustered files over id 0..999: interior files are fully
+    // covered by [200, 799], the two boundary files scan
+    val df = (0 until 1000).map(i => (i.toLong, s"r$i",
+      if (i % 5 == 0) None else Some(i.toLong * 2))).toDF("id", "s", "v")
+    SnapshotLog.write(df, s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    register("fagg", root)
+    val (s0, c0, n0) = counters()
+    val q = spark.sql(
+      "SELECT count(*) AS n, count(id) AS nid, count(s) AS ns, " +
+        "min(id) AS mn, max(id) AS mx FROM fagg.t WHERE id BETWEEN 200 AND 799")
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (600L, 600L, 600L, 200L, 799L))
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1, "the filtered manifest path must have served")
+    assert(c1 - c0 >= 1, "at least one interior file must be footer-covered")
+    assert(n1 - n0 <= 2, s"boundary scan must stay <= 2 files, got ${n1 - n0}")
+    assert(c1 - c0 + (n1 - n0) <= 4)
+  }
+
+  test("open-ended and exclusive bounds; equality point") {
+    val root = tmpDir("fagg_b")
+    SnapshotLog.write((0 until 400).map(i => (i.toLong, i % 7)).toDF("id", "g"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    register("faggb", root)
+    def one(sql: String): Seq[Long] =
+      spark.sql(sql).collect().head.toSeq.map(_.asInstanceOf[Long])
+    val s0 = PushFilteredAggToManifest.served.get()
+    assert(one("SELECT count(*) AS n FROM faggb.t WHERE id >= 100") == Seq(300L))
+    assert(one("SELECT count(*) AS n FROM faggb.t WHERE id > 99") == Seq(300L))
+    assert(one("SELECT count(*) AS n FROM faggb.t WHERE id < 100") == Seq(100L))
+    assert(one("SELECT count(*) AS n, min(id) AS mn FROM faggb.t WHERE id <= 99")
+      == Seq(100L, 0L))
+    // equality: lo = hi, inclusive both sides
+    assert(one("SELECT count(*) AS n FROM faggb.t WHERE id = 250") == Seq(1L))
+    // served for at least the unbounded-side shapes (equality may
+    // cover nothing — a single point never spans a whole file)
+    assert(PushFilteredAggToManifest.served.get() - s0 >= 4)
+  }
+
+  test("answers equal the stock scan on a column with nulls in range") {
+    val root = tmpDir("fagg_n")
+    // v null exactly where id % 5 == 0: count(v) under the range must
+    // subtract per-file footer nulls, not guess
+    val df = (0 until 1000).map(i => (i.toLong,
+      if (i % 5 == 0) None else Some(i.toLong))).toDF("id", "v")
+    SnapshotLog.write(df, s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    register("faggn", root)
+    val r = spark.sql(
+      "SELECT count(*) AS n, count(id) AS nid FROM faggn.t WHERE id BETWEEN 100 AND 899")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1)) == (800L, 800L))
+    // count(v) for v != filter column: covered files carry v-nulls, so
+    // the x-nulls==0 gate must refuse and fall back — identical answer
+    val s0 = PushFilteredAggToManifest.served.get()
+    val r2 = spark.sql(
+      "SELECT count(v) AS nv FROM faggn.t WHERE id BETWEEN 100 AND 899").collect().head
+    assert(r2.getLong(0) == 800L - 160L)
+    assert(PushFilteredAggToManifest.served.get() == s0,
+      "count(x) with x-nulls in covered files must NOT serve from footers")
+  }
+
+  test("soundness gates fall back: DVs, group-by, strings, avg, disjunction") {
+    val root = tmpDir("fagg_g")
+    SnapshotLog.write((0 until 500).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    register("faggg", root)
+    val s0 = PushFilteredAggToManifest.served.get()
+    // avg is not a footer-derivable aggregate
+    assert(spark.sql("SELECT avg(id) AS a FROM faggg.t WHERE id BETWEEN 100 AND 400")
+      .collect().head.getDouble(0) == 250.0)
+    // GROUP BY refuses
+    assert(spark.sql(
+      "SELECT id % 2 AS g, count(*) AS n FROM faggg.t WHERE id BETWEEN 0 AND 499 GROUP BY id % 2")
+      .collect().length == 2)
+    // OR-predicates refuse (not a single range)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM faggg.t WHERE id < 10 OR id > 490").collect()
+      .head.getLong(0) == 19L)
+    // min/max on a STRING filter column refuses (truncation-inexact)
+    assert(spark.sql(
+      "SELECT count(*) AS n, min(s) AS mn FROM faggg.t WHERE s >= 's0' AND s <= 's99'")
+      .collect().head.getLong(0) > 0L)
+    assert(PushFilteredAggToManifest.served.get() == s0,
+      "every gated shape must leave the stock plan untouched")
+    // a DV-carrying version must refuse (footer counts see dead rows)
+    SnapshotLog.delete(spark, s"$root/t", col("id") === 250L)
+    val r = spark.sql(
+      "SELECT count(*) AS n FROM faggg.t WHERE id BETWEEN 100 AND 400").collect().head
+    assert(r.getLong(0) == 300L, "DV version: dead row excluded by the scan path")
+    assert(PushFilteredAggToManifest.served.get() == s0)
+  }
+
+  test("time-travel pin aggregates the PINNED version's files") {
+    val root = tmpDir("fagg_tt")
+    SnapshotLog.write((0 until 100).map(i => (i.toLong, 1)).toDF("id", "b"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 4) // v0
+    SnapshotLog.write((100 until 200).map(i => (i.toLong, 2)).toDF("id", "b"),
+      s"$root/t", "append", clusterColumn = Some("id"), nFiles = 4) // v1
+    register("faggtt", root)
+    val r = spark.sql(
+      "SELECT count(*) AS n, max(id) AS mx FROM faggtt.t VERSION AS OF 0 " +
+        "WHERE id >= 10").collect().head
+    assert((r.getLong(0), r.getLong(1)) == (90L, 99L))
+    val r1 = spark.sql(
+      "SELECT count(*) AS n, max(id) AS mx FROM faggtt.t WHERE id >= 10").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) == (190L, 199L))
+  }
+}

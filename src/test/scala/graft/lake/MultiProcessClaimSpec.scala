@@ -1,0 +1,76 @@
+package graft.lake
+
+import graft.SparkSpec
+
+/** CROSS-PROCESS commit-claim race: two JVMs (this test JVM + a forked
+  * [[RaceWriter]] child) hammer metadata-only commits at one shared
+  * table. [[ConcurrentSqlWriteSpec]] races THREADS in one JVM — enough
+  * to catch check-then-act claims, but the POSIX O_EXCL claim's
+  * cross-process atomicity (and the torn-reclaim grace's behavior under
+  * a genuinely separate process) only a second JVM can exercise. The
+  * audit: every commit from both writers lands EXACTLY once, versions
+  * are contiguous, no claim is lost or double-issued. */
+class MultiProcessClaimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two JVMs racing one table: every commit accounted, versions contiguous") {
+    val root = tmpDir("mpclaim")
+    val table = s"$root/t"
+    val perWriter = 12
+    SnapshotLog.write(Seq((1L, "seed")).toDF("id", "s"), table, "overwrite") // v0
+    val schemaJson = SnapshotLog.state(spark, table).schemaJson
+
+    // forked child: same classpath + the JDK17 opens Spark needs
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ opens ++ Seq(
+      "-Xmx1g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.lake.RaceWriter", table, "child", perWriter.toString)).toList
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val child = pb.start()
+
+    // parent writer races in THIS JVM while the child runs
+    for (i <- 0 until perWriter) {
+      var committed = false
+      while (!committed) {
+        val head = SnapshotLog.currentVersion(spark, table)
+        try {
+          SnapshotLog.commit(spark, table, s"race-parent-$i", Nil, Nil,
+            schemaJson, head)
+          committed = true
+        } catch {
+          case _: java.util.ConcurrentModificationException =>
+            Thread.sleep(5L + scala.util.Random.nextInt(20))
+        }
+      }
+    }
+    val rc = child.waitFor()
+    assert(rc == 0, s"child writer JVM exited $rc")
+
+    val hist = SnapshotLog.history(spark, table)
+      .select("version", "op").as[(Long, String)].collect().sortBy(_._1)
+    val versions = hist.map(_._1).toSeq
+    assert(versions == (0L to (2L * perWriter)),
+      s"versions must be contiguous 0..${2 * perWriter}, got $versions")
+    val ops = hist.map(_._2).toSeq
+    val expected = (0 until perWriter).map(i => s"race-parent-$i") ++
+      (0 until perWriter).map(i => s"race-child-$i")
+    // exactly once each: no lost commit, no double claim
+    assert(ops.filter(_.startsWith("race-")).sorted == expected.sorted,
+      s"ops mismatch: $ops")
+    // and the head still reads
+    assert(SnapshotLog.read(spark, table).count() == 1L)
+  }
+}

@@ -63,4 +63,78 @@ class SnapshotBloomSpec extends SparkSpec {
     val deadU = (7 * 3571) % 4000
     assert(spark.sql(s"SELECT count(*) FROM snbd.t WHERE u = $deadU").as[Long].head() == 0L)
   }
+
+  test("commit-time auto-indexing keeps the sidecar fresh across append + bin-pack") {
+    val root = tmpDir("snapbloom_auto")
+    val table = s"$root/t"
+    // base u values are EVEN and span [0, 7998] in every file — an ODD
+    // in-domain probe survives every zone map (intervals contain it) and
+    // only the blooms can prune, which is what this test measures
+    SnapshotLog.write((0 until 4000).map(i =>
+      (i.toLong, ((i * 3571L) % 4000L) * 2L)).toDF("k", "u"),
+      table, "overwrite", clusterColumn = Some("k"), nFiles = 4)
+    SnapshotLog.buildBloom(spark, table, "u", expectedItemsPerFile = 2000)
+    spark.conf.set("spark.sql.catalog.snba", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snba.root", root)
+    // two post-build appends with odd in-domain keys: WITHOUT
+    // auto-indexing these files would be unindexed forever (sound but
+    // scanned on every probe)
+    SnapshotLog.write(Seq((100000L, 4201L)).toDF("k", "u"), table, "append")
+    SnapshotLog.write(Seq((100001L, 4203L)).toDF("k", "u"), table, "append")
+    val p0 = SnapshotFileIndex.bloomPrunedFiles.get()
+    val u0 = SnapshotFileIndex.bloomUnindexedProbes.get()
+    // probe an odd value living ONLY in one appended file: the 4 base
+    // files bloom-prune (it is absent from them; their zone maps span
+    // it, so only the bloom can drop them) and ZERO candidates read as
+    // unindexed — proof the appended files carry sidecar rows
+    assert(spark.sql("SELECT k FROM snba.t WHERE u = 4203").as[Long].collect()
+      .toSeq == Seq(100001L))
+    assert(SnapshotFileIndex.bloomPrunedFiles.get() - p0 >= 4L,
+      "the 4 base files must bloom-prune for an absent odd probe")
+    assert(SnapshotFileIndex.bloomUnindexedProbes.get() == u0,
+      "no probed file may be unindexed after auto-maintenance")
+    // bin-pack folds the crumbs into a NEW file — its commit must
+    // auto-index the packed output too
+    // smallBytes between the 1-row crumbs (~1 KB) and the base files
+    // (~16 KB): only the crumbs pack, the base files stay
+    val v = SnapshotLog.compactBin(spark, table, targetBytes = 64L * 1024 * 1024,
+      smallBytes = 4096L)
+    assert(v > 2L, "compactBin must have committed")
+    val p1 = SnapshotFileIndex.bloomPrunedFiles.get()
+    val u1 = SnapshotFileIndex.bloomUnindexedProbes.get()
+    assert(spark.sql("SELECT k FROM snba.t WHERE u = 4201").as[Long].collect()
+      .toSeq == Seq(100000L))
+    assert(SnapshotFileIndex.bloomPrunedFiles.get() - p1 >= 4L,
+      "the 4 base files must bloom-prune after the pack")
+    assert(SnapshotFileIndex.bloomUnindexedProbes.get() == u1,
+      "the bin-packed output must be auto-indexed (telemetry stays flat)")
+    // escape hatch: with auto-indexing off, a new file IS unindexed and
+    // the staleness telemetry says so
+    spark.conf.set("spark.graft.bloom.autoIndex", "false")
+    try {
+      SnapshotLog.write(Seq((100002L, 4205L)).toDF("k", "u"), table, "append")
+      val u2 = SnapshotFileIndex.bloomUnindexedProbes.get()
+      assert(spark.sql("SELECT k FROM snba.t WHERE u = 4205").as[Long].collect()
+        .toSeq == Seq(100002L))
+      assert(SnapshotFileIndex.bloomUnindexedProbes.get() > u2,
+        "an unindexed probe must register in the staleness telemetry")
+    } finally spark.conf.set("spark.graft.bloom.autoIndex", "true")
+  }
+
+  test("sidecar survives ALTER TABLE RENAME TO (pool-relative re-anchor)") {
+    val root = tmpDir("snapbloom_mv")
+    spark.conf.set("spark.sql.catalog.snbm", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snbm.root", root)
+    SnapshotLog.write((0 until 4000).map(i => (i.toLong, ((i * 3571) % 4000).toLong))
+      .toDF("k", "u"), s"$root/t", "overwrite", clusterColumn = Some("k"), nFiles = 4)
+    SnapshotLog.buildBloom(spark, s"$root/t", "u", expectedItemsPerFile = 2000)
+    spark.sql("ALTER TABLE snbm.t RENAME TO t2")
+    val before = SnapshotFileIndex.bloomPrunedFiles.get()
+    assert(spark.sql("SELECT count(*) FROM snbm.t2 WHERE u = 123").as[Long].head() == 1L)
+    // >= 3: a planning pass may invoke listFiles more than once, each
+    // pass pruning the same 3-of-4 — the claim is that pruning happens
+    // at all post-rename, which the re-anchor alone makes possible
+    assert(SnapshotFileIndex.bloomPrunedFiles.get() - before >= 3L,
+      "sidecar keys must re-anchor at the renamed root (3 of 4 files pruned)")
+  }
 }

@@ -324,7 +324,7 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(after(1L) == "u1" && after(50L) == "new", "matched rows untouched")
   }
 
-  test("UPDATE/MERGE fold uncorrelated scalar subqueries; correlated stays refused") {
+  test("UPDATE/MERGE fold uncorrelated scalar subqueries; correlated rewrites via MERGE") {
     val root = tmpDir("snapcat_subq")
     SnapshotLog.write((0 until 6).map(i => (i.toLong, i * 1.0)).toDF("id", "x"),
       s"$root/t", "overwrite") // v0
@@ -351,10 +351,38 @@ class SnapshotCatalogSpec extends SparkSpec {
     val multi = intercept[Exception](spark.sql(
       "UPDATE snapsq.t SET x = (SELECT rx FROM ref_vals) WHERE id = 0"))
     assert(multi.getMessage.contains("more than one row"), multi.getMessage)
-    // correlated: still refused, loudly
-    val corr = intercept[Exception](spark.sql(
-      "UPDATE snapsq.t SET x = (SELECT max(rx) FROM ref_vals WHERE rid = t.id)"))
-    assert(corr.getMessage.toUpperCase.contains("CORRELATED"), corr.getMessage)
+    // correlated in an ASSIGNMENT rewrites through the MERGE join
+    // machinery (SnapshotDml.runCorrelated): matched ids take the
+    // per-key aggregate, unmatched ids take the empty-aggregate value
+    Seq((4L, 40.0), (5L, 50.0), (5L, 49.0)).toDF("rid", "rx")
+      .createOrReplaceTempView("corr_vals")
+    spark.sql(
+      "UPDATE snapsq.t SET x = (SELECT max(rx) FROM corr_vals WHERE rid = t.id) " +
+        "WHERE id >= 4")
+    def xOf(): Map[Long, Option[Double]] =
+      spark.sql("SELECT id, x FROM snapsq.t").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val c1 = xOf()
+    assert(c1(4L) == Some(40.0) && c1(5L) == Some(50.0) && c1(3L) == Some(3.0), c1.toString)
+    // a row in range with NO source match: SQL gives the aggregate over
+    // zero rows — NULL for max — via the not-matched-by-source arm
+    spark.sql(
+      "UPDATE snapsq.t SET x = (SELECT max(rx) FROM corr_vals WHERE rid = t.id) " +
+        "WHERE id = 2")
+    assert(xOf()(2L).isEmpty, xOf().toString)
+    // one atomic merge_into commit per correlated UPDATE
+    assert(SnapshotLog.history(spark, s"$root/t")
+      .select("op").limit(1).as[String].head() == "merge_into")
+    // correlated in WHERE stays refused, loudly
+    val corrW = intercept[Exception](spark.sql(
+      "UPDATE snapsq.t SET x = 0 " +
+        "WHERE x = (SELECT max(rx) FROM corr_vals WHERE rid = t.id)"))
+    assert(corrW.getMessage.contains("WHERE clause"), corrW.getMessage)
+    // non-equality correlation stays refused
+    val corrNe = intercept[Exception](spark.sql(
+      "UPDATE snapsq.t SET x = (SELECT max(rx) FROM corr_vals WHERE rid > t.id)"))
+    assert(corrNe.getMessage.contains("non-equality"), corrNe.getMessage)
   }
 
   test("SQL schema evolution: ALTER TABLE ADD COLUMN then INSERT, time travel keeps the old schema") {
@@ -515,5 +543,25 @@ class SnapshotCatalogSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/b")))
     spark.sql("DROP TABLE IF EXISTS snaplc.b") // no-op, no error
+  }
+
+  test("TBLPROPERTIES('CLUSTER_BY') is honored case-insensitively, never dropped") {
+    val root = tmpDir("snapcat_cb")
+    register("snapcb", root)
+    // upper-case key: the lookup and the refuse-loudly exclusion use the
+    // same case-insensitive rule — the table must come out CLUSTERED,
+    // not silently unclustered
+    spark.sql("CREATE TABLE snapcb.t (id BIGINT, s STRING) " +
+      "TBLPROPERTIES('CLUSTER_BY'='id')")
+    assert(SnapshotLog.clusterByOf(spark, s"$root/t") == Seq("id"))
+    // a bad column under the upper-case key still refuses loudly
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE snapcb.bad (id BIGINT) TBLPROPERTIES('Cluster_By'='nope')"))
+    assert(e.getMessage.contains("nope"))
+    // unknown properties refuse regardless of the cluster_by spelling
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE snapcb.bad2 (id BIGINT) " +
+        "TBLPROPERTIES('CLUSTER_BY'='id', 'zstd'='9')"))
+    assert(e2.getMessage.contains("zstd"))
   }
 }

@@ -94,4 +94,57 @@ class SnapshotStreamSpec extends SparkSpec {
         Set((1L, "a"), (2L, "b")))
     } finally q.stop()
   }
+
+  test("TRUNCATE across a running stream refuses; skip-mode ships only the new generation") {
+    val root = tmpDir("snapstream_tr")
+    SnapshotLog.write((0 until 5).map(i => (i.toLong, "old")).toDF("id", "s"),
+      s"$root/t", "overwrite") // v0
+    register("snapstrt", root)
+    // default mode: a TRUNCATE mid-stream is a change commit (removes
+    // every live file) — the stream must FAIL loudly, never silently
+    // continue into the new table generation
+    val q1 = spark.readStream.table("snapstrt.t")
+      .writeStream.format("memory").queryName("snapstrt_sink1")
+      .option("checkpointLocation", tmpDir("snapstream_tr_cp1"))
+      .start()
+    try {
+      q1.processAllAvailable()
+      spark.sql("TRUNCATE TABLE snapstrt.t") // v1: overwrite-to-empty
+      spark.sql("INSERT INTO snapstrt.t VALUES (100, 'new')") // v2
+      val err = intercept[Exception](q1.processAllAvailable())
+      assert(err.getMessage.contains("skipChangeCommits") ||
+        Option(err.getCause).exists(_.getMessage.contains("skipChangeCommits")),
+        s"wanted the skipChangeCommits pointer, got: ${err.getMessage}")
+    } finally q1.stop()
+    // skip mode: the truncate version skips WHOLE; the repopulating
+    // append ships; the dead generation's rows never re-ship
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .option("startingVersion", "0").table("snapstrt.t")
+      .writeStream.format("memory").queryName("snapstrt_sink2")
+      .option("checkpointLocation", tmpDir("snapstream_tr_cp2"))
+      .start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("snapstrt_sink2").as[(Long, String)].collect().toSet
+      // replay from v0: the old generation (v0 adds) + the new insert,
+      // with the truncate itself contributing NOTHING
+      assert(got == (0 until 5).map(i => (i.toLong, "old")).toSet + ((100L, "new")),
+        got.toString)
+    } finally q2.stop()
+    // a stream STARTED between the truncate and a later append (default
+    // offset = the current head) ships exactly the commits after its
+    // start — never a silent slice of the dead generation
+    val q3 = spark.readStream.table("snapstrt.t")
+      .writeStream.format("memory").queryName("snapstrt_sink3")
+      .option("checkpointLocation", tmpDir("snapstream_tr_cp3"))
+      .start()
+    try {
+      q3.processAllAvailable()
+      assert(spark.table("snapstrt_sink3").count() == 0L) // head is history
+      spark.sql("INSERT INTO snapstrt.t VALUES (200, 'newer')") // v3
+      q3.processAllAvailable()
+      assert(spark.table("snapstrt_sink3").as[(Long, String)].collect().toSet ==
+        Set((200L, "newer")))
+    } finally q3.stop()
+  }
 }
