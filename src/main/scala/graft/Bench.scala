@@ -83,6 +83,12 @@ object Bench {
     // over 10× files plus the same ~2 boundary-file scans; the
     // clustered-copy write rides the cold pass via the session cache)
     "dedup_lines", "text_bm25", "lake_agg_pushdown",
+    // round-15: the SQL twin of lake_agg_pushdown — the filtered
+    // footer-served aggregate should stay near-flat as files grow 10×
+    // (fixture compact + DML rides the cold pass via the session cache;
+    // the warm number is bounds-derivation + classification + the ~2
+    // boundary-file scans)
+    "lake_sql_agg_filtered",
     // round-11: the DV lifecycle — lake_changes pays the v0–v3 build on
     // the cold pass (clustered writes + DV delete + merge at 10×) and
     // measures the feed's except-diff warm; lake_dv_delete measures the

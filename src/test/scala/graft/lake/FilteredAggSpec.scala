@@ -41,6 +41,14 @@ class FilteredAggSpec extends SparkSpec {
     assert(c1 - c0 >= 1, "at least one interior file must be footer-covered")
     assert(n1 - n0 <= 2, s"boundary scan must stay <= 2 files, got ${n1 - n0}")
     assert(c1 - c0 + (n1 - n0) <= 4)
+    // plan audit: the substituted plan is a union of a LocalRelation
+    // (covered partials) and a parquet scan of ONLY the boundary files
+    // with the range predicate PUSHED — not a full-table scan
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("LocalTableScan"),
+      s"covered partials must plan as LocalTableScan:\n$planStr")
+    assert(planStr.contains("PushedFilters: [IsNotNull(id), GreaterThanOrEqual(id,200)"),
+      s"boundary scan must push the range into parquet:\n$planStr")
   }
 
   test("open-ended and exclusive bounds; equality point") {
@@ -114,6 +122,30 @@ class FilteredAggSpec extends SparkSpec {
       "SELECT count(*) AS n FROM faggg.t WHERE id BETWEEN 100 AND 400").collect().head
     assert(r.getLong(0) == 300L, "DV version: dead row excluded by the scan path")
     assert(PushFilteredAggToManifest.served.get() == s0)
+  }
+
+  test("date-range aggregate on a TIMESTAMP cluster column (the dominant shape)") {
+    val root = tmpDir("fagg_ts")
+    // 365 days of events, clustered by ts into 4 files — the canonical
+    // "how many rows in this date range" maintenance query
+    val df = (0 until 365).flatMap(d => (0 until 4).map(h =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 0$h:00:00").toInstant
+        .plusSeconds(d * 86400L), d.toLong)))
+      .map { case (i, d) => (java.sql.Timestamp.from(i), d) }.toDF("ts", "day")
+    SnapshotLog.write(df, s"$root/t", "overwrite", clusterColumn = Some("ts"), nFiles = 4)
+    register("faggts", root)
+    val (s0, c0, n0) = counters()
+    val r = spark.sql(
+      "SELECT count(*) AS n, min(ts) AS mn, max(ts) AS mx FROM faggts.t " +
+        "WHERE ts BETWEEN TIMESTAMP '2024-02-01 00:00:00' AND TIMESTAMP '2024-11-30 23:59:59'")
+      .collect().head
+    // days 31 .. 334 inclusive = 304 days x 4 rows
+    assert(r.getLong(0) == 304L * 4)
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(r.getTimestamp(2) == java.sql.Timestamp.valueOf("2024-11-30 03:00:00"))
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1 && c1 - c0 >= 1 && n1 - n0 <= 2,
+      s"timestamp range must serve from footers (covered=${c1 - c0}, scanned=${n1 - n0})")
   }
 
   test("time-travel pin aggregates the PINNED version's files") {
