@@ -40,17 +40,26 @@ import org.apache.spark.sql.types._
   *    count dead rows);
   *  - no GROUP BY, no DISTINCT, no FILTER clauses;
   *  - the predicate is a conjunction of `<,<=,>,>=,=` comparisons (and
-  *    redundant IS NOT NULL) between ONE column and foldable literals
-  *    — the parser's `BETWEEN` desugars to exactly this;
+  *    IS NOT NULL) between columns and foldable literals — ONE or
+  *    SEVERAL columns (multi-column ranges are the Z-order payoff:
+  *    `compactZ` gives every file a tight footer interval on each
+  *    dimension, so a two-column box covers interior files on both);
+  *    the parser's `BETWEEN` desugars to exactly this;
   *  - a file is `covered` only when its stats are complete and its
   *    interval lies inside the bounds; STRING columns are never
   *    covered (parquet truncates binary stats — sound for may-contain
   *    pruning, not for exact answers — the [[StatsAgg]] rule);
-  *  - `count(*)` and `count(c)` answer from `rows − nulls_c`;
-  *    `count(x)` for x ≠ c only when every covered file's footer
-  *    declares ZERO x-nulls; `min/max` only on the FILTER column with
-  *    integral/temporal types ([[ManifestAgg.exactMinMax]] — float
-  *    ±0.0 widening and string truncation make footer extrema inexact);
+  *  - counts answer from `rows − nulls`: a covered file's qualifying
+  *    rows are footer-derivable only when AT MOST ONE predicate column
+  *    carries nulls (the null UNION across columns is unknowable) —
+  *    files failing that gate degrade to scanned, never guessed;
+  *    `count(x)` for x outside the predicate columns only when every
+  *    covered file declares ZERO x-nulls; `min/max` only on a FILTER
+  *    column with integral/temporal types ([[ManifestAgg.exactMinMax]]
+  *    — float ±0.0 widening and string truncation make footer extrema
+  *    inexact), and only where every OTHER predicate column is
+  *    null-free in the file (else its footer extremum may belong to a
+  *    disqualified row — degrade to scanned);
   *  - at least one file must actually be covered — otherwise the
   *    rewrite buys nothing over the stock zone-map-pruned scan.
   *
@@ -113,23 +122,35 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
       case c if c.foldable => Some(Literal.create(c.eval(), c.dataType))
       case _ => None
     }
-    var filterCol: Option[String] = None
-    def sameCol(a: AttributeReference): Boolean = filterCol match {
-      case None => filterCol = Some(a.name); true
-      case Some(n) => n == a.name
+    // ── per-column bounds: conjuncts may reference SEVERAL columns ───
+    // (the Z-order payoff: a compactZ'd table has tight footer
+    // intervals on every Z dimension, so a two-column range can cover
+    // interior files on both)
+    final class ColBounds {
+      var lo: Option[Bound] = None
+      var hi: Option[Bound] = None
+      var notNullOnly = true // becomes false once a range bound lands
     }
-    var lo: Option[Bound] = None
-    var hi: Option[Bound] = None
-    val ordOf = scala.collection.mutable.Map.empty[String, Ordering[Any]]
-    def ord: Ordering[Any] = ordOf.getOrElseUpdate(filterCol.get,
-      TypeUtils.getInterpretedOrdering(schema(filterCol.get).dataType))
-    def tightenLo(v: Any, incl: Boolean): Unit = lo = lo match {
-      case Some(b) if ord.gt(b.v, v) || (ord.equiv(b.v, v) && !b.inclusive) => lo
-      case _ => Some(Bound(v, incl))
+    val bounds = scala.collection.mutable.LinkedHashMap.empty[String, ColBounds]
+    def boundsOf(n: String): ColBounds = bounds.getOrElseUpdate(n, new ColBounds)
+    val ordBy = scala.collection.mutable.Map.empty[String, Ordering[Any]]
+    def ordOf(n: String): Ordering[Any] = ordBy.getOrElseUpdate(n,
+      TypeUtils.getInterpretedOrdering(schema(n).dataType))
+    def known(a: AttributeReference): Boolean =
+      schema.fieldNames.contains(a.name) && Metastore.isOrderable(schema(a.name).dataType)
+    def tightenLo(n: String, v: Any, incl: Boolean): Unit = {
+      val b = boundsOf(n); b.notNullOnly = false
+      b.lo = b.lo match {
+        case Some(x) if ordOf(n).gt(x.v, v) || (ordOf(n).equiv(x.v, v) && !x.inclusive) => b.lo
+        case _ => Some(Bound(v, incl))
+      }
     }
-    def tightenHi(v: Any, incl: Boolean): Unit = hi = hi match {
-      case Some(b) if ord.lt(b.v, v) || (ord.equiv(b.v, v) && !b.inclusive) => hi
-      case _ => Some(Bound(v, incl))
+    def tightenHi(n: String, v: Any, incl: Boolean): Unit = {
+      val b = boundsOf(n); b.notNullOnly = false
+      b.hi = b.hi match {
+        case Some(x) if ordOf(n).lt(x.v, v) || (ordOf(n).equiv(x.v, v) && !x.inclusive) => b.hi
+        case _ => Some(Bound(v, incl))
+      }
     }
     // literal values arrive in CATALYST form but must be cast to the
     // COLUMN's type before comparing against (converted) footer stats
@@ -141,38 +162,39 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
           ansiEnabled = false)
         Option(c.eval())
       }
+    def cv(a: AttributeReference, l: Expression): Option[Any] =
+      litOf(l).flatMap(x => catVal(x, schema(a.name).dataType))
     for (c <- conjuncts(cond)) c match {
-      case IsNotNull(a: AttributeReference) if sameCol(a) => // implied by any range
-      case GreaterThan(a: AttributeReference, l) if litOf(l).isDefined && sameCol(a) =>
-        tightenLo(catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None), incl = false)
-      case GreaterThanOrEqual(a: AttributeReference, l) if litOf(l).isDefined && sameCol(a) =>
-        tightenLo(catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None), incl = true)
-      case LessThan(a: AttributeReference, l) if litOf(l).isDefined && sameCol(a) =>
-        tightenHi(catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None), incl = false)
-      case LessThanOrEqual(a: AttributeReference, l) if litOf(l).isDefined && sameCol(a) =>
-        tightenHi(catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None), incl = true)
-      case EqualTo(a: AttributeReference, l) if litOf(l).isDefined && sameCol(a) =>
-        val v = catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None)
-        tightenLo(v, incl = true); tightenHi(v, incl = true)
+      case IsNotNull(a: AttributeReference) if known(a) =>
+        boundsOf(a.name); () // registers the null requirement alone
+      case GreaterThan(a: AttributeReference, l) if known(a) && cv(a, l).isDefined =>
+        tightenLo(a.name, cv(a, l).get, incl = false)
+      case GreaterThanOrEqual(a: AttributeReference, l) if known(a) && cv(a, l).isDefined =>
+        tightenLo(a.name, cv(a, l).get, incl = true)
+      case LessThan(a: AttributeReference, l) if known(a) && cv(a, l).isDefined =>
+        tightenHi(a.name, cv(a, l).get, incl = false)
+      case LessThanOrEqual(a: AttributeReference, l) if known(a) && cv(a, l).isDefined =>
+        tightenHi(a.name, cv(a, l).get, incl = true)
+      case EqualTo(a: AttributeReference, l) if known(a) && cv(a, l).isDefined =>
+        tightenLo(a.name, cv(a, l).get, incl = true)
+        tightenHi(a.name, cv(a, l).get, incl = true)
       // mirrored literal-first forms
-      case GreaterThan(l, a: AttributeReference) if litOf(l).isDefined && sameCol(a) =>
-        tightenHi(catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None), incl = false)
-      case GreaterThanOrEqual(l, a: AttributeReference) if litOf(l).isDefined && sameCol(a) =>
-        tightenHi(catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None), incl = true)
-      case LessThan(l, a: AttributeReference) if litOf(l).isDefined && sameCol(a) =>
-        tightenLo(catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None), incl = false)
-      case LessThanOrEqual(l, a: AttributeReference) if litOf(l).isDefined && sameCol(a) =>
-        tightenLo(catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None), incl = true)
-      case EqualTo(l, a: AttributeReference) if litOf(l).isDefined && sameCol(a) =>
-        val v = catVal(litOf(l).get, schema(a.name).dataType).getOrElse(return None)
-        tightenLo(v, incl = true); tightenHi(v, incl = true)
+      case GreaterThan(l, a: AttributeReference) if known(a) && cv(a, l).isDefined =>
+        tightenHi(a.name, cv(a, l).get, incl = false)
+      case GreaterThanOrEqual(l, a: AttributeReference) if known(a) && cv(a, l).isDefined =>
+        tightenHi(a.name, cv(a, l).get, incl = true)
+      case LessThan(l, a: AttributeReference) if known(a) && cv(a, l).isDefined =>
+        tightenLo(a.name, cv(a, l).get, incl = false)
+      case LessThanOrEqual(l, a: AttributeReference) if known(a) && cv(a, l).isDefined =>
+        tightenLo(a.name, cv(a, l).get, incl = true)
+      case EqualTo(l, a: AttributeReference) if known(a) && cv(a, l).isDefined =>
+        tightenLo(a.name, cv(a, l).get, incl = true)
+        tightenHi(a.name, cv(a, l).get, incl = true)
       case _ => return None // unknown conjunct shape: leave the plan alone
     }
-    val c = filterCol.getOrElse(return None)
-    if (lo.isEmpty && hi.isEmpty) return None // bare IS NOT NULL: stock path
-    if (!schema.fieldNames.contains(c) || !Metastore.isOrderable(schema(c).dataType))
-      return None
-    val dt = schema(c).dataType
+    val predCols = bounds.keys.toSeq
+    if (predCols.isEmpty || bounds.values.forall(_.notNullOnly))
+      return None // no range anywhere: stock path
 
     // ── aggregate shape ──────────────────────────────────────────────
     sealed trait AggKind
@@ -189,71 +211,120 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
         case Count(Seq(l: Literal)) if l.value != null => CountStar
         case Count(Seq(e)) => CountCol(colName(e).getOrElse(return None))
         case Min(e) =>
+          // extrema only on a FILTER column (any other column's extremum
+          // among matching rows is not footer-derivable) and only
+          // exact-footer types
           val n = colName(e).getOrElse(return None)
-          // extrema only on the FILTER column (any other column's
-          // extremum among matching rows is not footer-derivable) and
-          // only exact-footer types
-          if (n != c || !ManifestAgg.exactMinMaxType(dt)) return None
+          if (!predCols.contains(n) || !ManifestAgg.exactMinMaxType(schema(n).dataType))
+            return None
           MinC(n)
         case Max(e) =>
           val n = colName(e).getOrElse(return None)
-          if (n != c || !ManifestAgg.exactMinMaxType(dt)) return None
+          if (!predCols.contains(n) || !ManifestAgg.exactMinMaxType(schema(n).dataType))
+            return None
           MaxC(n)
         case _ => return None
       }
       case _ => return None
     }
+    val extremaCols = kinds.collect { case MinC(n) => n; case MaxC(n) => n }.toSet
 
     // ── classification from the shared footer cache ──────────────────
-    val ordC = TypeUtils.getInterpretedOrdering(dt)
-    val toCat = CatalystTypeConverters.createToCatalystConverter(dt)
-    val stats = SnapshotLog.cachedHarvest(spark, tbl.filePaths, c, dt)
-    val stringCol = dt == StringType
-    def belowLo(v: Any): Boolean = lo.exists(b =>
-      ordC.lt(v, b.v) || (!b.inclusive && ordC.equiv(v, b.v)))
-    def aboveHi(v: Any): Boolean = hi.exists(b =>
-      ordC.gt(v, b.v) || (!b.inclusive && ordC.equiv(v, b.v)))
-    val covered = Seq.newBuilder[StatsAgg.FileStats]
+    val statsBy: Map[String, Map[String, StatsAgg.FileStats]] = predCols.map { cn =>
+      cn -> SnapshotLog.cachedHarvest(spark, tbl.filePaths, cn, schema(cn).dataType)
+        .map(st => st.path -> st).toMap
+    }.toMap
+    val toCatBy = predCols.map(cn => cn ->
+      CatalystTypeConverters.createToCatalystConverter(schema(cn).dataType)).toMap
+    def belowLo(cn: String, v: Any): Boolean = bounds(cn).lo.exists(b =>
+      ordOf(cn).lt(v, b.v) || (!b.inclusive && ordOf(cn).equiv(v, b.v)))
+    def aboveHi(cn: String, v: Any): Boolean = bounds(cn).hi.exists(b =>
+      ordOf(cn).gt(v, b.v) || (!b.inclusive && ordOf(cn).equiv(v, b.v)))
+
+    /** nulls per pred column for a covered candidate (filled in the
+      * loop; only valid when the file classifies covered). */
+    val covered = Seq.newBuilder[(StatsAgg.FileStats, Map[String, Long])]
     val scanned = Seq.newBuilder[String]
     var skippedN = 0
-    for (st <- stats) st match {
-      case StatsAgg.FileStats(p, rows, Some(nulls), _, _) if rows >= 0 && nulls == rows =>
-        skippedN += 1 // every row NULL: a range predicate matches none
-      case StatsAgg.FileStats(p, rows, nullsOpt, Some(mnE), Some(mxE)) if rows >= 0 =>
-        val mn = toCat(mnE); val mx = toCat(mxE)
-        if (aboveHi(mn) || belowLo(mx)) skippedN += 1 // disjoint
-        else if (nullsOpt.isDefined && !stringCol && !belowLo(mn) && !aboveHi(mx))
-          covered += st
-        else scanned += p
-      case StatsAgg.FileStats(p, _, _, _, _) => scanned += p // stats-less: read
+    for (path <- tbl.filePaths) {
+      var anySkip = false
+      var allCovered = true
+      val nullsBy = Map.newBuilder[String, Long]
+      for (cn <- predCols if !anySkip) {
+        val st = statsBy(cn)(path)
+        val stringCol = schema(cn).dataType == StringType
+        st match {
+          case StatsAgg.FileStats(_, rows, Some(nulls), _, _) if rows >= 0 && nulls == rows =>
+            anySkip = true // every row NULL: this predicate matches none
+          case StatsAgg.FileStats(_, rows, nullsOpt, Some(mnE), Some(mxE)) if rows >= 0 =>
+            val mn = toCatBy(cn)(mnE); val mx = toCatBy(cn)(mxE)
+            if (aboveHi(cn, mn) || belowLo(cn, mx)) anySkip = true // disjoint
+            else if (nullsOpt.isDefined && !stringCol &&
+              !belowLo(cn, mn) && !aboveHi(cn, mx)) nullsBy += cn -> nullsOpt.get
+            else allCovered = false
+          case _ => allCovered = false // stats-less: must read
+        }
+      }
+      if (anySkip) skippedN += 1
+      else if (allCovered) {
+        val nb = nullsBy.result()
+        val nonZero = nb.filter(_._2 > 0L).keySet
+        // the null gate: qualifying rows = rows − |rows with a NULL in
+        // any pred column| is only footer-derivable when at most ONE
+        // column carries nulls; footer extrema of column e only belong
+        // to qualifying rows when every OTHER pred column is null-free.
+        // A file failing the gate degrades to scanned (always sound).
+        val ok =
+          if (extremaCols.isEmpty) nonZero.size <= 1
+          else if (extremaCols.size == 1) nonZero.subsetOf(extremaCols)
+          else nonZero.isEmpty
+        if (ok) covered += ((statsBy(predCols.head)(path).copy(
+          nulls = Some(nonZero.headOption.map(nb).getOrElse(0L))), nb))
+        else scanned += path
+      }
+      else scanned += path
     }
-    val cov = covered.result(); val scan = scanned.result()
+    val covPairs = covered.result()
+    val cov = covPairs.map(_._1)
+    val scan = scanned.result()
     if (cov.isEmpty) return None // zone-map pruning already gives this plan
 
     // ── covered partials (driver arithmetic over footer facts) ───────
-    // extra gate for count(x), x != c: x-nulls must be footer-zero in
-    // every covered file, else the count among c-matching rows is
-    // unknowable from footers
+    // extra gate for count(x) with x outside the pred columns: x-nulls
+    // must be footer-zero in every covered file, else the count among
+    // matching rows is unknowable from footers
     for (k <- kinds) k match {
-      case CountCol(x) if x != c =>
+      case CountCol(x) if !predCols.contains(x) =>
         val xs = SnapshotLog.cachedHarvest(spark, cov.map(_.path), x,
           schema.fields.find(_.name == x).getOrElse(return None).dataType)
         if (!xs.forall(s => s.rows >= 0 && s.nulls.contains(0L))) return None
       case _ => ()
     }
-    val fromCat = CatalystTypeConverters.createToScalaConverter(dt)
+    val fromCatBy = predCols.map(cn => cn ->
+      CatalystTypeConverters.createToScalaConverter(schema(cn).dataType)).toMap
+    // per covered file: qualifying rows = rows − nulls of the (single
+    // allowed) null-carrying pred column — folded into `nulls` above
     val coveredRows = cov.map(s => s.rows - s.nulls.get).sum
     val partialSchema = StructType(kinds.zipWithIndex.map {
       case (CountStar | CountCol(_), i) => StructField(s"_a$i", LongType)
-      case (MinC(_) | MaxC(_), i) => StructField(s"_a$i", dt)
+      case (MinC(n), i) => StructField(s"_a$i", schema(n).dataType)
+      case (MaxC(n), i) => StructField(s"_a$i", schema(n).dataType)
     })
-    // covered files' footer extrema are inside [lo,hi] and exact for
-    // the admitted types; all-null covered files cannot exist (the
-    // all-null case classified as skipped above)
+    // covered files' footer extrema lie inside their column's bounds and
+    // are exact for the admitted types; the null gate above guarantees
+    // they belong to qualifying rows
+    def extremum(n: String, wantMax: Boolean): Any = {
+      val ord = ordOf(n); val toC = toCatBy(n)
+      val vals = covPairs.map { case (st, _) =>
+        val full = statsBy(n)(st.path)
+        toC(if (wantMax) full.max.get else full.min.get)
+      }
+      fromCatBy(n)(if (wantMax) vals.max(ord) else vals.min(ord))
+    }
     val coveredRow = Row.fromSeq(kinds.map {
       case CountStar | CountCol(_) => coveredRows
-      case MinC(_) => fromCat(cov.map(s => toCat(s.min.get)).min(ordC))
-      case MaxC(_) => fromCat(cov.map(s => toCat(s.max.get)).max(ordC))
+      case MinC(n) => extremum(n, wantMax = false)
+      case MaxC(n) => extremum(n, wantMax = true)
     })
     val coveredDf = spark.createDataFrame(
       java.util.Collections.singletonList(coveredRow), partialSchema)
@@ -267,11 +338,16 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
         // a redundant IS NOT NULL) — reusing `cond` verbatim would drag
         // RuntimeReplaceable/With wrappers through the name-based
         // transform and break resolution
-        var pred = col(c).isNotNull
-        lo.foreach(b => pred = pred && (
-          if (b.inclusive) col(c) >= lit(fromCat(b.v)) else col(c) > lit(fromCat(b.v))))
-        hi.foreach(b => pred = pred && (
-          if (b.inclusive) col(c) <= lit(fromCat(b.v)) else col(c) < lit(fromCat(b.v))))
+        var pred = col(predCols.head).isNotNull
+        for (cn <- predCols) {
+          pred = pred && col(cn).isNotNull
+          bounds(cn).lo.foreach(b => pred = pred && (
+            if (b.inclusive) col(cn) >= lit(fromCatBy(cn)(b.v))
+            else col(cn) > lit(fromCatBy(cn)(b.v))))
+          bounds(cn).hi.foreach(b => pred = pred && (
+            if (b.inclusive) col(cn) <= lit(fromCatBy(cn)(b.v))
+            else col(cn) < lit(fromCatBy(cn)(b.v))))
+        }
         val partials = kinds.zipWithIndex.map {
           case (CountStar, i) => count(lit(1)).as(s"_a$i")
           case (CountCol(x), i) => count(col(x)).as(s"_a$i")
@@ -293,8 +369,9 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     PushFilteredAggToManifest.served.incrementAndGet()
     PushFilteredAggToManifest.coveredFiles.addAndGet(cov.size.toLong)
     PushFilteredAggToManifest.scannedFiles.addAndGet(scan.size.toLong)
-    logInfo(s"filtered manifest agg on $c: covered=${cov.size} " +
-      s"scanned=${scan.size} skipped=$skippedN of ${stats.size} files")
+    logInfo(s"filtered manifest agg on ${predCols.mkString(",")}: " +
+      s"covered=${cov.size} scanned=${scan.size} skipped=$skippedN " +
+      s"of ${tbl.filePaths.size} files")
 
     // substitute, re-aliased onto the ORIGINAL output ids so references
     // above the aggregate stay resolved (the VectorizeSnapshotDvRead

@@ -148,6 +148,55 @@ class FilteredAggSpec extends SparkSpec {
       s"timestamp range must serve from footers (covered=${c1 - c0}, scanned=${n1 - n0})")
   }
 
+  test("two-column range over a Z-ORDERED table serves from footers on both dimensions") {
+    val root = tmpDir("fagg_z")
+    // 200x200 grid; Z-ordering gives every file a TIGHT interval on
+    // BOTH dimensions — the multi-column coverage payoff (a range-
+    // clustered table can only ever cover on its one cluster column)
+    val df = (0 until 40000).map(i => (i.toLong, (i % 200).toLong, (i / 200).toLong))
+      .toDF("id", "x", "y")
+    SnapshotLog.write(df, s"$root/t", "overwrite")
+    SnapshotLog.compactZ(spark, s"$root/t", Seq("x", "y"), nFiles = 16)
+    register("faggz", root)
+    val (s0, c0, n0) = counters()
+    val r = spark.sql(
+      "SELECT count(*) AS n FROM faggz.t " +
+        "WHERE x BETWEEN 20 AND 179 AND y BETWEEN 20 AND 179").collect().head
+    assert(r.getLong(0) == 160L * 160L)
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1, "the two-column range must serve from footers")
+    assert(c1 - c0 >= 1,
+      "Z-interior files must classify covered on BOTH dimensions")
+    assert(c1 - c0 + (n1 - n0) <= 16)
+  }
+
+  test("a covered file with nulls in TWO pred columns degrades to scanned (null gate)") {
+    val root = tmpDir("fagg_mc")
+    val table = s"$root/t"
+    // file A: clean; file B: same value ranges but nulls in both x and y
+    // — qualifying-row count is not footer-derivable there (the null
+    // union is unknown), so B must take the scan path while A serves
+    val a = (0 until 1000).map(i => (i.toLong,
+      Option((i % 50).toLong), Option((i / 20).toLong))).toDF("id", "x", "y")
+    val b = (0 until 1000).map(i => (i.toLong + 10000,
+      if (i % 10 == 0) None else Some((i % 50).toLong),
+      if (i % 7 == 0) None else Some((i / 20).toLong))).toDF("id", "x", "y")
+    SnapshotLog.write(a.coalesce(1), table, "overwrite")
+    SnapshotLog.write(b.coalesce(1), table, "append")
+    register("faggmc", root)
+    val (s0, c0, n0) = counters()
+    val r = spark.sql(
+      "SELECT count(*) AS n FROM faggmc.t " +
+        "WHERE x BETWEEN 0 AND 49 AND y BETWEEN 0 AND 49").collect().head
+    // A: all 1000 qualify; B: rows with BOTH x and y non-null =
+    // 1000 − (100 + 143 − 15) = 772 (inclusion–exclusion)
+    assert(r.getLong(0) == 1772L)
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1)
+    assert(c1 - c0 == 1L, "only the clean file may serve from footers")
+    assert(n1 - n0 == 1L, "the two-null-column file must degrade to scanned")
+  }
+
   test("time-travel pin aggregates the PINNED version's files") {
     val root = tmpDir("fagg_tt")
     SnapshotLog.write((0 until 100).map(i => (i.toLong, 1)).toDF("id", "b"),
