@@ -506,10 +506,12 @@ object SnapshotLog {
           val column = headRows.head.getString(0)
           val m = headRows.head.getInt(1); val k = headRows.head.getInt(2)
           val batch = spark.read.parquet(abs: _*)
-          if (batch.columns.contains(column))
+          if (batch.columns.contains(column)) {
             BloomIndex.buildFromWith(batch, column, m, k)
               .write.mode("errorifexists").parquet(new Path(cd.getPath,
                 "delta-" + java.util.UUID.randomUUID().toString.take(12)).toString)
+            maybeFoldBloomDeltas(spark, fs, cd.getPath)
+          }
         }
       }
     } catch { case e: Exception =>
@@ -517,6 +519,40 @@ object SnapshotLog {
         s"bloom sidecar auto-index failed for $root (pruning stays sound, " +
           s"freshness decays — see bloomUnindexedProbes): ${e.getMessage}")
     }
+  }
+
+  /** SELF-COMPACTION of a column sidecar: once the delta-dir count
+    * crosses `spark.graft.bloom.maxDeltaDirs` (default 64), fold the
+    * whole tree — base + deltas — into ONE fresh delta dir and delete
+    * the folded inputs. Without this a streaming table accrues one tiny
+    * dir per commit forever and the first probe of every session pays
+    * an O(commits) listing + tiny-file read. Amortized O(sidecar bytes)
+    * once per threshold commits. Duplicate filepath rows (a fold racing
+    * an append) collapse — a file's filter is deterministic for its
+    * life, so any copy is the right copy. Concurrency: the pre-read
+    * LISTING is the delete set, so a racer's delta landing after the
+    * capture survives untouched; a concurrent READER mid-fold can see
+    * duplicates (harmless) or, in the worst case, lose a just-deleted
+    * file mid-scan and fail that one query (the same transient
+    * `buildBloom`'s full rebuild already has — retry reads it fresh). */
+  private def maybeFoldBloomDeltas(spark: SparkSession, fs: FileSystem,
+                                   colDir: Path): Unit = {
+    val maxDeltas = spark.conf.get("spark.graft.bloom.maxDeltaDirs", "64").toInt
+    val entries = fs.listStatus(colDir)
+    val deltaDirs = entries.filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith("delta-"))
+    if (deltaDirs.length <= maxDeltas) return
+    val captured = entries.map(_.getPath.getName).toSet // the delete set
+    val all = spark.read.option("recursiveFileLookup", "true")
+      .parquet(colDir.toString)
+      .dropDuplicates("filepath")
+    val foldDir = new Path(colDir,
+      "delta-fold-" + java.util.UUID.randomUUID().toString.take(12))
+    all.write.mode("errorifexists").parquet(foldDir.toString)
+    for (name <- captured if name != foldDir.getName)
+      fs.delete(new Path(colDir, name), true)
+    MetastoreFileIndex.log.info(
+      s"bloom sidecar folded: ${deltaDirs.length} delta dirs -> 1 at $colDir")
   }
 
   /** Write a checkpoint when the version lands on the interval. Crash

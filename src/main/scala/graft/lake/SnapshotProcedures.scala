@@ -208,6 +208,37 @@ private[lake] object SnapshotProcedures {
         }
         SnapshotLog.setClusterBy(s, p, cols)
         one(UTF8String.fromString(cols.mkString(",")))
+      }),
+
+    ProcDef("table_detail",
+      "One-row operational summary of the head (or AS-OF version): files, bytes, DV debt, layout",
+      Seq(in("table", StringType), inDefault("version", LongType, "NULL")),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("total_bytes", LongType, nullable = false),
+        StructField("n_dirty_files", LongType, nullable = false),
+        StructField("n_dv_files", LongType, nullable = false),
+        StructField("cluster_by", StringType, nullable = true),
+        StructField("bloom_columns", StringType, nullable = true))),
+      (s, p, r) => {
+        // the batched census (one listStatus per token dir) keeps this a
+        // metadata read even on a million-file head — never per-file RPCs
+        val snap = SnapshotLog.state(s, p, optLong(r, 1))
+        val (fs, rootP) = SnapshotLog.fsOf(s, p)
+        val bytes =
+          if (snap.files.isEmpty) 0L
+          else SnapshotLog.fileSizes(fs, rootP, snap.files).values.sum
+        val cb = SnapshotLog.clusterByOf(s, p)
+        val bloomRoot = new org.apache.hadoop.fs.Path(p, "_bloom")
+        val bloomCols =
+          if (!fs.exists(bloomRoot)) Nil
+          else fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory)
+            .map(_.getPath.getName).sorted
+        one(snap.version, snap.files.size.toLong, bytes,
+          snap.dvs.size.toLong, snap.dvs.values.flatten.toSeq.distinct.size.toLong,
+          if (cb.isEmpty) null else UTF8String.fromString(cb.mkString(",")),
+          if (bloomCols.isEmpty) null else UTF8String.fromString(bloomCols.mkString(",")))
       }))
 
   private val byName: Map[String, ProcDef] = defs.map(d => d.name -> d).toMap

@@ -121,6 +121,40 @@ class SnapshotBloomSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.bloom.autoIndex", "true")
   }
 
+  test("sidecar delta dirs self-compact past the threshold; probes unaffected") {
+    val root = tmpDir("snapbloom_fold")
+    val table = s"$root/t"
+    SnapshotLog.write((0 until 4000).map(i =>
+      (i.toLong, ((i * 3571L) % 4000L) * 2L)).toDF("k", "u"),
+      table, "overwrite", clusterColumn = Some("k"), nFiles = 4)
+    SnapshotLog.buildBloom(spark, table, "u", expectedItemsPerFile = 2000)
+    spark.conf.set("spark.sql.catalog.snbf", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snbf.root", root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaDirs(): Int = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$table/_bloom/u"))
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("delta-"))
+    spark.conf.set("spark.graft.bloom.maxDeltaDirs", "3")
+    try {
+      // 6 appends: without folding that is 6 delta dirs; the threshold
+      // folds the tree back to ONE whenever the count crosses 3
+      for (i <- 0 until 6)
+        SnapshotLog.write(Seq((200000L + i, 4211L + 2 * i)).toDF("k", "u"),
+          table, "append")
+      assert(deltaDirs() <= 4, s"delta dirs must fold, got ${deltaDirs()}")
+      // every appended file still indexed: an odd probe prunes the 4
+      // base files and nothing reads unindexed
+      val u0 = SnapshotFileIndex.bloomUnindexedProbes.get()
+      val p0 = SnapshotFileIndex.bloomPrunedFiles.get()
+      assert(spark.sql("SELECT k FROM snbf.t WHERE u = 4221").as[Long].collect()
+        .toSeq == Seq(200005L))
+      assert(SnapshotFileIndex.bloomPrunedFiles.get() - p0 >= 4L)
+      assert(SnapshotFileIndex.bloomUnindexedProbes.get() == u0,
+        "folding must not lose any file's sidecar row")
+    } finally spark.conf.unset("spark.graft.bloom.maxDeltaDirs")
+  }
+
   test("sidecar survives ALTER TABLE RENAME TO (pool-relative re-anchor)") {
     val root = tmpDir("snapbloom_mv")
     spark.conf.set("spark.sql.catalog.snbm", classOf[SnapshotCatalog].getName)

@@ -128,4 +128,26 @@ class SnapshotProceduresSpec extends SparkSpec {
       .asInstanceOf[SnapshotCatalog].listProcedures(Array("system"))
     assert(ids.map(_.name()).toSet.contains("compact"))
   }
+
+  test("table_detail: one metadata row — files, bytes, DV debt, layout, sidecars") {
+    val root = tmpDir("proc_detail")
+    val table = s"$root/t"
+    SnapshotLog.write((0 until 400).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      table, "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    SnapshotLog.setClusterBy(spark, table, Seq("id"))
+    SnapshotLog.buildBloom(spark, table, "id", expectedItemsPerFile = 100)
+    SnapshotLog.delete(spark, table, org.apache.spark.sql.functions.col("id") === 7L)
+    register("prd", root)
+    val r = spark.sql("CALL prd.system.table_detail('t')").collect().head
+    assert(r.getLong(0) == 1L) // head = v1 (the DV delete)
+    assert(r.getLong(1) == 4L) // live files
+    assert(r.getLong(2) > 0L)  // bytes from the batched census
+    assert(r.getLong(3) == 1L) // one dirty file
+    assert(r.getLong(4) == 1L) // one DV parquet
+    assert(r.getString(5) == "id")
+    assert(r.getString(6) == "id")
+    // AS-OF form: v0 has no DV debt
+    val r0 = spark.sql("CALL prd.system.table_detail('t', version => 0)").collect().head
+    assert(r0.getLong(0) == 0L && r0.getLong(3) == 0L && r0.getLong(4) == 0L)
+  }
 }
