@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   * parent heap, not the operators, two rounds running; see the scale-
   * section comment in main for the evidence and the fallback rules
   * (SPARK_GRAFT_NO_FORK=1 forces the old in-session "session_tail").
+  *
+  * WARM-SET ACCEPTANCE GATE (round-16): the warm set is stamped with
+  * the load-canary calib pair at entry, every 30 queries, and at exit
+  * ([[warmLoaded]]); a run branded loaded is re-run once and the
+  * quieter total becomes the artifact. Every output form carries
+  * `loaded` (and `warm_rerun` when the gate fired), and the committed
+  * artifact carries the full stamp trail (`warm_canary`) — round-15's
+  * headline was a loaded run accepted rc 0 because the only stamp
+  * predated the load wave. SPARK_GRAFT_NO_WARM_RERUN=1 disables the
+  * rerun (the flag still lands).
   */
 object Bench {
 
@@ -391,17 +401,49 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
-  private def loadCanaryJson(suffix: String = ""): String = {
-    val st = calibMs(1)
-    val mt = calibMs(Runtime.getRuntime.availableProcessors())
-    val load = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ").head.toDouble
-    } catch { case _: Exception => -1.0 }
-    def f0(v: Double) = String.format(java.util.Locale.ROOT, "%.0f", v: java.lang.Double)
-    val loadStr = String.format(java.util.Locale.ROOT, "%.1f", load: java.lang.Double)
-    s""""calib_ms$suffix":${f0(st)},"calib_mt_ms$suffix":${f0(mt)},"loadavg$suffix":$loadStr"""
+  private def loadavgNow(): Double = try {
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").split(" ").head.toDouble
+  } catch { case _: Exception => -1.0 }
+
+  private[graft] def msF0(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.0f", v: java.lang.Double)
+
+  private def canaryJson(st: Double, mt: Double, suffix: String): String = {
+    val loadStr = String.format(java.util.Locale.ROOT, "%.1f",
+      loadavgNow(): java.lang.Double)
+    s""""calib_ms$suffix":${msF0(st)},"calib_mt_ms$suffix":${msF0(mt)},"loadavg$suffix":$loadStr"""
   }
+
+  private def loadCanaryJson(suffix: String = ""): String =
+    canaryJson(calibMs(1), calibMs(Runtime.getRuntime.availableProcessors()), suffix)
+
+  /** The warm-set acceptance gate (round-16): the warm pass produces
+    * the headline `value`, and round-15's artifact of record was a
+    * LOADED run accepted rc 0 — its single pre-cold stamp predated the
+    * load wave. The warm set is now stamped with the (single-thread,
+    * all-cores) calib pair at ENTRY, every [[warmStampEvery]] queries,
+    * and at EXIT; this predicate brands the run loaded when
+    *  - the all-cores calib drifts > 1.4× across the base stamp and
+    *    the warm stamps (the judge's exit-vs-entry rule, extended to
+    *    mid-set stamps so a transient wave can't hide between the
+    *    endpoints), or
+    *  - the single-thread calib drifts > 1.5× (heavier-than-cores load
+    *    dilates even the one-free-core loop).
+    * Host-independent by construction: only RATIOS between same-run
+    * stamps are compared, never absolute host constants. A run whose
+    * load is constant from before the BASE stamp to the end is
+    * invisible to any self-referential test — the base stamp is taken
+    * as early as possible to shrink that window. */
+  private[graft] def warmLoaded(baseMt: Double, stamps: Seq[(Double, Double)]): Boolean = {
+    if (stamps.isEmpty) return false
+    val mts = (baseMt +: stamps.map(_._2)).filter(_ > 0)
+    val sts = stamps.map(_._1).filter(_ > 0)
+    (mts.size >= 2 && mts.max / mts.min > 1.4) ||
+      (sts.size >= 2 && sts.max / sts.min > 1.5)
+  }
+
+  private val warmStampEvery = 30
 
   /** Accepted isolated-run bands (CPUS=32, quiet host — PLANS round-14)
     * for probes with DOCUMENTED variance: q_skew_join's AQE skew-split
@@ -457,13 +499,21 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
 
+    val nproc = Runtime.getRuntime.availableProcessors()
+
     /** (times of successful queries, first-line error per failed query).
       * Names resolve through `queries` first, then `scaleProbes` (the
-      * bench-only operator configurations). */
-    def run(names: Seq[String], dir: String): (Map[String, Double], Map[String, String]) = {
+      * bench-only operator configurations). With `stamps` given, the
+      * calib pair is appended every [[warmStampEvery]] completed
+      * queries — measured BETWEEN queries (outside every t0 window), so
+      * a load wave arriving mid-set lands in the evidence, not the
+      * times. */
+    def run(names: Seq[String], dir: String,
+            stamps: Option[scala.collection.mutable.Buffer[(Double, Double)]] = None)
+        : (Map[String, Double], Map[String, String]) = {
       val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      names.foreach { name =>
+      names.zipWithIndex.foreach { case (name, i) =>
         val fn = SparkEntry.queries.getOrElse(name, SparkEntry.scaleProbes(name))
         // stderr breadcrumb: scheduler warnings (large task binaries,
         // oversized tasks) interleave here, so a warning is attributable
@@ -476,19 +526,23 @@ object Bench {
         } catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         }
+        stamps.foreach { buf =>
+          if ((i + 1) % warmStampEvery == 0) buf += ((calibMs(1), calibMs(nproc)))
+        }
       }
       (times.toMap, errors.toMap)
     }
 
     // base-run load canary, stamped before the first query (file-line
     // provenance: the stdout budget is spoken for)
-    val baseCanary = loadCanaryJson()
+    val baseSt = calibMs(1)
+    val baseMt = calibMs(nproc)
+    val baseCanary = canaryJson(baseSt, baseMt, "")
     // a forked section child ([[forkSection]]) runs ONLY its scale
     // section: the main scorecard + twins belong to the parent
     val isChild = sys.env.contains("SPARK_GRAFT_SECTION")
     val allNames = if (isChild) Nil else keep(SparkEntry.queries.keys.toSeq.sorted)
     val (cold, coldErrs) = run(allNames, sfDir) // pays codegen compile + JIT
-    val (warm, warmErrs) = run(allNames, sfDir)
 
     // ── operator-vs-anchor split ──
     // the scorecard queries above time operator + exact-verification
@@ -511,8 +565,44 @@ object Bench {
       }
       (times.toMap, errs.toMap)
     }
-    val (_, twinColdErrs) = runTwins()
-    val (opWarm, twinErrs) = runTwins()
+    val (_, twinColdErrs) = runTwins() // twin codegen compile + JIT rides here
+
+    // ── stamped warm set + acceptance gate (round-16, see warmLoaded) ──
+    // entry stamp → warm queries (mid-stamps every 30) → warm twins →
+    // exit stamp. A run branded loaded re-runs ONCE; the quieter total
+    // becomes the artifact, and loaded/warm_rerun ride the JSON so the
+    // artifact of record self-adjudicates instead of needing forensics.
+    final case class WarmSet(times: Map[String, Double], errs: Map[String, String],
+        op: Map[String, Double], opErrs: Map[String, String],
+        stamps: Seq[(Double, Double)]) {
+      def total: Double = times.values.sum
+    }
+    def warmSet(): WarmSet = {
+      val entry = (calibMs(1), calibMs(nproc))
+      val mids = scala.collection.mutable.Buffer.empty[(Double, Double)]
+      val (w, we) = run(allNames, sfDir, Some(mids))
+      val (ow, oe) = runTwins()
+      val exit = (calibMs(1), calibMs(nproc))
+      WarmSet(w, we, ow, oe, (entry +: mids.toSeq) :+ exit)
+    }
+    val firstWarm =
+      if (allNames.isEmpty) WarmSet(Map.empty, Map.empty, Map.empty, Map.empty, Nil)
+      else warmSet()
+    val (warmRes, warmRerun) =
+      if (!warmLoaded(baseMt, firstWarm.stamps) ||
+          sys.env.contains("SPARK_GRAFT_NO_WARM_RERUN")) (firstWarm, Option.empty[WarmSet])
+      else {
+        System.err.println("[bench] warm set branded LOADED " +
+          s"(base mt ${msF0(baseMt)} ms, stamps ${firstWarm.stamps.map(p => msF0(p._2)).mkString("/")}) — re-running once")
+        val second = warmSet()
+        if (second.total <= firstWarm.total) (second, Some(firstWarm))
+        else (firstWarm, Some(second))
+      }
+    val warm = warmRes.times
+    val warmErrs = warmRes.errs
+    val opWarm = warmRes.op
+    val twinErrs = warmRes.opErrs
+    val loaded = warmLoaded(baseMt, warmRes.stamps)
     val errors = coldErrs ++ warmErrs ++ twinColdErrs ++ twinErrs
     // headline total with each anchored query's time replaced by its
     // operator-only twin's — queries without a twin carry no anchor.
@@ -744,10 +834,15 @@ object Bench {
         .mkString("{", ",", "}")
       s""","op_total_sec":${sec3(opTotal)},"op":$qs"""
     }
+    // the warm-set acceptance verdict rides EVERY output form: an
+    // artifact reader must never need forensics to know whether the
+    // headline number was measured quiet
+    val loadedJson = s""","loaded":$loaded""" +
+      warmRerun.fold("")(_ => s""","warm_rerun":true""")
     def render(fmt: Double => String): String = {
       val qs = warm.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonStr(k)}:${fmt(v)}" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errJson,"cold_total_sec":${sec2(coldTotal)}$opJson,"sf":"$sfDir"$sf1Json$sf10Json}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs$errJson,"cold_total_sec":${sec2(coldTotal)}$loadedJson$opJson,"sf":"$sfDir"$sf1Json$sf10Json}"""
     }
     // full 10 ms precision goes to the committed BENCH_FULL.json; the
     // stdout line prefers the full form, degrades per-query values to
@@ -777,8 +872,25 @@ object Bench {
             .getOrElse("unknown")
         }
       } catch { case _: Exception => "unknown" }
+      // warm-set stamp evidence (entry, every 30 queries, exit — each
+      // [single-thread ms, all-cores ms]) + the discarded run's total
+      // when the loaded gate forced a rerun: the full adjudication
+      // trail, file-side only (the stdout budget is spoken for)
+      def stampsJson(ss: Seq[(Double, Double)]): String =
+        ss.map { case (st, mt) => s"[${msF0(st)},${msF0(mt)}]" }.mkString("[", ",", "]")
+      val warmCanary =
+        if (warmRes.stamps.isEmpty) ""
+        else {
+          val mts = baseMt +: warmRes.stamps.map(_._2)
+          val drift = String.format(java.util.Locale.ROOT, "%.2f",
+            (mts.max / mts.min): java.lang.Double)
+          s""","warm_canary":{"stamps":${stampsJson(warmRes.stamps)},"mt_drift":$drift}""" +
+            warmRerun.fold("")(d =>
+              s""","warm_discarded":{"total_sec":${sec3(d.total)},""" +
+                s""""loaded":${warmLoaded(baseMt, d.stamps)},"stamps":${stampsJson(d.stamps)}}""")
+        }
       s""","probe_sha":${jsonStr(gitSha())},"probe_utc":${jsonStr(java.time.Instant.now.toString)}""" +
-        s""","probe_cpus":$cpus,$baseCanary""" +
+        s""","probe_cpus":$cpus,$baseCanary$warmCanary""" +
         (if (only.nonEmpty) ""","filtered":true""" else "")
     }
     val fileLine = fullLine.dropRight(1) + provenance + "}"
@@ -821,7 +933,7 @@ object Bench {
       def form(scalePart: String): String = {
         val fixed =
           s"""{"metric":"total","value":${sec3(total)},"unit":"sec","n_queries":${warm.size},""" +
-            s""""cold_total_sec":${sec2(coldTotal)},"op_total_sec":${sec3(opTotal)},""" +
+            s""""cold_total_sec":${sec2(coldTotal)},"op_total_sec":${sec3(opTotal)}$loadedJson,""" +
             s""""sf":"$sfDir"$scalePart$errJ,"path":"${artifacts.last}""""
         val sorted = warm.toSeq.sortBy { case (k, v) => (-v, k) }
         val budget = 1845 - fixed.length // room for the wrapper + rest fields

@@ -37,16 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolved UpdateTable to SnapshotLog.update's atomic merge-on-read
     // commit (see graft.lake.ResolveSnapshotUpdate)
     ext.injectResolutionRule(session => graft.lake.ResolveSnapshotUpdate(session))
+    // FILTERED aggregate pushdown: `SELECT count/min/max … WHERE c
+    // BETWEEN lo AND hi / IN (…)` over a snapshot table answers covered
+    // files from cached footers and scans only the boundary files
+    // (graft.lake.PushFilteredAggToManifest — the SQL surface of the
+    // API's StatsAgg.rangeAggFiles). MUST run before the DV vectorize
+    // rule: it degrades DV-carrying files per-file to a DV-applying
+    // scan, so it needs to see the raw relation; when it bails, the
+    // vectorize rule right after it takes the relation in the SAME
+    // fixed-point iteration
+    ext.injectResolutionRule(session => graft.lake.PushFilteredAggToManifest(session))
     // vectorized SQL reads of DV-carrying snapshot versions: replaces
     // the row-based whole-version fallback scan with the pruned +
     // pushed + columnar anti-join form (graft.lake.VectorizeSnapshotDvRead)
     ext.injectResolutionRule(session => graft.lake.VectorizeSnapshotDvRead(session))
-    // FILTERED aggregate pushdown: `SELECT count/min/max … WHERE c
-    // BETWEEN lo AND hi` over a snapshot table answers covered files
-    // from cached footers and scans only the boundary files
-    // (graft.lake.PushFilteredAggToManifest — the SQL surface of the
-    // API's StatsAgg.rangeAggFiles)
-    ext.injectResolutionRule(session => graft.lake.PushFilteredAggToManifest(session))
     ext.injectFunction((
       new FunctionIdentifier("geo_mean"),
       new ExpressionInfo(classOf[GeometricMean].getName, "geo_mean"),

@@ -466,6 +466,29 @@ object SparkEntry {
     * the fixture like the DML lifecycle's. */
   private val sqlCallCache = new SessionCache[String]
 
+  /** lake_sql_agg_in's table: lineitem committed one l_linenumber
+    * VALUE per file, so every data file's footer interval on the IN
+    * column is a POINT (min = max) — the layout a CLUSTER BY
+    * l_linenumber write converges to, pinned deterministically so the
+    * IN-list coverage claim holds at any scale factor. */
+  private val sqlAggInCache = new SessionCache[String]
+
+  private def sqlAggInCatalog(s: SparkSession, dir: String): String =
+    sqlAggInCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqlaggin_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"
+      val li = t(s, dir, "lineitem")
+      for ((v, i) <- (1 to 7).zipWithIndex)
+        SnapshotLog.write(li.where(col("l_linenumber") === v).repartition(1),
+          table, if (i == 0) "overwrite" else "append")
+      val cat = s"snapaggin_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      cat
+    }
+
   private def sqlCallCatalog(s: SparkSession, dir: String): String =
     sqlCallCache.getOrElseUpdate(s, dir) {
       val base = s"/tmp/graft_sqlcall_${dirTag(dir)}"
@@ -1563,6 +1586,25 @@ object SparkEntry {
       val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
       val scn = graft.lake.PushFilteredAggToManifest.scannedFiles.get() - scanBefore
       agg.withColumn("footer_covered", lit(cov > 0 && scn <= 2))
+    }),
+
+    // IN-list filtered aggregate pushdown (the other maintenance
+    // shape: `count(*) WHERE k IN (…)`): on a table whose files each
+    // hold ONE k value (what CLUSTER BY k converges to), member-value
+    // files are footer-covered POINTS, non-member files footer-skip —
+    // footer_covered pins that the set classification actually served
+    // (a silent fallback to the scan would return the same numbers)
+    "lake_sql_agg_in" -> ((s, dir) => {
+      val cat = sqlAggInCatalog(s, dir)
+      val covBefore = graft.lake.PushFilteredAggToManifest.coveredFiles.get()
+      val agg = s.sql(
+        s"""SELECT count(*) AS n_rows, count(l_returnflag) AS n_flags,
+           |  min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln
+           |FROM $cat.lineitem
+           |WHERE l_linenumber IN (1, 3, 5)""".stripMargin)
+      agg.collect() // analysis fires the rule; counters read after it
+      val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
+      agg.withColumn("footer_covered", lit(cov > 0))
     }),
 
     // declared CLUSTER BY layout: the CTAS arrived through the
@@ -4204,6 +4246,16 @@ object SparkEntry {
         |  TRUE AS footer_covered
         |FROM pop, b
         |WHERE l_orderkey BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // the IN-list footer-served aggregate must equal the plain
+    // filtered aggregate over the same rows (the fixture holds the
+    // full lineitem population, one l_linenumber value per file)
+    "lake_sql_agg_in" ->
+      """SELECT count(*) AS n_rows, count(l_returnflag) AS n_flags,
+        |  min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln,
+        |  TRUE AS footer_covered
+        |FROM lineitem
+        |WHERE l_linenumber IN (1, 3, 5)""".stripMargin,
 
     // CTAS through the declared-layout write path: same rows as the
     // raw table, and the layout claim holds (files_disjoint TRUE)

@@ -2,7 +2,8 @@ package graft.lake
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -36,15 +37,24 @@ import org.apache.spark.sql.types._
   *
   * SOUNDNESS GATES (any miss leaves the plan untouched — the stock
   * scan with zone-map pruning still runs, never a wrong answer):
-  *  - the version carries NO deletion vectors (footer counts would
-  *    count dead rows);
+  *  - files carrying DELETION VECTORS are never `covered` (their
+  *    footer counts and extrema include dead rows) — they degrade
+  *    per-file to scanned, through the DV-applying read, while the
+  *    clean files of the same version still answer from footers;
+  *    footer-disjoint SKIPS stay sound for DV files because deletion
+  *    only removes values;
   *  - no GROUP BY, no DISTINCT, no FILTER clauses;
   *  - the predicate is a conjunction of `<,<=,>,>=,=` comparisons (and
   *    IS NOT NULL) between columns and foldable literals — ONE or
   *    SEVERAL columns (multi-column ranges are the Z-order payoff:
   *    `compactZ` gives every file a tight footer interval on each
   *    dimension, so a two-column box covers interior files on both);
-  *    the parser's `BETWEEN` desugars to exactly this;
+  *    the parser's `BETWEEN` desugars to exactly this — plus IN-lists
+  *    and OR-of-equalities on one column (the maintenance shape
+  *    `count(*) WHERE k IN (…)`): a file is covered for a set
+  *    constraint only when its footer interval is a POINT (min = max)
+  *    equal to a set member — exactly what a CLUSTER BY k layout
+  *    produces — and skipped when no member lands inside its interval;
   *  - a file is `covered` only when its stats are complete and its
   *    interval lies inside the bounds; STRING columns are never
   *    covered (parquet truncates binary stats — sound for may-contain
@@ -84,13 +94,30 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
   /** One side of the range: value (catalyst form) + inclusivity. */
   private final case class Bound(v: Any, inclusive: Boolean)
 
+  /** An attribute, possibly under a NO-OP same-type cast (what the IN
+    * type-coercion rule inserts even when the column already has the
+    * list's common type). */
+  private object SameTypeAttr {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType == c.child.dataType => unapply(c.child)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get("spark.graft.aggPushdown.filtered", "true").toBoolean)
       return plan
     plan resolveOperatorsUp {
       case agg @ Aggregate(Seq(), aggExprs, Filter(cond, SnapRel(tbl)), _)
-          if agg.resolved && tbl.dvFiles.isEmpty && tbl.filePaths.nonEmpty =>
-        tryRewrite(agg, aggExprs, cond, tbl).getOrElse(agg)
+          if agg.resolved && tbl.filePaths.nonEmpty =>
+        // ADVISORY rule: any unexpected failure degrades to the
+        // untouched plan (the stock scan), never to a failed analysis —
+        // e.g. foldable-but-Unevaluable literals (current_timestamp()
+        // before the optimizer's ComputeCurrentTime substitution)
+        scala.util.Try(tryRewrite(agg, aggExprs, cond, tbl))
+          .toOption.flatten.getOrElse(agg)
     }
   }
 
@@ -119,7 +146,13 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     }
     def litOf(e: Expression): Option[Literal] = e match {
       case l: Literal => Some(l)
-      case c if c.foldable => Some(Literal.create(c.eval(), c.dataType))
+      case c if c.foldable =>
+        // current_timestamp()/current_date()/localtimestamp are foldable
+        // yet Unevaluable until the optimizer substitutes them — this
+        // rule runs at RESOLUTION, so eval() may throw; treat such a
+        // conjunct as non-literal (the matcher bails, stock scan runs)
+        try Some(Literal.create(c.eval(), c.dataType))
+        catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
     // ── per-column bounds: conjuncts may reference SEVERAL columns ───
@@ -129,7 +162,8 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     final class ColBounds {
       var lo: Option[Bound] = None
       var hi: Option[Bound] = None
-      var notNullOnly = true // becomes false once a range bound lands
+      var set: Option[Set[Any]] = None // IN-list / OR-of-points members
+      var notNullOnly = true // becomes false once a range/set bound lands
     }
     val bounds = scala.collection.mutable.LinkedHashMap.empty[String, ColBounds]
     def boundsOf(n: String): ColBounds = bounds.getOrElseUpdate(n, new ColBounds)
@@ -151,6 +185,13 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
         case Some(x) if ordOf(n).lt(x.v, v) || (ordOf(n).equiv(x.v, v) && !x.inclusive) => b.hi
         case _ => Some(Bound(v, incl))
       }
+    }
+    def tightenSet(n: String, vs: Set[Any]): Unit = {
+      val b = boundsOf(n); b.notNullOnly = false
+      // two IN conjuncts on one column intersect (set equality is by
+      // catalyst-value equality — exact for the orderable types known()
+      // admits)
+      b.set = Some(b.set.fold(vs)(_ intersect vs))
     }
     // literal values arrive in CATALYST form but must be cast to the
     // COLUMN's type before comparing against (converted) footer stats
@@ -190,6 +231,34 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
       case EqualTo(l, a: AttributeReference) if known(a) && cv(a, l).isDefined =>
         tightenLo(a.name, cv(a, l).get, incl = true)
         tightenHi(a.name, cv(a, l).get, incl = true)
+      // IN-list: the maintenance shape `count(*) WHERE k IN (…)`. The
+      // IN coercion wraps the attribute in a NO-OP cast to the common
+      // type (`cast(k AS bigint) IN (…)` for a bigint k) — unwrap it.
+      // NULL members never SATISFY a filter (`x IN (1,NULL)` is TRUE
+      // only on a genuine match, else NULL → dropped) so they fold
+      // away; a list that folds to nothing matches no row — bail
+      case In(SameTypeAttr(a), list) if known(a) && list.nonEmpty =>
+        val lits = list.map(litOf)
+        if (lits.exists(_.isEmpty)) return None
+        val vs = lits.flatten.flatMap(l => catVal(l, schema(a.name).dataType))
+        if (vs.isEmpty) return None
+        tightenSet(a.name, vs.toSet)
+      // OR-of-equalities on ONE column ≡ IN-list
+      case o: Or =>
+        def points(e: Expression): Option[(String, Seq[Any])] = e match {
+          case Or(l, r) => for {
+            (nl, vl) <- points(l); (nr, vr) <- points(r) if nl == nr
+          } yield (nl, vl ++ vr)
+          case EqualTo(a: AttributeReference, l) if known(a) && cv(a, l).isDefined =>
+            Some((a.name, Seq(cv(a, l).get)))
+          case EqualTo(l, a: AttributeReference) if known(a) && cv(a, l).isDefined =>
+            Some((a.name, Seq(cv(a, l).get)))
+          case _ => None
+        }
+        points(o) match {
+          case Some((n, vs)) => tightenSet(n, vs.toSet)
+          case None => return None
+        }
       case _ => return None // unknown conjunct shape: leave the plan alone
     }
     val predCols = bounds.keys.toSeq
@@ -243,6 +312,13 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
 
     /** nulls per pred column for a covered candidate (filled in the
       * loop; only valid when the file classifies covered). */
+    // DV-carrying files are never covered: their footer counts and
+    // extrema include DELETED rows. Skips stay sound (deletion only
+    // removes values from the interval); everything else about the file
+    // degrades to scanned, through the DV-applying read below.
+    val dvRel = tbl.dvFiles.keySet
+    def hasDv(path: String): Boolean =
+      dvRel.contains(SnapshotTable.relOf(new Path(path).toUri.getPath))
     val covered = Seq.newBuilder[(StatsAgg.FileStats, Map[String, Long])]
     val scanned = Seq.newBuilder[String]
     var skippedN = 0
@@ -258,15 +334,26 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
             anySkip = true // every row NULL: this predicate matches none
           case StatsAgg.FileStats(_, rows, nullsOpt, Some(mnE), Some(mxE)) if rows >= 0 =>
             val mn = toCatBy(cn)(mnE); val mx = toCatBy(cn)(mxE)
-            if (aboveHi(cn, mn) || belowLo(cn, mx)) anySkip = true // disjoint
+            // set members landing inside the file's footer interval; an
+            // empty survivor set means no row can match (skip); a
+            // covered verdict additionally needs the interval to be a
+            // POINT equal to a member (the CLUSTER BY layout), else the
+            // member count among rows is not footer-derivable
+            val setHit = bounds(cn).set.map(_.filter(v =>
+              !ordOf(cn).lt(v, mn) && !ordOf(cn).gt(v, mx)))
+            if (aboveHi(cn, mn) || belowLo(cn, mx) || setHit.exists(_.isEmpty))
+              anySkip = true // disjoint
             else if (nullsOpt.isDefined && !stringCol &&
-              !belowLo(cn, mn) && !aboveHi(cn, mx)) nullsBy += cn -> nullsOpt.get
+              !belowLo(cn, mn) && !aboveHi(cn, mx) &&
+              setHit.forall(s => ordOf(cn).equiv(mn, mx) &&
+                s.exists(v => ordOf(cn).equiv(v, mn))))
+              nullsBy += cn -> nullsOpt.get
             else allCovered = false
           case _ => allCovered = false // stats-less: must read
         }
       }
       if (anySkip) skippedN += 1
-      else if (allCovered) {
+      else if (allCovered && !hasDv(path)) {
         val nb = nullsBy.result()
         val nonZero = nb.filter(_._2 > 0L).keySet
         // the null gate: qualifying rows = rows − |rows with a NULL in
@@ -347,6 +434,8 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
           bounds(cn).hi.foreach(b => pred = pred && (
             if (b.inclusive) col(cn) <= lit(fromCatBy(cn)(b.v))
             else col(cn) < lit(fromCatBy(cn)(b.v))))
+          bounds(cn).set.foreach(s =>
+            pred = pred && col(cn).isin(s.toSeq.map(fromCatBy(cn)): _*))
         }
         val partials = kinds.zipWithIndex.map {
           case (CountStar, i) => count(lit(1)).as(s"_a$i")
@@ -354,7 +443,14 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
           case (MinC(x), i) => min(col(x)).as(s"_a$i")
           case (MaxC(x), i) => max(col(x)).as(s"_a$i")
         }
-        val scanDf = SnapshotLog.scanKnownFiles(spark, scan, schema)
+        // a scanned file with a deletion vector reads through the
+        // DV-applying form (dead rows anti-joined out); clean-only
+        // boundary sets keep the cheap known-files relation
+        val base =
+          if (scan.exists(hasDv))
+            SnapshotLog.vectorizedCatalogRead(spark, tbl.tablePath, schema, scan, tbl.dvFiles)
+          else SnapshotLog.scanKnownFiles(spark, scan, schema)
+        val scanDf = base
           .where(pred)
           .agg(partials.head, partials.tail: _*)
         coveredDf.unionByName(scanDf)

@@ -241,69 +241,17 @@ object SnapshotLog {
     "" // unreachable
   }
 
-  /** Atomic version claim: create-no-overwrite of the manifest file and
-    * a full write through that single stream. Returns false when the
-    * version is already claimed. THE commit point of the whole module —
-    * an object-store port swaps conditional-put in here and nothing
-    * else changes.
-    *
-    * On the `file:` scheme hadoop's `create(p, overwrite = false)` is
-    * CHECK-THEN-ACT (ChecksumFileSystem tests existence, then creates)
-    * — two same-version claimants racing through the window both
-    * "win" and the second SILENTLY OVERWRITES the first: a lost
-    * commit. There the name is claimed through POSIX O_EXCL
-    * (`Files.createFile`, atomic), and the body lands through the
-    * normal checksummed stream over the placeholder we now own; a
-    * reader of the UUID placeholder sees a torn manifest (magic check)
-    * exactly like any mid-write read. HDFS `create` and object-store
-    * conditional-put are atomic already and take the plain path.
-    *
-    * OWNERSHIP FENCE (local scheme): the placeholder carries this
-    * claimant's UUID, re-verified immediately before the body
-    * overwrite and the whole body re-verified after it — a claimant
-    * stalled past [[TornReclaimGraceMs]] between winning the name and
-    * writing the body can have its placeholder reclaimed and
-    * re-claimed by another committer; without the fence the stalled
-    * writer's late `create(overwrite = true)` would silently bury that
-    * committer's fully-written manifest (a lost commit). With it, the
-    * stalled writer sees a foreign UUID (or a foreign body) and loses
-    * loudly: `false` sends the caller back through the head re-read.
-    * The residual race window shrinks from the multi-second stall to
-    * the microseconds between verify and write — and entering it at
-    * all requires a >5 s stall inside a millisecond code path. */
-  private def tryClaim(fs: FileSystem, p: Path, body: String): Boolean = {
-    val localExclusive = fs.getScheme == "file"
-    val raw = java.nio.file.Paths.get(p.toUri.getPath)
-    val fence = java.util.UUID.randomUUID().toString
-    if (localExclusive) {
-      try {
-        java.nio.file.Files.createFile(raw) // POSIX O_EXCL: the atomic claim
-        java.nio.file.Files.write(raw, fence.getBytes(StandardCharsets.UTF_8))
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => return false
-        case _: java.io.IOException => return false
-      }
-      // fence check: the placeholder must still carry OUR uuid — a
-      // reclaimed-and-re-claimed name means another committer owns the
-      // version now (we stalled past the torn-reclaim grace)
-      val owned = try new String(java.nio.file.Files.readAllBytes(raw),
-        StandardCharsets.UTF_8) == fence
-      catch { case _: java.io.IOException => false }
-      if (!owned) return false
-    }
-    val out =
-      try fs.create(p, localExclusive) // we own the placeholder; else exclusive
-      catch { case _: java.io.IOException => return false }
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (localExclusive) {
-      // post-write fence: the bytes on disk must be OUR body, not a
-      // concurrent re-claimant's — on mismatch the other writer won
-      try new String(java.nio.file.Files.readAllBytes(raw),
-        StandardCharsets.UTF_8) == body
-      catch { case _: java.io.IOException => false }
-    } else true
-  }
+  /** Atomic version claim — THE commit point of the whole module,
+    * dispatched through the [[ClaimStore]] seam: [[PosixExclusiveClaimStore]]
+    * (default — O_EXCL name claim + UUID ownership fence on `file:`,
+    * plain exclusive create elsewhere) or [[ConditionalPutClaimStore]]
+    * (object-store `If-None-Match` semantics: full-body-or-nothing,
+    * one winner, no torn manifests), selected by the Hadoop config key
+    * `graft.claim.store` so racing DRIVERS resolve the same store with
+    * no shared JVM state. Returns false when the version is already
+    * claimed. */
+  private def tryClaim(fs: FileSystem, p: Path, body: String): Boolean =
+    ClaimStore.of(fs).tryClaim(fs, p, body)
 
   // ── log scanning ─────────────────────────────────────────────────
 
@@ -321,20 +269,58 @@ object SnapshotLog {
     LogListing(vers(".mf"), vers(".cp"))
   }
 
+  /** Adjudicate a manifest whose CHECKSUM persistently fails: re-read
+    * the raw bytes with CRC verification out of the way. A stale or
+    * corrupt `.crc` SIDECAR beside a fully-committed body must read as
+    * COMMITTED — classifying it torn would make readers silently serve
+    * the previous version and, past the reclaim grace, let the next
+    * committer DELETE the committed manifest and reissue its version
+    * number (a silent lost commit). The body's own magic/trailer checks
+    * in [[parse]] still adjudicate integrity — a writer genuinely dead
+    * mid-body parses as torn here too. When the raw body parses, the
+    * bad sidecar is REPAIRED (deleted) so future checksummed reads
+    * succeed; repair failure is harmless (this path re-adjudicates). */
+  private def adjudicateChecksumFailure(fs: FileSystem, p: Path): Option[Parsed] =
+    try {
+      val body =
+        if (fs.getScheme == "file")
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p.toUri.getPath)), StandardCharsets.UTF_8)
+        else {
+          // a FRESH handle: setVerifyChecksum on the cached instance
+          // would race every concurrent reader in the JVM
+          val raw = FileSystem.newInstance(p.toUri, fs.getConf)
+          try { raw.setVerifyChecksum(false); readFile(raw, p) }
+          finally raw.close()
+        }
+      val parsed = parse(body)
+      if (parsed.isDefined) {
+        fs match {
+          case cfs: org.apache.hadoop.fs.ChecksumFileSystem =>
+            try { cfs.getRawFileSystem.delete(cfs.getChecksumFile(p), false); () }
+            catch { case _: java.io.IOException => () }
+          case _ => ()
+        }
+      }
+      parsed
+    } catch { case _: java.io.IOException => None }
+
   /** Current committed version, or -1 for a table with no log. A torn
-    * head manifest (crashed writer) is not a committed version — and
-    * neither is one whose checksum persistently fails (a writer dead
-    * between the data flush and the .crc): both fall through to the
-    * newest READABLE version, so commits can reclaim the broken head
-    * ([[nextVersionReclaiming]]) instead of wedging the table. */
+    * head manifest (crashed writer) is not a committed version; one
+    * whose checksum persistently fails is adjudicated on its RAW bytes
+    * ([[adjudicateChecksumFailure]]) — committed when the body parses
+    * (a stale .crc must not hide a commit), torn otherwise — so commits
+    * can reclaim a genuinely broken head ([[nextVersionReclaiming]])
+    * without ever reclaiming a committed one. */
   def currentVersion(spark: SparkSession, table: String): Long = {
     val (fs, root) = fsOf(spark, table)
     val ms = listLog(fs, root).manifests
     ms.reverse.find { v =>
       (try parse(readFile(fs, manifestPath(root, v)))
        catch {
-         case _: org.apache.hadoop.fs.ChecksumException |
-              _: java.io.EOFException => None
+         case _: org.apache.hadoop.fs.ChecksumException =>
+           adjudicateChecksumFailure(fs, manifestPath(root, v))
+         case _: java.io.EOFException => None
        }).isDefined
     }.getOrElse(-1L)
   }
@@ -363,15 +349,19 @@ object SnapshotLog {
       case Some(last) =>
         val p = manifestPath(root, last)
         // a head manifest whose CHECKSUM still fails after readFile's
-        // ~5 s of retries is a writer that died after flushing data but
-        // before the local .crc caught up — treat it as TORN (subject to
-        // the same reclaim grace below) instead of rethrowing, which
-        // would block every future commit until manual cleanup
+        // ~5 s of retries: adjudicate on the RAW bytes first — a stale
+        // .crc beside a COMPLETE body is a committed version and must
+        // never be reclaimed (a silent lost commit); only a body that
+        // itself fails parse (writer died mid-manifest) is TORN,
+        // subject to the same reclaim grace below, instead of
+        // rethrowing — which would block every future commit until
+        // manual cleanup
         val headParsed =
           try parse(readFile(fs, p))
           catch {
-            case _: org.apache.hadoop.fs.ChecksumException |
-                 _: java.io.EOFException => None
+            case _: org.apache.hadoop.fs.ChecksumException =>
+              adjudicateChecksumFailure(fs, p)
+            case _: java.io.EOFException => None
           }
         if (headParsed.isEmpty) {
           val age =
@@ -486,6 +476,55 @@ object SnapshotLog {
     * probed-but-unindexed telemetry
     * ([[SnapshotFileIndex.bloomUnindexedProbes]]) — never the commit.
     * Disable with `spark.graft.bloom.autoIndex = false`. */
+  /** JVM-local amortization state for [[autoIndexBloomSidecars]]:
+    * pool-relative adds DEFERRED past a commit, per qualified bloom
+    * root — (commits since last build, accumulated adds). Deliberately
+    * not persisted: a crashed writer's pending files simply stay
+    * unindexed (probe-side may-contain: never pruned, always scanned —
+    * sound), and the next full build or bin-compaction re-covers them. */
+  private val bloomPendingAdds =
+    new scala.collection.concurrent.TrieMap[String, (Int, Vector[String])]
+
+  /** Sidecar geometry, persisted as the tiny `_geometry` metadata file
+    * (`column,m,k`) beside the filter parquet — ONE small read per
+    * commit instead of the Spark job head(1) costs. Underscore names
+    * are invisible to the parquet reads and exempt from fold deletes.
+    * Read fresh each time (never JVM-cached): a full rebuild may
+    * re-size m to the new data volume, and a stale cached geometry
+    * would append deltas whose bit positions don't match the base. */
+  private def bloomGeometryOf(spark: SparkSession, fs: FileSystem,
+                              colDir: Path): Option[(String, Int, Int)] = {
+    val gp = new Path(colDir, "_geometry")
+    val viaFile =
+      try {
+        if (!fs.exists(gp)) None
+        else readFile(fs, gp).trim.split(',') match {
+          case Array(c, m, k) => Some((c, m.toInt, k.toInt))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    viaFile.orElse {
+      val headRows = spark.read.option("recursiveFileLookup", "true")
+        .option("ignoreMissingFiles", "true").parquet(colDir.toString)
+        .select("colname", "m", "k").head(1)
+      if (headRows.isEmpty) None
+      else {
+        val g = (headRows.head.getString(0), headRows.head.getInt(1),
+          headRows.head.getInt(2))
+        writeBloomGeometry(fs, colDir, g._1, g._2, g._3, overwrite = false)
+        Some(g)
+      }
+    }
+  }
+
+  private def writeBloomGeometry(fs: FileSystem, colDir: Path, column: String,
+                                 m: Int, k: Int, overwrite: Boolean): Unit =
+    try {
+      val out = fs.create(new Path(colDir, "_geometry"), overwrite)
+      try out.write(s"$column,$m,$k".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () } // best-effort cache
+
   private def autoIndexBloomSidecars(spark: SparkSession, fs: FileSystem,
                                      root: Path, adds: Seq[String]): Unit = {
     if (adds.isEmpty) return
@@ -497,15 +536,39 @@ object SnapshotLog {
       if (!fs.exists(bloomRoot)) return
       val colDirs = fs.listStatus(bloomRoot).toSeq.filter(_.isDirectory)
       if (colDirs.isEmpty) return
-      val abs = adds.map(f => fs.makeQualified(new Path(dataRootOf(root), f)).toString)
+      // ── amortization (streaming micro-batch ingest): the delta build
+      // is several Spark jobs ON THE COMMIT CRITICAL PATH, so a table
+      // can defer it — everyCommits > 1 batches up to N commits' adds
+      // into one build; minBytes defers further until the accumulated
+      // batch is worth a job. Deferred files are merely UNINDEXED
+      // (never pruned — sound); a crash forfeits only this JVM's
+      // pending list. Defaults (1, 0) keep the index exactly fresh.
+      val everyN = spark.conf.get("spark.graft.bloom.autoIndex.everyCommits", "1").toInt
+      val minBytes = spark.conf.get("spark.graft.bloom.autoIndex.minBytes", "0").toLong
+      val key = fs.makeQualified(bloomRoot).toString
+      val (prevCommits, prevAdds) = bloomPendingAdds.getOrElse(key, (0, Vector.empty[String]))
+      val batchRel = (prevAdds ++ adds).distinct
+      val absOf = (f: String) => fs.makeQualified(new Path(dataRootOf(root), f)).toString
+      if (everyN > 1 || minBytes > 0) {
+        val commits = prevCommits + 1
+        // trigger on EITHER rule: N commits reached, or (when a byte
+        // floor is configured) the accumulated batch crossed it early
+        val bytesReady = minBytes > 0 && {
+          val sz = batchRel.map(f =>
+            try fs.getFileStatus(new Path(absOf(f))).getLen
+            catch { case _: java.io.IOException => 0L }).sum
+          sz >= minBytes
+        }
+        if (commits < everyN && !bytesReady) {
+          bloomPendingAdds.put(key, (commits, batchRel))
+          return
+        }
+        bloomPendingAdds.remove(key)
+      }
+      val abs = batchRel.map(absOf)
       for (cd <- colDirs) {
-        val existing = spark.read.option("recursiveFileLookup", "true")
-          .parquet(cd.getPath.toString)
-        val headRows = existing.select("colname", "m", "k").head(1)
-        if (headRows.nonEmpty) {
-          val column = headRows.head.getString(0)
-          val m = headRows.head.getInt(1); val k = headRows.head.getInt(2)
-          val batch = spark.read.parquet(abs: _*)
+        bloomGeometryOf(spark, fs, cd.getPath).foreach { case (column, m, k) =>
+          val batch = spark.read.option("ignoreMissingFiles", "true").parquet(abs: _*)
           if (batch.columns.contains(column)) {
             BloomIndex.buildFromWith(batch, column, m, k)
               .write.mode("errorifexists").parquet(new Path(cd.getPath,
@@ -544,12 +607,14 @@ object SnapshotLog {
     if (deltaDirs.length <= maxDeltas) return
     val captured = entries.map(_.getPath.getName).toSet // the delete set
     val all = spark.read.option("recursiveFileLookup", "true")
+      .option("ignoreMissingFiles", "true") // a concurrent fold's deletes
       .parquet(colDir.toString)
       .dropDuplicates("filepath")
     val foldDir = new Path(colDir,
       "delta-fold-" + java.util.UUID.randomUUID().toString.take(12))
     all.write.mode("errorifexists").parquet(foldDir.toString)
-    for (name <- captured if name != foldDir.getName)
+    // underscore names ( _geometry ) are metadata, not folded inputs
+    for (name <- captured if name != foldDir.getName && !name.startsWith("_"))
       fs.delete(new Path(colDir, name), true)
     MetastoreFileIndex.log.info(
       s"bloom sidecar folded: ${deltaDirs.length} delta dirs -> 1 at $colDir")
@@ -1114,6 +1179,12 @@ object SnapshotLog {
       expectedItemsPerFile, fpp)
     val dir = bloomDir(rootP, column)
     df.write.mode("overwrite").parquet(dir.toString)
+    // persist the geometry beside the filters (the overwrite wiped any
+    // previous copy — a full rebuild may legitimately re-size m):
+    // commit-time maintenance then resolves it with one tiny read
+    val m = BloomIndex.optimalBits(expectedItemsPerFile, fpp)
+    writeBloomGeometry(fs, dir, column, m,
+      BloomIndex.optimalHashes(m, expectedItemsPerFile), overwrite = true)
     spark.read.parquet(dir.toString).count()
   }
 
@@ -1134,7 +1205,14 @@ object SnapshotLog {
     if (!fs.exists(dir)) return None
     val prefix = fs.makeQualified(dataRootOf(rootP)).toString + "/"
     val rel = regexp_extract(col("filepath"), "^.*/(data/.*)$", 1)
-    Some(spark.read.option("recursiveFileLookup", "true").parquet(dir.toString)
+    // ignoreMissingFiles (scoped to THIS read): a sidecar self-fold
+    // ([[maybeFoldBloomDeltas]]) deletes its captured inputs after the
+    // fold dir lands, so a reader that listed before the delete would
+    // otherwise fail its whole query mid-scan; skipping the vanished
+    // delta is sound — its rows live on in the fold dir, and a file
+    // with no sidecar row is never pruned (may-contain)
+    Some(spark.read.option("recursiveFileLookup", "true")
+      .option("ignoreMissingFiles", "true").parquet(dir.toString)
       .withColumn("filepath",
         when(rel === lit(""), col("filepath")).otherwise(concat(lit(prefix), rel))))
   }

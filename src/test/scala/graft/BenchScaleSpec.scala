@@ -42,4 +42,30 @@ class BenchScaleSpec extends AnyFunSuite {
       assert(agree <= 2, s"copies $i and $j agree on $agree letters")
     }
   }
+
+  test("warm-set loaded gate: quiet runs pass, drifted or dilated runs brand loaded") {
+    // stamps are (single-thread ms, all-cores ms) pairs; base mt rides
+    // in front. Quiet host: every value within normal jitter → false
+    assert(!Bench.warmLoaded(250, Seq((210, 255), (215, 260), (212, 258))),
+      "a quiet run must not brand loaded")
+    // no stamps (child mode / filtered run): never loaded
+    assert(!Bench.warmLoaded(250, Nil))
+    // the round-15 signature: quiet entry, load wave lands mid-set —
+    // exit all-cores calib > 1.4× entry
+    assert(Bench.warmLoaded(250, Seq((210, 255), (215, 400), (212, 520))),
+      "mid-set mt drift past 1.4x must brand loaded")
+    // load present for the whole warm set but NOT at the base stamp:
+    // the base mt is in the drift pool, so uniform-high warm stamps
+    // still brand loaded
+    assert(Bench.warmLoaded(250, Seq((215, 390), (213, 400), (214, 395))),
+      "uniformly dilated warm stamps vs a quiet base must brand loaded")
+    // heavier-than-cores load dilates even the single-thread loop
+    assert(Bench.warmLoaded(250, Seq((210, 255), (340, 260))),
+      "single-thread drift past 1.5x must brand loaded")
+    // SMT hosts run mt at a constant multiple of st when quiet — a
+    // LEVEL difference between st and mt alone must NOT brand loaded
+    // (only ratios across same-kind stamps count)
+    assert(!Bench.warmLoaded(500, Seq((210, 510), (212, 505), (208, 515))),
+      "a constant st-vs-mt level gap is host topology, not load")
+  }
 }

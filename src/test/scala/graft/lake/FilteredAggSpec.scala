@@ -93,7 +93,7 @@ class FilteredAggSpec extends SparkSpec {
       "count(x) with x-nulls in covered files must NOT serve from footers")
   }
 
-  test("soundness gates fall back: DVs, group-by, strings, avg, disjunction") {
+  test("soundness gates fall back: group-by, strings, avg, mixed-column disjunction") {
     val root = tmpDir("fagg_g")
     SnapshotLog.write((0 until 500).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
       s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 4)
@@ -106,7 +106,7 @@ class FilteredAggSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT id % 2 AS g, count(*) AS n FROM faggg.t WHERE id BETWEEN 0 AND 499 GROUP BY id % 2")
       .collect().length == 2)
-    // OR-predicates refuse (not a single range)
+    // RANGE-disjunctions refuse (not points, not a single range)
     assert(spark.sql(
       "SELECT count(*) AS n FROM faggg.t WHERE id < 10 OR id > 490").collect()
       .head.getLong(0) == 19L)
@@ -116,12 +116,80 @@ class FilteredAggSpec extends SparkSpec {
       .collect().head.getLong(0) > 0L)
     assert(PushFilteredAggToManifest.served.get() == s0,
       "every gated shape must leave the stock plan untouched")
-    // a DV-carrying version must refuse (footer counts see dead rows)
+  }
+
+  test("a DV-carrying file degrades to scanned PER-FILE; clean files still cover") {
+    val root = tmpDir("fagg_dv")
+    SnapshotLog.write((0 until 500).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    register("faggdv", root)
+    // one dead row lands a deletion vector on the [250,374] file: its
+    // footer counts see the dead row, so it must take the DV-applying
+    // scan — while the clean interior file still answers from footers
     SnapshotLog.delete(spark, s"$root/t", col("id") === 250L)
+    val (s0, c0, n0) = counters()
     val r = spark.sql(
-      "SELECT count(*) AS n FROM faggg.t WHERE id BETWEEN 100 AND 400").collect().head
-    assert(r.getLong(0) == 300L, "DV version: dead row excluded by the scan path")
-    assert(PushFilteredAggToManifest.served.get() == s0)
+      "SELECT count(*) AS n FROM faggdv.t WHERE id BETWEEN 100 AND 400").collect().head
+    assert(r.getLong(0) == 300L, "the dead row must be excluded by the DV scan path")
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1,
+      "a stray DV must not disable the whole rewrite (per-file degradation)")
+    assert(c1 - c0 >= 1, "the clean interior file still serves from footers")
+    assert(n1 - n0 >= 1, "the DV-carrying file must be among the scanned")
+  }
+
+  test("IN-list and OR-of-points: point-footer files cover, non-members skip") {
+    val root = tmpDir("fagg_in")
+    val table = s"$root/t"
+    // one k VALUE per file (what CLUSTER BY k converges to): member
+    // files are footer-covered points, non-member files footer-skip
+    for ((k, i) <- (0 until 5).zipWithIndex)
+      SnapshotLog.write((0 until 100).map(j => ((k * 100 + j).toLong, k.toLong))
+        .toDF("id", "k").coalesce(1), table, if (i == 0) "overwrite" else "append")
+    register("faggin", root)
+    val (s0, c0, n0) = counters()
+    val r = spark.sql(
+      "SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM faggin.t WHERE k IN (1, 3)")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (200L, 1L, 3L))
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1 && c1 - c0 == 2 && n1 - n0 == 0,
+      s"both member files must be footer-covered (cov=${c1 - c0}, scan=${n1 - n0})")
+    // OR-of-equalities on one column ≡ IN-list
+    val r2 = spark.sql(
+      "SELECT count(*) AS n FROM faggin.t WHERE k = 0 OR k = 4").collect().head
+    assert(r2.getLong(0) == 200L)
+    assert(counters()._1 == s1 + 1, "OR-of-points must serve like IN")
+    // IN over MULTI-VALUED footer intervals refuses to cover (the
+    // member count inside such a file is not footer-derivable) — and
+    // with zero coverable files the whole rewrite declines
+    val r3 = spark.sql(
+      "SELECT count(*) AS n FROM faggin.t WHERE id IN (50, 450)").collect().head
+    assert(r3.getLong(0) == 2L)
+    assert(counters()._1 == s1 + 1, "non-point files must NOT serve IN from footers")
+    // IN intersected with a range on the same column
+    val r4 = spark.sql(
+      "SELECT count(*) AS n FROM faggin.t WHERE k IN (1, 3) AND k >= 2").collect().head
+    assert(r4.getLong(0) == 100L)
+  }
+
+  test("foldable-but-unevaluable literals (current_timestamp) degrade to the stock scan") {
+    val root = tmpDir("fagg_ct")
+    val df = (0 until 100).map(i => (i.toLong,
+      java.sql.Timestamp.from(java.time.Instant.now().minusSeconds(i * 3600L))))
+      .toDF("id", "ts")
+    SnapshotLog.write(df, s"$root/t", "overwrite", clusterColumn = Some("ts"), nFiles = 2)
+    register("faggct", root)
+    val s0 = PushFilteredAggToManifest.served.get()
+    // current_timestamp() is foldable yet UNEVALUABLE at resolution
+    // (only the optimizer substitutes it): the dominant maintenance
+    // shape must not fail analysis — it runs via the stock scan
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM faggct.t WHERE ts >= current_timestamp() - INTERVAL 7 DAYS")
+      .collect().head.getLong(0)
+    assert(n == 100L, "all fixture rows are younger than 7 days")
+    assert(PushFilteredAggToManifest.served.get() == s0,
+      "the unevaluable bound must fall back, not serve or throw")
   }
 
   test("date-range aggregate on a TIMESTAMP cluster column (the dominant shape)") {

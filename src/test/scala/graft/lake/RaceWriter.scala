@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
   * exactly once. Exit 0 = all commits claimed. */
 object RaceWriter {
   def main(args: Array[String]): Unit = {
-    val Array(table, writerId, nStr) = args
+    // optional 4th arg: claim-store name ("posix" | "conditional-put")
+    val (table, writerId, nStr, store) = args match {
+      case Array(t, w, n)    => (t, w, n, "posix")
+      case Array(t, w, n, s) => (t, w, n, s)
+    }
     val n = nStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -19,6 +23,7 @@ object RaceWriter {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.hadoopConfiguration.set("graft.claim.store", store)
     try {
       val schemaJson = SnapshotLog.state(spark, table).schemaJson
       for (i <- 0 until n) {

@@ -121,6 +121,44 @@ class SnapshotBloomSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.bloom.autoIndex", "true")
   }
 
+  test("amortized auto-indexing: deferred commits batch into ONE delta build") {
+    val root = tmpDir("snapbloom_amort")
+    val table = s"$root/t"
+    SnapshotLog.write((0 until 4000).map(i =>
+      (i.toLong, ((i * 3571L) % 4000L) * 2L)).toDF("k", "u"),
+      table, "overwrite", clusterColumn = Some("k"), nFiles = 4)
+    SnapshotLog.buildBloom(spark, table, "u", expectedItemsPerFile = 2000)
+    // geometry metadata landed beside the filters: per-commit geometry
+    // resolution is one tiny file read, not a head(1) Spark job
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$table/_bloom/u/_geometry")),
+      "buildBloom must persist the _geometry metadata file")
+    spark.conf.set("spark.sql.catalog.snbam", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snbam.root", root)
+    spark.conf.set("spark.graft.bloom.autoIndex.everyCommits", "3")
+    try {
+      SnapshotLog.write(Seq((200000L, 4301L)).toDF("k", "u"), table, "append")
+      SnapshotLog.write(Seq((200001L, 4303L)).toDF("k", "u"), table, "append")
+      // two deferred commits: the new files are UNINDEXED (sound — they
+      // scan, never prune) and the staleness telemetry says so
+      val u0 = SnapshotFileIndex.bloomUnindexedProbes.get()
+      assert(spark.sql("SELECT k FROM snbam.t WHERE u = 4303").as[Long].collect()
+        .toSeq == Seq(200001L))
+      assert(SnapshotFileIndex.bloomUnindexedProbes.get() > u0,
+        "deferred files must read as unindexed before the batched build")
+      // the third commit crosses everyCommits=3: ONE delta build covers
+      // all three pending files
+      SnapshotLog.write(Seq((200002L, 4305L)).toDF("k", "u"), table, "append")
+      val u1 = SnapshotFileIndex.bloomUnindexedProbes.get()
+      assert(spark.sql("SELECT k FROM snbam.t WHERE u = 4301").as[Long].collect()
+        .toSeq == Seq(200000L))
+      assert(spark.sql("SELECT k FROM snbam.t WHERE u = 4305").as[Long].collect()
+        .toSeq == Seq(200002L))
+      assert(SnapshotFileIndex.bloomUnindexedProbes.get() == u1,
+        "one batched build must cover every deferred file")
+    } finally spark.conf.unset("spark.graft.bloom.autoIndex.everyCommits")
+  }
+
   test("sidecar delta dirs self-compact past the threshold; probes unaffected") {
     val root = tmpDir("snapbloom_fold")
     val table = s"$root/t"

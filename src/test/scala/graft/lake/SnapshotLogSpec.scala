@@ -614,6 +614,39 @@ class SnapshotLogSpec extends SparkSpec {
     assert(byId(5L) == "r5-new" && byId(6L) == "r6-new" && byId(100L) == "x")
     assert(byId.size == 41)
   }
+
+  test("a stale .crc beside a COMMITTED head adjudicates committed — never reclaimed") {
+    val t = mkTable()
+    SnapshotLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite") // v0
+    SnapshotLog.write(Seq((2L, "b")).toDF("id", "s"), t, "append") // v1
+    // corrupt ONLY the head manifest's checksum sidecar: the body is a
+    // fully-committed manifest, so readers must keep serving v1 and a
+    // committer must claim v2 — the old torn-head classification would
+    // silently serve v0 and, past the reclaim grace, DELETE v1 and
+    // reissue its version number (a lost commit)
+    val crc = java.nio.file.Paths.get(s"$t/_log/.v${"%012d".format(1)}.mf.crc")
+    assert(java.nio.file.Files.exists(crc), s"fixture expects a local .crc at $crc")
+    // flip the stored checksum bytes but keep the sidecar HEADER valid —
+    // a header-invalid sidecar is silently ignored, not verified
+    val crcBytes = java.nio.file.Files.readAllBytes(crc)
+    crcBytes(crcBytes.length - 1) = (crcBytes(crcBytes.length - 1) ^ 0xff).toByte
+    crcBytes(crcBytes.length - 2) = (crcBytes(crcBytes.length - 2) ^ 0xff).toByte
+    java.nio.file.Files.write(crc, crcBytes)
+    // fresh FileSystem statistics/caches aside, the checksummed read path
+    // now fails persistently for v1 — adjudication must read raw bytes
+    assert(SnapshotLog.currentVersion(spark, t) == 1L,
+      "a corrupt .crc must not hide the committed head")
+    assert(SnapshotLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // and the next commit claims v2 (no reclaim of the committed v1)
+    SnapshotLog.write(Seq((3L, "c")).toDF("id", "s"), t, "append")
+    assert(SnapshotLog.currentVersion(spark, t) == 2L)
+    assert(SnapshotLog.read(spark, t).count() == 3L)
+    // the adjudication REPAIRED the sidecar: the bad .crc is gone, so
+    // the checksummed read path works again for every future reader
+    assert(!java.nio.file.Files.exists(crc),
+      "the stale .crc must be repaired (deleted) once the body adjudicates committed")
+  }
 }
 
 object SnapshotLogSpec {
