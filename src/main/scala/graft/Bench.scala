@@ -134,6 +134,12 @@ object Bench {
     // 4 × scan-bound with zero shuffle growth (no count() collapse
     // risk: the driver loop collects the aggregates itself)
     "text_train_filter",
+    // round-16: the barrier-free local-epochs twin — ONE keyed shuffle
+    // of compact feature rows + one metrics pass for ANY epoch count;
+    // the slope should track the feature scan, and the gap to
+    // text_train_filter above is the per-epoch barrier price made
+    // visible
+    "text_train_filter_local",
     // round-11 batch 2: the expectations gate (narrow annotate +
     // counting pass over 10× orders, no commits), the dense-grid fill
     // (grid rows = keys × span, window per key), the funnel's per-user

@@ -489,6 +489,30 @@ object SparkEntry {
       cat
     }
 
+  /** lake_sql_agg_dv's table: lineitem third-2 clustered by
+    * l_orderkey, then one DV DELETE and NO purge — the head carries a
+    * deletion vector, the state where the zero-job ManifestAgg path is
+    * unavailable and the unfiltered per-file rewrite must serve. */
+  private val sqlAggDvCache = new SessionCache[String]
+
+  private def sqlAggDvCatalog(s: SparkSession, dir: String): String =
+    sqlAggDvCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqlaggdv_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"
+      SnapshotLog.write(t(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(3)) === 0),
+        table, "overwrite", clusterColumn = Some("l_orderkey"), nFiles = 4)
+      SnapshotLog.delete(s, table, col("l_orderkey").isin(42L, 45L))
+      require(SnapshotLog.state(s, table).dvs.nonEmpty,
+        "agg-dv fixture: the head must carry a deletion vector")
+      val cat = s"snapaggdv_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      cat
+    }
+
   private def sqlCallCatalog(s: SparkSession, dir: String): String =
     sqlCallCache.getOrElseUpdate(s, dir) {
       val base = s"/tmp/graft_sqlcall_${dirTag(dir)}"
@@ -1605,6 +1629,25 @@ object SparkEntry {
       agg.collect() // analysis fires the rule; counters read after it
       val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
       agg.withColumn("footer_covered", lit(cov > 0))
+    }),
+
+    // UNFILTERED aggregate over a DV-CARRYING version: the zero-job
+    // ManifestAgg path never sees DV versions, so one stray delete used
+    // to force a full scan — the per-file rewrite serves clean files
+    // from footers and scans only the DV file (through the DV-applying
+    // read, so the dead rows are excluded: the hash check proves it)
+    "lake_sql_agg_dv" -> ((s, dir) => {
+      val cat = sqlAggDvCatalog(s, dir)
+      val covBefore = graft.lake.PushFilteredAggToManifest.coveredFiles.get()
+      val scnBefore = graft.lake.PushFilteredAggToManifest.scannedFiles.get()
+      val agg = s.sql(
+        s"""SELECT count(*) AS n_rows, count(l_returnflag) AS n_flags,
+           |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+           |FROM $cat.lineitem""".stripMargin)
+      agg.collect() // analysis fires the rule; counters read after it
+      val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
+      val scn = graft.lake.PushFilteredAggToManifest.scannedFiles.get() - scnBefore
+      agg.withColumn("footer_covered", lit(cov > 0 && scn >= 1))
     }),
 
     // declared CLUSTER BY layout: the CTAS arrived through the
@@ -2934,6 +2977,23 @@ object SparkEntry {
         .orderBy("feature")
     }),
 
+    // the barrier-free training form: every shard (doc_id % 8) runs all
+    // 3 epochs locally in ONE distributed job, models average by shard
+    // size — TWO barriers total vs epochs + 2 (spec-pinned), the shape
+    // a 1000-executor cluster wants (QualityTrainer.trainLocalEpochs)
+    "text_train_filter_local" -> ((s, dir) => {
+      val r = QualityTrainer.trainLocalEpochs(t(s, dir, "documents"),
+        trainerLexicon, col("lang") === "en", col("doc_id"),
+        epochs = 3, lr = 5.0, shards = 8)
+      import s.implicits._
+      (r.lexicon ++ Seq(
+        ("_bias", r.bias), ("_loss", r.loss),
+        ("_n_correct", r.nCorrect.toDouble), ("_n", r.n.toDouble)))
+        .toDF("feature", "value")
+        .select(col("feature"), round(col("value"), 6).as("value"))
+        .orderBy("feature")
+    }),
+
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_ws_tokens"),
@@ -3484,6 +3544,80 @@ object SparkEntry {
        |  UNION ALL SELECT '_loss', round(CAST(lq AS DOUBLE) / 1000000.0, 6) FROM metrics
        |  UNION ALL SELECT '_n_correct', CAST(ok AS DOUBLE) FROM metrics
        |  UNION ALL SELECT '_n', CAST(n AS DOUBLE) FROM n)
+       |ORDER BY feature""".stripMargin
+  }
+
+  /** Replays [[graft.ops.QualityTrainer.trainLocalEpochs]]: the same
+    * per-epoch CTE chain as [[trainFilterOracle]] but GROUPED BY the
+    * deterministic `doc_id % shards` shard — each shard's local
+    * full-batch epochs replay independently (its gradient sums are
+    * order-free quantized longs), then the shard models average
+    * weighted by shard size through an ORDERED aggregate
+    * (`SUM(… ORDER BY shard)` = the Scala fold's left-association),
+    * and one metrics pass runs at the averaged weights. Plain modulo
+    * is the shard function because hash functions differ across
+    * engines; doc_id is non-negative so Spark's pmod agrees. */
+  private def trainFilterLocalOracle(lexicon: Seq[String], epochs: Int,
+                                     lr: Double, shards: Int): String = {
+    val k = lexicon.size
+    val idx = 0 until k
+    def margin(wRef: String) =
+      s"(${wRef}b" + idx.map(i => s" + $wRef$i * x$i").mkString + ")"
+    val featCols = lexicon.zipWithIndex.map { case (term, i) =>
+      s"""CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, t -> t = '$term')) AS DOUBLE) / len(tk) ELSE 0.0 END AS x$i"""
+    }.mkString(",\n    ")
+    val epochCtes = (1 to epochs).map { e =>
+      val m = margin("w.w")
+      val p = s"(1.0 / (1.0 + exp(-$m)))"
+      val grads = idx.map(i =>
+        s"SUM(CAST(round(($p - y) * x$i * 1000000.0, 0) AS BIGINT)) AS g$i")
+        .mkString(",\n    ") +
+        s",\n    SUM(CAST(round(($p - y) * 1000000.0, 0) AS BIGINT)) AS gb"
+      val updates = idx.map(i =>
+        s"w.w$i - $lr * ((CAST(g.g$i AS DOUBLE) / 1000000.0) / ns.ns) AS w$i")
+        .mkString(",\n    ") +
+        s",\n    w.wb - $lr * ((CAST(g.gb AS DOUBLE) / 1000000.0) / ns.ns) AS wb"
+      s"""g$e AS (
+         |  SELECT f.shard, $grads
+         |  FROM feat f JOIN w${e - 1} w ON f.shard = w.shard
+         |  GROUP BY f.shard),
+         |w$e AS (
+         |  SELECT w.shard, $updates
+         |  FROM w${e - 1} w JOIN g$e g ON w.shard = g.shard
+         |  JOIN ns ON w.shard = ns.shard)"""
+    }.mkString(",\n")
+    val avgCols = (idx.map(i =>
+      s"SUM(ns.ns * w.w$i ORDER BY w.shard) / (SELECT n FROM ntot) AS w$i") :+
+      s"SUM(ns.ns * w.wb ORDER BY w.shard) / (SELECT n FROM ntot) AS wb")
+      .mkString(",\n    ")
+    val mFin = margin("wavg.w")
+    val weightRows = lexicon.zipWithIndex.map { case (term, i) =>
+      s"SELECT '$term' AS feature, round(w$i, 6) AS value FROM wavg"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH feat AS (
+       |  SELECT CAST(doc_id % $shards AS INT) AS shard,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    $featCols
+       |  FROM (SELECT doc_id, $normToks AS tk, lang FROM documents)),
+       |ns AS (SELECT shard, COUNT(*) AS ns FROM feat GROUP BY shard),
+       |ntot AS (SELECT SUM(ns) AS n FROM ns),
+       |w0 AS (SELECT shard, ${idx.map(i => s"0.0 AS w$i").mkString(", ")}, 0.0 AS wb FROM ns),
+       |$epochCtes,
+       |wavg AS (
+       |  SELECT $avgCols
+       |  FROM w$epochs w JOIN ns ON w.shard = ns.shard),
+       |metrics AS (
+       |  SELECT
+       |    SUM(CAST(round((CASE WHEN y = 1.0 THEN ln(1.0 + exp(-$mFin))
+       |                    ELSE ln(1.0 + exp($mFin)) END) * 1000000.0, 0) AS BIGINT)) AS lq,
+       |    SUM(CASE WHEN ($mFin >= 0) = (y = 1.0) THEN 1 ELSE 0 END) AS ok
+       |  FROM feat CROSS JOIN wavg)
+       |SELECT feature, value FROM (
+       |  $weightRows
+       |  UNION ALL SELECT '_bias', round(wb, 6) FROM wavg
+       |  UNION ALL SELECT '_loss', round(CAST(lq AS DOUBLE) / 1000000.0, 6) FROM metrics
+       |  UNION ALL SELECT '_n_correct', CAST(ok AS DOUBLE) FROM metrics
+       |  UNION ALL SELECT '_n', CAST(n AS DOUBLE) FROM ntot)
        |ORDER BY feature""".stripMargin
   }
 
@@ -4246,6 +4380,16 @@ object SparkEntry {
         |  TRUE AS footer_covered
         |FROM pop, b
         |WHERE l_orderkey BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // the DV-version unfiltered aggregate must equal the plain
+    // aggregate over the live population (thirds minus the two
+    // DV-deleted keys) — dead rows excluded by the scan side
+    "lake_sql_agg_dv" ->
+      """SELECT count(*) AS n_rows, count(l_returnflag) AS n_flags,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  TRUE AS footer_covered
+        |FROM lineitem
+        |WHERE l_orderkey % 3 = 0 AND l_orderkey NOT IN (42, 45)""".stripMargin,
 
     // the IN-list footer-served aggregate must equal the plain
     // filtered aggregate over the same rows (the fixture holds the
@@ -5446,6 +5590,8 @@ object SparkEntry {
     // operator's quantization/left-assoc-margin contract (see
     // trainFilterOracle)
     "text_train_filter" -> trainFilterOracle(trainerLexicon, epochs = 3, lr = 5.0),
+    "text_train_filter_local" ->
+      trainFilterLocalOracle(trainerLexicon, epochs = 3, lr = 5.0, shards = 8),
 
     // every Gopher rule re-measured in SQL: whitespace words, trimmed
     // non-empty lines, '#'/'...' counts by replace-length arithmetic

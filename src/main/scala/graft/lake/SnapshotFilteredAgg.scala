@@ -118,7 +118,119 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
         // before the optimizer's ComputeCurrentTime substitution)
         scala.util.Try(tryRewrite(agg, aggExprs, cond, tbl))
           .toOption.flatten.getOrElse(agg)
+      // the UNFILTERED twin, for DV-carrying versions only: clean
+      // versions answer zero-job through the DSv2 ManifestAgg path,
+      // but that path never sees a DV version (it routes to the
+      // DV-applying read) — so `SELECT count(*) FROM t` over a table
+      // with ONE stray delete used to pay a full scan. Here the clean
+      // files answer from footers and only the DV files scan.
+      case agg @ Aggregate(Seq(), aggExprs, SnapRel(tbl), _)
+          if agg.resolved && tbl.dvFiles.nonEmpty && tbl.filePaths.nonEmpty =>
+        scala.util.Try(tryRewriteUnfiltered(agg, aggExprs, tbl))
+          .toOption.flatten.getOrElse(agg)
     }
+  }
+
+  /** `SELECT count/min/max FROM t` (no WHERE) over a DV-carrying
+    * version: per-file classification — clean files with complete
+    * footer stats are covered, DV-carrying or stats-less files scan
+    * through the DV-applying read. Extrema are allowed on any
+    * exact-footer-type column (no predicate exists to disqualify
+    * rows, and parquet footer extrema skip nulls exactly like
+    * MIN/MAX); count(x) answers rows − x-nulls per covered file. */
+  private def tryRewriteUnfiltered(orig: Aggregate,
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      tbl: SnapshotParquetTable): Option[LogicalPlan] = {
+    val schema = tbl.schema()
+    sealed trait AggKind
+    case object CountStar extends AggKind
+    final case class CountCol(name: String) extends AggKind
+    final case class MinC(name: String) extends AggKind
+    final case class MaxC(name: String) extends AggKind
+    def colName(e: Expression): Option[String] = e match {
+      case a: AttributeReference if schema.fieldNames.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    def exactCol(e: Expression): Option[String] =
+      colName(e).filter(n => ManifestAgg.exactMinMaxType(schema(n).dataType))
+    val kinds: Seq[AggKind] = aggExprs.map {
+      case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+        case Count(Seq(l: Literal)) if l.value != null => CountStar
+        case Count(Seq(e)) => CountCol(colName(e).getOrElse(return None))
+        case Min(e) => MinC(exactCol(e).getOrElse(return None))
+        case Max(e) => MaxC(exactCol(e).getOrElse(return None))
+        case _ => return None
+      }
+      case _ => return None
+    }
+    val dvRel = tbl.dvFiles.keySet
+    def hasDv(path: String): Boolean =
+      dvRel.contains(SnapshotTable.relOf(new Path(path).toUri.getPath))
+    val (scan, clean) = tbl.filePaths.partition(hasDv)
+    if (scan.isEmpty || clean.isEmpty) return None // nothing to split
+    // covered partials over the CLEAN files from cached footers; any
+    // incompleteness bails to the stock plan (the vectorize rule takes
+    // the relation in the same fixed-point iteration)
+    val statsBy = scala.collection.mutable.Map.empty[String, Seq[StatsAgg.FileStats]]
+    def statsFor(n: String): Option[Seq[StatsAgg.FileStats]] = {
+      val st = statsBy.getOrElseUpdate(n,
+        SnapshotLog.cachedHarvest(spark, clean, n, schema(n).dataType))
+      if (st.forall(s => s.rows >= 0L && s.nulls.isDefined)) Some(st) else None
+    }
+    def rowsTotal: Option[Long] = {
+      val st = statsBy.getOrElseUpdate(schema.fields.head.name,
+        SnapshotLog.cachedHarvest(spark, clean, schema.fields.head.name,
+          schema.fields.head.dataType))
+      if (st.forall(_.rows >= 0L)) Some(st.map(_.rows).sum) else None
+    }
+    def extremum(n: String, wantMax: Boolean): Option[Any] = statsFor(n).map { st =>
+      val toC = CatalystTypeConverters.createToCatalystConverter(schema(n).dataType)
+      val fromC = CatalystTypeConverters.createToScalaConverter(schema(n).dataType)
+      val ord = TypeUtils.getInterpretedOrdering(schema(n).dataType)
+      // all-null files carry no extrema — they contribute nothing,
+      // exactly like MIN/MAX's null skipping
+      val vals = st.flatMap(s => if (wantMax) s.max else s.min).map(toC)
+      if (vals.isEmpty) null
+      else fromC(if (wantMax) vals.max(ord) else vals.min(ord))
+    }
+    val coveredRow = Row.fromSeq(kinds.map {
+      case CountStar => rowsTotal.getOrElse(return None)
+      case CountCol(n) => statsFor(n).getOrElse(return None)
+        .map(s => s.rows - s.nulls.get).sum
+      case MinC(n) => extremum(n, wantMax = false).getOrElse(return None)
+      case MaxC(n) => extremum(n, wantMax = true).getOrElse(return None)
+    })
+    val partialSchema = StructType(kinds.zipWithIndex.map {
+      case (CountStar | CountCol(_), i) => StructField(s"_a$i", LongType)
+      case (MinC(n), i) => StructField(s"_a$i", schema(n).dataType)
+      case (MaxC(n), i) => StructField(s"_a$i", schema(n).dataType)
+    })
+    val coveredDf = spark.createDataFrame(
+      java.util.Collections.singletonList(coveredRow), partialSchema)
+    val partials = kinds.zipWithIndex.map {
+      case (CountStar, i) => count(lit(1)).as(s"_a$i")
+      case (CountCol(x), i) => count(col(x)).as(s"_a$i")
+      case (MinC(x), i) => min(col(x)).as(s"_a$i")
+      case (MaxC(x), i) => max(col(x)).as(s"_a$i")
+    }
+    val scanDf = SnapshotLog
+      .vectorizedCatalogRead(spark, tbl.tablePath, schema, scan, tbl.dvFiles)
+      .agg(partials.head, partials.tail: _*)
+    val folds = kinds.zipWithIndex.map {
+      case (CountStar | CountCol(_), i) => coalesce(sum(col(s"_a$i")), lit(0L)).as(s"_a$i")
+      case (MinC(_), i) => min(col(s"_a$i")).as(s"_a$i")
+      case (MaxC(_), i) => max(col(s"_a$i")).as(s"_a$i")
+    }
+    val finalDf = coveredDf.unionByName(scanDf).agg(folds.head, folds.tail: _*)
+    PushFilteredAggToManifest.served.incrementAndGet()
+    PushFilteredAggToManifest.coveredFiles.addAndGet(clean.size.toLong)
+    PushFilteredAggToManifest.scannedFiles.addAndGet(scan.size.toLong)
+    logInfo(s"unfiltered manifest agg on DV version: covered=${clean.size} " +
+      s"scanned=${scan.size} of ${tbl.filePaths.size} files")
+    val child = finalDf.queryExecution.analyzed
+    Some(Project(orig.output.zip(child.output).map { case (o, r) =>
+      Alias(r, o.name)(exprId = o.exprId)
+    }, child))
   }
 
   private def tryRewrite(orig: Aggregate,

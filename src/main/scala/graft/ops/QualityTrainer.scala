@@ -71,7 +71,12 @@ object QualityTrainer {
     * so the caller-visible contract is "features once, then |lexicon|
     * doubles per doc". */
   def featureTable(docs: DataFrame, lexicon: Seq[String], label: Column,
-                   textCol: String = "text"): DataFrame = {
+                   textCol: String = "text"): DataFrame =
+    featureTableWith(docs, lexicon, label, textCol, Nil)
+
+  private def featureTableWith(docs: DataFrame, lexicon: Seq[String],
+                               label: Column, textCol: String,
+                               extra: Seq[Column]): DataFrame = {
     require(lexicon.nonEmpty, "empty lexicon: nothing to train")
     require(lexicon.distinct.size == lexicon.size,
       s"duplicate lexicon terms: ${lexicon.diff(lexicon.distinct).mkString(",")}")
@@ -81,12 +86,12 @@ object QualityTrainer {
     docs
       .withColumn("_tk", TextAnalysis.tokensCol(col(textCol)))
       .select(
-        label.cast("double").as("y") +:
+        (label.cast("double").as("y") +:
         lexicon.zipWithIndex.map { case (term, k) =>
           when(n > 0,
             size(filter(tk, t => t === term)).cast("double") / n)
             .otherwise(lit(0.0)).as(s"x$k")
-        }: _*)
+        }) ++ extra: _*)
   }
 
   /** margin = ((b + w0·x0) + w1·x1) + … — the left-associative chain of
@@ -133,6 +138,116 @@ object QualityTrainer {
         sum(when((margin >= 0) === (col("y") === 1.0), 1L).otherwise(0L))
           .as("ok")).head()
       TrainResult(lexicon, w, b, m.getLong(0).toDouble / Scale, m.getLong(1), n)
+    } finally feats.unpersist()
+  }
+
+  /** [[train]]'s fixed-point grid rounding as a LOCAL function — the
+    * exact semantics of Spark's `round(v·1e6, 0)` (and DuckDB's
+    * `round`): the double's exact binary value, scale 0, HALF UP away
+    * from zero. `math.round`/`floor(v+0.5)` differ on negative halves
+    * and on the largest-double-below-.5 FP-carry edge; BigDecimal over
+    * the exact binary value is what both engines actually compute. */
+  private def q6(v: Double): Long =
+    new java.math.BigDecimal(v).setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** LOCAL-EPOCHS training with model averaging (Zinkevich et al.,
+    * "Parallelized Stochastic Gradient Descent", NIPS'10) — the
+    * barrier-free scale form of [[train]].
+    *
+    * Why it exists: exact full-batch GD is information-theoretically
+    * one GLOBAL sync per epoch (each update needs the corpus-wide
+    * gradient at the just-updated weights), so [[train]] pays
+    * `epochs + 2` driver-barriered jobs — the many-sync shape that
+    * straggler-amplifies on a 1000-executor cluster. Here the corpus
+    * shards DETERMINISTICALLY by `pmod(key, shards)`, each shard runs
+    * ALL `epochs` full-batch epochs locally over its own rows, and the
+    * final model is the shard-size-weighted average folded in shard
+    * order. Total distributed cost: ONE training job (a single keyed
+    * shuffle of the compact feature rows) + ONE metrics pass — two
+    * barriers for ANY epoch count (spec-pinned).
+    *
+    * Memory contract: one shard's feature rows ((|lexicon|+1) doubles
+    * per doc) must fit an executor — size `shards` so that
+    * `corpus_docs × 8(k+1) / shards` is comfortably under executor
+    * memory. At 10⁹ docs × 17 features × 8 B ≈ 136 GB total, 256
+    * shards ≈ 0.5 GB each.
+    *
+    * Exactness contract (a SQL oracle replays this bit-for-bit, the
+    * same discipline as [[train]]):
+    *  - shard id is PLAIN MODULO of a caller-named numeric key (hash
+    *    functions differ across engines);
+    *  - per-doc margins are the same left-associative chain as
+    *    [[marginCol]]; contributions quantize through [[q6]] (the
+    *    engines' shared round-half-away-from-zero on the exact binary
+    *    double); per-shard gradient sums are order-free LONGS, so any
+    *    iteration order inside a shard yields the same model;
+    *  - the average `Σ_s n_s·w_s / N` folds in ASCENDING shard order
+    *    (`SUM(… ORDER BY shard)` on the oracle side).
+    *
+    * The averaged model is NOT the full-batch optimum — it is the
+    * standard local-epochs trade (k× fewer syncs; shard models agree
+    * as shard distributions do). The spec pins determinism under
+    * repartitioning, sign/classification parity with [[train]] on the
+    * test corpus, and the two-barrier job count. */
+  def trainLocalEpochs(docs: DataFrame, lexicon: Seq[String], label: Column,
+                       key: Column, epochs: Int, lr: Double, shards: Int,
+                       textCol: String = "text"): TrainResult = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(lr > 0.0, s"lr must be positive, got $lr")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val k = lexicon.size
+    val feats = featureTableWith(docs, lexicon, label, textCol,
+      Seq(pmod(key.cast("long"), lit(shards.toLong)).cast("int").as("_shard"))).cache()
+    try {
+      val models = feats
+        .select(col("_shard") +: col("y") +: (0 until k).map(i => col(s"x$i")): _*)
+        .rdd
+        .map(r => (r.getInt(0),
+          (r.getDouble(1), Array.tabulate(k)(i => r.getDouble(i + 2)))))
+        .groupByKey(shards)
+        .map { case (s, rows) =>
+          val n = rows.size.toLong
+          var w = new Array[Double](k)
+          var b = 0.0
+          var e = 0
+          while (e < epochs) {
+            val gq = new Array[Long](k + 1)
+            rows.foreach { case (y, x) =>
+              var m = b
+              var i = 0
+              while (i < k) { m += w(i) * x(i); i += 1 } // left-assoc chain
+              val err = 1.0 / (1.0 + math.exp(-m)) - y
+              i = 0
+              while (i < k) { gq(i) += q6(err * x(i) * Scale); i += 1 }
+              gq(k) += q6(err * Scale)
+            }
+            val w2 = new Array[Double](k)
+            var i = 0
+            while (i < k) {
+              w2(i) = w(i) - lr * ((gq(i).toDouble / Scale) / n); i += 1
+            }
+            w = w2
+            b = b - lr * ((gq(k).toDouble / Scale) / n)
+            e += 1
+          }
+          (s, w, b, n)
+        }
+        .collect().sortBy(_._1)
+      require(models.nonEmpty, "empty corpus: nothing to train")
+      val n = models.map(_._4).sum
+      // shard-size-weighted average, folded in ascending shard order
+      val wAvg = Array.tabulate(k)(i =>
+        models.foldLeft(0.0) { case (acc, (_, w, _, ns)) => acc + ns * w(i) } / n)
+      val bAvg = models.foldLeft(0.0) { case (acc, (_, _, b, ns)) => acc + ns * b } / n
+      val margin = marginCol(wAvg, bAvg)
+      val softplusLoss =
+        when(col("y") === 1.0, log(lit(1.0) + exp(-margin)))
+          .otherwise(log(lit(1.0) + exp(margin)))
+      val m = feats.agg(
+        sum(quantized(softplusLoss)).as("lq"),
+        sum(when((margin >= 0) === (col("y") === 1.0), 1L).otherwise(0L))
+          .as("ok")).head()
+      TrainResult(lexicon, wAvg, bAvg, m.getLong(0).toDouble / Scale, m.getLong(1), n)
     } finally feats.unpersist()
   }
 }

@@ -75,15 +75,33 @@ object ChangeRelay {
     * atomic dir per version. Returns the versions published by THIS
     * call (empty when the outbox is already at the table head).
     * Safe to call from anywhere — a timer, a commit hook, a
-    * foreachBatch — and safe to call twice. */
+    * foreachBatch — and safe to call twice.
+    *
+    * CATCH-UP is batched: a backlog of `batchThreshold`+ versions is
+    * read as ONE change-feed range (`readChanges(from, head)` spans
+    * versions) written in ONE job partitioned by commit version, then
+    * the per-version partition dirs rename into the outbox in
+    * ASCENDING order — the one-atomic-dir-per-version contract (and
+    * the cursor's "max dir implies all below" property) is preserved
+    * while a 10k-commit backlog pays ~one job instead of 10k
+    * sequential job latencies. Row-less versions in the range
+    * (compact/purge) publish as empty marker dirs, exactly what their
+    * serial publication contributes to a consumer: nothing. If the
+    * range read refuses (an overwrite without `allowFullDiff`) or the
+    * batched write fails, the serial per-version loop below takes over
+    * — its idempotent skip makes mixing the two paths safe. */
   def relay(spark: SparkSession, table: String, outbox: String,
-            allowFullDiff: Boolean = false): Seq[Long] = {
+            allowFullDiff: Boolean = false, batchThreshold: Int = 4): Seq[Long] = {
     val head = SnapshotLog.currentVersion(spark, table)
     val from = relayedVersion(spark, outbox)
     if (head <= from) return Nil
     val out = new Path(outbox)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(out)
+    if (head - from >= batchThreshold) {
+      try return relayRange(spark, table, out, fs, from, head, allowFullDiff)
+      catch { case scala.util.control.NonFatal(_) => () } // serial decides the error
+    }
     val published = Seq.newBuilder[Long]
     for (v <- (from + 1) to head) {
       val dest = versionDir(out, v)
@@ -98,6 +116,40 @@ object ChangeRelay {
         else fs.delete(stage, true)
       }
     }
+    published.result()
+  }
+
+  /** The batched catch-up: one range read, one partitioned write, then
+    * in-order renames. Outbox file content matches the serial path's —
+    * the partition column is a DUPLICATE of `_commit_version`, so the
+    * data files keep the real column the consumers' schema names. */
+  private def relayRange(spark: SparkSession, table: String, out: Path,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         from: Long, head: Long,
+                         allowFullDiff: Boolean): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val stageRoot = new Path(out,
+      s".stage-range-${java.util.UUID.randomUUID().toString.take(12)}")
+    SnapshotLog.readChanges(spark, table, from, Some(head), allowFullDiff)
+      .withColumn("__graft_cv", col("_commit_version"))
+      .write.mode("errorifexists").partitionBy("__graft_cv")
+      .parquet(stageRoot.toString)
+    val published = Seq.newBuilder[Long]
+    try {
+      for (v <- (from + 1) to head) {
+        val dest = versionDir(out, v)
+        if (!fs.exists(dest)) {
+          val stage = new Path(stageRoot, s"__graft_cv=$v")
+          if (fs.exists(stage)) {
+            // a lost race means a concurrent relay published v first —
+            // drop ours (idempotency key = the dir), keep going
+            if (fs.rename(stage, dest)) published += v
+          } else if (fs.mkdirs(dest)) {
+            published += v // row-less commit: the marker dir alone
+          }
+        }
+      }
+    } finally fs.delete(stageRoot, true)
     published.result()
   }
 

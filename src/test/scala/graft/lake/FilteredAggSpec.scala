@@ -138,6 +138,36 @@ class FilteredAggSpec extends SparkSpec {
     assert(n1 - n0 >= 1, "the DV-carrying file must be among the scanned")
   }
 
+  test("UNFILTERED aggregate on a DV version: clean files from footers, DV file scans") {
+    val root = tmpDir("fagg_udv")
+    SnapshotLog.write((0 until 400).map(i =>
+      (i.toLong, if (i % 4 == 0) None else Some(i.toLong))).toDF("id", "v"),
+      s"$root/t", "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    register("faggudv", root)
+    // clean version: the zero-job DSv2 ManifestAgg path owns it — the
+    // resolution rule must NOT claim it
+    val s0 = PushFilteredAggToManifest.served.get()
+    val m0 = ManifestAgg.served.get()
+    assert(spark.sql("SELECT count(*) AS n FROM faggudv.t").collect().head.getLong(0) == 400L)
+    assert(PushFilteredAggToManifest.served.get() == s0)
+    assert(ManifestAgg.served.get() == m0 + 1, "clean version: ManifestAgg serves")
+    // one dead row lands a DV on the [100,199] file: count/min/max must
+    // now serve the 3 clean files from footers and scan ONLY that file
+    SnapshotLog.delete(spark, s"$root/t", col("id") === 150L)
+    val (s1, c1, n1) = counters()
+    val r = spark.sql(
+      "SELECT count(*) AS n, count(v) AS nv, min(id) AS mn, max(id) AS mx FROM faggudv.t")
+      .collect().head
+    // 399 live rows; v null where id % 4 == 0 (100 nulls, the deleted
+    // id=150 is non-null) -> count(v) = 299
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (399L, 299L, 0L, 399L))
+    val (s2, c2, n2) = counters()
+    assert(s2 == s1 + 1, "the DV version must serve through the unfiltered rewrite")
+    assert(c2 - c1 == 3L, "the three clean files answer from footers")
+    assert(n2 - n1 == 1L, "only the DV-carrying file scans")
+  }
+
   test("IN-list and OR-of-points: point-footer files cover, non-members skip") {
     val root = tmpDir("fagg_in")
     val table = s"$root/t"

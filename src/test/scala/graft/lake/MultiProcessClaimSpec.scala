@@ -1,6 +1,7 @@
 package graft.lake
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** CROSS-PROCESS commit-claim race: two JVMs (this test JVM + a forked
   * [[RaceWriter]] child) hammer metadata-only commits at one shared
@@ -92,6 +93,91 @@ class MultiProcessClaimSpec extends SparkSpec {
 
   test("two JVMs racing through the CONDITIONAL-PUT claim store") {
     raceTwoJvms(tmpDir("mpclaim_cput"), "conditional-put")
+  }
+
+  test("maintenance races a STREAMING ingest from another JVM: every row exactly once") {
+    val root = tmpDir("mpstream")
+    val table = s"$root/t"
+    val epochs = 10
+    val per = 20
+    // seed with deliberately small files so compactBin has work, and
+    // rows the parent can delete so purgeDeletes has vectors to purge
+    SnapshotLog.write((0 until 50).map(i => (1000000L + i, s"seed$i"))
+      .toDF("id", "s").repartition(5), table, "overwrite")
+
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ opens ++ Seq(
+      "-Xmx1g", "-Dspark.ui.enabled=false",
+      "-cp", sys.props("java.class.path"),
+      "graft.lake.StreamIngestWriter", root, "t",
+      epochs.toString, per.toString)).toList
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val child = pb.start()
+
+    // the parent's maintenance loop, racing the child's micro-batch
+    // epochs: DV deletes, bin-compaction, purges — every op planned
+    // against a head the child keeps moving, so CMEs are EXPECTED and
+    // absorbed; what may never happen is a lost or doubled row
+    var deleted = 0
+    var ops = 0
+    try {
+      while (child.isAlive) {
+        try {
+          if (deleted < 10) {
+            SnapshotLog.delete(spark, table, col("id") === (1000000L + deleted))
+            deleted += 1
+          }
+          SnapshotLog.compactBin(spark, table,
+            targetBytes = 1L * 1024 * 1024, smallBytes = 512L * 1024)
+          SnapshotLog.purgeDeletes(spark, table)
+          ops += 3
+        } catch {
+          case _: java.util.ConcurrentModificationException => ()
+          case _: java.io.FileNotFoundException => () // a racer moved the head mid-plan
+        }
+        Thread.sleep(50)
+      }
+    } finally {
+      val rc = child.waitFor()
+      assert(rc == 0, s"streaming-ingest child JVM exited $rc")
+    }
+    assert(ops >= 3, "the maintenance loop must have actually raced the ingest")
+
+    // audit: every ingested id exactly once, surviving seeds intact
+    val rows = SnapshotLog.read(spark, table)
+      .select("id").as[Long].collect().toSeq
+    assert(rows.size == rows.distinct.size, "no row may land twice")
+    val ingested = rows.filter(_ < 1000000L).sorted
+    assert(ingested == (0L until (epochs.toLong * per)).toSeq,
+      s"every streamed row exactly once (got ${ingested.size} of ${epochs * per})")
+    val seeds = rows.filter(_ >= 1000000L)
+    assert(seeds.size == 50 - deleted,
+      s"seeds must survive minus the $deleted deleted (got ${seeds.size})")
+    assert(seeds.forall(id => id - 1000000L >= deleted))
+    // staging accounting: maintenance ops that LOST their commit race
+    // abandon their rewrite token dirs — expected debris the vacuum
+    // path owns. The audit: expireOrphans reclaims them WITHOUT
+    // touching any live row, and a second sweep finds nothing left
+    // (streaming stage dirs all renamed into their epoch tokens — a
+    // leak here would re-appear as a second-sweep orphan)
+    val before = SnapshotLog.read(spark, table).count()
+    SnapshotLog.expireOrphans(spark, table, graceMs = 0L)
+    assert(SnapshotLog.read(spark, table).count() == before,
+      "orphan reclaim must not touch live rows")
+    assert(SnapshotLog.expireOrphans(spark, table, graceMs = 0L).isEmpty,
+      "after one sweep the pool must hold no unreferenced dirs")
   }
 
   test("conditional-put one-winner semantics under a same-name thread storm") {

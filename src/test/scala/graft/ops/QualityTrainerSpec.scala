@@ -55,6 +55,53 @@ class QualityTrainerSpec extends SparkSpec {
     assert(a.bias === b.bias && a.loss === b.loss)
   }
 
+  test("local-epochs training: deterministic, sign-correct, TWO jobs for ANY epoch count") {
+    val docs = corpus()
+    val lex = Seq("alpha", "spam")
+    val r = trainLocalEpochs(docs, lex, col("label") === 1, col("doc_id"),
+      epochs = 10, lr = 5.0, shards = 3)
+    // sign/classification parity with the full-batch form on the
+    // separable corpus (the averaged model is NOT the full-batch
+    // optimum — the local-epochs trade — but it must classify alike)
+    val w = r.lexicon.toMap
+    assert(w("alpha") > 0 && w("spam") < 0, s"signs must track the labels: $w")
+    assert(r.nCorrect === 6L && r.n === 6L)
+    // deterministic under ANY input partitioning: shards are doc-keyed
+    // (doc_id % shards, never partition-derived) and per-shard gradient
+    // sums are order-free quantized longs
+    val r1 = trainLocalEpochs(docs.repartition(1), lex, col("label") === 1,
+      col("doc_id"), epochs = 10, lr = 5.0, shards = 3)
+    val r7 = trainLocalEpochs(docs.repartition(7), lex, col("label") === 1,
+      col("doc_id"), epochs = 10, lr = 5.0, shards = 3)
+    assert(r1.weights.toSeq === r.weights.toSeq && r7.weights.toSeq === r.weights.toSeq,
+      "weights must not depend on partitioning")
+    assert(r1.bias === r.bias && r7.bias === r.bias && r1.loss === r.loss)
+    // THE structural claim vs train(): one training job (the keyed
+    // shuffle + local epochs) + one metrics pass (AQE may stage it as
+    // two jobs) — CONSTANT in epochs, where the full-batch form pays a
+    // barrier per epoch. Pinned as a ratio at the same epoch count.
+    def jobsOf(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, "job-count pin", interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      def read: Int = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var tries = 0
+      while (read < 1 && tries < 60) { Thread.sleep(50); tries += 1 } // listener-bus lag
+      Thread.sleep(200)
+      read
+    }
+    val localJobs = jobsOf("qt_local_jobs") {
+      trainLocalEpochs(docs, lex, col("label") === 1, col("doc_id"),
+        epochs = 25, lr = 5.0, shards = 3); ()
+    }
+    val fullJobs = jobsOf("qt_full_jobs") {
+      train(docs, lex, col("label") === 1, epochs = 25, lr = 5.0); ()
+    }
+    assert(localJobs <= 3, s"local-epochs training must stay ~2 jobs, got $localJobs")
+    assert(fullJobs >= 25,
+      s"full-batch pays a job per epoch ($fullJobs at 25 epochs) — the barrier " +
+        s"count local epochs exists to cut (local: $localJobs)")
+  }
+
   test("feature table: frequencies, zero-token docs, guards") {
     import spark.implicits._
     val docs = Seq((1L, "alpha alpha beta", 1), (2L, "", 0)).toDF("doc_id", "text", "label")

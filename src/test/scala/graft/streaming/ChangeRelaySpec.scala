@@ -65,6 +65,54 @@ class ChangeRelaySpec extends SparkSpec {
     assert(ChangeRelay.relayedVersion(spark, ob) == 2L)
   }
 
+  test("batched catch-up: 100 versions in a handful of jobs, content = serial path") {
+    val base = tmpDir("chrelay_batch")
+    val t = s"$base/t"
+    // 100 commits: v0 base, appends, a delete, and a row-less purge —
+    // the shapes a consumer catching up over a real backlog meets
+    SnapshotLog.write((0 until 8).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      t, "overwrite", clusterColumn = Some("id"), nFiles = 2) // v0
+    for (v <- 1 to 97)
+      SnapshotLog.write(Seq((1000L + v, s"a$v")).toDF("id", "s").coalesce(1), t, "append")
+    SnapshotLog.delete(spark, t, col("id") === 3L) // v98
+    SnapshotLog.purgeDeletes(spark, t) // v99: row-content no-op
+    assert(SnapshotLog.currentVersion(spark, t) == 99L)
+
+    // the batched path, job-counted: ONE range read + ONE partitioned
+    // write (+ AQE staging) — never one job per version
+    val obB = s"$base/outbox_batched"
+    spark.sparkContext.setJobGroup("relay_batch", "catch-up", interruptOnCancel = false)
+    val published = try ChangeRelay.relay(spark, t, obB)
+    finally spark.sparkContext.clearJobGroup()
+    assert(published == (0L to 99L), "every version published in order")
+    assert(ChangeRelay.relayedVersion(spark, obB) == 99L)
+    var tries = 0
+    def jobs: Int = spark.sparkContext.statusTracker.getJobIdsForGroup("relay_batch").length
+    while (jobs < 1 && tries < 60) { Thread.sleep(50); tries += 1 }
+    Thread.sleep(150)
+    assert(jobs <= 8, s"100-version catch-up must cost a handful of jobs, got $jobs")
+
+    // content parity with the serial path (forced via the threshold):
+    // identical version-dir names, identical rows per version
+    val obS = s"$base/outbox_serial"
+    ChangeRelay.relay(spark, t, obS, batchThreshold = Int.MaxValue)
+    val fs = new Path(obB).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(ob: String): Seq[String] =
+      fs.listStatus(new Path(ob)).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(_.startsWith(".")).sorted
+    assert(dirs(obB) == dirs(obS), "identical version-dir layout")
+    val sch = ChangeRelay.changeSchema(spark, t)
+    def rows(ob: String) = spark.read.schema(sch).parquet(s"$ob/v*")
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rows(obB) == rows(obS), "identical outbox content")
+    // and the batched outbox equals the batch change feed itself
+    val feed = SnapshotLog.readChanges(spark, t, -1L)
+      .select("id", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rows(obB) == feed)
+  }
+
   test("streaming consumption: exactly-once continuation across new commits") {
     val base = tmpDir("chrelay"); val t = mkTable(base); val ob = s"$base/outbox"
     ChangeRelay.relay(spark, t, ob)
