@@ -485,8 +485,31 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     }
     val covPairs = covered.result()
     val cov = covPairs.map(_._1)
-    val scan = scanned.result()
+    var scan = scanned.result()
     if (cov.isEmpty) return None // zone-map pruning already gives this plan
+    // ── Bloom sidecar classification for IN members ──────────────────
+    // a scanned CANDIDATE (footer interval contains a member but is not
+    // a point) whose per-file filter proves EVERY member of some
+    // set-constrained column absent cannot match — one disqualified
+    // conjunct disqualifies the file. Without this the boundary scan
+    // would read files the stock path's own bloom prune would have
+    // dropped. One tiny filter over the sidecar table per set column
+    // (the same planning-time cost class as SnapshotFileIndex's
+    // prune); unindexed files always stay scanned (may-contain).
+    if (scan.nonEmpty && bounds.values.exists(_.set.isDefined)) {
+      val (fs0, _) = SnapshotLog.fsOf(spark, tbl.tablePath)
+      val fromCatOf = (cn: String) =>
+        CatalystTypeConverters.createToScalaConverter(schema(cn).dataType)
+      for (cn <- bounds.keys if bounds(cn).set.isDefined && scan.nonEmpty)
+        SnapshotLog.bloomFor(spark, tbl.tablePath, cn).foreach { bs =>
+          val members = bounds(cn).set.get.toSeq.map(fromCatOf(cn))
+          val qualOf = scan.map(p => p -> fs0.makeQualified(new Path(p)).toString).toMap
+          val keepQ = BloomIndex.mayContainFiles(bs, members, qualOf.values.toSeq).toSet
+          val before = scan.size
+          scan = scan.filter(p => keepQ.contains(qualOf(p)))
+          skippedN += before - scan.size
+        }
+    }
 
     // ── covered partials (driver arithmetic over footer facts) ───────
     // extra gate for count(x) with x outside the pred columns: x-nulls

@@ -203,6 +203,38 @@ class FilteredAggSpec extends SparkSpec {
     assert(r4.getLong(0) == 100L)
   }
 
+  test("IN-list + Bloom sidecar: a may-contain candidate proven absent skips, not scans") {
+    val root = tmpDir("fagg_inb")
+    val table = s"$root/t"
+    // two POINT files (k=1, k=3) and one MIXED file k∈{0,2}: its footer
+    // interval [0,2] CONTAINS member 1, so footers alone classify it
+    // scanned — only its Bloom filter can prove no row is 1
+    SnapshotLog.write((0 until 100).map(j => (j.toLong, 1L)).toDF("id", "k").coalesce(1),
+      table, "overwrite")
+    SnapshotLog.write((100 until 200).map(j => (j.toLong, 3L)).toDF("id", "k").coalesce(1),
+      table, "append")
+    SnapshotLog.write((200 until 300).map(j => (j.toLong, if (j % 2 == 0) 0L else 2L))
+      .toDF("id", "k").coalesce(1), table, "append")
+    SnapshotLog.buildBloom(spark, table, "k", expectedItemsPerFile = 200)
+    register("fagginb", root)
+    val (s0, c0, n0) = counters()
+    val r = spark.sql(
+      "SELECT count(*) AS n FROM fagginb.t WHERE k IN (1, 3)").collect().head
+    assert(r.getLong(0) == 200L)
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1 && c1 - c0 == 2,
+      s"the two point files must be footer-covered (cov=${c1 - c0})")
+    assert(n1 - n0 == 0,
+      s"the mixed file must BLOOM-skip, not scan (scanned=${n1 - n0})")
+    // control: without a member in the sidecar gap, a genuinely
+    // may-containing file still scans — probe k IN (1, 2): the mixed
+    // file really holds 2s and must be read
+    val r2 = spark.sql(
+      "SELECT count(*) AS n FROM fagginb.t WHERE k IN (1, 2)").collect().head
+    assert(r2.getLong(0) == 150L)
+    assert(counters()._3 - n1 == 1, "a true member-holder must scan")
+  }
+
   test("foldable-but-unevaluable literals (current_timestamp) degrade to the stock scan") {
     val root = tmpDir("fagg_ct")
     val df = (0 until 100).map(i => (i.toLong,
