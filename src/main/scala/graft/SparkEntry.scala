@@ -1631,6 +1631,24 @@ object SparkEntry {
       agg.withColumn("footer_covered", lit(cov > 0))
     }),
 
+    // GROUP BY the cluster column on a point-file layout: every file
+    // IS one group, so the whole per-partition-stats rollup answers
+    // from footers — footer_covered pins that the point files really
+    // served (zero-row crumbs may legitimately scan)
+    "lake_sql_agg_group" -> ((s, dir) => {
+      val cat = sqlAggInCatalog(s, dir)
+      val covBefore = graft.lake.PushFilteredAggToManifest.coveredFiles.get()
+      val agg = s.sql(
+        s"""SELECT l_linenumber, count(*) AS n_rows,
+           |  count(l_returnflag) AS n_flags,
+           |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+           |FROM $cat.lineitem
+           |GROUP BY l_linenumber""".stripMargin)
+      agg.collect() // analysis fires the rule; counters read after it
+      val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
+      agg.withColumn("footer_covered", lit(cov > 0))
+    }),
+
     // UNFILTERED aggregate over a DV-CARRYING version: the zero-job
     // ManifestAgg path never sees DV versions, so one stray delete used
     // to force a full scan — the per-file rewrite serves clean files
@@ -4393,6 +4411,17 @@ object SparkEntry {
         |  TRUE AS footer_covered
         |FROM pop, b
         |WHERE l_orderkey BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // the footer-served GROUP BY rollup must equal the plain rollup
+    // over the full population (the fixture holds all of lineitem,
+    // one l_linenumber value per file)
+    "lake_sql_agg_group" ->
+      """SELECT l_linenumber, count(*) AS n_rows,
+        |  count(l_returnflag) AS n_flags,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  TRUE AS footer_covered
+        |FROM lineitem
+        |GROUP BY l_linenumber""".stripMargin,
 
     // the DV-version unfiltered aggregate must equal the plain
     // aggregate over the live population (thirds minus the two

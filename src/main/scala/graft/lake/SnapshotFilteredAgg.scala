@@ -128,7 +128,168 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
           if agg.resolved && tbl.dvFiles.nonEmpty && tbl.filePaths.nonEmpty =>
         scala.util.Try(tryRewriteUnfiltered(agg, aggExprs, tbl))
           .toOption.flatten.getOrElse(agg)
+      // GROUP BY the cluster column: on a CLUSTER BY k layout every
+      // point file (footer min = max) IS one whole group, so the
+      // rollup `SELECT k, count(*), min/max(c) … GROUP BY k` — the
+      // per-partition-stats shape Spark always full-scans — answers
+      // from footers for point files and scans only the rest.
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, SnapRel(tbl), _)
+          if agg.resolved && tbl.filePaths.nonEmpty =>
+        scala.util.Try(tryRewriteGrouped(agg, g, aggExprs, tbl))
+          .toOption.flatten.getOrElse(agg)
     }
+  }
+
+  /** `SELECT k, count(*)/count(x)/min(c)/max(c) FROM t GROUP BY k`:
+    * a file whose footer interval on k is a POINT with zero k-nulls
+    * holds exactly one group, so ALL its aggregates are per-file
+    * footer facts — count(*) = rows, count(x) = rows − x-nulls,
+    * min/max(c) = the file's own extrema (the file IS the group, so
+    * extrema need no predicate discipline — just exact-footer types
+    * and complete stats). Multi-valued, null-carrying, DV-carrying or
+    * stats-less files scan (through the DV-applying read when needed)
+    * and fold with the footer partials under one final GROUP BY. */
+  private def tryRewriteGrouped(orig: Aggregate, g: AttributeReference,
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      tbl: SnapshotParquetTable): Option[LogicalPlan] = {
+    val schema = tbl.schema()
+    if (!schema.fieldNames.contains(g.name) ||
+        !Metastore.isOrderable(schema(g.name).dataType)) return None
+    sealed trait OutKind
+    case object GroupRef extends OutKind
+    case object CountStar extends OutKind
+    final case class CountCol(name: String) extends OutKind
+    final case class MinC(name: String) extends OutKind
+    final case class MaxC(name: String) extends OutKind
+    def colName(e: Expression): Option[String] = e match {
+      case a: AttributeReference if schema.fieldNames.contains(a.name) => Some(a.name)
+      case _ => None
+    }
+    def exactCol(e: Expression): Option[String] =
+      colName(e).filter(n => ManifestAgg.exactMinMaxType(schema(n).dataType))
+    val kinds: Seq[OutKind] = aggExprs.map {
+      case a: AttributeReference if a.semanticEquals(g) => GroupRef
+      case Alias(a: AttributeReference, _) if a.semanticEquals(g) => GroupRef
+      case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+        case Count(Seq(l: Literal)) if l.value != null => CountStar
+        case Count(Seq(e)) => CountCol(colName(e).getOrElse(return None))
+        case Min(e) => MinC(exactCol(e).getOrElse(return None))
+        case Max(e) => MaxC(exactCol(e).getOrElse(return None))
+        case _ => return None
+      }
+      case _ => return None
+    }
+    if (!kinds.contains(GroupRef)) return None // k must ride the output
+    val dvRel = tbl.dvFiles.keySet
+    def hasDv(path: String): Boolean =
+      dvRel.contains(SnapshotTable.relOf(new Path(path).toUri.getPath))
+    val gDt = schema(g.name).dataType
+    val gOrd = TypeUtils.getInterpretedOrdering(gDt)
+    val gToC = CatalystTypeConverters.createToCatalystConverter(gDt)
+    val gStats = SnapshotLog.cachedHarvest(spark, tbl.filePaths, g.name, gDt)
+      .map(st => st.path -> st).toMap
+    // point files (one group each, zero k-nulls, clean) cover;
+    // everything else scans
+    val covered = Seq.newBuilder[StatsAgg.FileStats]
+    val scanned = Seq.newBuilder[String]
+    for (path <- tbl.filePaths) gStats.get(path) match {
+      case Some(st @ StatsAgg.FileStats(_, rows, Some(0L), Some(mn), Some(mx)))
+          if rows >= 0 && !hasDv(path) && gOrd.equiv(gToC(mn), gToC(mx)) =>
+        covered += st
+      case _ => scanned += path
+    }
+    val cov = covered.result()
+    val scan = scanned.result()
+    if (cov.isEmpty) return None // unclustered layout: the stock rollup
+    // secondary columns' footer facts over the covered files; any
+    // incompleteness degrades THAT file to scanned — resolved by
+    // re-classifying with the offending files removed (one retry is
+    // enough: the needed-column set is fixed by the aggregate list)
+    val needCols = kinds.collect {
+      case CountCol(n) if n != g.name => n
+      case MinC(n) if n != g.name => n
+      case MaxC(n) if n != g.name => n
+    }.distinct
+    val statsBy = needCols.map(n => n ->
+      SnapshotLog.cachedHarvest(spark, cov.map(_.path), n, schema(n).dataType)
+        .map(st => st.path -> st).toMap).toMap
+    def complete(path: String): Boolean = needCols.forall { n =>
+      statsBy(n).get(path).exists(s => s.rows >= 0 && s.nulls.isDefined &&
+        (kinds.forall { case MinC(`n`) | MaxC(`n`) =>
+          s.min.isDefined && s.max.isDefined || s.nulls.contains(s.rows)
+          case _ => true }))
+    }
+    val (covOk, covDegraded) = cov.partition(s => complete(s.path))
+    if (covOk.isEmpty) return None
+    val scanAll = scan ++ covDegraded.map(_.path)
+    if (kinds.count(_ == GroupRef) != 1) return None
+    // one partial row per covered FILE (the final GROUP BY folds files
+    // sharing a k — a compacted layout has one, an append-era one
+    // many); harvest values are already in external (scala) form
+    val coveredRows: Seq[Row] = covOk.map { st =>
+      Row.fromSeq(kinds.map {
+        case GroupRef => st.min.get // = max (the point)
+        case CountStar => st.rows
+        case CountCol(x) =>
+          if (x == g.name) st.rows
+          else st.rows - statsBy(x)(st.path).nulls.get
+        case MinC(x) =>
+          if (x == g.name) st.min.get
+          else statsBy(x)(st.path).min.orNull // all-null file: null, like MIN
+        case MaxC(x) =>
+          if (x == g.name) st.max.get
+          else statsBy(x)(st.path).max.orNull
+      })
+    }
+    val partialSchema = StructType(kinds.zipWithIndex.map {
+      case (GroupRef, i) => StructField(s"_a$i", gDt)
+      case (CountStar | CountCol(_), i) => StructField(s"_a$i", LongType)
+      case (MinC(n), i) => StructField(s"_a$i", schema(n).dataType)
+      case (MaxC(n), i) => StructField(s"_a$i", schema(n).dataType)
+    })
+    import scala.jdk.CollectionConverters._
+    val coveredDf = spark.createDataFrame(coveredRows.asJava, partialSchema)
+    val gi = kinds.indexOf(GroupRef)
+    val parts =
+      if (scanAll.isEmpty) coveredDf
+      else {
+        val partials = kinds.zipWithIndex.collect {
+          case (CountStar, i) => count(lit(1)).as(s"_a$i")
+          case (CountCol(x), i) => count(col(x)).as(s"_a$i")
+          case (MinC(x), i) => min(col(x)).as(s"_a$i")
+          case (MaxC(x), i) => max(col(x)).as(s"_a$i")
+        }
+        val base =
+          if (scanAll.exists(hasDv))
+            SnapshotLog.vectorizedCatalogRead(spark, tbl.tablePath, schema,
+              scanAll, tbl.dvFiles)
+          else SnapshotLog.scanKnownFiles(spark, scanAll, schema)
+        val gb = base.groupBy(col(g.name).as(s"_a$gi"))
+        val scanDf =
+          (if (partials.isEmpty) gb.agg(count(lit(1)).as("_drop")).drop("_drop")
+           else gb.agg(partials.head, partials.tail: _*))
+            .select(partialSchema.fieldNames.map(col): _*)
+        coveredDf.unionByName(scanDf)
+      }
+    val folds = kinds.zipWithIndex.collect {
+      case (CountStar | CountCol(_), i) => sum(col(s"_a$i")).as(s"_a$i")
+      case (MinC(_), i) => min(col(s"_a$i")).as(s"_a$i")
+      case (MaxC(_), i) => max(col(s"_a$i")).as(s"_a$i")
+    }
+    val grouped = parts.groupBy(col(s"_a$gi"))
+    val finalDf =
+      (if (folds.isEmpty) grouped.agg(count(lit(1)).as("_drop")).drop("_drop")
+       else grouped.agg(folds.head, folds.tail: _*))
+        .select(partialSchema.fieldNames.map(col): _*)
+    PushFilteredAggToManifest.served.incrementAndGet()
+    PushFilteredAggToManifest.coveredFiles.addAndGet(covOk.size.toLong)
+    PushFilteredAggToManifest.scannedFiles.addAndGet(scanAll.size.toLong)
+    logInfo(s"grouped manifest agg on ${g.name}: covered=${covOk.size} " +
+      s"scanned=${scanAll.size} of ${tbl.filePaths.size} files")
+    val child = finalDf.queryExecution.analyzed
+    Some(Project(orig.output.zip(child.output).map { case (o, r) =>
+      Alias(r, o.name)(exprId = o.exprId)
+    }, child))
   }
 
   /** `SELECT count/min/max FROM t` (no WHERE) over a DV-carrying

@@ -235,6 +235,48 @@ class FilteredAggSpec extends SparkSpec {
     assert(counters()._3 - n1 == 1, "a true member-holder must scan")
   }
 
+  test("GROUP BY the cluster column: point files ARE groups — rollup from footers") {
+    val root = tmpDir("fagg_gb")
+    val table = s"$root/t"
+    // 4 point files (k = 0..3, with v-nulls) + one MIXED appended file
+    // spanning k ∈ {2,3,4}: the rollup must take points from footers,
+    // scan the mixed file, and fold both under one final GROUP BY
+    for ((k, i) <- (0 until 4).zipWithIndex)
+      SnapshotLog.write((0 until 50).map(j => ((k * 100 + j).toLong, k.toLong,
+        if (j % 5 == 0) None else Some(j.toLong))).toDF("id", "k", "v").coalesce(1),
+        table, if (i == 0) "overwrite" else "append")
+    SnapshotLog.write((0 until 30).map(j =>
+      (10000L + j, (2 + j % 3).toLong, Some(j.toLong))).toDF("id", "k", "v")
+      .coalesce(1), table, "append")
+    register("fagggb", root)
+    val (s0, c0, n0) = counters()
+    def run() = spark.sql(
+      "SELECT k, count(*) AS n, count(v) AS nv, min(id) AS mn, max(id) AS mx " +
+        "FROM fagggb.t GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val got = run()
+    assert(got == Seq(
+      (0L, 50L, 40L, 0L, 49L),
+      (1L, 50L, 40L, 100L, 149L),
+      (2L, 60L, 50L, 200L, 10027L),
+      (3L, 60L, 50L, 300L, 10028L),
+      (4L, 10L, 10L, 10002L, 10029L)), s"got $got")
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1, "the grouped rollup must serve")
+    assert(c1 - c0 == 4L, "the four point files answer from footers")
+    assert(n1 - n0 == 1L, "only the mixed file scans")
+    // the stock plan agrees (rule disabled)
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(run() == got, "rewrite and stock rollup must agree")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+    // sum() is not footer-derivable: the shape must fall back silently
+    val s2 = PushFilteredAggToManifest.served.get()
+    assert(spark.sql("SELECT k, sum(id) AS s FROM fagggb.t GROUP BY k")
+      .collect().length == 5)
+    assert(PushFilteredAggToManifest.served.get() == s2)
+  }
+
   test("foldable-but-unevaluable literals (current_timestamp) degrade to the stock scan") {
     val root = tmpDir("fagg_ct")
     val df = (0 until 100).map(i => (i.toLong,
