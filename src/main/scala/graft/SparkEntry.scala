@@ -1649,6 +1649,22 @@ object SparkEntry {
       agg.withColumn("footer_covered", lit(cov > 0))
     }),
 
+    // the WINDOWED rollup (GROUP BY + WHERE on the cluster column):
+    // out-of-range point files skip, in-range ones serve from footers
+    "lake_sql_agg_group_w" -> ((s, dir) => {
+      val cat = sqlAggInCatalog(s, dir)
+      val covBefore = graft.lake.PushFilteredAggToManifest.coveredFiles.get()
+      val agg = s.sql(
+        s"""SELECT l_linenumber, count(*) AS n_rows,
+           |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+           |FROM $cat.lineitem
+           |WHERE l_linenumber BETWEEN 2 AND 5
+           |GROUP BY l_linenumber""".stripMargin)
+      agg.collect() // analysis fires the rule; counters read after it
+      val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
+      agg.withColumn("footer_covered", lit(cov > 0))
+    }),
+
     // UNFILTERED aggregate over a DV-CARRYING version: the zero-job
     // ManifestAgg path never sees DV versions, so one stray delete used
     // to force a full scan — the per-file rewrite serves clean files
@@ -4421,6 +4437,15 @@ object SparkEntry {
         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         |  TRUE AS footer_covered
         |FROM lineitem
+        |GROUP BY l_linenumber""".stripMargin,
+
+    // the windowed footer rollup must equal the plain filtered rollup
+    "lake_sql_agg_group_w" ->
+      """SELECT l_linenumber, count(*) AS n_rows,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  TRUE AS footer_covered
+        |FROM lineitem
+        |WHERE l_linenumber BETWEEN 2 AND 5
         |GROUP BY l_linenumber""".stripMargin,
 
     // the DV-version unfiltered aggregate must equal the plain

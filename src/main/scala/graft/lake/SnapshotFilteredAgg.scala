@@ -132,10 +132,17 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
       // point file (footer min = max) IS one whole group, so the
       // rollup `SELECT k, count(*), min/max(c) … GROUP BY k` — the
       // per-partition-stats shape Spark always full-scans — answers
-      // from footers for point files and scans only the rest.
+      // from footers for point files and scans only the rest. An
+      // optional WHERE on the group column composes: out-of-range
+      // point files SKIP, in-range ones still cover.
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, SnapRel(tbl), _)
           if agg.resolved && tbl.filePaths.nonEmpty =>
-        scala.util.Try(tryRewriteGrouped(agg, g, aggExprs, tbl))
+        scala.util.Try(tryRewriteGrouped(agg, g, aggExprs, None, tbl))
+          .toOption.flatten.getOrElse(agg)
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs,
+          Filter(cond, SnapRel(tbl)), _)
+          if agg.resolved && tbl.filePaths.nonEmpty =>
+        scala.util.Try(tryRewriteGrouped(agg, g, aggExprs, Some(cond), tbl))
           .toOption.flatten.getOrElse(agg)
     }
   }
@@ -151,6 +158,7 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     * and fold with the footer partials under one final GROUP BY. */
   private def tryRewriteGrouped(orig: Aggregate, g: AttributeReference,
       aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      cond: Option[Expression],
       tbl: SnapshotParquetTable): Option[LogicalPlan] = {
     val schema = tbl.schema()
     if (!schema.fieldNames.contains(g.name) ||
@@ -186,15 +194,104 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     val gDt = schema(g.name).dataType
     val gOrd = TypeUtils.getInterpretedOrdering(gDt)
     val gToC = CatalystTypeConverters.createToCatalystConverter(gDt)
+    val gFromC = CatalystTypeConverters.createToScalaConverter(gDt)
+
+    // ── optional predicate, on the GROUP column only ──────────────────
+    // the same conjunct grammar as the filtered path, restricted to g:
+    // bounds/sets in catalyst form; any other column or shape bails
+    var gLo: Option[Bound] = None
+    var gHi: Option[Bound] = None
+    var gSet: Option[Set[Any]] = None
+    if (cond.isDefined) {
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case w: org.apache.spark.sql.catalyst.expressions.With =>
+          val byId = w.defs.map(d => d.id -> d.child).toMap
+          conjuncts(w.child.transform {
+            case r: org.apache.spark.sql.catalyst.expressions.CommonExpressionRef =>
+              byId.getOrElse(r.id, r)
+          })
+        case rr: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+          conjuncts(rr.replacement)
+        case other => Seq(other)
+      }
+      def litOf(e: Expression): Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case c if c.foldable =>
+          try Some(Literal.create(c.eval(), c.dataType))
+          catch { case scala.util.control.NonFatal(_) => None }
+        case _ => None
+      }
+      def cv(l: Expression): Option[Any] = litOf(l).flatMap { x =>
+        if (x.value == null) None
+        else if (x.dataType == gDt) Some(x.value)
+        else Option(org.apache.spark.sql.catalyst.expressions
+          .Cast(x, gDt, ansiEnabled = false).eval())
+      }
+      def isG(e: Expression): Boolean = e match {
+        case a: AttributeReference => a.semanticEquals(g)
+        case _ => false
+      }
+      def tLo(v: Any, incl: Boolean): Unit = gLo = gLo match {
+        case Some(x) if gOrd.gt(x.v, v) || (gOrd.equiv(x.v, v) && !x.inclusive) => gLo
+        case _ => Some(Bound(v, incl))
+      }
+      def tHi(v: Any, incl: Boolean): Unit = gHi = gHi match {
+        case Some(x) if gOrd.lt(x.v, v) || (gOrd.equiv(x.v, v) && !x.inclusive) => gHi
+        case _ => Some(Bound(v, incl))
+      }
+      for (c <- conjuncts(cond.get)) c match {
+        case IsNotNull(a) if isG(a) => ()
+        case GreaterThan(a, l) if isG(a) && cv(l).isDefined => tLo(cv(l).get, incl = false)
+        case GreaterThanOrEqual(a, l) if isG(a) && cv(l).isDefined => tLo(cv(l).get, incl = true)
+        case LessThan(a, l) if isG(a) && cv(l).isDefined => tHi(cv(l).get, incl = false)
+        case LessThanOrEqual(a, l) if isG(a) && cv(l).isDefined => tHi(cv(l).get, incl = true)
+        case EqualTo(a, l) if isG(a) && cv(l).isDefined =>
+          tLo(cv(l).get, incl = true); tHi(cv(l).get, incl = true)
+        case GreaterThan(l, a) if isG(a) && cv(l).isDefined => tHi(cv(l).get, incl = false)
+        case GreaterThanOrEqual(l, a) if isG(a) && cv(l).isDefined => tHi(cv(l).get, incl = true)
+        case LessThan(l, a) if isG(a) && cv(l).isDefined => tLo(cv(l).get, incl = false)
+        case LessThanOrEqual(l, a) if isG(a) && cv(l).isDefined => tLo(cv(l).get, incl = true)
+        case EqualTo(l, a) if isG(a) && cv(l).isDefined =>
+          tLo(cv(l).get, incl = true); tHi(cv(l).get, incl = true)
+        case In(SameTypeAttr(a), list) if isG(a) && list.nonEmpty =>
+          val lits = list.map(litOf)
+          if (lits.exists(_.isEmpty)) return None
+          // NULL members never satisfy a filter — they fold away
+          val flat = lits.flatten.flatMap(cv)
+          if (flat.isEmpty) return None
+          gSet = Some(gSet.fold(flat.toSet)(_ intersect flat.toSet))
+        case _ => return None
+      }
+      if (gLo.isEmpty && gHi.isEmpty && gSet.isEmpty) return None
+    }
+    def belowLo(v: Any): Boolean = gLo.exists(b =>
+      gOrd.lt(v, b.v) || (!b.inclusive && gOrd.equiv(v, b.v)))
+    def aboveHi(v: Any): Boolean = gHi.exists(b =>
+      gOrd.gt(v, b.v) || (!b.inclusive && gOrd.equiv(v, b.v)))
+    def setMiss(mn: Any, mx: Any): Boolean = gSet.exists(s =>
+      !s.exists(v => !gOrd.lt(v, mn) && !gOrd.gt(v, mx)))
+    def pointPasses(v: Any): Boolean =
+      !belowLo(v) && !aboveHi(v) && gSet.forall(_.exists(m => gOrd.equiv(m, v)))
+
     val gStats = SnapshotLog.cachedHarvest(spark, tbl.filePaths, g.name, gDt)
       .map(st => st.path -> st).toMap
-    // point files (one group each, zero k-nulls, clean) cover;
-    // everything else scans
+    // point files (one group each, zero k-nulls, clean, predicate-
+    // passing) cover; predicate-disjoint files skip; the rest scans
     val covered = Seq.newBuilder[StatsAgg.FileStats]
     val scanned = Seq.newBuilder[String]
+    var skippedN = 0
     for (path <- tbl.filePaths) gStats.get(path) match {
+      case Some(StatsAgg.FileStats(_, rows, Some(nulls), _, _))
+          if cond.isDefined && rows >= 0 && nulls == rows =>
+        skippedN += 1 // every row NULL: a g-predicate matches none
+      case Some(StatsAgg.FileStats(_, rows, _, Some(mn), Some(mx)))
+          if cond.isDefined && rows >= 0 &&
+            (aboveHi(gToC(mn)) || belowLo(gToC(mx)) || setMiss(gToC(mn), gToC(mx))) =>
+        skippedN += 1 // interval disjoint from the predicate
       case Some(st @ StatsAgg.FileStats(_, rows, Some(0L), Some(mn), Some(mx)))
-          if rows >= 0 && !hasDv(path) && gOrd.equiv(gToC(mn), gToC(mx)) =>
+          if rows >= 0 && !hasDv(path) && gOrd.equiv(gToC(mn), gToC(mx)) &&
+            (cond.isEmpty || pointPasses(gToC(mn))) =>
         covered += st
       case _ => scanned += path
     }
@@ -259,11 +356,27 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
           case (MinC(x), i) => min(col(x)).as(s"_a$i")
           case (MaxC(x), i) => max(col(x)).as(s"_a$i")
         }
-        val base =
+        val base0 =
           if (scanAll.exists(hasDv))
             SnapshotLog.vectorizedCatalogRead(spark, tbl.tablePath, schema,
               scanAll, tbl.dvFiles)
           else SnapshotLog.scanKnownFiles(spark, scanAll, schema)
+        // the predicate REBUILT from the extracted g-bounds (provably
+        // the whole condition — every conjunct folded into them)
+        val base =
+          if (cond.isEmpty) base0
+          else {
+            var pred = col(g.name).isNotNull
+            gLo.foreach(b => pred = pred && (
+              if (b.inclusive) col(g.name) >= lit(gFromC(b.v))
+              else col(g.name) > lit(gFromC(b.v))))
+            gHi.foreach(b => pred = pred && (
+              if (b.inclusive) col(g.name) <= lit(gFromC(b.v))
+              else col(g.name) < lit(gFromC(b.v))))
+            gSet.foreach(s =>
+              pred = pred && col(g.name).isin(s.toSeq.map(gFromC): _*))
+            base0.where(pred)
+          }
         val gb = base.groupBy(col(g.name).as(s"_a$gi"))
         val scanDf =
           (if (partials.isEmpty) gb.agg(count(lit(1)).as("_drop")).drop("_drop")

@@ -275,6 +275,34 @@ class FilteredAggSpec extends SparkSpec {
     assert(spark.sql("SELECT k, sum(id) AS s FROM fagggb.t GROUP BY k")
       .collect().length == 5)
     assert(PushFilteredAggToManifest.served.get() == s2)
+
+    // a WHERE on the group column composes: out-of-range point files
+    // SKIP, in-range ones still cover, the mixed file scans filtered
+    val (s3, c3, n3) = counters()
+    def runW(where: String) = spark.sql(
+      s"SELECT k, count(*) AS n, min(id) AS mn FROM fagggb.t $where GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val gotW = runW("WHERE k BETWEEN 1 AND 3")
+    assert(gotW == Seq((1L, 50L, 100L), (2L, 60L, 200L), (3L, 60L, 300L)), s"got $gotW")
+    val (s4, c4, n4) = counters()
+    assert(s4 == s3 + 1 && c4 - c3 == 3 && n4 - n3 == 1,
+      s"range rollup: 3 in-range points cover, k=0 skips, mixed scans " +
+        s"(cov=${c4 - c3}, scan=${n4 - n3})")
+    // IN on the group column
+    val gotIn = runW("WHERE k IN (0, 4)")
+    assert(gotIn == Seq((0L, 50L, 0L), (4L, 10L, 10002L)), s"got $gotIn")
+    assert(counters()._1 == s4 + 1)
+    // stock agreement, rule off
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try {
+      assert(runW("WHERE k BETWEEN 1 AND 3") == gotW)
+      assert(runW("WHERE k IN (0, 4)") == gotIn)
+    } finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+    // a predicate touching a NON-group column refuses (stock plan)
+    val s5 = PushFilteredAggToManifest.served.get()
+    assert(spark.sql(
+      "SELECT k, count(*) AS n FROM fagggb.t WHERE v > 3 GROUP BY k").collect().nonEmpty)
+    assert(PushFilteredAggToManifest.served.get() == s5)
   }
 
   test("foldable-but-unevaluable literals (current_timestamp) degrade to the stock scan") {
