@@ -42,6 +42,18 @@ import org.apache.spark.sql.functions._
   * headline was a loaded run accepted rc 0 because the only stamp
   * predated the load wave. SPARK_GRAFT_NO_WARM_RERUN=1 disables the
   * rerun (the flag still lands).
+  *
+  * SCALE-SECTION ACCEPTANCE GATE (round-17): the sf1/sf10 probe
+  * sections get the same self-adjudication the warm set has —
+  * entry/mid/exit calib stamps, a DIRECTIONAL loaded brand against the
+  * run's quiet floor ([[sectionLoaded]]; the floor rides into forked
+  * children via SPARK_GRAFT_BASE_CALIB), and a one-shot re-fork of a
+  * loaded section with the quieter total kept ("scale_rerun":true +
+  * the discarded total in the section JSON). Round-16's artifact of
+  * record shipped an sf10 section that entered under a ×7.9 calib
+  * dilation — stamped, adjudicatable, but not self-correcting.
+  * SPARK_GRAFT_NO_SCALE_RERUN=1 disables the rerun (the brand still
+  * lands).
   */
 object Bench {
 
@@ -99,6 +111,12 @@ object Bench {
     // the warm number is bounds-derivation + classification + the ~2
     // boundary-file scans)
     "lake_sql_agg_filtered",
+    // round-17: the SUM-sidecar twin — filtered sum/avg served from
+    // per-file sidecar stats should stay near-flat as files grow 10×
+    // (fixture write + collect ride the cold pass via the session
+    // cache; the warm number is classification + sidecar read + ~2
+    // boundary-file scans)
+    "lake_sql_agg_sum",
     // round-11: the DV lifecycle — lake_changes pays the v0–v3 build on
     // the cold pass (clustered writes + DV delete + merge at 10×) and
     // measures the feed's except-diff warm; lake_dv_delete measures the
@@ -421,8 +439,9 @@ object Bench {
     s""""calib_ms$suffix":${msF0(st)},"calib_mt_ms$suffix":${msF0(mt)},"loadavg$suffix":$loadStr"""
   }
 
-  private def loadCanaryJson(suffix: String = ""): String =
-    canaryJson(calibMs(1), calibMs(Runtime.getRuntime.availableProcessors()), suffix)
+  /** Stamp trail rendering: [[single-thread ms, all-cores ms], …]. */
+  private def stampsJson(ss: Seq[(Double, Double)]): String =
+    ss.map { case (st, mt) => s"[${msF0(st)},${msF0(mt)}]" }.mkString("[", ",", "]")
 
   /** The warm-set acceptance gate (round-16): the warm pass produces
     * the headline `value`, and round-15's artifact of record was a
@@ -449,7 +468,43 @@ object Bench {
       (sts.size >= 2 && sts.max / sts.min > 1.5)
   }
 
+  /** The SCALE-SECTION acceptance predicate (round-17): round-16's
+    * artifact of record shipped an sf10 section whose entry calib read
+    * 1673 ms against the run's quiet ~212 ms — stamped, adjudicatable,
+    * but not self-correcting: the warm set had a rerun gate, the probe
+    * sections did not. This is the sections' warmLoaded twin, with one
+    * DIRECTIONAL refinement: a section is loaded when ITS OWN stamps
+    * are dilated relative to the quietest calib the whole run observed
+    * (the parent's base/warm minima ride into the forked child via
+    * SPARK_GRAFT_BASE_CALIB) — section max vs run min, not max/min
+    * symmetric. Symmetric ratios would brand a QUIET child of a loaded
+    * parent (parent stamp high, child stamps low → big ratio); the
+    * directional rule only fires when the section itself measured
+    * high, which is the only case a rerun can improve. Thresholds
+    * match warmLoaded (mt > 1.4×, st > 1.5×); only same-run ratios are
+    * compared, never absolute host constants, so the gate stays
+    * host-independent. A load constant from before the parent's base
+    * stamp through section exit remains invisible — no self-referential
+    * test can see it; the base stamp lands as early as possible to
+    * shrink that window. */
+  private[graft] def sectionLoaded(base: Option[(Double, Double)],
+      stamps: Seq[(Double, Double)]): Boolean = {
+    val sts = stamps.map(_._1).filter(_ > 0)
+    val mts = stamps.map(_._2).filter(_ > 0)
+    if (sts.isEmpty && mts.isEmpty) return false
+    val minSt = (base.map(_._1).toSeq.filter(_ > 0) ++ sts).min
+    val minMt = (base.map(_._2).toSeq.filter(_ > 0) ++ mts).min
+    (mts.nonEmpty && mts.max / minMt > 1.4) ||
+      (sts.nonEmpty && sts.max / minSt > 1.5)
+  }
+
   private val warmStampEvery = 30
+  /** Scale-section queries run seconds-to-minutes each, so mid-set
+    * stamps land every few queries (vs every 30 warm-set ones): a load
+    * wave arriving between a section's entry and exit stamps must land
+    * in the evidence. Stamp cost ≈ 0.5 s quiet — noise against probe
+    * runtimes. */
+  private val sectionStampEvery = 8
 
   /** Accepted isolated-run bands (CPUS=32, quiet host — PLANS round-14)
     * for probes with DOCUMENTED variance: q_skew_join's AQE skew-split
@@ -515,7 +570,8 @@ object Bench {
       * a load wave arriving mid-set lands in the evidence, not the
       * times. */
     def run(names: Seq[String], dir: String,
-            stamps: Option[scala.collection.mutable.Buffer[(Double, Double)]] = None)
+            stamps: Option[scala.collection.mutable.Buffer[(Double, Double)]] = None,
+            stampEvery: Int = warmStampEvery)
         : (Map[String, Double], Map[String, String]) = {
       val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -533,7 +589,7 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         }
         stamps.foreach { buf =>
-          if ((i + 1) % warmStampEvery == 0) buf += ((calibMs(1), calibMs(nproc)))
+          if ((i + 1) % stampEvery == 0) buf += ((calibMs(1), calibMs(nproc)))
         }
       }
       (times.toMap, errors.toMap)
@@ -609,6 +665,27 @@ object Bench {
     val opWarm = warmRes.op
     val twinErrs = warmRes.opErrs
     val loaded = warmLoaded(baseMt, warmRes.stamps)
+    // the RUN's quietest calib pair: the floor the scale sections'
+    // directional load gate compares against. A forked child inherits
+    // the parent's floor via SPARK_GRAFT_BASE_CALIB (set in
+    // forkSection) and folds in its own base stamp; the in-session
+    // fallback uses this directly.
+    val envBaseCalib: Option[(Double, Double)] =
+      sys.env.get("SPARK_GRAFT_BASE_CALIB").flatMap { s =>
+        s.split(",") match {
+          case Array(a, b) =>
+            try Some((a.trim.toDouble, b.trim.toDouble))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }
+    val runMinCalib: (Double, Double) = {
+      val sts = (Seq(baseSt) ++ warmRes.stamps.map(_._1) ++ envBaseCalib.map(_._1))
+        .filter(_ > 0)
+      val mts = (Seq(baseMt) ++ warmRes.stamps.map(_._2) ++ envBaseCalib.map(_._2))
+        .filter(_ > 0)
+      (if (sts.isEmpty) 0.0 else sts.min, if (mts.isEmpty) 0.0 else mts.min)
+    }
     val errors = coldErrs ++ warmErrs ++ twinColdErrs ++ twinErrs
     // headline total with each anchored query's time replaced by its
     // operator-only twin's — queries without a twin carry no anchor.
@@ -647,20 +724,29 @@ object Bench {
     def qsJson(times: Map[String, Double]): String = times.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonStr(k)}:${sec2(v)}" }.mkString("{", ",", "}")
 
-    /** One sf1 section run IN THIS JVM → (inner JSON object, errors). */
+    /** One sf1 section run IN THIS JVM → (inner JSON object, errors).
+      * Stamped like the warm set (entry, every [[sectionStampEvery]]
+      * queries, exit) and branded via [[sectionLoaded]] against the
+      * run's quiet floor — the caller re-runs a loaded section once. */
     def runSf1Section(): (String, Map[String, String]) = {
-      val canary = loadCanaryJson() // stamped BEFORE any work: section-entry load
+      val entry = (calibMs(1), calibMs(nproc)) // BEFORE any work: section-entry load
+      val canary = canaryJson(entry._1, entry._2, "")
       val tGen0 = System.nanoTime()
       scaleUp(spark, sfDir, sf1Dir)
       val genSec = (System.nanoTime() - tGen0) / 1e9
-      val (sf1Cold, e1) = run(keep(scaleQueries), sf1Dir)
-      val (sf1Warm, e2) = run(keep(scaleQueries), sf1Dir)
+      val mids = scala.collection.mutable.Buffer.empty[(Double, Double)]
+      val (sf1Cold, e1) = run(keep(scaleQueries), sf1Dir, Some(mids), sectionStampEvery)
+      val (sf1Warm, e2) = run(keep(scaleQueries), sf1Dir, Some(mids), sectionStampEvery)
       val errs = e1 ++ e2
-      val exitCanary = loadCanaryJson("_exit") // load that arrived MID-section
+      val exit = (calibMs(1), calibMs(nproc)) // load that arrived MID-section
+      val exitCanary = canaryJson(exit._1, exit._2, "_exit")
+      val stamps = (entry +: mids.toSeq) :+ exit
+      val secLoaded = sectionLoaded(Some(runMinCalib), stamps)
       // error strings truncated: per-query exceptions are unbounded,
       // and a broad sf1 failure (13 × full messages) would by itself
       // overflow the 2000-char stdout tail the JSON must fit
       val inner = s"""{"scale":$copies,"gen":${sec2(genSec)},$canary,$exitCanary,""" +
+        s""""loaded":$secLoaded,"stamps":${stampsJson(stamps)},""" +
         s""""probe_mode":${jsonStr(probeMode)},"queries":${qsJson(sf1Warm)},""" +
         s""""cold_sec":${sec2(sf1Cold.values.sum)},""" +
         s""""total_sec":${sec2(sf1Warm.values.sum)}${errJsonOf(errs)}}"""
@@ -676,17 +762,22 @@ object Bench {
       * pass at the BASE dir (the sf1 section used to provide that warmth
       * in-session — same plans, 1/100 the data). */
     def runSf10Section(): (String, Map[String, String]) = {
-      val canary = loadCanaryJson() // stamped BEFORE any work: section-entry load
+      val entry = (calibMs(1), calibMs(nproc)) // BEFORE any work: section-entry load
+      val canary = canaryJson(entry._1, entry._2, "")
       val tGen0 = System.nanoTime()
       scaleUp100(spark, sfDir, sf10Dir)
       val genSec = (System.nanoTime() - tGen0) / 1e9
-      val (_, e10cold) = run(keep(scale100Queries), sf10Dir)
-      val (sf10Warm, e10) = run(keep(scale100Queries), sf10Dir)
+      val mids = scala.collection.mutable.Buffer.empty[(Double, Double)]
+      val (_, e10cold) = run(keep(scale100Queries), sf10Dir, Some(mids), sectionStampEvery)
+      val (sf10Warm, e10) = run(keep(scale100Queries), sf10Dir, Some(mids), sectionStampEvery)
       if (childSection.isDefined) { val _ = run(keep(scale100Dedup), sfDir) }
-      val (sf10Ded, e10d) = run(keep(scale100Dedup), sf10Dir)
+      val (sf10Ded, e10d) = run(keep(scale100Dedup), sf10Dir, Some(mids), sectionStampEvery)
       val sf10Times = sf10Warm ++ sf10Ded
       val errs = e10cold ++ e10 ++ e10d
-      val exitCanary = loadCanaryJson("_exit") // load that arrived MID-section
+      val exit = (calibMs(1), calibMs(nproc)) // load that arrived MID-section
+      val exitCanary = canaryJson(exit._1, exit._2, "_exit")
+      val stamps = (entry +: mids.toSeq) :+ exit
+      val secLoaded = sectionLoaded(Some(runMinCalib), stamps)
       // known-variance probes outside their reconciled band get flagged
       // inline (read with the canary: dilated calib = load, quiet = real)
       val excursions = sf10Times.toSeq.sortBy(_._1).collect {
@@ -698,6 +789,7 @@ object Bench {
         if (excursions.isEmpty) ""
         else s""","band_excursions":{${excursions.mkString(",")}}"""
       val inner = s"""{"scale":$copies100,"gen":${sec2(genSec)},$canary,$exitCanary,""" +
+        s""""loaded":$secLoaded,"stamps":${stampsJson(stamps)},""" +
         s""""probe_mode":${jsonStr(probeMode)},"queries":${qsJson(sf10Times)},""" +
         s""""total_sec":${sec2(sf10Times.values.sum)}$bandJson${errJsonOf(errs)}}"""
       (inner, errs)
@@ -734,6 +826,13 @@ object Bench {
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("SPARK_GRAFT_SECTION", section)
         pb.environment().put("SPARK_GRAFT_SECTION_OUT", outFile.getAbsolutePath)
+        // the run's quiet calib floor rides into the child: its
+        // sectionLoaded brand compares the section's own stamps against
+        // the quietest the WHOLE run has measured, so a section that
+        // enters already-loaded (round-16's sf10) still self-identifies
+        if (runMinCalib._1 > 0 || runMinCalib._2 > 0)
+          pb.environment().put("SPARK_GRAFT_BASE_CALIB",
+            s"${msF0(runMinCalib._1)},${msF0(runMinCalib._2)}")
         pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         System.err.println(s"[bench] forking isolated $section probe JVM")
@@ -771,11 +870,52 @@ object Bench {
     def nErrsOf(inner: String): Int =
       """"errors":\{""".r.findFirstIn(inner).size // presence flag: 0 | 1
 
+    // ── scale-section acceptance gate (round-17, see sectionLoaded) ──
+    // a section branded loaded re-runs ONCE and the quieter total
+    // becomes the artifact, exactly like the warm set's gate — the
+    // round-16 artifact shipped a ×7.9-dilated sf10 section that was
+    // stamped but not self-correcting. The chosen inner JSON carries
+    // "scale_rerun":true plus the discarded run's total, so the
+    // artifact of record keeps the full adjudication trail.
+    // SPARK_GRAFT_NO_SCALE_RERUN=1 disables the rerun (the brand
+    // still lands in the section JSON).
+    def chooseQuieter(first: (String, Int), second: (String, Int))
+        : ((String, Int), Boolean) = {
+      val t1 = totalOf(first._1).map(_.toDouble)
+      val t2 = totalOf(second._1).map(_.toDouble)
+      val secondWins = t2.isDefined && (t1.isEmpty || t2.get <= t1.get)
+      val (chosen, discarded) = if (secondWins) (second, t1) else (first, t2)
+      val mark = discarded.fold("")(d => s""","discarded_total_sec":${sec2(d)}""")
+      ((chosen._1.dropRight(1) + s""","scale_rerun":true$mark}""", chosen._2), secondWins)
+    }
+    def sectionNeedsRerun(inner: String): Boolean =
+      inner.contains("\"loaded\":true") &&
+        !sys.env.contains("SPARK_GRAFT_NO_SCALE_RERUN")
+    def gatedFork(section: String): Option[(String, Int)] =
+      forkSection(section).map { first =>
+        if (!sectionNeedsRerun(first._1)) first
+        else {
+          System.err.println(s"[bench] $section section branded LOADED — re-forking once")
+          forkSection(section).fold(first)(second => chooseQuieter(first, second)._1)
+        }
+      }
+    def gatedInSession(runner: () => (String, Map[String, String]))
+        : (String, Map[String, String]) = {
+      val first = runner()
+      if (!sectionNeedsRerun(first._1)) first
+      else {
+        System.err.println("[bench] in-session scale section branded LOADED — re-running once")
+        val second = runner()
+        val ((inner, _), secondWon) = chooseQuieter((first._1, 0), (second._1, 0))
+        (inner, if (secondWon) second._2 else first._2)
+      }
+    }
+
     var sf1Json = ""
     var sf1Compact = ""
     var sf1Errors = Map.empty[String, String]
     if (!sys.env.contains("SPARK_GRAFT_NO_SF1")) {
-      forkSection("sf1") match {
+      gatedFork("sf1") match {
         case Some((inner, rc)) =>
           sf1Json = s""","sf1":$inner"""
           sf1Compact = totalOf(inner).fold("")(t => s""","sf1_total_sec":$t""")
@@ -784,7 +924,7 @@ object Bench {
         case None =>
           try {
             sessionHygiene()
-            val (inner, errs) = runSf1Section()
+            val (inner, errs) = gatedInSession(() => runSf1Section())
             sf1Errors = errs
             sf1Json = s""","sf1":$inner"""
             sf1Compact = totalOf(inner).fold("")(t => s""","sf1_total_sec":$t""") +
@@ -801,7 +941,7 @@ object Bench {
     var sf10Compact = ""
     var sf10Errors = Map.empty[String, String]
     if (!sys.env.contains("SPARK_GRAFT_NO_SF1") && !sys.env.contains("SPARK_GRAFT_NO_SF10")) {
-      forkSection("sf10") match {
+      gatedFork("sf10") match {
         case Some((inner, rc)) =>
           sf10Json = s""","sf10":$inner"""
           sf10Compact = totalOf(inner).fold("")(t => s""","sf10_total_sec":$t""")
@@ -810,7 +950,7 @@ object Bench {
         case None =>
           try {
             sessionHygiene()
-            val (inner, errs) = runSf10Section()
+            val (inner, errs) = gatedInSession(() => runSf10Section())
             sf10Errors = errs
             sf10Json = s""","sf10":$inner"""
             sf10Compact = totalOf(inner).fold("")(t => s""","sf10_total_sec":$t""") +

@@ -483,6 +483,10 @@ object SparkEntry {
       for ((v, i) <- (1 to 7).zipWithIndex)
         SnapshotLog.write(li.where(col("l_linenumber") === v).repartition(1),
           table, if (i == 0) "overwrite" else "append")
+      // the SUM sidecar over the point files: lake_sql_agg_group_sum's
+      // grouped SUM/AVG serve per covered file from these
+      SnapshotLog.collectAggStats(s, table, "l_suppkey")
+      SnapshotLog.collectAggStats(s, table, "l_orderkey")
       val cat = s"snapaggin_${dirTag(dir)}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", base)
@@ -508,6 +512,31 @@ object SparkEntry {
       require(SnapshotLog.state(s, table).dvs.nonEmpty,
         "agg-dv fixture: the head must carry a deletion vector")
       val cat = s"snapaggdv_${dirTag(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+      cat
+    }
+
+  /** lake_sql_agg_sum's table: lineitem clustered by l_orderkey with
+    * the SUM SIDECAR collected ([[SnapshotLog.collectAggStats]]) for
+    * l_suppkey and l_orderkey — parquet footers never carry sums, so
+    * without the sidecar the dominant reporting aggregate
+    * `SELECT sum(x) … WHERE k BETWEEN lo AND hi` always full-scans;
+    * with it, covered files answer from metadata and only the ~2
+    * boundary files scan. */
+  private val sqlAggSumCache = new SessionCache[String]
+
+  private def sqlAggSumCatalog(s: SparkSession, dir: String): String =
+    sqlAggSumCache.getOrElseUpdate(s, dir) {
+      val base = s"/tmp/graft_sqlaggsum_${dirTag(dir)}"
+      val root = new org.apache.hadoop.fs.Path(base)
+      root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+      val table = s"$base/lineitem"
+      SnapshotLog.write(t(s, dir, "lineitem"), table, "overwrite",
+        clusterColumn = Some("l_orderkey"), nFiles = 6)
+      SnapshotLog.collectAggStats(s, table, "l_suppkey")
+      SnapshotLog.collectAggStats(s, table, "l_orderkey")
+      val cat = s"snapaggsum_${dirTag(dir)}"
       s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.SnapshotCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.root", base)
       cat
@@ -1659,6 +1688,70 @@ object SparkEntry {
            |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
            |FROM $cat.lineitem
            |WHERE l_linenumber BETWEEN 2 AND 5
+           |GROUP BY l_linenumber""".stripMargin)
+      agg.collect() // analysis fires the rule; counters read after it
+      val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
+      agg.withColumn("footer_covered", lit(cov > 0))
+    }),
+
+    // filtered SUM/AVG from the per-file SUM SIDECAR: parquet footers
+    // never carry sums, so `SELECT sum(x) … WHERE k BETWEEN lo AND hi`
+    // — the dominant reporting aggregate — always full-scanned before
+    // round 17. With `CALL collect_agg_stats` run once, covered files
+    // answer sum/avg from metadata (exact: integral long arithmetic)
+    // and only the boundary files scan; footer_covered pins that the
+    // sidecar really served and the boundary stayed ≤ 2 files. Bounds
+    // derive from the data by the same integer arithmetic the oracle
+    // repeats, so the range spans interior files at ANY scale factor.
+    "lake_sql_agg_sum" -> ((s, dir) => {
+      val cat = sqlAggSumCatalog(s, dir)
+      val mm = s.sql(s"SELECT min(l_orderkey), max(l_orderkey) FROM $cat.lineitem").head()
+      val mn = mm.getAs[Number](0).longValue; val mx = mm.getAs[Number](1).longValue
+      val lo = mn + (mx - mn) / 10; val hi = mx - (mx - mn) / 10
+      val covBefore = graft.lake.PushFilteredAggToManifest.coveredFiles.get()
+      val scanBefore = graft.lake.PushFilteredAggToManifest.scannedFiles.get()
+      val agg = s.sql(
+        s"""SELECT count(*) AS n_rows, sum(l_suppkey) AS sum_sup,
+           |  avg(l_suppkey) AS avg_sup, sum(l_orderkey) AS sum_key
+           |FROM $cat.lineitem
+           |WHERE l_orderkey BETWEEN $lo AND $hi""".stripMargin)
+      agg.collect() // analysis fires the rule; counters read after it
+      val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
+      val scn = graft.lake.PushFilteredAggToManifest.scannedFiles.get() - scanBefore
+      agg.withColumn("footer_covered", lit(cov > 0 && scn <= 2))
+    }),
+
+    // UNFILTERED total SUM/AVG — the most basic reporting shape, and
+    // the one the zero-job ManifestAgg path can never serve (parquet
+    // footers carry no sums): with the sidecar collected, a fully
+    // covered clean table answers `SELECT sum(x) FROM t` reading ZERO
+    // data files — count/min ride along from footers
+    "lake_sql_agg_sum_all" -> ((s, dir) => {
+      val cat = sqlAggSumCatalog(s, dir)
+      val covBefore = graft.lake.PushFilteredAggToManifest.coveredFiles.get()
+      val scanBefore = graft.lake.PushFilteredAggToManifest.scannedFiles.get()
+      val agg = s.sql(
+        s"""SELECT count(*) AS n_rows, sum(l_suppkey) AS sum_sup,
+           |  avg(l_suppkey) AS avg_sup, min(l_orderkey) AS min_key
+           |FROM $cat.lineitem""".stripMargin)
+      agg.collect() // analysis fires the rule; counters read after it
+      val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
+      val scn = graft.lake.PushFilteredAggToManifest.scannedFiles.get() - scanBefore
+      agg.withColumn("footer_covered", lit(cov > 0 && scn == 0))
+    }),
+
+    // grouped SUM/AVG on the point-file layout: every point file IS
+    // one group, so its sidecar (sum, count) answers the group's
+    // sum/avg outright — the per-partition-totals rollup Spark always
+    // full-scans becomes a metadata read over clustered layouts
+    "lake_sql_agg_group_sum" -> ((s, dir) => {
+      val cat = sqlAggInCatalog(s, dir)
+      val covBefore = graft.lake.PushFilteredAggToManifest.coveredFiles.get()
+      val agg = s.sql(
+        s"""SELECT l_linenumber, count(*) AS n_rows,
+           |  sum(l_suppkey) AS sum_sup, avg(l_suppkey) AS avg_sup,
+           |  sum(l_orderkey) AS sum_key
+           |FROM $cat.lineitem
            |GROUP BY l_linenumber""".stripMargin)
       agg.collect() // analysis fires the rule; counters read after it
       val cov = graft.lake.PushFilteredAggToManifest.coveredFiles.get() - covBefore
@@ -4446,6 +4539,41 @@ object SparkEntry {
         |  TRUE AS footer_covered
         |FROM lineitem
         |WHERE l_linenumber BETWEEN 2 AND 5
+        |GROUP BY l_linenumber""".stripMargin,
+
+    // the sidecar-served filtered SUM/AVG must equal the plain
+    // filtered aggregate over the full table, bounds re-derived by the
+    // same p10/p90 integer arithmetic (both positive: // = /)
+    "lake_sql_agg_sum" ->
+      """WITH b AS (SELECT min(l_orderkey) + (max(l_orderkey) - min(l_orderkey)) // 10 AS lo,
+        |             max(l_orderkey) - (max(l_orderkey) - min(l_orderkey)) // 10 AS hi
+        |      FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS sum_sup,
+        |  CAST(avg(l_suppkey) AS DOUBLE) AS avg_sup,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        |  TRUE AS footer_covered
+        |FROM lineitem, b
+        |WHERE l_orderkey BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // the unfiltered sidecar total must equal the plain aggregate
+    "lake_sql_agg_sum_all" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS sum_sup,
+        |  CAST(avg(l_suppkey) AS DOUBLE) AS avg_sup,
+        |  min(l_orderkey) AS min_key,
+        |  TRUE AS footer_covered
+        |FROM lineitem""".stripMargin,
+
+    // the sidecar-served grouped SUM/AVG must equal the plain rollup
+    // (the fixture holds all of lineitem, one l_linenumber per file)
+    "lake_sql_agg_group_sum" ->
+      """SELECT l_linenumber, count(*) AS n_rows,
+        |  CAST(sum(l_suppkey) AS BIGINT) AS sum_sup,
+        |  CAST(avg(l_suppkey) AS DOUBLE) AS avg_sup,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        |  TRUE AS footer_covered
+        |FROM lineitem
         |GROUP BY l_linenumber""".stripMargin,
 
     // the DV-version unfiltered aggregate must equal the plain

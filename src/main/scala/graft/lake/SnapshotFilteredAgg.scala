@@ -3,13 +3,13 @@ package graft.lake
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, EvalMode, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, sum}
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, nullif, sum}
 import org.apache.spark.sql.types._
 
 /** FILTERED aggregate pushdown into footer statistics for SQL over
@@ -106,28 +106,40 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     }
   }
 
+  /** ADVISORY rewrite wrapper: an expected bail returns None inside
+    * `body` (the gates above), but any THROWN failure is a rewrite bug
+    * — degrade to the untouched plan (the stock scan still answers
+    * correctly) AND log it, so advisory degradation stays observable:
+    * a silent `Try(...).toOption` made genuine rewrite bugs
+    * undiagnosable (the counters never move, nothing records why). */
+  private def advisory(orig: Aggregate, what: String)
+      (body: => Option[LogicalPlan]): LogicalPlan =
+    try body.getOrElse(orig)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"$what footer-agg rewrite threw — degrading to the stock plan", e)
+        orig
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get("spark.graft.aggPushdown.filtered", "true").toBoolean)
       return plan
     plan resolveOperatorsUp {
       case agg @ Aggregate(Seq(), aggExprs, Filter(cond, SnapRel(tbl)), _)
           if agg.resolved && tbl.filePaths.nonEmpty =>
-        // ADVISORY rule: any unexpected failure degrades to the
-        // untouched plan (the stock scan), never to a failed analysis —
-        // e.g. foldable-but-Unevaluable literals (current_timestamp()
-        // before the optimizer's ComputeCurrentTime substitution)
-        scala.util.Try(tryRewrite(agg, aggExprs, cond, tbl))
-          .toOption.flatten.getOrElse(agg)
-      // the UNFILTERED twin, for DV-carrying versions only: clean
-      // versions answer zero-job through the DSv2 ManifestAgg path,
-      // but that path never sees a DV version (it routes to the
-      // DV-applying read) — so `SELECT count(*) FROM t` over a table
-      // with ONE stray delete used to pay a full scan. Here the clean
-      // files answer from footers and only the DV files scan.
+        advisory(agg, "filtered")(tryRewrite(agg, aggExprs, cond, tbl))
+      // the UNFILTERED twin: (a) DV-carrying versions — clean versions
+      // answer count/min/max zero-job through the DSv2 ManifestAgg
+      // path, but that path never sees a DV version (it routes to the
+      // DV-applying read), so `SELECT count(*) FROM t` over a table
+      // with ONE stray delete used to pay a full scan; (b) SUM/AVG on
+      // ANY version — ManifestAgg cannot serve sums (footers don't
+      // carry them), the sidecar can. Covered files answer from
+      // metadata, DV / sidecar-missing files scan; the no-sums-no-DVs
+      // case bails inside so ManifestAgg keeps its zero-job plan.
       case agg @ Aggregate(Seq(), aggExprs, SnapRel(tbl), _)
-          if agg.resolved && tbl.dvFiles.nonEmpty && tbl.filePaths.nonEmpty =>
-        scala.util.Try(tryRewriteUnfiltered(agg, aggExprs, tbl))
-          .toOption.flatten.getOrElse(agg)
+          if agg.resolved && tbl.filePaths.nonEmpty =>
+        advisory(agg, "unfiltered")(tryRewriteUnfiltered(agg, aggExprs, tbl))
       // GROUP BY the cluster column: on a CLUSTER BY k layout every
       // point file (footer min = max) IS one whole group, so the
       // rollup `SELECT k, count(*), min/max(c) … GROUP BY k` — the
@@ -137,13 +149,12 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
       // point files SKIP, in-range ones still cover.
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, SnapRel(tbl), _)
           if agg.resolved && tbl.filePaths.nonEmpty =>
-        scala.util.Try(tryRewriteGrouped(agg, g, aggExprs, None, tbl))
-          .toOption.flatten.getOrElse(agg)
+        advisory(agg, "grouped")(tryRewriteGrouped(agg, g, aggExprs, None, tbl))
       case agg @ Aggregate(Seq(g: AttributeReference), aggExprs,
           Filter(cond, SnapRel(tbl)), _)
           if agg.resolved && tbl.filePaths.nonEmpty =>
-        scala.util.Try(tryRewriteGrouped(agg, g, aggExprs, Some(cond), tbl))
-          .toOption.flatten.getOrElse(agg)
+        advisory(agg, "grouped-filtered")(
+          tryRewriteGrouped(agg, g, aggExprs, Some(cond), tbl))
     }
   }
 
@@ -155,7 +166,27 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     * extrema need no predicate discipline — just exact-footer types
     * and complete stats). Multi-valued, null-carrying, DV-carrying or
     * stats-less files scan (through the DV-applying read when needed)
-    * and fold with the footer partials under one final GROUP BY. */
+    * and fold with the footer partials under one final GROUP BY.
+    *
+    * WHY the GROUP column may be ANY orderable type — including the
+    * string/float types the exact-extrema paths gate out — the PINCH
+    * invariant: footer stats are BOUNDS (footerMin ≤ every value ≤
+    * footerMax), so footerMin = footerMax = v forces every value in
+    * the file to equal v exactly, whatever truncation or widening
+    * produced the bounds. String truncation only loosens bounds
+    * (shortened min, incremented max) — a truncated point can never
+    * be reported where values differ. Float/double bounds hold under
+    * the SAME total order classification uses: the interpreted
+    * ordering for Float/Double IS Spark's SQL order
+    * ([[org.apache.spark.sql.catalyst.util.SQLOrderingUtil]]:
+    * −0.0 = +0.0, NaN largest, NaN = NaN), parquet writes NaN as the
+    * max under that order, AND parquet-java's read path suppresses
+    * float stats entirely when NaN contaminated them (the NaN file
+    * harvests stats-less → always scans, never covers or skips) while
+    * widening zeros (read min −0.0 / max +0.0) — so an all-zero file
+    * is still an equiv-point and the final fold's GROUP BY normalizes
+    * the emitted −0.0 key exactly like the stock plan. Pinned by the
+    * string/float tests in FilteredAggSpec. */
   private def tryRewriteGrouped(orig: Aggregate, g: AttributeReference,
       aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
       cond: Option[Expression],
@@ -163,18 +194,37 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     val schema = tbl.schema()
     if (!schema.fieldNames.contains(g.name) ||
         !Metastore.isOrderable(schema(g.name).dataType)) return None
+    // CHEAP PRE-GATE (planning latency): classification costs a footer
+    // harvest job over O(files), but pays off only on a point-file
+    // layout. Harvest when the table DECLARES g as a cluster column,
+    // or is small enough that a wasted sweep is cheap — a large
+    // undeclared layout keeps the stock rollup without paying a
+    // first-query planning job per group column.
+    val groupedMaxFiles = spark.conf
+      .get("spark.graft.aggPushdown.groupedMaxFiles", "4096").toInt
+    if (tbl.filePaths.size > groupedMaxFiles &&
+        !SnapshotLog.clusterByOf(spark, tbl.tablePath).contains(g.name))
+      return None
     sealed trait OutKind
     case object GroupRef extends OutKind
     case object CountStar extends OutKind
     final case class CountCol(name: String) extends OutKind
     final case class MinC(name: String) extends OutKind
     final case class MaxC(name: String) extends OutKind
+    final case class SumC(name: String) extends OutKind
+    final case class AvgC(name: String) extends OutKind
     def colName(e: Expression): Option[String] = e match {
       case a: AttributeReference if schema.fieldNames.contains(a.name) => Some(a.name)
       case _ => None
     }
     def exactCol(e: Expression): Option[String] =
       colName(e).filter(n => ManifestAgg.exactMinMaxType(schema(n).dataType))
+    // SUM/AVG over a point file = the file's sidecar sum/count
+    // ([[SnapshotLog.collectAggStats]] — the file IS the group, and
+    // zero g-nulls means every row belongs): integral columns, LEGACY
+    // eval, sidecar row present — a miss degrades that file to scanned
+    def sumCol(e: Expression): Option[String] =
+      colName(e).filter(n => SnapshotLog.aggStatsIntegral.contains(schema(n).dataType))
     val kinds: Seq[OutKind] = aggExprs.map {
       case a: AttributeReference if a.semanticEquals(g) => GroupRef
       case Alias(a: AttributeReference, _) if a.semanticEquals(g) => GroupRef
@@ -183,11 +233,21 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
         case Count(Seq(e)) => CountCol(colName(e).getOrElse(return None))
         case Min(e) => MinC(exactCol(e).getOrElse(return None))
         case Max(e) => MaxC(exactCol(e).getOrElse(return None))
+        case s: Sum if s.evalContext.evalMode != EvalMode.TRY =>
+          SumC(sumCol(s.child).getOrElse(return None))
+        case a: Average if a.evalMode != EvalMode.TRY =>
+          AvgC(sumCol(a.child).getOrElse(return None))
         case _ => return None
       }
       case _ => return None
     }
     if (!kinds.contains(GroupRef)) return None // k must ride the output
+    val sumColsG = kinds.collect { case SumC(n) => n; case AvgC(n) => n }.distinct
+    lazy val fsQual = SnapshotLog.fsOf(spark, tbl.tablePath)._1
+    def qualified(p: String): String = fsQual.makeQualified(new Path(p)).toString
+    val sumStats: Map[String, Map[String, (Option[Long], Long)]] =
+      sumColsG.map(n => n -> SnapshotLog.aggStatsMap(spark, tbl.tablePath, n)).toMap
+    if (sumColsG.nonEmpty && sumStats.values.forall(_.isEmpty)) return None
     val dvRel = tbl.dvFiles.keySet
     def hasDv(path: String): Boolean =
       dvRel.contains(SnapshotTable.relOf(new Path(path).toUri.getPath))
@@ -315,46 +375,65 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
         (kinds.forall { case MinC(`n`) | MaxC(`n`) =>
           s.min.isDefined && s.max.isDefined || s.nulls.contains(s.rows)
           case _ => true }))
-    }
+    } && sumColsG.forall(n => sumStats(n).contains(qualified(path)))
     val (covOk, covDegraded) = cov.partition(s => complete(s.path))
     if (covOk.isEmpty) return None
     val scanAll = scan ++ covDegraded.map(_.path)
     if (kinds.count(_ == GroupRef) != 1) return None
     // one partial row per covered FILE (the final GROUP BY folds files
     // sharing a k — a compacted layout has one, an append-era one
-    // many); harvest values are already in external (scala) form
+    // many); harvest values are already in external (scala) form.
+    // AVG partials ride as (sum, count) PAIRS — a partial average
+    // cannot fold — so every stage walks the same per-kind 1-or-2
+    // field layout; the final fold emits one column per kind
+    def sideOf(n: String, path: String): (Option[Long], Long) =
+      sumStats(n)(qualified(path))
     val coveredRows: Seq[Row] = covOk.map { st =>
-      Row.fromSeq(kinds.map {
-        case GroupRef => st.min.get // = max (the point)
-        case CountStar => st.rows
+      Row.fromSeq(kinds.flatMap {
+        case GroupRef => Seq(st.min.get) // = max (the point)
+        case CountStar => Seq(st.rows)
         case CountCol(x) =>
-          if (x == g.name) st.rows
-          else st.rows - statsBy(x)(st.path).nulls.get
+          if (x == g.name) Seq(st.rows)
+          else Seq(st.rows - statsBy(x)(st.path).nulls.get)
         case MinC(x) =>
-          if (x == g.name) st.min.get
-          else statsBy(x)(st.path).min.orNull // all-null file: null, like MIN
+          if (x == g.name) Seq(st.min.get)
+          else Seq(statsBy(x)(st.path).min.orNull) // all-null file: null, like MIN
         case MaxC(x) =>
-          if (x == g.name) st.max.get
-          else statsBy(x)(st.path).max.orNull
+          if (x == g.name) Seq(st.max.get)
+          else Seq(statsBy(x)(st.path).max.orNull)
+        case SumC(x) => Seq(sideOf(x, st.path)._1.map(Long.box).orNull)
+        case AvgC(x) =>
+          val (s, c) = sideOf(x, st.path)
+          Seq(s.map(Long.box).orNull, c)
       })
     }
-    val partialSchema = StructType(kinds.zipWithIndex.map {
-      case (GroupRef, i) => StructField(s"_a$i", gDt)
-      case (CountStar | CountCol(_), i) => StructField(s"_a$i", LongType)
-      case (MinC(n), i) => StructField(s"_a$i", schema(n).dataType)
-      case (MaxC(n), i) => StructField(s"_a$i", schema(n).dataType)
+    val partialSchema = StructType(kinds.zipWithIndex.flatMap {
+      case (GroupRef, i) => Seq(StructField(s"_a$i", gDt))
+      case (CountStar | CountCol(_), i) => Seq(StructField(s"_a$i", LongType))
+      case (MinC(n), i) => Seq(StructField(s"_a$i", schema(n).dataType))
+      case (MaxC(n), i) => Seq(StructField(s"_a$i", schema(n).dataType))
+      case (SumC(_), i) => Seq(StructField(s"_a$i", LongType))
+      case (AvgC(_), i) => Seq(StructField(s"_a${i}s", LongType),
+        StructField(s"_a${i}c", LongType))
     })
+    // one output column per kind (the AVG pair folds to a single
+    // double): the shape the final select and the orig-output zip use
+    val finalNames = kinds.zipWithIndex.map { case (_, i) => s"_a$i" }
     import scala.jdk.CollectionConverters._
     val coveredDf = spark.createDataFrame(coveredRows.asJava, partialSchema)
     val gi = kinds.indexOf(GroupRef)
     val parts =
       if (scanAll.isEmpty) coveredDf
       else {
-        val partials = kinds.zipWithIndex.collect {
-          case (CountStar, i) => count(lit(1)).as(s"_a$i")
-          case (CountCol(x), i) => count(col(x)).as(s"_a$i")
-          case (MinC(x), i) => min(col(x)).as(s"_a$i")
-          case (MaxC(x), i) => max(col(x)).as(s"_a$i")
+        val partials = kinds.zipWithIndex.flatMap {
+          case (CountStar, i) => Seq(count(lit(1)).as(s"_a$i"))
+          case (CountCol(x), i) => Seq(count(col(x)).as(s"_a$i"))
+          case (MinC(x), i) => Seq(min(col(x)).as(s"_a$i"))
+          case (MaxC(x), i) => Seq(max(col(x)).as(s"_a$i"))
+          case (SumC(x), i) => Seq(sum(col(x)).cast(LongType).as(s"_a$i"))
+          case (AvgC(x), i) => Seq(sum(col(x)).cast(LongType).as(s"_a${i}s"),
+            count(col(x)).as(s"_a${i}c"))
+          case (GroupRef, _) => Nil
         }
         val base0 =
           if (scanAll.exists(hasDv))
@@ -388,12 +467,17 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
       case (CountStar | CountCol(_), i) => sum(col(s"_a$i")).as(s"_a$i")
       case (MinC(_), i) => min(col(s"_a$i")).as(s"_a$i")
       case (MaxC(_), i) => max(col(s"_a$i")).as(s"_a$i")
+      // sum folds null-skipping (an all-null-x group stays null, like
+      // Spark); avg = Σsum/Σcount, long division → double exactly like
+      // Average's own eval, null on zero count via legacy divide
+      case (SumC(_), i) => sum(col(s"_a$i")).as(s"_a$i")
+      case (AvgC(_), i) => (sum(col(s"_a${i}s")) / nullif(sum(col(s"_a${i}c")), lit(0L))).as(s"_a$i")
     }
     val grouped = parts.groupBy(col(s"_a$gi"))
     val finalDf =
       (if (folds.isEmpty) grouped.agg(count(lit(1)).as("_drop")).drop("_drop")
        else grouped.agg(folds.head, folds.tail: _*))
-        .select(partialSchema.fieldNames.map(col): _*)
+        .select(finalNames.map(col): _*)
     PushFilteredAggToManifest.served.incrementAndGet()
     PushFilteredAggToManifest.coveredFiles.addAndGet(covOk.size.toLong)
     PushFilteredAggToManifest.scannedFiles.addAndGet(scanAll.size.toLong)
@@ -421,39 +505,62 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     final case class CountCol(name: String) extends AggKind
     final case class MinC(name: String) extends AggKind
     final case class MaxC(name: String) extends AggKind
+    final case class SumC(name: String) extends AggKind
+    final case class AvgC(name: String) extends AggKind
     def colName(e: Expression): Option[String] = e match {
       case a: AttributeReference if schema.fieldNames.contains(a.name) => Some(a.name)
       case _ => None
     }
     def exactCol(e: Expression): Option[String] =
       colName(e).filter(n => ManifestAgg.exactMinMaxType(schema(n).dataType))
+    def sumCol(e: Expression): Option[String] =
+      colName(e).filter(n => SnapshotLog.aggStatsIntegral.contains(schema(n).dataType))
     val kinds: Seq[AggKind] = aggExprs.map {
       case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null => CountStar
         case Count(Seq(e)) => CountCol(colName(e).getOrElse(return None))
         case Min(e) => MinC(exactCol(e).getOrElse(return None))
         case Max(e) => MaxC(exactCol(e).getOrElse(return None))
+        case s: Sum if s.evalContext.evalMode != EvalMode.TRY =>
+          SumC(sumCol(s.child).getOrElse(return None))
+        case a: Average if a.evalMode != EvalMode.TRY =>
+          AvgC(sumCol(a.child).getOrElse(return None))
         case _ => return None
       }
       case _ => return None
     }
+    val sumColsU = kinds.collect { case SumC(n) => n; case AvgC(n) => n }.distinct
     val dvRel = tbl.dvFiles.keySet
     def hasDv(path: String): Boolean =
       dvRel.contains(SnapshotTable.relOf(new Path(path).toUri.getPath))
-    val (scan, clean) = tbl.filePaths.partition(hasDv)
-    if (scan.isEmpty || clean.isEmpty) return None // nothing to split
-    // covered partials over the CLEAN files from cached footers; any
-    // incompleteness bails to the stock plan (the vectorize rule takes
-    // the relation in the same fixed-point iteration)
+    // without sums, a CLEAN version's count/min/max belongs to the
+    // zero-job DSv2 ManifestAgg path — this arm exists for the DV
+    // split and for the sum shapes footers can never serve
+    if (sumColsU.isEmpty && tbl.dvFiles.isEmpty) return None
+    lazy val fsQual = SnapshotLog.fsOf(spark, tbl.tablePath)._1
+    def qualified(p: String): String = fsQual.makeQualified(new Path(p)).toString
+    val sumStats: Map[String, Map[String, (Option[Long], Long)]] =
+      sumColsU.map(n => n -> SnapshotLog.aggStatsMap(spark, tbl.tablePath, n)).toMap
+    if (sumColsU.nonEmpty && sumStats.values.forall(_.isEmpty)) return None
+    // covered = clean files with every needed sidecar row; DV files and
+    // sidecar-missing files scan (through the DV-applying read when any
+    // DV file is among them)
+    val (covered, scanned) = tbl.filePaths.partition(p =>
+      !hasDv(p) && sumColsU.forall(n => sumStats(n).contains(qualified(p))))
+    if (covered.isEmpty) return None
+    val scan = scanned
+    // covered partials from cached footers; any incompleteness bails to
+    // the stock plan (the vectorize rule takes the relation in the same
+    // fixed-point iteration)
     val statsBy = scala.collection.mutable.Map.empty[String, Seq[StatsAgg.FileStats]]
     def statsFor(n: String): Option[Seq[StatsAgg.FileStats]] = {
       val st = statsBy.getOrElseUpdate(n,
-        SnapshotLog.cachedHarvest(spark, clean, n, schema(n).dataType))
+        SnapshotLog.cachedHarvest(spark, covered, n, schema(n).dataType))
       if (st.forall(s => s.rows >= 0L && s.nulls.isDefined)) Some(st) else None
     }
     def rowsTotal: Option[Long] = {
       val st = statsBy.getOrElseUpdate(schema.fields.head.name,
-        SnapshotLog.cachedHarvest(spark, clean, schema.fields.head.name,
+        SnapshotLog.cachedHarvest(spark, covered, schema.fields.head.name,
           schema.fields.head.dataType))
       if (st.forall(_.rows >= 0L)) Some(st.map(_.rows).sum) else None
     }
@@ -467,39 +574,61 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
       if (vals.isEmpty) null
       else fromC(if (wantMax) vals.max(ord) else vals.min(ord))
     }
-    val coveredRow = Row.fromSeq(kinds.map {
-      case CountStar => rowsTotal.getOrElse(return None)
-      case CountCol(n) => statsFor(n).getOrElse(return None)
-        .map(s => s.rows - s.nulls.get).sum
-      case MinC(n) => extremum(n, wantMax = false).getOrElse(return None)
-      case MaxC(n) => extremum(n, wantMax = true).getOrElse(return None)
+    def sidecarSum(n: String): Option[Long] = {
+      val present = covered.flatMap(p => sumStats(n)(qualified(p))._1)
+      if (present.isEmpty) None else Some(present.sum)
+    }
+    def sidecarCnt(n: String): Long =
+      covered.map(p => sumStats(n)(qualified(p))._2).sum
+    val coveredRow = Row.fromSeq(kinds.flatMap {
+      case CountStar => Seq(rowsTotal.getOrElse(return None))
+      case CountCol(n) => Seq(statsFor(n).getOrElse(return None)
+        .map(s => s.rows - s.nulls.get).sum)
+      case MinC(n) => Seq(extremum(n, wantMax = false).getOrElse(return None))
+      case MaxC(n) => Seq(extremum(n, wantMax = true).getOrElse(return None))
+      case SumC(n) => Seq(sidecarSum(n).map(Long.box).orNull)
+      case AvgC(n) => Seq(sidecarSum(n).map(Long.box).orNull, sidecarCnt(n))
     })
-    val partialSchema = StructType(kinds.zipWithIndex.map {
-      case (CountStar | CountCol(_), i) => StructField(s"_a$i", LongType)
-      case (MinC(n), i) => StructField(s"_a$i", schema(n).dataType)
-      case (MaxC(n), i) => StructField(s"_a$i", schema(n).dataType)
+    val partialSchema = StructType(kinds.zipWithIndex.flatMap {
+      case (CountStar | CountCol(_), i) => Seq(StructField(s"_a$i", LongType))
+      case (MinC(n), i) => Seq(StructField(s"_a$i", schema(n).dataType))
+      case (MaxC(n), i) => Seq(StructField(s"_a$i", schema(n).dataType))
+      case (SumC(_), i) => Seq(StructField(s"_a$i", LongType))
+      case (AvgC(_), i) => Seq(StructField(s"_a${i}s", LongType),
+        StructField(s"_a${i}c", LongType))
     })
     val coveredDf = spark.createDataFrame(
       java.util.Collections.singletonList(coveredRow), partialSchema)
-    val partials = kinds.zipWithIndex.map {
-      case (CountStar, i) => count(lit(1)).as(s"_a$i")
-      case (CountCol(x), i) => count(col(x)).as(s"_a$i")
-      case (MinC(x), i) => min(col(x)).as(s"_a$i")
-      case (MaxC(x), i) => max(col(x)).as(s"_a$i")
-    }
-    val scanDf = SnapshotLog
-      .vectorizedCatalogRead(spark, tbl.tablePath, schema, scan, tbl.dvFiles)
-      .agg(partials.head, partials.tail: _*)
+    val parts =
+      if (scan.isEmpty) coveredDf
+      else {
+        val partials = kinds.zipWithIndex.flatMap {
+          case (CountStar, i) => Seq(count(lit(1)).as(s"_a$i"))
+          case (CountCol(x), i) => Seq(count(col(x)).as(s"_a$i"))
+          case (MinC(x), i) => Seq(min(col(x)).as(s"_a$i"))
+          case (MaxC(x), i) => Seq(max(col(x)).as(s"_a$i"))
+          case (SumC(x), i) => Seq(sum(col(x)).cast(LongType).as(s"_a$i"))
+          case (AvgC(x), i) => Seq(sum(col(x)).cast(LongType).as(s"_a${i}s"),
+            count(col(x)).as(s"_a${i}c"))
+        }
+        val base =
+          if (scan.exists(hasDv))
+            SnapshotLog.vectorizedCatalogRead(spark, tbl.tablePath, schema, scan, tbl.dvFiles)
+          else SnapshotLog.scanKnownFiles(spark, scan, schema)
+        coveredDf.unionByName(base.agg(partials.head, partials.tail: _*))
+      }
     val folds = kinds.zipWithIndex.map {
       case (CountStar | CountCol(_), i) => coalesce(sum(col(s"_a$i")), lit(0L)).as(s"_a$i")
       case (MinC(_), i) => min(col(s"_a$i")).as(s"_a$i")
       case (MaxC(_), i) => max(col(s"_a$i")).as(s"_a$i")
+      case (SumC(_), i) => sum(col(s"_a$i")).as(s"_a$i")
+      case (AvgC(_), i) => (sum(col(s"_a${i}s")) / nullif(sum(col(s"_a${i}c")), lit(0L))).as(s"_a$i")
     }
-    val finalDf = coveredDf.unionByName(scanDf).agg(folds.head, folds.tail: _*)
+    val finalDf = parts.agg(folds.head, folds.tail: _*)
     PushFilteredAggToManifest.served.incrementAndGet()
-    PushFilteredAggToManifest.coveredFiles.addAndGet(clean.size.toLong)
+    PushFilteredAggToManifest.coveredFiles.addAndGet(covered.size.toLong)
     PushFilteredAggToManifest.scannedFiles.addAndGet(scan.size.toLong)
-    logInfo(s"unfiltered manifest agg on DV version: covered=${clean.size} " +
+    logInfo(s"unfiltered manifest agg: covered=${covered.size} " +
       s"scanned=${scan.size} of ${tbl.filePaths.size} files")
     val child = finalDf.queryExecution.analyzed
     Some(Project(orig.output.zip(child.output).map { case (o, r) =>
@@ -657,10 +786,21 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     final case class CountCol(name: String) extends AggKind
     final case class MinC(name: String) extends AggKind
     final case class MaxC(name: String) extends AggKind
+    final case class SumC(name: String) extends AggKind
+    final case class AvgC(name: String) extends AggKind
     def colName(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
+    // SUM/AVG serve from the per-file sum SIDECAR
+    // ([[SnapshotLog.collectAggStats]]), not footers: integral columns
+    // only (exact, associative — a sidecar fold equals a scan fold
+    // bit-for-bit, wrap-around included), LEGACY eval only (ANSI sum
+    // overflow semantics differ from the wrapped fold), and a covered
+    // file missing its sidecar row degrades to scanned
+    def sumCol(e: Expression): Option[String] =
+      colName(e).filter(n => schema.fieldNames.contains(n) &&
+        SnapshotLog.aggStatsIntegral.contains(schema(n).dataType))
     val kinds: Seq[AggKind] = aggExprs.map {
       case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null => CountStar
@@ -678,11 +818,24 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
           if (!predCols.contains(n) || !ManifestAgg.exactMinMaxType(schema(n).dataType))
             return None
           MaxC(n)
+        case s: Sum if s.evalContext.evalMode != EvalMode.TRY =>
+          SumC(sumCol(s.child).getOrElse(return None))
+        case a: Average if a.evalMode != EvalMode.TRY =>
+          AvgC(sumCol(a.child).getOrElse(return None))
         case _ => return None
       }
       case _ => return None
     }
     val extremaCols = kinds.collect { case MinC(n) => n; case MaxC(n) => n }.toSet
+    val sumCols = kinds.collect { case SumC(n) => n; case AvgC(n) => n }.distinct
+    // the sidecar maps load once per (table, column, sidecar version);
+    // if NONE of the sum columns was ever collected, bail before any
+    // footer work — the rewrite can't serve this shape
+    lazy val fsQual = SnapshotLog.fsOf(spark, tbl.tablePath)._1
+    def qualified(p: String): String = fsQual.makeQualified(new Path(p)).toString
+    val sumStats: Map[String, Map[String, (Option[Long], Long)]] =
+      sumCols.map(n => n -> SnapshotLog.aggStatsMap(spark, tbl.tablePath, n)).toMap
+    if (sumCols.nonEmpty && sumStats.values.forall(_.isEmpty)) return None
 
     // ── classification from the shared footer cache ──────────────────
     val statsBy: Map[String, Map[String, StatsAgg.FileStats]] = predCols.map { cn =>
@@ -747,10 +900,16 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
         // column carries nulls; footer extrema of column e only belong
         // to qualifying rows when every OTHER pred column is null-free.
         // A file failing the gate degrades to scanned (always sound).
-        val ok =
+        val ok0 =
           if (extremaCols.isEmpty) nonZero.size <= 1
           else if (extremaCols.size == 1) nonZero.subsetOf(extremaCols)
           else nonZero.isEmpty
+        // SUM/AVG tighten the gate: a covered file's sidecar sum spans
+        // ALL its rows, so every pred column must be null-free (else
+        // excluded rows' contributions are unknowable) and every sum
+        // column must have a sidecar row — miss either, scan the file
+        val ok = ok0 && (sumCols.isEmpty || (nonZero.isEmpty &&
+          sumCols.forall(n => sumStats(n).contains(qualified(path)))))
         if (ok) covered += ((statsBy(predCols.head)(path).copy(
           nulls = Some(nonZero.headOption.map(nb).getOrElse(0L))), nb))
         else scanned += path
@@ -801,10 +960,17 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     // per covered file: qualifying rows = rows − nulls of the (single
     // allowed) null-carrying pred column — folded into `nulls` above
     val coveredRows = cov.map(s => s.rows - s.nulls.get).sum
-    val partialSchema = StructType(kinds.zipWithIndex.map {
-      case (CountStar | CountCol(_), i) => StructField(s"_a$i", LongType)
-      case (MinC(n), i) => StructField(s"_a$i", schema(n).dataType)
-      case (MaxC(n), i) => StructField(s"_a$i", schema(n).dataType)
+    // AVG partials fold as (sum, count) PAIRS — a partial average
+    // cannot fold — so each kind owns one or two partial fields; every
+    // other stage (covered row, scan partials, final folds) walks the
+    // same per-kind field layout
+    val partialSchema = StructType(kinds.zipWithIndex.flatMap {
+      case (CountStar | CountCol(_), i) => Seq(StructField(s"_a$i", LongType))
+      case (MinC(n), i) => Seq(StructField(s"_a$i", schema(n).dataType))
+      case (MaxC(n), i) => Seq(StructField(s"_a$i", schema(n).dataType))
+      case (SumC(_), i) => Seq(StructField(s"_a$i", LongType))
+      case (AvgC(_), i) => Seq(StructField(s"_a${i}s", LongType),
+        StructField(s"_a${i}c", LongType))
     })
     // covered files' footer extrema lie inside their column's bounds and
     // are exact for the admitted types; the null gate above guarantees
@@ -817,10 +983,21 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
       }
       fromCatBy(n)(if (wantMax) vals.max(ord) else vals.min(ord))
     }
-    val coveredRow = Row.fromSeq(kinds.map {
-      case CountStar | CountCol(_) => coveredRows
-      case MinC(n) => extremum(n, wantMax = false)
-      case MaxC(n) => extremum(n, wantMax = true)
+    // Σ sidecar sums over the covered files; null (like Spark's sum
+    // over no non-null input) when every covered file is empty on n
+    def sidecarSum(n: String): Option[Long] = {
+      val entries = cov.map(s => sumStats(n)(qualified(s.path)))
+      val present = entries.flatMap(_._1)
+      if (present.isEmpty) None else Some(present.sum)
+    }
+    def sidecarCnt(n: String): Long =
+      cov.map(s => sumStats(n)(qualified(s.path))._2).sum
+    val coveredRow = Row.fromSeq(kinds.flatMap {
+      case CountStar | CountCol(_) => Seq(coveredRows)
+      case MinC(n) => Seq(extremum(n, wantMax = false))
+      case MaxC(n) => Seq(extremum(n, wantMax = true))
+      case SumC(n) => Seq(sidecarSum(n).map(Long.box).orNull)
+      case AvgC(n) => Seq(sidecarSum(n).map(Long.box).orNull, sidecarCnt(n))
     })
     val coveredDf = spark.createDataFrame(
       java.util.Collections.singletonList(coveredRow), partialSchema)
@@ -846,11 +1023,14 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
           bounds(cn).set.foreach(s =>
             pred = pred && col(cn).isin(s.toSeq.map(fromCatBy(cn)): _*))
         }
-        val partials = kinds.zipWithIndex.map {
-          case (CountStar, i) => count(lit(1)).as(s"_a$i")
-          case (CountCol(x), i) => count(col(x)).as(s"_a$i")
-          case (MinC(x), i) => min(col(x)).as(s"_a$i")
-          case (MaxC(x), i) => max(col(x)).as(s"_a$i")
+        val partials = kinds.zipWithIndex.flatMap {
+          case (CountStar, i) => Seq(count(lit(1)).as(s"_a$i"))
+          case (CountCol(x), i) => Seq(count(col(x)).as(s"_a$i"))
+          case (MinC(x), i) => Seq(min(col(x)).as(s"_a$i"))
+          case (MaxC(x), i) => Seq(max(col(x)).as(s"_a$i"))
+          case (SumC(x), i) => Seq(sum(col(x)).cast(LongType).as(s"_a$i"))
+          case (AvgC(x), i) => Seq(sum(col(x)).cast(LongType).as(s"_a${i}s"),
+            count(col(x)).as(s"_a${i}c"))
         }
         // a scanned file with a deletion vector reads through the
         // DV-applying form (dead rows anti-joined out); clean-only
@@ -868,6 +1048,12 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
       case (CountStar | CountCol(_), i) => coalesce(sum(col(s"_a$i")), lit(0L)).as(s"_a$i")
       case (MinC(_), i) => min(col(s"_a$i")).as(s"_a$i")
       case (MaxC(_), i) => max(col(s"_a$i")).as(s"_a$i")
+      // sum folds null-skipping (sum over no non-null input IS null —
+      // Spark's own semantics, so no coalesce); avg folds exactly as
+      // Σsum/Σcount, long division → double like Average's own eval,
+      // null on zero count via legacy divide-by-zero
+      case (SumC(_), i) => sum(col(s"_a$i")).as(s"_a$i")
+      case (AvgC(_), i) => (sum(col(s"_a${i}s")) / nullif(sum(col(s"_a${i}c")), lit(0L))).as(s"_a$i")
     }
     val finalDf = parts.agg(folds.head, folds.tail: _*)
 

@@ -451,7 +451,84 @@ object SnapshotLog {
         s"lost the claim race for v$next of $table")
     maybeCheckpoint(spark, fs, root, table, next, checkpointInterval)
     autoIndexBloomSidecars(spark, fs, root, adds)
+    autoCollectAggStats(spark, fs, root, adds)
     next
+  }
+
+  /** AUTO-MAINTENANCE of SUM sidecars, the [[autoIndexBloomSidecars]]
+    * twin: after any commit that adds data files, append (sum, count)
+    * rows for exactly those files to every column sidecar the table
+    * carries — `CALL collect_agg_stats` is a one-time decision, not a
+    * re-CALL treadmill. Without this every appended or compacted file
+    * is absent from the sidecar: never served wrongly (the rewrite
+    * degrades it to scanned — sound) but the SUM shortcut silently
+    * decays under continuous ingest. One column-pruned pass over the
+    * BATCH per collected column; a unique delta dir per commit (two
+    * concurrent committers must not share a parquet dir's staging).
+    * Best-effort: the manifest claim already landed, so a failure here
+    * costs only freshness, never the commit. Delta-dir creep is folded
+    * by [[maybeFoldAggStats]]. Disable with
+    * `spark.graft.aggstats.autoCollect = false`. */
+  private def autoCollectAggStats(spark: SparkSession, fs: FileSystem,
+                                  root: Path, adds: Seq[String]): Unit = {
+    if (adds.isEmpty) return
+    try {
+      if (!spark.conf.get("spark.graft.aggstats.autoCollect", "true").toBoolean) return
+      val statsRoot = new Path(logDir(root).getParent, "_aggstats")
+      if (!fs.exists(statsRoot)) return
+      val colDirs = fs.listStatus(statsRoot).toSeq.filter(_.isDirectory)
+      if (colDirs.isEmpty) return
+      val abs = adds.map(f => fs.makeQualified(new Path(dataRootOf(root), f)).toString)
+      import org.apache.spark.sql.functions.{col => c, coalesce, count, lit, sum}
+      for (cd <- colDirs) {
+        val column = cd.getPath.getName
+        val batch = spark.read.option("ignoreMissingFiles", "true").parquet(abs: _*)
+        if (batch.columns.contains(column) &&
+            aggStatsIntegral.contains(batch.schema(column).dataType)) {
+          val computed = batch
+            .select(c("_metadata.file_path").as("filepath"), c(column))
+            .groupBy("filepath")
+            .agg(sum(c(column)).cast(org.apache.spark.sql.types.LongType).as("sum_v"),
+              count(c(column)).as("cnt"))
+          // zero-row adds produce no group: left-join the full list so
+          // every added file lands a row (null sum, 0 count)
+          val all = spark.createDataFrame(
+            spark.sparkContext.parallelize(abs.map(Row(_)),
+              math.max(1, abs.size / 20000)),
+            StructType(Seq(StructField("filepath", StringType, nullable = false))))
+            .join(computed, Seq("filepath"), "left")
+            .select(c("filepath"), c("sum_v"), coalesce(c("cnt"), lit(0L)).as("cnt"))
+          all.write.mode("errorifexists").parquet(new Path(cd.getPath,
+            "delta-" + java.util.UUID.randomUUID().toString.take(12)).toString)
+          maybeFoldAggStats(spark, fs, cd.getPath)
+        }
+      }
+    } catch { case e: Exception =>
+      MetastoreFileIndex.log.warn(
+        s"agg-stats sidecar auto-collect failed for $root (serving stays sound, " +
+          s"the SUM shortcut decays to scanning new files): ${e.getMessage}")
+    }
+  }
+
+  /** SELF-COMPACTION of a SUM sidecar, the [[maybeFoldBloomDeltas]]
+    * twin: past `spark.graft.aggstats.maxDeltaDirs` (default 64) delta
+    * dirs, fold the tree into ONE dir and delete the captured inputs.
+    * Duplicate filepath rows collapse on read (files are immutable, any
+    * copy is the right copy); a racer's delta landing after the listing
+    * capture survives untouched. */
+  private def maybeFoldAggStats(spark: SparkSession, fs: FileSystem,
+                                colDir: Path): Unit = {
+    val maxDirs = spark.conf.get("spark.graft.aggstats.maxDeltaDirs", "64").toInt
+    val captured = fs.listStatus(colDir).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+    if (captured.size <= maxDirs) return
+    val folded = spark.read.option("recursiveFileLookup", "true")
+      .option("ignoreMissingFiles", "true")
+      .parquet(captured.map(_.getPath.toString): _*)
+      .dropDuplicates("filepath")
+    folded.write.mode("errorifexists").parquet(new Path(colDir,
+      "delta-" + java.util.UUID.randomUUID().toString.take(12)).toString)
+    captured.foreach(st => fs.delete(st.getPath, true))
   }
 
   /** AUTO-MAINTENANCE of Bloom sidecars: after any commit that adds
@@ -1215,6 +1292,127 @@ object SnapshotLog {
       .option("ignoreMissingFiles", "true").parquet(dir.toString)
       .withColumn("filepath",
         when(rel === lit(""), col("filepath")).otherwise(concat(lit(prefix), rel))))
+  }
+
+  // ── per-file SUM sidecar (agg stats) ─────────────────────────────
+  // Parquet footers carry count/min/max but never SUMS, so the
+  // dominant reporting aggregate at 100 TB — `SELECT sum(x) … WHERE
+  // cluster_col BETWEEN lo AND hi` — always paid a full scan even when
+  // every interior file was zone-map covered. This sidecar stores one
+  // (filepath, sum, non-null count) row per live file per collected
+  // column at `<root>/_aggstats/<column>/`, letting
+  // [[PushFilteredAggToManifest]] answer SUM/AVG for covered files
+  // from metadata and scan only the boundary. Soundness mirrors the
+  // Bloom sidecar's: pool files are IMMUTABLE, so a row can never go
+  // stale; files lacking a row (written after the collect) simply
+  // degrade to scanned, and DV-carrying files are never covered by the
+  // rewrite in the first place. Only INTEGRAL columns are collected —
+  // long addition is exact and associative (wrap-around included, so a
+  // sidecar-fold equals a full-scan fold bit-for-bit under legacy
+  // eval), where float sums are rounding-order-dependent.
+
+  private[lake] val aggStatsIntegral: Set[org.apache.spark.sql.types.DataType] =
+    Set(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+
+  private[lake] def aggStatsDir(root: Path, column: String): Path =
+    new Path(logDir(root).getParent, s"_aggstats/$column")
+
+  /** Collect per-file (sum, non-null count) for `column` over the
+    * HEAD's live files that don't already have a sidecar row —
+    * incremental by construction (re-running after appends pays only
+    * the new files; an unchanged table pays one listing). Zero-row or
+    * all-null files get an explicit (null, 0) row so they stay covered
+    * instead of degrading forever. Returns the number of files newly
+    * collected. Cost: one distributed pass over the MISSING files'
+    * `column` bytes (column-pruned scan), one tiny sidecar append. */
+  def collectAggStats(spark: SparkSession, table: String, column: String): Long = {
+    val head = currentVersion(spark, table)
+    require(head >= 0, s"no snapshot table at $table")
+    val cur = state(spark, table, Some(head))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson)
+      .asInstanceOf[StructType]
+    require(schema.fieldNames.contains(column), s"no column '$column' in $table")
+    require(aggStatsIntegral.contains(schema(column).dataType),
+      s"agg stats require an integral column; '$column' is " +
+        schema(column).dataType.sql + " (float sums are rounding-order-dependent, " +
+        "so a sidecar fold could differ from a scan in the last ulp)")
+    if (cur.files.isEmpty) return 0L
+    val (fs, rootP) = fsOf(spark, table)
+    val dataRoot = dataRootOf(rootP)
+    val abs = cur.files.map(f => fs.makeQualified(new Path(dataRoot, f)).toString)
+    val have: Set[String] = aggStatsFor(spark, table, column)
+      .map(_.select("filepath").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val missing = abs.filterNot(have)
+    if (missing.isEmpty) return 0L
+    import org.apache.spark.sql.functions.{col => c, count, lit, sum}
+    val computed = spark.read.parquet(missing: _*)
+      .select(c("_metadata.file_path").as("filepath"), c(column))
+      .groupBy("filepath")
+      .agg(sum(c(column)).cast(org.apache.spark.sql.types.LongType).as("sum_v"),
+        count(c(column)).as("cnt"))
+    // zero-row files produce no group — left-join the full list so
+    // every missing file lands a row (sum NULL, cnt 0 = "no non-null
+    // values", exactly Spark's sum-over-empty)
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize(missing.map(Row(_)), math.max(1, missing.size / 20000)),
+      StructType(Seq(StructField("filepath", StringType, nullable = false))))
+      .join(computed, Seq("filepath"), "left")
+      .select(c("filepath"), c("sum_v"),
+        org.apache.spark.sql.functions.coalesce(c("cnt"), lit(0L)).as("cnt"))
+    val dir = aggStatsDir(rootP, column)
+    val delta = new Path(dir, s"delta-${java.util.UUID.randomUUID().toString.take(12)}")
+    all.write.mode("errorifexists").parquet(delta.toString)
+    missing.size.toLong
+  }
+
+  /** The sidecar's (filepath, sum_v, cnt) table for `column`, if one
+    * was collected. Rename-proof exactly like [[bloomFor]]: rows are
+    * re-anchored at the current data root by their pool-relative
+    * suffix. Read recursively over the delta dirs; duplicate rows for
+    * one file (two concurrent collects) are IDENTICAL — files are
+    * immutable — so readers may pick either. */
+  def aggStatsFor(spark: SparkSession, tablePath: String,
+                  column: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, concat, lit, regexp_extract, when}
+    val (fs, rootP) = fsOf(spark, tablePath)
+    val dir = aggStatsDir(rootP, column)
+    if (!fs.exists(dir)) return None
+    val prefix = fs.makeQualified(dataRootOf(rootP)).toString + "/"
+    val rel = regexp_extract(col("filepath"), "^.*/(data/.*)$", 1)
+    Some(spark.read.option("recursiveFileLookup", "true")
+      .option("ignoreMissingFiles", "true").parquet(dir.toString)
+      .withColumn("filepath",
+        when(rel === lit(""), col("filepath")).otherwise(concat(lit(prefix), rel)))
+      .dropDuplicates("filepath"))
+  }
+
+  // the collected sidecar keyed by (qualified path): entries are
+  // immutable (files are), so the map only grows; the dir-version key
+  // (delta count + max mtime from ONE listing) invalidates when a new
+  // collect lands
+  private val aggStatsMapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, (Option[Long], Long)]]()
+
+  /** Driver-held sidecar map for the rewrite: qualified path →
+    * (sum — None when the file has no non-null values —, non-null
+    * count). One fs listing per call; the collect() behind it runs
+    * once per sidecar version. Empty when never collected. */
+  private[lake] def aggStatsMap(spark: SparkSession, tablePath: String,
+                                column: String): Map[String, (Option[Long], Long)] = {
+    val (fs, rootP) = fsOf(spark, tablePath)
+    val dir = aggStatsDir(rootP, column)
+    if (!fs.exists(dir)) return Map.empty
+    val ls = fs.listStatus(dir)
+    val ver = s"${dir.toString}#${ls.length}#${ls.map(_.getModificationTime).foldLeft(0L)(math.max)}"
+    aggStatsMapCache.computeIfAbsent(ver, _ =>
+      aggStatsFor(spark, tablePath, column) match {
+        case None => Map.empty
+        case Some(df) => df.collect().map { r =>
+          r.getString(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2))
+        }.toMap
+      })
   }
 
   /** OPTIMIZE (BIN-PACK): rewrite ONLY the head's small files into

@@ -190,6 +190,12 @@ private[lake] object SnapshotProcedures {
       StructType(Seq(StructField("files_indexed", LongType, nullable = false))),
       (s, p, r) => one(SnapshotLog.buildBloom(s, p, str(r, 1), r.getLong(2), r.getDouble(3)))),
 
+    ProcDef("collect_agg_stats",
+      "Collect per-file (sum, count) sidecar stats for an integral column — filtered SUM/AVG then serve from metadata",
+      Seq(in("table", StringType), in("column", StringType)),
+      StructType(Seq(StructField("files_collected", LongType, nullable = false))),
+      (s, p, r) => one(SnapshotLog.collectAggStats(s, p, str(r, 1)))),
+
     ProcDef("set_cluster_by",
       "Declare (or replace) the table's cluster columns — SQL INSERTs then range-distribute + sort on them",
       Seq(in("table", StringType), in("columns", StringType)),

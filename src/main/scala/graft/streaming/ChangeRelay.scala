@@ -112,7 +112,7 @@ object ChangeRelay {
           .write.mode("errorifexists").parquet(stage.toString)
         // atomic publication; a lost race (false) means someone else
         // published v first — drop our stage, keep going
-        if (fs.rename(stage, dest)) published += v
+        if (publishStage(fs, stage, dest)) published += v
         else fs.delete(stage, true)
       }
     }
@@ -143,7 +143,7 @@ object ChangeRelay {
           if (fs.exists(stage)) {
             // a lost race means a concurrent relay published v first —
             // drop ours (idempotency key = the dir), keep going
-            if (fs.rename(stage, dest)) published += v
+            if (publishStage(fs, stage, dest)) published += v
           } else if (fs.mkdirs(dest)) {
             published += v // row-less commit: the marker dir alone
           }
@@ -151,6 +151,26 @@ object ChangeRelay {
       }
     } finally fs.delete(stageRoot, true)
     published.result()
+  }
+
+  /** Atomic publication with NESTED-RENAME repair. Hadoop's
+    * `rename(src, dst)` on HDFS-like stores, when `dst` is a directory
+    * that appeared AFTER our exists-check (a concurrent relay winning
+    * the race), moves `src` INSIDE it — `dest/<stageName>/…` — and
+    * returns true, so a naive check-then-rename would leave version
+    * v's rows visible TWICE to recursive consumers (the batched path's
+    * stage name `__graft_cv=N` is not dot-prefixed, so it is not even
+    * glob-hidden). After a claimed-successful rename, probe for our
+    * stage dir nested under dest: if present we actually LOST the race
+    * — delete the nested copy (the winner's publication stands) and
+    * report false. One extra existence probe per publish, only on the
+    * rename-true path. */
+  private[streaming] def publishStage(fs: org.apache.hadoop.fs.FileSystem,
+                                      stage: Path, dest: Path): Boolean = {
+    if (!fs.rename(stage, dest)) return false
+    val nested = new Path(dest, stage.getName)
+    if (!fs.exists(nested)) true
+    else { fs.delete(nested, true); false }
   }
 
   /** Remove stage dirs older than `graceMs` — debris from relays that

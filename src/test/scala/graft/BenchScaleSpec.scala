@@ -68,4 +68,35 @@ class BenchScaleSpec extends AnyFunSuite {
     assert(!Bench.warmLoaded(500, Seq((210, 510), (212, 505), (208, 515))),
       "a constant st-vs-mt level gap is host topology, not load")
   }
+
+  test("scale-section loaded gate is DIRECTIONAL against the run's quiet floor") {
+    val quietFloor = Some((210.0, 255.0))
+    // quiet section against a quiet floor: pass
+    assert(!Bench.sectionLoaded(quietFloor, Seq((212, 258), (214, 260), (211, 256))),
+      "quiet section stamps must not brand loaded")
+    // no stamps at all: never loaded
+    assert(!Bench.sectionLoaded(quietFloor, Nil))
+    // the round-16 sf10 signature: the section ENTERS already loaded
+    // (entry ×7.9 the run floor) and quiets by exit — entry/exit alone
+    // can't see it, the floor comparison must
+    assert(Bench.sectionLoaded(quietFloor, Seq((1673, 2100), (220, 262))),
+      "a section entering loaded against a quiet run floor must brand")
+    // load constant THROUGH the section (entry and exit both dilated):
+    // symmetric self-ratios are flat, the floor still catches it
+    assert(Bench.sectionLoaded(quietFloor, Seq((600, 900), (610, 920), (605, 910))),
+      "a uniformly loaded section vs a quiet floor must brand")
+    // mid-section wave between quiet endpoints: the mid stamps carry it
+    assert(Bench.sectionLoaded(quietFloor, Seq((212, 258), (214, 520), (213, 259))),
+      "a wave contained between entry and exit must brand via mid stamps")
+    // DIRECTIONALITY: a QUIET section under a LOADED parent floor must
+    // NOT brand — a rerun cannot improve a section that measured quiet
+    // (symmetric max/min would fire here: 2100/262 = 8x)
+    assert(!Bench.sectionLoaded(Some((1673.0, 2100.0)), Seq((212, 258), (214, 260))),
+      "a quiet section must never brand because the PARENT was loaded")
+    // no floor (first run, env missing): the section's own stamps gate
+    assert(Bench.sectionLoaded(None, Seq((212, 258), (215, 530))),
+      "without a floor the section's own drift still brands")
+    assert(!Bench.sectionLoaded(None, Seq((212, 258), (215, 262))),
+      "without a floor a quiet section passes")
+  }
 }

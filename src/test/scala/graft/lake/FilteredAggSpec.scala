@@ -305,6 +305,261 @@ class FilteredAggSpec extends SparkSpec {
     assert(PushFilteredAggToManifest.served.get() == s5)
   }
 
+  test("GROUP BY a STRING cluster column: the pinch invariant serves points exactly") {
+    // String footer stats may be TRUNCATED — sound for bounds, not for
+    // exact extrema — but a POINT (footerMin = footerMax = v) pinches:
+    // v ≤ every value ≤ v forces all values equal to v, whatever
+    // truncation produced the bounds (a truncated min shortens, a
+    // truncated max increments — they can only report a point when the
+    // values really are one). This pins footer-vs-stock agreement for
+    // the string rollup, including a >64-byte shared value (past
+    // typical truncation thresholds) and a mixed appended file.
+    val root = tmpDir("fagg_gs")
+    val table = s"$root/t"
+    val longV = "k-" + ("x" * 120)
+    for ((k, i) <- Seq("alpha", "bravo", "charlie", longV).zipWithIndex)
+      SnapshotLog.write((0 until 40).map(j => ((i * 100 + j).toLong, k))
+        .toDF("id", "k").coalesce(1), table, if (i == 0) "overwrite" else "append")
+    SnapshotLog.write((0 until 30).map(j =>
+      (10000L + j, Seq("bravo", "delta")(j % 2))).toDF("id", "k").coalesce(1),
+      table, "append")
+    register("fagggs", root)
+    def run() = spark.sql(
+      "SELECT k, count(*) AS n, min(id) AS mn, max(id) AS mx " +
+        "FROM fagggs.t GROUP BY k ORDER BY k").collect().map(_.mkString("|")).toSeq
+    val (s0, c0, n0) = counters()
+    val got = run()
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1, "the string rollup must serve from footers")
+    assert(c1 - c0 >= 3, s"the short point files must cover (covered=${c1 - c0})")
+    assert(n1 - n0 <= 2, s"only the mixed file (and at most the long-value file " +
+      s"if its stats truncated) may scan (scanned=${n1 - n0})")
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(run() == got, "string rollup must agree with the stock plan")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+    // windowed: a string range on the group column skips out-of-range
+    // points via the (bound-valid) truncated footers
+    def runW() = spark.sql(
+      "SELECT k, count(*) AS n FROM fagggs.t WHERE k >= 'b' AND k < 'c' " +
+        "GROUP BY k ORDER BY k").collect().map(_.mkString("|")).toSeq
+    val gotW = runW()
+    assert(counters()._1 == s1 + 1)
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(runW() == gotW, "windowed string rollup must agree with stock")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+  }
+
+  test("GROUP BY a DOUBLE cluster column: NaN files scan (stats suppressed), zero points normalize") {
+    // Float soundness rests on two READER facts this test would catch
+    // changing: parquet-java suppresses float/double chunk stats that
+    // NaN contaminated (the NaN files harvest stats-less → scan, never
+    // cover or skip), and widens zeros on read (min −0.0 / max +0.0)
+    // — still an equiv-point under the SQL order (−0.0 = +0.0), whose
+    // emitted key the final fold's GROUP BY normalizes exactly like
+    // the stock plan. Classification order = runtime order
+    // (SQLOrderingUtil), so no stats-bearing file can misclassify.
+    val root = tmpDir("fagg_gd")
+    val table = s"$root/t"
+    SnapshotLog.write((0 until 40).map(j => (j.toLong, 1.5d))
+      .toDF("id", "k").coalesce(1), table, "overwrite")
+    SnapshotLog.write((0 until 20).map(j => (100L + j, Double.NaN))
+      .toDF("id", "k").coalesce(1), table, "append") // stats suppressed → scans
+    SnapshotLog.write((0 until 30).map(j => (200L + j, if (j % 2 == 0) -0.0d else 0.0d))
+      .toDF("id", "k").coalesce(1), table, "append") // zero point: −0.0 = +0.0
+    SnapshotLog.write(Seq((300L, 2.5d), (301L, 3.5d), (302L, Double.NaN))
+      .toDF("id", "k").coalesce(1), table, "append") // mixed + NaN → scans
+    register("fagggd", root)
+    def run() = spark.sql(
+      "SELECT k, count(*) AS n, min(id) AS mn, max(id) AS mx " +
+        "FROM fagggd.t GROUP BY k ORDER BY k").collect().map(_.mkString("|")).toSeq
+    val (s0, c0, n0) = counters()
+    val got = run()
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1, "the double rollup must serve")
+    assert(c1 - c0 == 2, s"exactly the 1.5 point and the zeros point cover (covered=${c1 - c0})")
+    assert(n1 - n0 == 2, s"exactly the two NaN-carrying files scan (scanned=${n1 - n0})")
+    assert(got.count(_.startsWith("NaN|")) == 1, s"one folded NaN group, got $got")
+    assert(got.exists(_.startsWith("0.0|30|")),
+      s"the zeros group must emit NORMALIZED 0.0 with all 30 rows, got $got")
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(run() == got, "double rollup must agree with the stock plan")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+    // windowed: k >= 0.0 keeps the zeros point (−0.0 = +0.0 at runtime
+    // AND in classification) and the NaN rows (NaN largest) — the NaN
+    // files have no stats so they can never be wrongly skipped
+    def runW() = spark.sql(
+      "SELECT k, count(*) AS n FROM fagggd.t WHERE k >= 0.0 GROUP BY k ORDER BY k")
+      .collect().map(_.mkString("|")).toSeq
+    val gotW = runW()
+    assert(gotW.exists(_.startsWith("0.0|30")), s"zeros group must pass k >= 0.0, got $gotW")
+    assert(gotW.count(_.startsWith("NaN|")) == 1, s"NaN rows satisfy >= at runtime, got $gotW")
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(runW() == gotW, "windowed double rollup must agree with stock")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+  }
+
+  test("filtered SUM/AVG serve from the agg-stats sidecar; boundary and uncollected files scan") {
+    val root = tmpDir("fagg_sum")
+    val table = s"$root/t"
+    // 4 range-clustered files over id 0..999; v carries nulls (sum
+    // skips them, the sidecar counts non-null); d is a double (the
+    // collect must refuse it — float sums are order-dependent)
+    val df = (0 until 1000).map(i => (i.toLong,
+      if (i % 5 == 0) None else Some(i.toLong * 3), i * 0.5)).toDF("id", "v", "d")
+    SnapshotLog.write(df, table, "overwrite", clusterColumn = Some("id"), nFiles = 4)
+    register("faggsum", root)
+    def run() = spark.sql(
+      "SELECT count(*) AS n, sum(id) AS sid, avg(id) AS aid, " +
+        "sum(v) AS sv, avg(v) AS av FROM faggsum.t WHERE id BETWEEN 200 AND 799")
+      .collect().head.toSeq
+    // BEFORE any collect: the sum shape must leave the stock plan
+    val s0 = PushFilteredAggToManifest.served.get()
+    val stockFirst = run()
+    assert(PushFilteredAggToManifest.served.get() == s0,
+      "sum/avg without a sidecar must keep the stock plan")
+    // collect through the SQL procedure surface (id) + the API (v)
+    assert(spark.sql("CALL faggsum.system.collect_agg_stats('t', 'id')")
+      .collect().head.getLong(0) == 4L)
+    assert(SnapshotLog.collectAggStats(spark, table, "v") == 4L)
+    assert(SnapshotLog.collectAggStats(spark, table, "v") == 0L,
+      "a second collect over an unchanged table is a no-op")
+    // float columns refuse (rounding-order-dependent sums), as do
+    // unknown columns
+    intercept[IllegalArgumentException] {
+      SnapshotLog.collectAggStats(spark, table, "d")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotLog.collectAggStats(spark, table, "nope")
+    }
+    val (s1, c1, n1) = counters()
+    val got = run()
+    val (s2, c2, n2) = counters()
+    assert(s2 == s1 + 1, "the sidecar-backed sum rewrite must serve")
+    assert(c2 - c1 >= 1 && n2 - n1 <= 2,
+      s"interior files cover, boundary scans (cov=${c2 - c1}, scan=${n2 - n1})")
+    assert(got == stockFirst, s"sidecar fold must equal the stock scan: $got vs $stockFirst")
+    // the answer algebra: ids 200..799 → n=600, sid=Σ, aid=499.5
+    assert(got(0) == 600L && got(1) == (200L to 799L).sum && got(2) == 499.5d)
+    // a file appended with AUTO-COLLECT OFF lacks sidecar rows: it
+    // must degrade to scanned (it spans the range, so it can't skip)
+    // and the answer must fold it in
+    spark.conf.set("spark.graft.aggstats.autoCollect", "false")
+    try SnapshotLog.write(Seq((500L, Some(7L), 0.5), (501L, None, 1.5))
+      .toDF("id", "v", "d").coalesce(1), table, "append")
+    finally spark.conf.unset("spark.graft.aggstats.autoCollect")
+    val (s3, c3, n3) = counters()
+    val got2 = run()
+    val (s4, c4, n4) = counters()
+    assert(s4 == s3 + 1 && n4 - n3 >= 1,
+      s"the uncollected file must scan (cov=${c4 - c3}, scan=${n4 - n3})")
+    assert(got2(0) == 602L && got2(3) == got(3).asInstanceOf[Long] + 7L,
+      s"appended rows must fold into the sum: $got2")
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(run() == got2, "post-append sidecar fold must equal stock")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+    // AUTO-MAINTENANCE: a normal append on a sidecar-carrying table
+    // collects its own (sum, count) rows at commit time, so the new
+    // file COVERS without any re-CALL — and the stale uncollected file
+    // above is picked up by one incremental collect
+    SnapshotLog.write(Seq((502L, Some(11L), 2.5)).toDF("id", "v", "d")
+      .coalesce(1), table, "append")
+    assert(SnapshotLog.collectAggStats(spark, table, "v") == 1L,
+      "only the auto-collect-off file should need the incremental collect")
+    SnapshotLog.collectAggStats(spark, table, "id")
+    val (s5, c5, n5) = counters()
+    val got3 = run()
+    val (s6, c6, n6) = counters()
+    assert(s6 == s5 + 1 && n6 - n5 <= 2,
+      s"auto-collected + re-collected files must cover; only range " +
+        s"boundaries scan (cov=${c6 - c5}, scan=${n6 - n5})")
+    assert(got3(0) == 603L && got3(3) == got2(3).asInstanceOf[Long] + 11L,
+      s"the auto-collected row must fold into the sum: $got3")
+    // UNFILTERED total sum/avg — the shape ManifestAgg can never serve
+    // (footers carry no sums): covered files answer from the sidecar,
+    // the one uncovered state left is none (all collected) → zero scan
+    def runAll() = spark.sql(
+      "SELECT count(*) AS n, sum(v) AS sv, avg(v) AS av, min(id) AS mn " +
+        "FROM faggsum.t").collect().head.toSeq
+    val (s7, c7, n7) = counters()
+    val gotAll = runAll()
+    val (s8, c8, n8) = counters()
+    assert(s8 == s7 + 1, "the unfiltered sum must serve from the sidecar")
+    assert(n8 - n7 == 0 && c8 - c7 == 6,
+      s"a fully collected clean table reads ZERO files (cov=${c8 - c7}, scan=${n8 - n7})")
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(runAll() == gotAll, "unfiltered sidecar fold must equal stock")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+  }
+
+  test("grouped SUM/AVG on a point-file layout: sidecar per file, all-null groups stay null") {
+    val root = tmpDir("fagg_gsum")
+    val table = s"$root/t"
+    // point files k = 0..3; k=1's v is ALL NULL (its group's sum/avg
+    // must stay null); a mixed appended file spans k ∈ {2,3,4}
+    for ((k, i) <- (0 until 4).zipWithIndex)
+      SnapshotLog.write((0 until 50).map(j => ((k * 100 + j).toLong, k.toLong,
+        if (k == 1) None else if (j % 5 == 0) None else Some(j.toLong * 2)))
+        .toDF("id", "k", "v").coalesce(1),
+        table, if (i == 0) "overwrite" else "append")
+    SnapshotLog.write((0 until 30).map(j =>
+      (10000L + j, (2 + j % 3).toLong, Some(j.toLong))).toDF("id", "k", "v")
+      .coalesce(1), table, "append")
+    SnapshotLog.collectAggStats(spark, table, "v")
+    SnapshotLog.collectAggStats(spark, table, "id")
+    register("fagggsum", root)
+    def run() = spark.sql(
+      "SELECT k, count(*) AS n, sum(v) AS sv, avg(v) AS av, sum(id) AS sid " +
+        "FROM fagggsum.t GROUP BY k ORDER BY k").collect().map(_.mkString("|")).toSeq
+    val (s0, c0, n0) = counters()
+    val got = run()
+    val (s1, c1, n1) = counters()
+    assert(s1 == s0 + 1, "the grouped sum rollup must serve")
+    assert(c1 - c0 == 4 && n1 - n0 == 1,
+      s"4 points cover, the mixed file scans (cov=${c1 - c0}, scan=${n1 - n0})")
+    assert(got.exists(r => r.startsWith("1|50|null|null|")),
+      s"the all-null-v group must keep null sum AND avg, got $got")
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(run() == got, "grouped sidecar fold must equal the stock rollup")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+    // WHERE on the group column composes with sums
+    def runW() = spark.sql(
+      "SELECT k, sum(v) AS sv, avg(v) AS av FROM fagggsum.t " +
+        "WHERE k BETWEEN 1 AND 3 GROUP BY k ORDER BY k")
+      .collect().map(_.mkString("|")).toSeq
+    val gotW = runW()
+    assert(counters()._1 == s1 + 1)
+    spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+    try assert(runW() == gotW, "windowed grouped sum must equal stock")
+    finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+  }
+
+  test("grouped pre-gate: a large undeclared layout skips the harvest; a declared cluster column serves") {
+    val root = tmpDir("fagg_pg")
+    val table = s"$root/t"
+    for ((k, i) <- (0 until 3).zipWithIndex)
+      SnapshotLog.write((0 until 20).map(j => ((k * 100 + j).toLong, k.toLong))
+        .toDF("id", "k").coalesce(1), table, if (i == 0) "overwrite" else "append")
+    register("fagggp", root)
+    def run() = spark.sql("SELECT k, count(*) AS n FROM fagggp.t GROUP BY k ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = Seq((0L, 20L), (1L, 20L), (2L, 20L))
+    // cap 0, no declared cluster column: the rewrite must not even
+    // harvest — stock rollup, correct answer, counters untouched
+    spark.conf.set("spark.graft.aggPushdown.groupedMaxFiles", "0")
+    try {
+      val s0 = PushFilteredAggToManifest.served.get()
+      assert(run() == expect)
+      assert(PushFilteredAggToManifest.served.get() == s0,
+        "over-cap undeclared layout must keep the stock rollup")
+      // declaring k as the cluster column overrides the cap: the
+      // harvest is worth paying exactly when the layout says it is
+      SnapshotLog.setClusterBy(spark, table, Seq("k"))
+      assert(run() == expect)
+      assert(PushFilteredAggToManifest.served.get() == s0 + 1,
+        "a declared cluster column must serve past the file cap")
+    } finally spark.conf.unset("spark.graft.aggPushdown.groupedMaxFiles")
+  }
+
   test("foldable-but-unevaluable literals (current_timestamp) degrade to the stock scan") {
     val root = tmpDir("fagg_ct")
     val df = (0 until 100).map(i => (i.toLong,

@@ -45,6 +45,45 @@ class ChangeRelaySpec extends SparkSpec {
     assert(ChangeRelay.relay(spark, t, ob).isEmpty) // someone else shipped v3
   }
 
+  test("publishStage repairs a NESTED rename: a race-window loser never double-publishes") {
+    // Hadoop rename semantics: renaming a dir onto a dest dir CREATED
+    // inside the exists→rename window nests the stage INSIDE dest
+    // (dest/__graft_cv=N/…) and still returns true — the batched
+    // catch-up's stage name is not dot-prefixed, so consumers would
+    // read version N twice. publishStage must detect the nesting,
+    // delete OUR copy, and report the publish as lost.
+    val base = tmpDir("chrelay")
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manufacture the post-race layout directly (local-FS rename may
+    // legitimately refuse instead of nesting — the repair must handle
+    // the HDFS-like outcome regardless of what THIS fs does): dest
+    // holds the winner's rows AND our nested stage copy
+    val dest = new Path(base, "v000000000007")
+    fs.mkdirs(dest)
+    val winner = new Path(dest, "part-winner.parquet")
+    fs.create(winner).close()
+    // the clean path first: no dest, rename moves the stage wholesale
+    val stage2 = new Path(base, "__graft_cv=8")
+    fs.mkdirs(stage2)
+    fs.create(new Path(stage2, "part-a.parquet")).close()
+    val dest2 = new Path(base, "v000000000008")
+    assert(ChangeRelay.publishStage(fs, stage2, dest2), "clean publish succeeds")
+    assert(fs.exists(new Path(dest2, "part-a.parquet")))
+    assert(!fs.exists(new Path(dest2, "__graft_cv=8")), "no nesting on the clean path")
+    // the raced path: dest already exists (the winner published in our
+    // window) — local fs's rename fallback NESTS the stage under dest
+    // (FileUtil.copy into an existing dir) exactly like HDFS rename,
+    // so this drives the real repair arm, not a simulation
+    val stage7 = new Path(base, "__graft_cv=7")
+    fs.mkdirs(stage7)
+    fs.create(new Path(stage7, "part-loser3.parquet")).close()
+    val got = ChangeRelay.publishStage(fs, stage7, dest)
+    assert(!got, "publishing onto an existing dest must never report success")
+    assert(fs.exists(winner), "the winner's rows survive the repair")
+    assert(!fs.exists(new Path(dest, "__graft_cv=7")),
+      "no nested duplicate may remain under the published version")
+  }
+
   test("no-row commits publish an empty marker dir that advances the cursor") {
     val base = tmpDir("chrelay"); val t = mkTable(base); val ob = s"$base/outbox"
     SnapshotLog.purgeDeletes(spark, t) // v3: row-content no-op
