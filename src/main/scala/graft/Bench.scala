@@ -462,9 +462,20 @@ object Bench {
     * as early as possible to shrink that window. */
   private[graft] def warmLoaded(baseMt: Double, stamps: Seq[(Double, Double)]): Boolean = {
     if (stamps.isEmpty) return false
-    val mts = (baseMt +: stamps.map(_._2)).filter(_ > 0)
+    // DIRECTIONAL (round-17, matching sectionLoaded): brand only when
+    // the WARM stamps are dilated relative to the run's quiet floor
+    // (base included as a floor candidate). The round-16 symmetric
+    // max/min rule branded a quiet warm set whenever the BASE stamp
+    // caught a startup spike — and since the base is pinned, every
+    // rerun re-branded too, so one pre-run load blip cost a rerun AND
+    // still shipped `loaded:true` on a genuinely quiet measurement.
+    // A dilated base with quiet warm stamps means the queries were
+    // measured quiet — nothing a rerun can improve.
+    val mts = stamps.map(_._2).filter(_ > 0)
     val sts = stamps.map(_._1).filter(_ > 0)
-    (mts.size >= 2 && mts.max / mts.min > 1.4) ||
+    if (mts.isEmpty && sts.isEmpty) return false
+    val minMt = (Seq(baseMt).filter(_ > 0) ++ mts).min
+    (mts.nonEmpty && mts.max / minMt > 1.4) ||
       (sts.size >= 2 && sts.max / sts.min > 1.5)
   }
 

@@ -1388,12 +1388,12 @@ object SnapshotLog {
       .dropDuplicates("filepath"))
   }
 
-  // the collected sidecar keyed by (qualified path): entries are
-  // immutable (files are), so the map only grows; the dir-version key
-  // (delta count + max mtime from ONE listing) invalidates when a new
-  // collect lands
-  private val aggStatsMapCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, (Option[Long], Long)]]()
+  // the collected sidecar, ONE entry per sidecar dir (a version-keyed
+  // map would retain every superseded version's rows across a long
+  // streaming session): the dir-version tag (delta count + max mtime
+  // from ONE listing) invalidates the entry when a new collect lands
+  private val aggStatsMapCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Map[String, (Option[Long], Long)])]()
 
   /** Driver-held sidecar map for the rewrite: qualified path →
     * (sum — None when the file has no non-null values —, non-null
@@ -1405,14 +1405,18 @@ object SnapshotLog {
     val dir = aggStatsDir(rootP, column)
     if (!fs.exists(dir)) return Map.empty
     val ls = fs.listStatus(dir)
-    val ver = s"${dir.toString}#${ls.length}#${ls.map(_.getModificationTime).foldLeft(0L)(math.max)}"
-    aggStatsMapCache.computeIfAbsent(ver, _ =>
-      aggStatsFor(spark, tablePath, column) match {
-        case None => Map.empty
-        case Some(df) => df.collect().map { r =>
-          r.getString(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2))
-        }.toMap
-      })
+    val ver = s"${ls.length}#${ls.map(_.getModificationTime).foldLeft(0L)(math.max)}"
+    val key = dir.toString
+    val cached = aggStatsMapCache.get(key)
+    if (cached != null && cached._1 == ver) return cached._2
+    val fresh = aggStatsFor(spark, tablePath, column) match {
+      case None => Map.empty[String, (Option[Long], Long)]
+      case Some(df) => df.collect().map { r =>
+        r.getString(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))), r.getLong(2))
+      }.toMap
+    }
+    aggStatsMapCache.put(key, (ver, fresh))
+    fresh
   }
 
   /** OPTIMIZE (BIN-PACK): rewrite ONLY the head's small files into

@@ -67,6 +67,12 @@ class BenchScaleSpec extends AnyFunSuite {
     // (only ratios across same-kind stamps count)
     assert(!Bench.warmLoaded(500, Seq((210, 510), (212, 505), (208, 515))),
       "a constant st-vs-mt level gap is host topology, not load")
+    // DIRECTIONALITY (round-17): a STARTUP spike caught by the base
+    // stamp with a uniformly QUIET warm set must NOT brand — the
+    // queries were measured quiet, a rerun can't improve them (and the
+    // pinned base re-branded every rerun under the symmetric rule)
+    assert(!Bench.warmLoaded(485, Seq((216, 245), (213, 266), (219, 250), (224, 278))),
+      "a dilated base over a quiet warm set must not brand loaded")
   }
 
   test("scale-section loaded gate is DIRECTIONAL against the run's quiet floor") {
