@@ -474,8 +474,10 @@ object Bench {
     val mts = stamps.map(_._2).filter(_ > 0)
     val sts = stamps.map(_._1).filter(_ > 0)
     if (mts.isEmpty && sts.isEmpty) return false
-    val minMt = (Seq(baseMt).filter(_ > 0) ++ mts).min
-    (mts.nonEmpty && mts.max / minMt > 1.4) ||
+    // each branch guards its own candidate seq before taking .min —
+    // an all-nonpositive stamp column must not throw on empty .min
+    val minMt = (Seq(baseMt).filter(_ > 0) ++ mts).minOption
+    (mts.nonEmpty && minMt.exists(mts.max / _ > 1.4)) ||
       (sts.size >= 2 && sts.max / sts.min > 1.5)
   }
 
@@ -503,10 +505,12 @@ object Bench {
     val sts = stamps.map(_._1).filter(_ > 0)
     val mts = stamps.map(_._2).filter(_ > 0)
     if (sts.isEmpty && mts.isEmpty) return false
-    val minSt = (base.map(_._1).toSeq.filter(_ > 0) ++ sts).min
-    val minMt = (base.map(_._2).toSeq.filter(_ > 0) ++ mts).min
-    (mts.nonEmpty && mts.max / minMt > 1.4) ||
-      (sts.nonEmpty && sts.max / minSt > 1.5)
+    // minOption per branch: one empty column (all stamps nonpositive
+    // on that axis) must not throw while the other still adjudicates
+    val minSt = (base.map(_._1).toSeq.filter(_ > 0) ++ sts).minOption
+    val minMt = (base.map(_._2).toSeq.filter(_ > 0) ++ mts).minOption
+    (mts.nonEmpty && minMt.exists(mts.max / _ > 1.4)) ||
+      (sts.nonEmpty && minSt.exists(sts.max / _ > 1.5))
   }
 
   private val warmStampEvery = 30

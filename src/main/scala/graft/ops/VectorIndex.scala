@@ -218,8 +218,6 @@ object VectorIndex {
     require(candK >= k, s"candK=$candK must be >= k=$k")
     val cents = Similarity.loadIvfIndex(spark, s"$path/centroids")
     val (cb, residual) = Similarity.loadPqCodebooks(spark, s"$path/codebooks")
-    val dsub = cb(0)(0).length
-    val cbL = Similarity.pqLit(cb)
     val np = if (nprobe > 0) nprobe else Similarity.autoNprobe(cents.length)
     val qRaw = queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -242,7 +240,7 @@ object VectorIndex {
       .select(col("cell"), col("id").as("neighbor_id"), col("code"))
     val scored = codes
       .join(broadcast(qAdc), Seq("cell"))
-      .withColumn("_adist", Similarity.adcDistCol(col("_qprep"), col("code"), cbL, dsub))
+      .withColumn("_adist", Similarity.adcDistCol(col("_qprep"), col("code"), cb))
       .select("query_id", "neighbor_id", "_adist")
     // _adist alone: an id tiebreak would totalize the order and turn
     // rank() into row_number(), dropping tied candidates past the
@@ -520,8 +518,6 @@ object VectorIndex {
     * cell's mean error drifts well past its build-time value. */
   def pqDrift(spark: SparkSession, path: String): DataFrame = {
     val (cb, residual) = Similarity.loadPqCodebooks(spark, s"$path/codebooks")
-    val cbL = Similarity.pqLit(cb)
-    val dsub = cb(0)(0).length
     val rows = spark.read.parquet(s"$path/vectors")
     val prepared =
       if (!residual) Similarity.normalizedCol(col("vec"))
@@ -530,7 +526,7 @@ object VectorIndex {
       if (!residual) rows
       else rows.join(broadcast(spark.read.parquet(s"$path/centroids")), Seq("cell"))
     base
-      .withColumn("_err", Similarity.adcDistCol(prepared, col("code"), cbL, dsub))
+      .withColumn("_err", Similarity.adcDistCol(prepared, col("code"), cb))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vectors"),
         avg("_err").as("mean_sq_err"), max("_err").as("max_sq_err"))

@@ -139,8 +139,16 @@ object ChangeRelay {
       for (v <- (from + 1) to head) {
         val dest = versionDir(out, v)
         if (!fs.exists(dest)) {
-          val stage = new Path(stageRoot, s"__graft_cv=$v")
-          if (fs.exists(stage)) {
+          val part = new Path(stageRoot, s"__graft_cv=$v")
+          if (fs.exists(part)) {
+            // dot-prefix the stage before publishing: if the rename
+            // races a concurrent relay and nests under dest, the copy
+            // is hidden from standard glob/listing readers for the
+            // repair window (publishStage's probe-and-delete remains
+            // the durable fix). stageRoot is uuid-private, so this
+            // rename has no contention.
+            val stage = new Path(stageRoot, s".__graft_cv=$v")
+            fs.rename(part, stage)
             // a lost race means a concurrent relay published v first —
             // drop ours (idempotency key = the dir), keep going
             if (publishStage(fs, stage, dest)) published += v
@@ -158,9 +166,10 @@ object ChangeRelay {
     * that appeared AFTER our exists-check (a concurrent relay winning
     * the race), moves `src` INSIDE it — `dest/<stageName>/…` — and
     * returns true, so a naive check-then-rename would leave version
-    * v's rows visible TWICE to recursive consumers (the batched path's
-    * stage name `__graft_cv=N` is not dot-prefixed, so it is not even
-    * glob-hidden). After a claimed-successful rename, probe for our
+    * v's rows visible TWICE to recursive consumers (both callers now
+    * publish dot-prefixed stage names, so the transient nested copy is
+    * at least hidden from standard glob/listing readers during the
+    * repair window). After a claimed-successful rename, probe for our
     * stage dir nested under dest: if present we actually LOST the race
     * — delete the nested copy (the winner's publication stands) and
     * report false. One extra existence probe per publish, only on the

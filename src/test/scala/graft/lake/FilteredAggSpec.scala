@@ -652,6 +652,49 @@ class FilteredAggSpec extends SparkSpec {
     assert(n1 - n0 == 1L, "the two-null-column file must degrade to scanned")
   }
 
+  test("sidecar sums are eval-mode-independent: an overflowing file is refused and scans") {
+    val root = tmpDir("fagg_evalmode")
+    val table = s"$root/t"
+    // file A's exact sum (2·Long.MaxValue) exceeds long range; file B is clean
+    SnapshotLog.write(Seq((1L, Long.MaxValue), (2L, Long.MaxValue))
+      .toDF("id", "v").coalesce(1), table, "overwrite")
+    SnapshotLog.write(Seq((3L, 10L), (4L, 32L)).toDF("id", "v").coalesce(1),
+      table, "append")
+    // collect under a LEGACY session: the decimal accumulator still
+    // stores EXACT sums — a legacy collect can no longer wrap — and
+    // the out-of-long-range file gets NO row (degrades to scanned)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try SnapshotLog.collectAggStats(spark, table, "v")
+    finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    val rows = SnapshotLog.aggStatsFor(spark, table, "v").get.collect()
+    assert(rows.length == 1 && rows.head.getLong(1) == 42L,
+      s"overflowing file refused, clean file exact: ${rows.mkString(";")}")
+    register("faggev", root)
+    def q() = spark.sql("SELECT sum(v) AS sv FROM faggev.t")
+    // LEGACY query: B serves covered, A scans and wraps — the fold
+    // must equal the stock wrapped total (mod-2^64 associativity)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val (s0, _, n0) = counters()
+      val got = q().collect().head.getLong(0)
+      val (s1, _, n1) = counters()
+      assert(s1 == s0 + 1 && n1 - n0 == 1,
+        s"B covers, A scans (served=${s1 - s0}, scanned=${n1 - n0})")
+      assert(got == Long.MaxValue + Long.MaxValue + 42L) // wrapped constant
+      spark.conf.set("spark.graft.aggPushdown.filtered", "false")
+      try assert(q().collect().head.getLong(0) == got,
+        "legacy sidecar fold must equal the stock wrapped total")
+      finally spark.conf.set("spark.graft.aggPushdown.filtered", "true")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // ANSI query: A scans and the scan raises the overflow exactly like
+    // the stock plan — never a silently wrapped answer served from a
+    // legacy-collected sidecar (the round-17 ADVICE hole, closed)
+    val ex = intercept[Exception] { q().collect() }
+    def msgs(t: Throwable): String =
+      String.valueOf(t.getMessage) + Option(t.getCause).map(msgs).getOrElse("")
+    assert(msgs(ex).toLowerCase.contains("overflow"), s"expected overflow, got: $ex")
+  }
+
   test("time-travel pin aggregates the PINNED version's files") {
     val root = tmpDir("fagg_tt")
     SnapshotLog.write((0 until 100).map(i => (i.toLong, 1)).toDF("id", "b"),
