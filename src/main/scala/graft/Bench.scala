@@ -545,6 +545,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // NOTE (r18, measured): size-based AQE coalescing
+      // (parallelismFirst=false + 64m advisory) was tried here and
+      // REGRESSED the dedup pair pipelines 1.5-1.7× — their post-shuffle
+      // stages are CPU-heavy on few bytes (in-array pair expansion after
+      // collect_set), so byte-sized coalescing serializes exactly the
+      // quadratic work. parallelismFirst=true (the default) is
+      // load-bearing for these shapes; leave it.
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()

@@ -288,6 +288,37 @@ object Dedup {
       array_sort(array_distinct(transform(shingles(col("_tk"), n), s => xxhash64(s))))
         .as("sh_set"))
 
+  /** ONE batch pass feeding BOTH probe stages of [[IncrementalDedup]]:
+    * per doc, the LSH band-bucket postings AND the sorted distinct
+    * shingle-hash set, from a single tokenize+shingle derivation —
+    * `(doc, sh_set, _buckets)`. Separately deriving [[minhashBuckets]]
+    * and [[shingleSets]] tokenized and shingled the same batch text
+    * twice (the measured hot loop — ~40% of the warm incremental-probe
+    * cost at sf0.1); the shingle array is [[bindOnce]]-bound so both
+    * outputs read ONE evaluation (a plain double reference re-runs the
+    * pipeline per reference — the CollapseProject/lambda-splice trap
+    * documented at [[minhashCandidates]]). Output columns are
+    * bit-identical to the two separate builders' (spec-pinned in
+    * IncrementalDedupSpec): posexplode(_buckets) IS minhashBuckets'
+    * row set, (doc, sh_set) IS shingleSets'. */
+  private[ops] def postingsAndSets(df: DataFrame, idCol: String, textCol: String,
+                                   numHashes: Int, bands: Int,
+                                   shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    df.select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
+      .select(col("doc"),
+        bindOnce(shingles(col("_tk"), shingleSize)) { shs =>
+          struct(
+            array_sort(array_distinct(transform(shs, s => xxhash64(s)))).as("sh_set"),
+            org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.MinHashBandBuckets(
+                org.apache.spark.sql.GraftColumnBridge.expression(shs),
+                numHashes, bands)).as("_buckets"))
+        }.as("_ps"))
+      .select(col("doc"), col("_ps")("sh_set").as("sh_set"),
+        col("_ps")("_buckets").as("_buckets"))
+  }
+
   /** Exact n-gram Jaccard computed ONLY for the given candidate pairs —
     * the verification half of the standard two-phase near-dup pipeline
     * (LSH blocking proposes, exact Jaccard disposes). Output schema

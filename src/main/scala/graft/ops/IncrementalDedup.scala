@@ -378,14 +378,24 @@ object IncrementalDedup {
     // EAGER localCheckpoint, not persist-with-finally-unpersist: the
     // returned frame is lazy, so an unpersist on function exit would
     // fire before any action and every downstream reference (okKeys,
-    // cross, within all read batchPost; okKeys and cross read probed)
-    // would re-execute the upstream from scratch — the persist would
-    // cache nothing. Both frames are batch-scale: postings are b rows
-    // per batch doc, and `probed` is the index reduced to the batch's
-    // keys. Checkpointing `probed` also severs the plan's lineage to
-    // the index files (see `ingest`'s recacheByPath note).
-    val batchPost: DataFrame = Dedup.minhashBuckets(batch, idCol, textCol,
+    // cross, within all read batchPost; okKeys and cross read probed;
+    // batchSets feeds the verification) would re-execute the upstream
+    // from scratch — the persist would cache nothing. Both frames are
+    // batch-scale: sets+postings are O(batch) rows, and `probed` is the
+    // index reduced to the batch's keys. Checkpointing `probed` also
+    // severs the plan's lineage to the index files (see `ingest`'s
+    // recacheByPath note).
+    //
+    // ONE batch pass ([[Dedup.postingsAndSets]]): the band buckets AND
+    // the verification shingle sets derive from a single
+    // tokenize+shingle evaluation — the previous separate
+    // minhashBuckets + shingleSets derivations ran that hot loop twice
+    // per probe (measured ~0.9 s of the 5.0 s warm probe at sf0.1).
+    val batchDerived: DataFrame = Dedup.postingsAndSets(batch, idCol, textCol,
       meta.numHashes, meta.bands, meta.shingleSize).localCheckpoint()
+    val batchPost = batchDerived.select(col("doc"),
+      posexplode(col("_buckets")).as(Seq("band", "bucket")))
+    val batchSets = batchDerived.select("doc", "sh_set")
     val batchKeys = batchPost.select("band", "bucket").distinct()
     // index postings: reduced to the batch's keys by a broadcast
     // semi-join (the batch side is the small one by contract) — the
@@ -447,7 +457,6 @@ object IncrementalDedup {
         val within = Dedup.candidatePairsFromBuckets(
           batchPost, Seq("band", "bucket"), "doc", maxBucket)
 
-        val batchSets = Dedup.shingleSets(batch, idCol, textCol, meta.shingleSize)
         // only the candidate old-docs' sets are fetched: the sets scan
         // is zone-map-pruned to files whose doc range intersects the
         // (batch-bounded, checkpointed-above) candidate id list, then
@@ -465,8 +474,10 @@ object IncrementalDedup {
 
         Dedup.verifiedJaccardOnSets(sets, cross.unionByName(within), threshold)
           // restore the orientation flag the verifier drops: a pair is
-          // cross iff its doc_b is not a batch doc (ids are disjoint)
-          .join(probeSide(batch.select(col(idCol).as("_bid")).distinct()),
+          // cross iff its doc_b is not a batch doc (ids are disjoint).
+          // Batch ids read from the checkpointed derivation (one row
+          // per batch row), not a fresh batch scan.
+          .join(probeSide(batchDerived.select(col("doc").as("_bid")).distinct()),
             col("doc_b") === col("_bid"), "left")
           .withColumn("is_cross", col("_bid").isNull)
           .drop("_bid")

@@ -25,6 +25,25 @@ class IncrementalDedupSpec extends SparkSpec {
 
   private def freshIndex(tag: String): String = tmpDir(s"incr_idx_$tag")
 
+  test("postingsAndSets equals the separate minhashBuckets + shingleSets builders bit-for-bit") {
+    // the probe's one-pass batch derivation must reproduce BOTH
+    // single-purpose builders exactly — posting rows and set arrays —
+    // or stored postings would no longer match freshly probed ones
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fused = Dedup.postingsAndSets(corpus, "doc_id", "text", 64, 32, 3)
+    val posts = fused.select(col("doc"), posexplode(col("_buckets")).as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val postsRef = Dedup.minhashBuckets(corpus, "doc_id", "text", 64, 32, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(posts.size > 1000 && posts === postsRef)
+    val sets = fused.select("doc", "sh_set")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val setsRef = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sets === setsRef)
+  }
+
   test("ingest verdicts equal the batch pipeline on the unioned corpus") {
     val accepted = docs.where(col("doc_id") <= 5)
     val batch = docs.where(col("doc_id") > 5)
