@@ -1057,7 +1057,7 @@ object SparkEntry {
         .select(col("doc_id"),
           md5(array_join(col("_tk"), " ")).as("content_md5"),
           array_sort(array_distinct(
-            transform(Dedup.shingles(col("_tk"), 3), sh => xxhash64(sh)))).as("sh_set"))
+            Dedup.shingleHashes(col("_tk"), 3))).as("sh_set"))
         .persist()
     }
 

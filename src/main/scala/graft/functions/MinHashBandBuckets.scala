@@ -47,10 +47,20 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
   private lazy val bandSeeds: Array[Long] =
     Array.tabulate(bands)(b => XXH64.hashInt(b, 42L))
 
+  /** True when the child carries PRE-HASHED shingles (array<long> — the
+    * [[ShingleHashes]] output): the base-hash step is skipped, every
+    * downstream slot/band step is identical. */
+  private def preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<string>, got ${dt.simpleString}")
+      s"$prettyName expects array<string> shingles or array<long> shingle " +
+        s"hashes, got ${dt.simpleString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_buckets"
@@ -58,6 +68,7 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    val hashed = preHashed
     // empty in → empty out: a doc with no shingles has no signature, and
     // the empty array lets the downstream posexplode DROP the doc with
     // no separate size() filter — a filter would be the second reference
@@ -68,7 +79,10 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = if (arr.isNullAt(i)) 42L else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else if (hashed) arr.getLong(i)
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var s = 0
       while (s < numHashes) {
         val v = XXH64.hashLong(h, slotSeeds(s))
@@ -104,6 +118,9 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
       val acc = ctx.freshName("acc")
       val mins = ctx.freshName("mins")
       val out = ctx.freshName("out")
+      val baseHash =
+        if (preHashed) s"$arr.getLong($i)"
+        else s"$xxh.hashUTF8String($arr.getUTF8String($i), 42L)"
       s"""
          |int $n = $arr.numElements();
          |if ($n == 0) {
@@ -113,7 +130,7 @@ case class MinHashBandBuckets(child: Expression, numHashes: Int, bands: Int)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $arr.isNullAt($i) ? 42L
-         |    : $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |    : $baseHash;
          |  for (int $s = 0; $s < $numHashes; $s++) {
          |    long $v = $xxh.hashLong($h, $slotRef[$s]);
          |    if ($v < $mins[$s]) $mins[$s] = $v;

@@ -2607,6 +2607,29 @@ object SnapshotLog {
       if (v == 0) Snapshot(-1L, Nil, "{}") else state(spark, table, Some(v - 1))
 
     val parts = Seq.newBuilder[DataFrame]
+
+    /** BOTH multiset differences in ONE aggregation —
+      * `(after ∖ before, before ∖ after)` with exceptAll's exact
+      * semantics (positional columns, null-equal grouping, rows
+      * replicated by multiplicity). The two-exceptAll form evaluated
+      * EACH side's subtree twice (each exceptAll unions both inputs),
+      * so a merge diff read its affected files four times; this reads
+      * each side once and signs the counts. Multiplicities materialize
+      * as a sequence array per distinct row — fine for row-level
+      * feeds, where whole-row duplicate counts are small. */
+    def diffParts(after: DataFrame, before: DataFrame, v: Long): Unit = {
+      import org.apache.spark.sql.functions.{col, explode, lit, sequence, sum}
+      val names = after.columns.toSeq
+      val tagged = after.withColumn("_vc", lit(1L))
+        .union(before.withColumn("_vc", lit(-1L)))
+      val d = tagged.groupBy(names.map(col): _*).agg(sum(col("_vc")).as("_d"))
+      def side(keep: org.apache.spark.sql.Column,
+               times: org.apache.spark.sql.Column) = d.where(keep)
+        .withColumn("_r", explode(sequence(lit(1L), times)))
+        .select(names.map(col): _*)
+      parts += conform(side(col("_d") > 0, col("_d")), "insert", v)
+      parts += conform(side(col("_d") < 0, -col("_d")), "delete", v)
+    }
     for (v <- (fromVersion + 1) to to) {
       val p = parse(readFile(fs, manifestPath(root, v))).getOrElse(
         throw new IllegalStateException(s"torn manifest v$v in $table"))
@@ -2665,8 +2688,7 @@ object SnapshotLog {
           val curAffected = (p.adds ++ restated.filter(curSet)).distinct
           val before = align(readSnapshot(spark, table, prev, onlyFiles = Some(prevAffected)))
           val after = align(readSnapshot(spark, table, cur, onlyFiles = Some(curAffected)))
-          parts += conform(after.exceptAll(before), "insert", v)
-          parts += conform(before.exceptAll(after), "delete", v)
+          diffParts(after, before, v)
         case op @ ("merge" | "overwrite" | "rollback") =>
           val prev = prevState(v)
           // a merge with no affected files (pure upsert of absent keys)
@@ -2678,8 +2700,7 @@ object SnapshotLog {
             // affected files only: removed side with prior DVs applied
             val removed = readSnapshot(spark, table, prev, onlyFiles = Some(p.removes))
             val added = readAdds()
-            parts += conform(added.exceptAll(removed), "insert", v)
-            parts += conform(removed.exceptAll(added), "delete", v)
+            diffParts(added, removed, v)
           } else {
             require(allowFullDiff,
               s"v$v is a table-sized '$op' — the row diff is O(table); pass " +
@@ -2690,8 +2711,7 @@ object SnapshotLog {
               s"full diff across a schema change at v$v is not supported")
             val before = readSnapshot(spark, table, prev)
             val after = readSnapshot(spark, table, curSnap)
-            parts += conform(after.exceptAll(before), "insert", v)
-            parts += conform(before.exceptAll(after), "delete", v)
+            diffParts(after, before, v)
           }
         case other =>
           // A label [[write]]'s opLabel put on the commit (e.g. the
@@ -2714,8 +2734,7 @@ object SnapshotLog {
             val curSnap = state(spark, table, Some(v))
             val before = align(readSnapshot(spark, table, prev))
             val after = align(readSnapshot(spark, table, curSnap))
-            parts += conform(after.exceptAll(before), "insert", v)
-            parts += conform(before.exceptAll(after), "delete", v)
+            diffParts(after, before, v)
           }
       }
     }

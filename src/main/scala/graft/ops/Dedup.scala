@@ -26,7 +26,9 @@ object Dedup {
   val DefaultStreamStateTtl: Option[String] = Some("30 minutes")
 
   /** Rolling n-token shingles from a token array (contiguous n-grams,
-    * space-joined). Used by MinHash and Jaccard so both agree. */
+    * space-joined). Used by MinHash and Jaccard so both agree. Callers
+    * that only need the shingle HASHES should use [[shingleHashes]],
+    * which never materializes the strings. */
   def shingles(tokens: Column, n: Int): Column = {
     val sz = size(tokens)
     when(sz >= n,
@@ -36,6 +38,21 @@ object Dedup {
         // short docs: one shingle = whole doc, so they can still match
         when(sz > 0, array(array_join(tokens, " "))).otherwise(array()))
   }
+
+  /** Per-position shingle hashes — `transform(shingles(tokens, n),
+    * s => xxhash64(s))` as one fused native pass
+    * ([[graft.functions.ShingleHashes]]: flat joined buffer +
+    * byte-slice hashes, zero per-shingle string allocation;
+    * bit-identity spec-pinned in DedupSpec). Null token arrays yield
+    * the empty array, like `shingles`' when-chain. Every hash-consuming
+    * pipeline here (MinHash banding, shingle sets, inverted-index
+    * Jaccard) feeds from this. */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    coalesce(
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.ShingleHashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(tokens), n)),
+      array().cast("array<bigint>"))
 
   /** Exact dedup, canonical-keeper form: one surviving row per distinct
     * key tuple, keeping the minimum id (deterministic, unlike
@@ -261,8 +278,11 @@ object Dedup {
                                   numHashes: Int, bands: Int,
                                   shingleSize: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // pre-hashed shingles ([[shingleHashes]]) feed the banding's
+    // long-input mode: no shingle string is ever materialized, and the
+    // base hashes are the same XXH64 values the string path computed
     df.select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
-      .select(col("doc"), shingles(col("toks"), shingleSize).as("_shs"))
+      .select(col("doc"), shingleHashes(col("toks"), shingleSize).as("_shs"))
       .select(col("doc"),
         posexplode(org.apache.spark.sql.GraftColumnBridge.column(
           graft.functions.MinHashBandBuckets(
@@ -285,8 +305,7 @@ object Dedup {
                   n: Int = 3): DataFrame = df
     .select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
     .select(col("doc"),
-      array_sort(array_distinct(transform(shingles(col("_tk"), n), s => xxhash64(s))))
-        .as("sh_set"))
+      array_sort(array_distinct(shingleHashes(col("_tk"), n))).as("sh_set"))
 
   /** ONE batch pass feeding BOTH probe stages of [[IncrementalDedup]]:
     * per doc, the LSH band-bucket postings AND the sorted distinct
@@ -307,9 +326,9 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     df.select(col(idCol).as("doc"), TextAnalysis.tokensCol(col(textCol)).as("_tk"))
       .select(col("doc"),
-        bindOnce(shingles(col("_tk"), shingleSize)) { shs =>
+        bindOnce(shingleHashes(col("_tk"), shingleSize)) { shs =>
           struct(
-            array_sort(array_distinct(transform(shs, s => xxhash64(s)))).as("sh_set"),
+            array_sort(array_distinct(shs)).as("sh_set"),
             org.apache.spark.sql.GraftColumnBridge.column(
               graft.functions.MinHashBandBuckets(
                 org.apache.spark.sql.GraftColumnBridge.expression(shs),
@@ -495,8 +514,7 @@ object Dedup {
     // repartition already established.
     val docShingles = df
       .select(col(idCol).as("doc"), toks.as("toks")) // tokens once (see minhash note)
-      .select(col("doc"), explode(array_distinct(shingles(col("toks"), n))).as("shingle"))
-      .select(col("doc"), xxhash64(col("shingle")).as("sh"))
+      .select(col("doc"), explode(array_distinct(shingleHashes(col("toks"), n))).as("sh"))
     val withN = docShingles.withColumn("n_sh",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc")))
     jaccardFromIndex(withN, threshold, maxShingleDf)
@@ -666,8 +684,12 @@ object Dedup {
   def contamination(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 3, threshold: Double = 0.5,
                     maxShingleDf: Int = 10000): DataFrame = {
-    def docShingles(df: DataFrame, as: String) =
-      hashedShingles(df, idCol, textCol, n, as).drop("shingle")
+    // hash-only derivation ([[shingleHashes]]): this operator never
+    // reports shingle text, so the strings need not exist at all —
+    // [[contaminationHotShingles]] keeps the text-carrying form
+    def docShingles(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), TextAnalysis.tokensCol(col(textCol)).as("toks"))
+      .select(col(as), explode(array_distinct(shingleHashes(col("toks"), n))).as("sh"))
     val bs = docShingles(bench, "bench_id")
     val bSizes = bs.groupBy("bench_id").agg(count(lit(1)).as("n_bench_sh"))
     // train shingles that can matter at all: broadcast semi-join against
@@ -1062,8 +1084,21 @@ object Dedup {
     element_at(transform(array(e), f), 1)
 
   /** Window-hash column: xxhash64 of each k-token window of the BOUND
-    * token array (empty when the doc is shorter than k). */
-  private def windowHashes(tk: Column, k: Int): Column =
+    * token array (empty when the doc is shorter than k, or when the
+    * token array itself is null — a null text tokenizes to null).
+    * Native fused expression ([[graft.functions.WindowHashes]], joined
+    * buffer + per-window byte-slice hashes); the superseded HOF form is
+    * [[windowHashesHof]], kept as the spec's bit-identity anchor. */
+  private[ops] def windowHashes(tk: Column, k: Int): Column =
+    coalesce(
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.WindowHashes(
+          org.apache.spark.sql.GraftColumnBridge.expression(tk), k)),
+      array().cast("array<bigint>"))
+
+  /** The superseded per-window HOF formulation — retained ONLY as the
+    * arithmetic reference DedupSpec pins [[windowHashes]] against. */
+  private[ops] def windowHashesHof(tk: Column, k: Int): Column =
     when(size(tk) >= k,
       transform(sequence(lit(0), size(tk) - k),
         i => xxhash64(array_join(slice(tk, i + 1, lit(k)), " "))))

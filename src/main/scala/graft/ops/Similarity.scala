@@ -681,11 +681,45 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(live.getParent, live.getName + ".tmp"), true)
   }
 
+  /** Directory content tag for the matrix-load caches below: file
+    * (name, mtime, length) triples in one listing. A two-rename swap
+    * ([[saveIvfIndex]]/[[savePqCodebooks]]) replaces the part files, so
+    * any rewrite changes the tag; a cross-process writer is caught the
+    * same way (the listing is re-taken per load call). */
+  private def dirTag(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}#${st.getModificationTime}#${st.getLen}")
+      .sorted.mkString(";")
+  }
+
+  // loaded index matrices, one entry per (session, path), invalidated
+  // by directory-content tag: a probe pays ONE fs listing instead of a
+  // parquet read + collect job per query — an index is loaded many
+  // times per lifetime, the [[IncrementalDedup]] metaCache contract
+  private val ivfLoadCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, Array[Array[Double]])]()
+  private val pqLoadCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, (Array[Array[Array[Float]]], Boolean))]()
+
   /** Load a persisted IVF index. Validates shape on the way in — cells
     * must be exactly 0..n-1 with one uniform-dimension centroid each —
     * so a corrupted or half-written index fails HERE with a usable
-    * message, not downstream as a wrong-cell assignment. */
+    * message, not downstream as a wrong-cell assignment. Cached per
+    * (session, path) against the directory tag. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
+    val tag = dirTag(spark, path)
+    val key = (spark, path)
+    val cached = ivfLoadCache.get(key)
+    if (cached != null && cached._1 == tag) return cached._2
+    val fresh = loadIvfIndexUncached(spark, path)
+    ivfLoadCache.put(key, (tag, fresh))
+    fresh
+  }
+
+  private def loadIvfIndexUncached(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[Array[Double]] = {
     val rows = spark.read.parquet(path).select("cell", "centroid").collect()
     require(rows.nonEmpty, s"IVF index at $path is empty")
     val byCell = rows.map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
@@ -1140,9 +1174,22 @@ object Similarity {
     * subspaces are exactly 0..m-1 with uniform entry count and
     * sub-dimension, so a corrupt index fails here with a usable
     * message. Layouts written before the residual flag load as
-    * residual = false (the raw encoding they were built with). */
+    * residual = false (the raw encoding they were built with).
+    * Cached per (session, path) against the directory tag, like
+    * [[loadIvfIndex]]. */
   def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
                       path: String): (Array[Array[Array[Float]]], Boolean) = {
+    val tag = dirTag(spark, path)
+    val key = (spark, path)
+    val cached = pqLoadCache.get(key)
+    if (cached != null && cached._1 == tag) return cached._2
+    val fresh = loadPqCodebooksUncached(spark, path)
+    pqLoadCache.put(key, (tag, fresh))
+    fresh
+  }
+
+  private def loadPqCodebooksUncached(spark: org.apache.spark.sql.SparkSession,
+                                      path: String): (Array[Array[Array[Float]]], Boolean) = {
     val df = spark.read.parquet(path)
     val hasFlag = df.columns.contains("residual")
     val raw = df.collect()

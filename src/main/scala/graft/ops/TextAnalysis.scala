@@ -604,7 +604,7 @@ object TextAnalysis {
     docs
       .withColumn("_toks", tokensCol(col(textCol)))
       .withColumn("_norm", array_join(col("_toks"), " "))
-      .withColumn("_sh", transform(Dedup.shingles(col("_toks"), 3), s => xxhash64(s)))
+      .withColumn("_sh", Dedup.shingleHashes(col("_toks"), 3))
       .withColumn("md5_fp", md5(col("_norm")))
       .withColumn("norm_len", length(col("_norm")))
       .withColumn("shingle_min_fp", array_min(col("_sh")))

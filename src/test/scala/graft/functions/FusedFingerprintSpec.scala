@@ -89,6 +89,23 @@ class FusedFingerprintSpec extends SparkSpec {
       s"unexpected exchange keys $exchanges — a signature-stage shuffle crept back in")
   }
 
+  test("MinHashBandBuckets long-input mode equals the string mode over pre-hashed shingles") {
+    // the banding must not care whether it hashes the shingle strings
+    // itself or receives ShingleHashes' pre-computed base hashes
+    val shs = docs
+      .select(col("doc_id").as("doc"), TextAnalysis.tokensCol(col("text")).as("toks"))
+      .select(col("doc"), Dedup.shingles(col("toks"), 3).as("shs"),
+        Dedup.shingleHashes(col("toks"), 3).as("shh"))
+    def buckets(c: String) = shs
+      .select(col("doc"), posexplode(GraftColumnBridge.column(
+        MinHashBandBuckets(GraftColumnBridge.expression(col(c)), 64, 16)))
+        .as(Seq("band", "bucket")))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val fromStrings = buckets("shs")
+    val fromHashes = buckets("shh")
+    assert(fromStrings.size > 1000 && fromStrings === fromHashes)
+  }
+
   test("MinHashBandBuckets validates its knobs and input type") {
     assertThrows[IllegalArgumentException](
       MinHashBandBuckets(GraftColumnBridge.expression(lit(1L)), 63, 16))

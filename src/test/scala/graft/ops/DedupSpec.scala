@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -570,5 +570,55 @@ class DedupSpec extends SparkSpec {
     // "aa bb cc" occurs 3 times: duplicated at minCount=2, not at 4
     assert(at2.values.forall(_ >= 1L))
     assert(at4.values.forall(_ === 0L))
+  }
+
+  test("shingleHashes equals transform(shingles, xxhash64) bit-for-bit") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("tk"))
+    def collectMap(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (n <- Seq(2, 3, 8)) {
+      val native = collectMap(corpus.select(col("doc_id"),
+        Dedup.shingleHashes(col("tk"), n).as("sh")))
+      val hof = collectMap(corpus.select(col("doc_id"),
+        transform(Dedup.shingles(col("tk"), n), s => xxhash64(s)).as("sh")))
+      assert(native.size > 100 && native === hof, s"n=$n")
+    }
+    // edges: short doc (whole-doc fallback), single token, null text
+    import spark.implicits._
+    val edge = Seq((1L, "a b"), (2L, "solo"), (3L, null.asInstanceOf[String]),
+      (4L, "x y z w"), (5L, "!!!"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("tk"))
+    val en = collectMap(edge.select(col("doc_id"), Dedup.shingleHashes(col("tk"), 3).as("sh")))
+    val eh = collectMap(edge.select(col("doc_id"),
+      transform(Dedup.shingles(col("tk"), 3), s => xxhash64(s)).as("sh")))
+    assert(en === eh)
+    assert(en(1L).length == 1 && en(3L).isEmpty && en(5L).isEmpty)
+  }
+
+  test("WindowHashes equals the per-window HOF recomputation bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("tk"))
+    def run(f: (Column, Int) => Column) = docs
+      .select(col("doc_id"), f(col("tk"), 8).as("wh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = run(Dedup.windowHashes)
+    val hof = run(Dedup.windowHashesHof)
+    assert(native.size > 100 && native.exists(_._2.nonEmpty))
+    assert(native === hof)
+    // edge cases: null text -> empty, short doc -> empty, multi-space
+    // and punctuation-heavy text (separator-byte adjacency)
+    import spark.implicits._
+    val edge = Seq((1L, "a b c d e f g h i"), (2L, "a b"), (3L, null.asInstanceOf[String]),
+      (4L, "  x   y!!z w a b c d e  "), (5L, "aa bb cc dd ee ff gg hh"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokensCol(col("text")).as("tk"))
+    val en = edge.select(col("doc_id"), Dedup.windowHashes(col("tk"), 8).as("wh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val eh = edge.select(col("doc_id"), Dedup.windowHashesHof(col("tk"), 8).as("wh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(en === eh)
+    assert(en(2L).isEmpty && en(3L).isEmpty)
   }
 }
