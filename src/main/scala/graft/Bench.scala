@@ -1082,15 +1082,27 @@ object Bench {
         (fileLine + "\n").getBytes("UTF-8"))
       catch { case _: java.io.IOException => () } // best-effort; stdout line is the contract
     // The full per-query map stopped fitting the driver's 2000-char
-    // stdout tail near ~90 queries — the query NAMES alone are ~1.3k
-    // chars, so no precision trick brings it back. The degraded form
-    // stays SELF-CONTAINED the way a regression-grader actually reads
-    // it: as many of the SLOWEST queries as fit ride inline
-    // ("queries_slowest", a strict prefix of the descending-time
-    // order — the entries where regressions live), the remainder is
-    // aggregated ("rest_n"/"rest_sec", each member bounded above by
-    // the smallest inline time), and the committed BENCH_FULL.json
-    // carries the complete map. value ≈ Σ queries_slowest + rest_sec.
+    // stdout tail near ~90 queries — the query NAMES alone are ~2.4k
+    // chars at 173 queries, so no precision trick brings it back. The
+    // degraded form stays SELF-CONTAINED the way a regression-grader
+    // actually reads it: as many of the SLOWEST queries as fit ride
+    // inline under the contract key "queries" (a strict prefix of the
+    // descending-time order — the entries where regressions live), the
+    // remainder is aggregated ("rest_n"/"rest_sec", each member bounded
+    // above by the smallest inline time), and the committed
+    // BENCH_FULL.json carries the complete map.
+    // value ≈ Σ queries + rest_sec.
+    //
+    // ROUND-19 MEASUREMENT-CONTRACT FIX (disclosed in
+    // OPTIMIZATION_r19.md): rounds 17-18 emitted this prefix under the
+    // key "queries_slowest", which the driver does not parse — its
+    // bench gate read `bench_ok:false` two rounds running and the
+    // per-query/geomean/scaling analyses came back empty. The key is
+    // now "queries", the name the driver contract specifies; the
+    // CONTENT (slowest-prefix + rest aggregate) is unchanged, and no
+    // query is removed or renamed — tiny queries that do not fit are
+    // aggregated into rest_n/rest_sec exactly as before, with the full
+    // map in the file artifact.
     def summaryLine: String = {
       val errJ =
         if (errors.isEmpty && sf1Errors.isEmpty && sf10Errors.isEmpty) ""
@@ -1116,7 +1128,7 @@ object Bench {
           } else full = true
         }
         val rest = sorted.drop(taken)
-        fixed + s""","queries_slowest":{${entries.result().mkString(",")}},""" +
+        fixed + s""","queries":{${entries.result().mkString(",")}},""" +
           s""""rest_n":${rest.size},"rest_sec":${sec2(rest.map(_._2).sum)}}"""
       }
       // the scale-probe per-query maps are themselves unbounded as the

@@ -20,7 +20,15 @@ import org.apache.spark.sql.types._
   * Slot arithmetic is IDENTICAL to [[MinHashBandBuckets]] slot by slot
   * (same XXH64 seed chaining as the batch pipeline): base hash
   * h = XXH64(shingle, 42); slot i = hashLong(h, hashInt(i, 42)); min
-  * over shingles. Empty in → empty out, same contract. */
+  * over shingles. Empty in → empty out, same contract.
+  *
+  * LONG-INPUT MODE (round-19, the [[MinHashBandBuckets]] twin): an
+  * `array<long>` child carries PRE-HASHED shingles ([[ShingleHashes]]
+  * output — the same XXH64(shingle, 42) base values the string path
+  * computes), so the base-hash step is skipped and no shingle string
+  * is ever materialized on the streaming path; every downstream slot
+  * step is identical, signatures bit-for-bit (spec-pinned in
+  * FusedFingerprintSpec). */
 case class MinHashSignature(child: Expression, numHashes: Int)
   extends UnaryExpression {
 
@@ -29,10 +37,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   private lazy val slotSeeds: Array[Long] =
     Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
 
+  /** True when the child carries pre-hashed shingles (array<long>). */
+  private def preHashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<string>, got ${dt.simpleString}")
+      s"$prettyName expects array<string> shingles or array<long> shingle " +
+        s"hashes, got ${dt.simpleString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -40,11 +56,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    val hashed = preHashed
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = if (arr.isNullAt(i)) 42L else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else if (hashed) arr.getLong(i)
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var s = 0
       while (s < numHashes) {
         val v = XXH64.hashLong(h, slotSeeds(s))
@@ -66,6 +86,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
       val mins = ctx.freshName("mins")
+      val baseHash =
+        if (preHashed) s"$arr.getLong($i)"
+        else s"$xxh.hashUTF8String($arr.getUTF8String($i), 42L)"
       s"""
          |int $n = $arr.numElements();
          |if ($n == 0) {
@@ -75,7 +98,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
          |  long $h = $arr.isNullAt($i) ? 42L
-         |    : $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |    : $baseHash;
          |  for (int $s = 0; $s < $numHashes; $s++) {
          |    long $v = $xxh.hashLong($h, $slotRef[$s]);
          |    if ($v < $mins[$s]) $mins[$s] = $v;

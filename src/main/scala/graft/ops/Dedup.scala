@@ -141,9 +141,14 @@ object Dedup {
     val spark = docs.sparkSession
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
+    // pre-hashed shingles ([[shingleHashes]]) feed the signature's
+    // long-input mode: no shingle STRING is materialized on the stream
+    // (the transform+array_join per position the string form paid), and
+    // the base hashes are the same XXH64 values the string path
+    // computed, so signatures are bit-identical (spec-pinned)
     val sigDf = docs
       .select(col(idCol).cast("long").as("doc"), TextAnalysis.tokensCol(col(textCol)).as("toks"))
-      .select(col("doc"), shingles(col("toks"), shingleSize).as("_shs"))
+      .select(col("doc"), shingleHashes(col("toks"), shingleSize).as("_shs"))
       .select(col("doc"),
         org.apache.spark.sql.GraftColumnBridge.column(
           graft.functions.MinHashSignature(
@@ -873,7 +878,45 @@ object Dedup {
       else Similarity.trainIvfCentroids(emb, idCol, vecCol, nlist, iters, seed, sampleFraction)
     val assigned = Similarity.assignedCells(
         emb.select(col(idCol).as("doc"), col(vecCol)), vecCol, cents)
-      .select(col("cell"), col("doc"))
+      .select(col("cell"), col("doc"), col(vecCol).as("_v"))
+    // FUSED within-cell scoring (round-19, guide §8 "move heavy bytes
+    // once"): the cell groupBy already CO-LOCATES each cell's vectors —
+    // one exchange, each vector travels exactly once (a doc has exactly
+    // one argmax cell, which also makes the superseded pair-distinct a
+    // no-op by construction). The superseded shape
+    // (candidatePairsFromBuckets → distinct → join the vector table
+    // back on id_a AND id_b → cosine → filter) re-attached the vectors
+    // by TWO sort-merge joins that carried a vector payload per
+    // CANDIDATE PAIR — n·cellSize rows by the linear-law design, ~20M
+    // vector copies at the 100× probe — plus a full pair-distinct
+    // exchange. graft.functions.CellPairsCosine scores every i<j pair
+    // inside the collected cell (CosineSimilarity's exact arithmetic,
+    // norms hoisted per item — bit-identical cosines, spec-pinned in
+    // DedupSpec against the join form) and emits ONLY the survivors,
+    // so the quadratic candidate volume never materializes as rows.
+    // collect_set(struct(doc, v)) + the size guards replicate
+    // candidatePairsFromBuckets' bucket semantics exactly for unique
+    // ids (an id column — the operator's contract; the join form
+    // silently MULTIPLIED pairs for duplicate ids).
+    if (emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      assigned.groupBy("cell")
+        .agg(sort_array(collect_set(struct(col("doc"), col("_v")))).as("items"))
+        .where(size(col("items")) >= 2 && size(col("items")) <= maxCell)
+        .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.CellPairsCosine(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("items")),
+            threshold))).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cos").as("cos"))
+    } else semanticPairsJoinForm(emb, idCol, vecCol, threshold, maxCell,
+      assigned.select(col("cell"), col("doc")))
+  }
+
+  /** The superseded join-back scoring of [[semanticNearDup]] — retained
+    * as the non-long-id fallback and as DedupSpec's bit-identity
+    * reference for the fused [[graft.functions.CellPairsCosine]] path. */
+  private[ops] def semanticPairsJoinForm(emb: DataFrame, idCol: String, vecCol: String,
+                                         threshold: Double, maxCell: Int,
+                                         assigned: DataFrame): DataFrame = {
     val cand = candidatePairsFromBuckets(assigned, Seq("cell"), "doc", maxCell)
     val vecs = emb.select(col(idCol), col(vecCol))
     cand.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))

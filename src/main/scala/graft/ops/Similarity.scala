@@ -331,20 +331,25 @@ object Similarity {
   private def floatLits(c: Array[Double]): Column =
     array(c.toIndexedSeq.map(x => lit(x.toFloat)): _*)
 
-  /** Index (0-based) of the centroid most cosine-similar to `v`.
-    * Centroids are plan literals; each score is the native codegen'd
-    * CosineSimilarity; the argmax is an array_max over (score, index)
-    * structs — lexicographic struct comparison gives max-by-score with
-    * index tiebreak. (An earlier `aggregate`/`zip_with` dot-product form
-    * was 30× slower: higher-order functions are interpreted per
-    * element.)
-    *
-    * LITERAL-PATH ONLY: one CosineSimilarity node per centroid means
-    * plan size, analysis time, and Janino codegen all grow with nlist —
-    * fine to ~2K cells, fatal at `autoNlist`'s 65,536 cap (a ~400 MB
-    * plan at dim 768). Callers switch to [[argmaxCosArr]] over a
-    * broadcast centroid table past [[LiteralCentroidCap]]. */
-  private def argmaxCos(centroids: Array[Array[Double]], v: Column): Column =
+  /** Index (0-based) of the centroid most cosine-similar to `v`, as
+    * ONE fused codegen node (graft.functions.ArgmaxCosineMatrix): the
+    * matrix rides as a reference object, the loop hoists the vector
+    * norm and reads precomputed centroid norms — bit-identical scores
+    * and tiebreak to [[argmaxCosHof]], the superseded struct-max form
+    * it replaces (spec-pinned in ArgmaxCosineSpec). The HOF form's
+    * plan grew O(nlist): one CosineSimilarity node + struct + array
+    * slot per centroid, and past ~2K cells the generated methods blow
+    * the JIT's bytecode ceiling and run interpreted. */
+  private[ops] def argmaxCos(centroids: Array[Array[Double]], v: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ArgmaxCosineMatrix(
+        org.apache.spark.sql.GraftColumnBridge.expression(v), centroids))
+
+  /** The superseded struct-max argmax (array_max over (score, index)
+    * structs, one CosineSimilarity per centroid) — retained as the
+    * bit-identity REFERENCE for ArgmaxCosineSpec, not called on any
+    * query path. */
+  private[ops] def argmaxCosHof(centroids: Array[Array[Double]], v: Column): Column =
     array_max(array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(cosineCol(floatLits(c), v).as("s"), lit(i).as("i"))
     }: _*)).getField("i")
@@ -391,12 +396,23 @@ object Similarity {
   }
 
   /** Broadcast-table twin of [[argmaxCos]]: argmax-cosine over the
-    * `_cents` array column. Same (score, index) struct comparison →
-    * identical tie-break; CosineSimilarity per element is the same
-    * compiled kernel (dispatched per centroid by the higher-order
-    * `transform` instead of inlined — the interpreted dispatch is noise
-    * next to the dim-length fused loop inside each call). */
-  private def argmaxCosArr(cents: Column, v: Column): Column =
+    * `_cents` array column, as ONE fused codegen node
+    * (graft.functions.ArgmaxCosineOver). The superseded `transform` +
+    * `array_max` form ([[argmaxCosArrHof]], kept as the spec's
+    * bit-identity reference) dispatched an interpreted lambda + struct
+    * allocation per centroid per row (CodegenFallback), dropping the
+    * whole projection out of whole-stage codegen — the flat-assignment
+    * dispatch cost the round-18 verdict ranked #1. */
+  private[ops] def argmaxCosArr(cents: Column, v: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ArgmaxCosineOver(
+        org.apache.spark.sql.GraftColumnBridge.expression(cents),
+        org.apache.spark.sql.GraftColumnBridge.expression(v)))
+
+  /** The superseded transform/struct-max broadcast-table argmax —
+    * retained as the bit-identity REFERENCE for ArgmaxCosineSpec, not
+    * called on any query path. */
+  private[ops] def argmaxCosArrHof(cents: Column, v: Column): Column =
     array_max(transform(cents, c =>
       struct(cosineCol(c.getField("v"), v).as("s"), c.getField("i").as("i"))))
       .getField("i")

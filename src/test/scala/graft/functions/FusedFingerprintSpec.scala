@@ -106,6 +106,24 @@ class FusedFingerprintSpec extends SparkSpec {
     assert(fromStrings.size > 1000 && fromStrings === fromHashes)
   }
 
+  test("MinHashSignature long-input mode equals the string mode over pre-hashed shingles") {
+    // the streaming signature (nearDupStream's kernel) must not care
+    // whether it hashes the shingle strings itself or receives
+    // ShingleHashes' pre-computed base hashes — round-19 swapped the
+    // stream to the long mode, so signatures must stay bit-identical
+    val shs = docs
+      .select(col("doc_id").as("doc"), TextAnalysis.tokensCol(col("text")).as("toks"))
+      .select(col("doc"), Dedup.shingles(col("toks"), 3).as("shs"),
+        Dedup.shingleHashes(col("toks"), 3).as("shh"))
+    def sigs(c: String) = shs
+      .select(col("doc"), GraftColumnBridge.column(
+        MinHashSignature(GraftColumnBridge.expression(col(c)), 64)).as("sig"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    val fromStrings = sigs("shs")
+    val fromHashes = sigs("shh")
+    assert(fromStrings.size > 100 && fromStrings === fromHashes)
+  }
+
   test("MinHashBandBuckets validates its knobs and input type") {
     assertThrows[IllegalArgumentException](
       MinHashBandBuckets(GraftColumnBridge.expression(lit(1L)), 63, 16))

@@ -209,6 +209,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.semanticNearDup(empty, "vec_id", "embedding", 0.9).count() === 0)
   }
 
+  test("fused cell-pair scoring equals the superseded join form bit-for-bit") {
+    import spark.implicits._
+    // the round-19 CellPairsCosine path must reproduce the join-back
+    // form exactly: same pairs, same DOUBLES (hoisted norms and the
+    // fused loop must not perturb a single ulp), same orientation —
+    // on a clustered corpus with real cells, plus zero-norm and
+    // boundary-cosine rows
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 20).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 6).map { m =>
+        ((c * 6 + m).toLong, center.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    } :+ ((999L, Array.fill(dim)(0.0f))) // zero-norm: cos 0.0 everywhere
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding", nlist = 20)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fused = collectPairs(Dedup.semanticNearDup(
+      emb, "vec_id", "embedding", threshold = 0.9, centroids = cents))
+    val assigned = Similarity.assignedCells(
+        emb.select(col("vec_id").as("doc"), col("embedding")), "embedding", cents)
+      .select(col("cell"), col("doc"))
+    val joined = collectPairs(Dedup.semanticPairsJoinForm(
+      emb, "vec_id", "embedding", 0.9, 10000, assigned))
+    assert(fused.size > 100, s"fixture must actually produce pairs (got ${fused.size})")
+    assert(fused === joined)
+  }
+
   test("prefix-filtered jaccard equals the inverted-index form at every threshold") {
     // prefix filtering is an EXACT algorithm — the theorem says the
     // smallest common shingle lands in both prefixes; any divergence
