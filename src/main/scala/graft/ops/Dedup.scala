@@ -279,7 +279,7 @@ object Dedup {
     * stored posting and a freshly computed one for identical text are
     * bit-identical — the property incremental candidate generation
     * rests on). Narrow map, zero exchanges, like the fused form above. */
-  private[ops] def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
                                   numHashes: Int, bands: Int,
                                   shingleSize: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
@@ -474,17 +474,32 @@ object Dedup {
     val chunks = fps.select(col("doc"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk_idx", "chunk")))
+    // the Hamming-filtered i<j expansion is the native
+    // graft.functions.SimhashPairExpand (round-19): the nested-HOF form
+    // (retained in [[simhashPairExpandHof]] as DedupSpec's reference)
+    // materialized a boxed struct per CANDIDATE pair before the
+    // hamming filter dropped almost all of them — survivors-only
+    // emission means the |bucket|²/2 volume never exists as structs
     chunks.groupBy("chunk_idx", "chunk")
       .agg(sort_array(collect_set(struct(col("doc"), col("simhash")))).as("items"))
       .where(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
-      .select(explode(flatten(transform(col("items"), (a, i) =>
-        transform(slice(col("items"), i + 2, size(col("items"))), b =>
-          struct(a.getField("doc").as("doc_a"), b.getField("doc").as("doc_b"),
-            bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash"))).as("hamming")))))).as("p"))
+      .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.SimhashPairExpand(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("items")),
+          maxHamming))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"), col("p.hamming").as("hamming"))
-      .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** The superseded Hamming nested-HOF expansion (unfiltered — the
+    * Column filter was applied post-explode) — DedupSpec's bit-identity
+    * reference for [[graft.functions.SimhashPairExpand]], not called on
+    * any query path. */
+  private[ops] def simhashPairExpandHof(items: Column): Column =
+    flatten(transform(items, (a, i) =>
+      transform(slice(items, i + 2, size(items)), b =>
+        struct(a.getField("doc").as("doc_a"), b.getField("doc").as("doc_b"),
+          bit_count(a.getField("simhash").bitwiseXOR(b.getField("simhash"))).as("hamming")))))
 
   /** n-gram (shingle) Jaccard similarity via an inverted index:
     * explode shingles → per-shingle doc list → common-count per
@@ -571,15 +586,17 @@ object Dedup {
     // 10× probe's J≥0.9 anchor. The 1e-9 slack makes a false drop at the
     // J = t boundary impossible (double rounding is ~1e-16); the few
     // extra pairs admitted are disposed of by the final filter.
+    // the ratio-filtered i<j expansion is the native
+    // graft.functions.JaccardPairExpand (round-19): the nested-HOF
+    // form (retained in [[jaccardPairExpandHof]] as DedupSpec's
+    // reference) paid an interpreted lambda dispatch + a boxed
+    // least/greatest predicate evaluation per PAIR — the same measured
+    // candidate-stage majority as candidatePairsFromBuckets'
     byShingle
-      .select(explode(flatten(transform(col("docs"), (a, i) =>
-        transform(
-          filter(slice(col("docs"), i + 2, size(col("docs"))), b =>
-            least(a.getField("n_sh"), b.getField("n_sh")).cast("double") /
-              greatest(a.getField("n_sh"), b.getField("n_sh")).cast("double") >=
-              lit(threshold - 1e-9)),
-          b => struct(a.getField("doc").as("doc_a"), a.getField("n_sh").as("sh_a"),
-            b.getField("doc").as("doc_b"), b.getField("n_sh").as("sh_b")))))).as("p"))
+      .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.JaccardPairExpand(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("docs")),
+          threshold))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -588,6 +605,19 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
+
+  /** The superseded ratio-filtered nested-HOF expansion — DedupSpec's
+    * bit-identity reference for [[graft.functions.JaccardPairExpand]],
+    * not called on any query path. */
+  private[ops] def jaccardPairExpandHof(docs: Column, threshold: Double): Column =
+    flatten(transform(docs, (a, i) =>
+      transform(
+        filter(slice(docs, i + 2, size(docs)), b =>
+          least(a.getField("n_sh"), b.getField("n_sh")).cast("double") /
+            greatest(a.getField("n_sh"), b.getField("n_sh")).cast("double") >=
+            lit(threshold - 1e-9)),
+        b => struct(a.getField("doc").as("doc_a"), a.getField("n_sh").as("sh_a"),
+          b.getField("doc").as("doc_b"), b.getField("n_sh").as("sh_b")))))
 
   /** Exact n-gram Jaccard join via PREFIX FILTERING (the AllPairs /
     * PPJoin family) — same output as [[ngramJaccard]] (when the df
@@ -1368,13 +1398,27 @@ object Dedup {
   private[ops] def candidatePairsFromBuckets(buckets: DataFrame, keyCols: Seq[String],
                                              idCol: String, maxBucket: Int): DataFrame = {
     val key = keyCols.map(col)
+    // the i<j expansion is the native graft.functions.BucketPairExpand
+    // (round-19): the nested-HOF form (retained in
+    // [[candidatePairExpandHof]] as DedupSpec's reference) paid an
+    // interpreted lambda dispatch + slice allocation + boxed struct per
+    // PAIR — measured as the majority of the candidate stage at the
+    // 100× probe (8.4 s of dedup_minhash's 16.6 s candidate phase)
     buckets.groupBy(key: _*)
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.BucketPairExpand(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("ids"))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
   }
+
+  /** The superseded nested-HOF i<j expansion — DedupSpec's
+    * bit-identity reference for [[graft.functions.BucketPairExpand]],
+    * not called on any query path. */
+  private[ops] def candidatePairExpandHof(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
 }

@@ -239,6 +239,55 @@ class DedupSpec extends SparkSpec {
     assert(fused === joined)
   }
 
+  test("native bucket-pair expansions equal the nested-HOF forms pair-for-pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column => gc, expression => ge}
+    // realistic bucket shapes: singletons, a pair, a hot bucket, plus
+    // skewed n_sh/simhash values exercising the inline filters
+    val rnd = new scala.util.Random(3)
+    val buckets = (1 to 200).map { b =>
+      val n = rnd.nextInt(6) + 1
+      (b.toLong, (1 to n).map(i => (b * 100L + i, 10L + rnd.nextInt(30),
+        rnd.nextLong() & 0xFFFFL)).sortBy(_._1))
+    }.toDF("bucket", "raw")
+      .select(col("bucket"),
+        expr("transform(raw, x -> x._1)").as("ids"),
+        expr("transform(raw, x -> struct(x._1 as doc, x._2 as n_sh))").as("docs"),
+        expr("transform(raw, x -> struct(x._1 as doc, x._3 as simhash))").as("items"))
+      .persist()
+    try {
+      // 1. plain pair expansion
+      val pNative = buckets.select(explode(gc(graft.functions.BucketPairExpand(ge(col("ids"))))).as("p"))
+        .select("p.doc_a", "p.doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pHof = buckets.select(explode(Dedup.candidatePairExpandHof(col("ids"))).as("p"))
+        .select("p.doc_a", "p.doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pNative.length > 100 && pNative.toSeq === pHof.toSeq)
+      // 2. ratio-filtered jaccard expansion, incl. the tight-boundary threshold
+      for (t <- Seq(0.5, 0.9)) {
+        val jNative = buckets.select(explode(gc(graft.functions.JaccardPairExpand(ge(col("docs")), t))).as("p"))
+          .select("p.doc_a", "p.sh_a", "p.doc_b", "p.sh_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val jHof = buckets.select(explode(Dedup.jaccardPairExpandHof(col("docs"), t)).as("p"))
+          .select("p.doc_a", "p.sh_a", "p.doc_b", "p.sh_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        assert(jNative.toSeq === jHof.toSeq, s"threshold $t diverged")
+        assert(jNative.nonEmpty)
+      }
+      // 3. hamming-filtered simhash expansion (native filters inline;
+      // the HOF form filtered post-explode)
+      for (mh <- Seq(0, 3, 16)) {
+        val sNative = buckets.select(explode(gc(graft.functions.SimhashPairExpand(ge(col("items")), mh))).as("p"))
+          .select("p.doc_a", "p.doc_b", "p.hamming").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        val sHof = buckets.select(explode(Dedup.simhashPairExpandHof(col("items"))).as("p"))
+          .select("p.doc_a", "p.doc_b", "p.hamming")
+          .where(col("hamming") <= mh).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        assert(sNative.toSeq === sHof.toSeq, s"maxHamming $mh diverged")
+      }
+    } finally buckets.unpersist()
+  }
+
   test("prefix-filtered jaccard equals the inverted-index form at every threshold") {
     // prefix filtering is an EXACT algorithm — the theorem says the
     // smallest common shingle lands in both prefixes; any divergence
