@@ -108,7 +108,12 @@ object ChangeRelay {
       if (!fs.exists(dest)) {
         val stage = new Path(out,
           s".stage-v$v-${java.util.UUID.randomUUID().toString.take(12)}")
+        // keyless REBALANCE: a typical single version's change set is
+        // small and lands in one advisory-sized file instead of one
+        // sliver per upstream task, while AQE still splits a huge
+        // version across writers (see relayRange's note)
         SnapshotLog.readChanges(spark, table, v - 1, Some(v), allowFullDiff)
+          .hint("rebalance")
           .write.mode("errorifexists").parquet(stage.toString)
         // atomic publication; a lost race (false) means someone else
         // published v first — drop our stage, keep going
@@ -130,8 +135,21 @@ object ChangeRelay {
     import org.apache.spark.sql.functions.col
     val stageRoot = new Path(out,
       s".stage-range-${java.util.UUID.randomUUID().toString.take(12)}")
+    // REBALANCE by the partition column before the write (guide §6 —
+    // sensible output file sizing): without it every upstream task
+    // writes a sliver into every version dir it holds rows for
+    // (tasks × versions small files, ~128 at bench scale), and the
+    // consumer pays per-file open + listing on every read-back. The
+    // AQE rebalance coalesces each version's rows toward
+    // advisoryPartitionSizeInBytes-sized writers AND splits a
+    // skewed version across several, so a huge backfill version can
+    // never funnel into one task — the row-count-bounded sizing a
+    // plain repartition(col) (one task per version, a skew bomb at
+    // scale) cannot give. Content is identical; only file layout
+    // changes.
     SnapshotLog.readChanges(spark, table, from, Some(head), allowFullDiff)
       .withColumn("__graft_cv", col("_commit_version"))
+      .hint("rebalance", col("__graft_cv"))
       .write.mode("errorifexists").partitionBy("__graft_cv")
       .parquet(stageRoot.toString)
     val published = Seq.newBuilder[Long]
