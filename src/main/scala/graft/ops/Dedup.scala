@@ -838,17 +838,50 @@ object Dedup {
               math.ceil(math.log(math.max(n, 1L) / 4.0) / math.log(2.0)).toInt))
         val bucketed = Similarity.bandedSignBuckets(
             emb.select(col(idCol).as("doc"), col(vecCol)), vecCol, dim, bands, r, seed)
-          .select(col("band"), col("bucket"), col("doc"))
-        val cand = candidatePairsFromBuckets(bucketed, Seq("band", "bucket"), "doc", maxBucket)
-        val vecs = emb.select(col(idCol), col(vecCol))
-        cand.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
-          .join(vecs.toDF("id_a", "v_a"), Seq("id_a"))
-          .join(vecs.toDF("id_b", "v_b"), Seq("id_b"))
+          .select(col("band"), col("bucket"), col("doc"), col(vecCol).as("_v"))
+        // FUSED in-bucket scoring (round-19, the semanticNearDup shape —
+        // guide §8): vectors ride INTO the (band, bucket) groupBy (bands
+        // copies per doc) and every i<j pair is scored where it was
+        // blocked, emitting only threshold survivors; the superseded
+        // shape (pair distinct over the FULL candidate volume, then two
+        // vector join-backs carrying ~2 arrays per candidate ≈ 4·bands·n
+        // copies) is retained as [[embeddingPairsJoinForm]] — the
+        // non-long-id fallback and DedupSpec's bit-identity reference.
+        // A pair blocked by several bands emits once per band with the
+        // SAME cosine (same two vectors), so the final distinct yields
+        // exactly the join form's rows — over survivors only, not the
+        // whole candidate volume.
+        if (emb.schema(idCol).dataType == org.apache.spark.sql.types.LongType)
+          return bucketed.groupBy("band", "bucket")
+            .agg(sort_array(collect_set(struct(col("doc"), col("_v")))).as("items"))
+            .where(size(col("items")) >= 2 && size(col("items")) <= maxBucket)
+            .select(explode(org.apache.spark.sql.GraftColumnBridge.column(
+              graft.functions.CellPairsCosine(
+                org.apache.spark.sql.GraftColumnBridge.expression(col("items")),
+                threshold))).as("p"))
+            .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.cos").as("cos"))
+            .distinct()
+        else embeddingPairsJoinForm(emb, idCol, vecCol,
+          bucketed.select(col("band"), col("bucket"), col("doc")), maxBucket)
       }
     pairs
       .withColumn("cos", Similarity.cosineCol(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** The superseded join-back candidate attachment of
+    * [[embeddingNearDup]]'s LSH branch (WITHOUT the shared cosine/
+    * threshold tail — the caller applies it) — retained as the
+    * non-long-id fallback and DedupSpec's bit-identity reference for
+    * the fused [[graft.functions.CellPairsCosine]] path. */
+  private[ops] def embeddingPairsJoinForm(emb: DataFrame, idCol: String, vecCol: String,
+                                          bucketed: DataFrame, maxBucket: Int): DataFrame = {
+    val cand = candidatePairsFromBuckets(bucketed, Seq("band", "bucket"), "doc", maxBucket)
+    val vecs = emb.select(col(idCol), col(vecCol))
+    cand.select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+      .join(vecs.toDF("id_a", "v_a"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "v_b"), Seq("id_b"))
   }
 
   /** Semantic dedup: embedding near-dup pairs blocked by LEARNED

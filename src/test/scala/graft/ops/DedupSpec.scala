@@ -239,6 +239,41 @@ class DedupSpec extends SparkSpec {
     assert(fused === joined)
   }
 
+  test("fused LSH bucket scoring equals the superseded join form bit-for-bit") {
+    import spark.implicits._
+    // the embeddingNearDup LSH branch's CellPairsCosine path must
+    // reproduce the distinct-then-join-back form exactly: same pairs,
+    // same DOUBLES, including pairs blocked by several bands (which
+    // must collapse to one row, as the pre-join distinct collapsed them)
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val rows = (0 until 25).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 6).map { m =>
+        ((c * 6 + m).toLong, center.map(x => (x + rnd.nextGaussian() * 0.03).toFloat))
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fused = collectPairs(Dedup.embeddingNearDup(
+      emb, "vec_id", "embedding", threshold = 0.9))
+    // reconstruct the join form with the same auto-derived r
+    val n = rows.size.toLong
+    val r = math.min(24, math.max(4,
+      math.ceil(math.log(math.max(n, 1L) / 4.0) / math.log(2.0)).toInt))
+    val bucketed = Similarity.bandedSignBuckets(
+        emb.select(col("vec_id").as("doc"), col("embedding")), "embedding", dim, 10, r, 42L)
+      .select(col("band"), col("bucket"), col("doc"))
+    val joined = collectPairs(
+      Dedup.embeddingPairsJoinForm(emb, "vec_id", "embedding", bucketed, 1000)
+        .withColumn("cos", Similarity.cosineCol(col("v_a"), col("v_b")))
+        .where(col("cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("cos")))
+    assert(fused.size > 100, s"fixture must actually produce pairs (got ${fused.size})")
+    assert(fused === joined)
+  }
+
   test("native bucket-pair expansions equal the nested-HOF forms pair-for-pair") {
     import spark.implicits._
     import org.apache.spark.sql.GraftColumnBridge.{column => gc, expression => ge}
